@@ -1,0 +1,298 @@
+"""Relational operator demos over the TPC-H-ish tables.
+
+Each function is an engine-capability probe with an exact DuckDB oracle in
+``__ray_entry__.oracle_sql``:
+- q1_pricing_summary: scan -> vectorized compute -> multi-agg groupby
+  (avgs derived from sums/counts so every aggregate is a mergeable partial)
+- top_customers_by_revenue: large-large hash join (Dataset.join,
+  hash-partitioned) + broadcast dim lookup + groupby + sort/limit
+- brand_revenue: broadcast small-side join inside map_batches (no shuffle)
+- region_supplier_count: broadcast dim-chain join
+- top_orders: sort + limit
+- distinct_segments: distinct via groupby
+
+Money aggregates are summed as integer CENTS (``floor(x*100 + 0.5)`` with
+the same IEEE expression tree in engine and oracle) so sums are exact and
+independent of summation order; they are exposed as dollars via
+``cents / 100.0`` (a deterministic double). Plain 6-dp rounding is only
+used for ratios of exactly-representable values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rev_cents(price: pa.Array, discount: pa.Array) -> pa.Array:
+    """int64 cents of price*(1-discount); floor(x*100+0.5) — see module doc.
+
+    Oracle twin: ``CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS
+    BIGINT)``.
+    """
+    p = price.to_numpy(zero_copy_only=False).astype(np.float64)
+    d = discount.to_numpy(zero_copy_only=False).astype(np.float64)
+    cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+    return pa.array(cents, pa.int64())
+
+
+def _cents_to_dollars(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    for cents_col, out_col in mapping.items():
+        dollars = pc.divide(
+            pc.cast(t[cents_col], pa.float64()), pa.scalar(100.0)
+        )
+        t = t.drop_columns([cents_col]).append_column(out_col, dollars)
+    return t
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(ship_cutoff).cast(pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        base = t["l_extendedprice"].combine_chunks()
+        base_cents = pa.array(
+            np.floor(
+                base.to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "base_cents": base_cents,
+                "disc_cents": _rev_cents(
+                    base, t["l_discount"].combine_chunks()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="base_cents"),
+            Sum("disc_cents", alias_name="disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _cents_to_dollars(
+            t, {"base_cents": "sum_base_price", "disc_cents": "sum_disc_price"}
+        )
+        avg_qty = pc.round(
+            pc.divide(t["sum_qty"], pc.cast(t["count_order"], pa.float64())),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"],
+                "sum_base_price": t["sum_base_price"],
+                "sum_disc_price": t["sum_disc_price"],
+                "avg_qty": avg_qty,
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_customers_by_revenue(sf_dir: str, k: int = 10):
+    """lineitem ⋈ orders (hash-partitioned large-large join) ⋈ customer
+    (broadcast) -> revenue per customer -> top k."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_cents": _rev_cents(
+                    t["l_extendedprice"].combine_chunks(),
+                    t["l_discount"].combine_chunks(),
+                ),
+            }
+        )
+
+    # partial-aggregate BEFORE the join: one row per orderkey per batch
+    order_rev = (
+        line.map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="order_cents"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = order_rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust_rev = joined.groupby("o_custkey").aggregate(
+        Sum("order_cents", alias_name="cents")
+    )
+
+    # customer is a dimension table: broadcast the name lookup
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    class AddName:
+        def __init__(self) -> None:
+            self.names = ray.get(name_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [
+                self.names.get(c) for c in t["o_custkey"].to_pylist()
+            ]
+            t = _cents_to_dollars(t, {"cents": "revenue"})
+            return pa.table(
+                {
+                    "c_custkey": t["o_custkey"],
+                    "c_name": pa.array(names, pa.string()),
+                    "revenue": t["revenue"],
+                }
+            )
+
+    return (
+        cust_rev.map_batches(AddName, batch_format="pyarrow", concurrency=2)
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def brand_revenue(sf_dir: str):
+    """Broadcast small-side (part) lookup inside map_batches — no shuffle
+    for the join itself, then a tiny groupby over partials."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    class BrandRev:
+        def __init__(self) -> None:
+            self.brand = ray.get(brand_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import collections
+
+            acc: dict[str, int] = collections.defaultdict(int)
+            cents = _rev_cents(
+                t["l_extendedprice"].combine_chunks(),
+                t["l_discount"].combine_chunks(),
+            ).to_numpy()
+            for pk, c in zip(t["l_partkey"].to_numpy(), cents):
+                acc[self.brand[pk]] += int(c)
+            return pa.table(
+                {
+                    "p_brand": pa.array(list(acc.keys()), pa.string()),
+                    "cents": pa.array(list(acc.values()), pa.int64()),
+                }
+            )
+
+    agg = (
+        line.map_batches(BrandRev, batch_format="pyarrow", concurrency=2)
+        .groupby("p_brand")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    return agg.map_batches(
+        lambda t: _cents_to_dollars(t, {"cents": "revenue"}).select(
+            ["p_brand", "revenue"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def region_supplier_count(sf_dir: str):
+    """Dim-chain broadcast: region ⋈ nation driver-side, supplier streamed."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    n2r = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    ).set_index("n_nationkey")["r_name"]
+    lookup_ref = ray.put(n2r.to_dict())
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    class RegionOf:
+        def __init__(self) -> None:
+            self.n2r = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import collections
+
+            acc: dict[str, int] = collections.Counter(
+                self.n2r[n] for n in t["s_nationkey"].to_pylist()
+            )
+            return pa.table(
+                {
+                    "r_name": pa.array(list(acc.keys()), pa.string()),
+                    "n": pa.array(list(acc.values()), pa.int64()),
+                }
+            )
+
+    return (
+        sup.map_batches(RegionOf, batch_format="pyarrow", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Sum("n", alias_name="suppliers"))
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+def distinct_segments(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+    )

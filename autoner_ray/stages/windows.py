@@ -1,0 +1,90 @@
+"""Event-stream windowed operators (engine extensions over ``events``).
+
+Ray Data has no event-time windows; these follow the guide's shape —
+``groupby(key).map_groups`` with the window logic over the ts-sorted group
+(ordering assumption: per-key, within-group sort; rows across keys are
+unordered). Results are pure functions of (key, ts multiset) so output is
+execution-order independent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _value_cents(batch: pa.Table) -> pa.Table:
+    """``value`` (2-dp double) as exact int64 cents so distributed partial
+    sums are order-independent and match the sequential oracle
+    (oracle twin: ``CAST(floor(value*100 + 0.5) AS BIGINT)``)."""
+    import numpy as np
+
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+    return batch.append_column("value_cents", pa.array(cents, pa.int64()))
+
+
+def _cents_col_to_value(t: pa.Table, out: str = "sum_value") -> pa.Table:
+    dollars = pc.divide(pc.cast(t["cents"], pa.float64()), pa.scalar(100.0))
+    return t.drop_columns(["cents"]).append_column(out, dollars)
+
+
+def hourly_counts(events_ds):
+    """(event_type, hour) -> n, sum_value. Tumbling hour via floor_temporal."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return _value_cents(batch.append_column("hour", hour))
+
+    agg = (
+        events_ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="cents"))
+    )
+    return agg.map_batches(_cents_col_to_value, batch_format="pyarrow")
+
+
+def user_stats(events_ds):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    agg = (
+        events_ds.map_batches(_value_cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="cents"),
+            Min("ts", alias_name="first_ts"),
+            Max("ts", alias_name="last_ts"),
+        )
+    )
+    return agg.map_batches(_cents_col_to_value, batch_format="pyarrow")
+
+
+def sessionize(events_ds, gap_minutes: int = 30):
+    """Session windows per user: a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Output one row per session:
+    (user_id, session_id [1-based per user in ts order], n_events,
+    start_ts, end_ts).
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        diffs = df["ts"].diff()
+        sess_id = ((diffs > gap) | diffs.isna()).cumsum()
+        g = df.groupby(sess_id)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].iloc[0],
+                "session_id": list(range(1, int(sess_id.max()) + 1)),
+                "n_events": g.size().values,
+                "start_ts": g["ts"].min().values,
+                "end_ts": g["ts"].max().values,
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
