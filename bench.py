@@ -1,0 +1,191 @@
+"""Benchmark harness for the autoner_ray engine (driver contract).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "e2e_headline_sec", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": "sf0.1", "num_cpus": 32,
+     "docs": N, "triples": M, "triples_per_sec": ...}
+
+``--scaling``: run the flagship KG pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs plus scaling efficiency ``eff = (thr_32/thr_8)/4`` (the
+in-sandbox stand-in for the north rule's N-vs-4N-node criterion).
+
+Only this script owns the Ray session (never the library / __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Headline set: flagship KG pipeline + one representative per operator family.
+HEADLINE = [
+    "kg_triples_full",
+    "pages_extract_text",
+    "dict_mention_counts_unigram",
+    "q1_pricing_summary",
+    "top_customers_by_revenue",
+    "events_sessionize",
+    "docs_exact_dedup",
+    "minhash_neardup",
+    "simhash_docs",
+    "lang_id_predict",
+    "knn_cosine",
+]
+
+
+def _consume(result) -> int:
+    """Fully execute a query result; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return result.count()  # ray.data.Dataset — executes, rows stay in store
+
+
+def _load_entry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(REPO, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    try:
+        import ray.data
+
+        ctx = ray.data.DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.print_on_execution_start = False
+
+        queries = _load_entry().queries()
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            rows[name] = _consume(queries[name](sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "e2e_headline_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(sf_dir.rstrip("/")),
+            "num_cpus": num_cpus,
+            "docs": n_docs,
+        }
+        if "kg_triples_full" in timings:
+            out["triples"] = rows["kg_triples_full"]
+            out["triples_per_sec"] = round(
+                rows["kg_triples_full"] / max(timings["kg_triples_full"], 1e-9), 1
+            )
+            out["docs_per_sec_kg"] = round(
+                n_docs / max(timings["kg_triples_full"], 1e-9), 1
+            )
+        return out
+    finally:
+        ray.shutdown()
+
+
+def _fresh_run(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
+    """Run bench in a fresh process (fresh ray.init) and parse its JSON line."""
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--sf-dir",
+        sf_dir,
+        "--cpus",
+        str(num_cpus),
+        "--queries",
+        ",".join(names),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"bench subprocess (cpus={num_cpus}) failed")
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    names = ["kg_triples_full"]
+    r_lo = _fresh_run(sf_dir, lo, names)
+    r_hi = _fresh_run(sf_dir, hi, names)
+    thr_lo = r_lo["docs_per_sec_kg"]
+    thr_hi = r_hi["docs_per_sec_kg"]
+    eff = round((thr_hi / thr_lo) / (hi / lo), 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        "docs": r_lo["docs"],
+        "low": {"num_cpus": lo, "sec": r_lo["queries"]["kg_triples_full"],
+                "docs_per_sec": thr_lo,
+                "triples_per_sec": r_lo["triples_per_sec"]},
+        "high": {"num_cpus": hi, "sec": r_hi["queries"]["kg_triples_full"],
+                 "docs_per_sec": thr_hi,
+                 "triples_per_sec": r_hi["triples_per_sec"]},
+        "queries": {
+            f"kg_triples_full@{lo}cpu": r_lo["queries"]["kg_triples_full"],
+            f"kg_triples_full@{hi}cpu": r_hi["queries"]["kg_triples_full"],
+        },
+        "num_cpus": hi,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of the headline queries")
+    ap.add_argument("--scaling", action="store_true",
+                    help="8-vs-32-CPU fresh-process scaling run")
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir)
+    else:
+        names = args.queries.split(",") if args.queries else HEADLINE
+        out = run_bench(args.sf_dir, args.cpus, names)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
