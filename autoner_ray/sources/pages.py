@@ -66,15 +66,23 @@ def derive_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, parallelism: int | None = None):
-    """Stream the documents table and derive the pages shape in-flight."""
+def read_pages(
+    sf_dir: str, parallelism: int | None = None, repeat: int = 1
+):
+    """Stream the documents table and derive the pages shape in-flight.
+
+    ``repeat`` re-reads the same file N times (N independent read tasks) —
+    used by the bench to scale up work on the small local fixture the way
+    a real corpus's many input files would; at 100 TB the file count
+    itself provides the read parallelism.
+    """
     import ray.data as rd
 
     kwargs = {}
     if parallelism is not None:
         kwargs["override_num_blocks"] = parallelism
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        [f"{sf_dir}/documents.parquet"] * max(1, repeat),
         columns=["doc_id", "text", "lang"],
         **kwargs,
     )
