@@ -67,6 +67,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pages_extract_text(sf_dir):
         return kg.extracted_pages(sf_dir).select_columns(["url", "text"])
 
+    def _kg_triples_resumable(sf_dir):
+        """Checkpointed flagship run (fresh scratch dir each call)."""
+        import os
+        import shutil
+        import tempfile
+
+        from autoner_ray.pipelines.checkpoint import run_resumable_triples
+
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "autoner_ckpt_" + os.path.basename(sf_dir.rstrip("/")),
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        return run_resumable_triples(sf_dir, out, num_parts=4)
+
     def docs_lang_counts(sf_dir):
         from ray.data.aggregate import Count
 
@@ -130,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_doc_freq_unigram": kg.unigram_entity_doc_freq,
         # --- KG pipeline (full trie+segmentDP; pytest-pinned) ------------
         "kg_triples_full": lambda sf: kg.triples_dataset(sf),
+        "kg_triples_resumable": _kg_triples_resumable,
         "kg_mentions_full": lambda sf: kg.matched_sentences(
             sf, output="mentions"
         ),
