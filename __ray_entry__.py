@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_annotations_ck": lambda sf: kg.matched_sentences(
             sf, output="annotations"
         ).select_columns(["url", "sent_id", "ck"]),
+        "kg_mentions_linked": kg.kg_mentions_linked,
+        "entity_canonical_table": kg.unigram_canonical_entities,
         # --- relational operator probes ----------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
@@ -203,6 +205,25 @@ def oracle_sql() -> dict[str, str]:
             FROM words a JOIN words b
               ON a.doc_id = b.doc_id AND a.entity < b.entity
             GROUP BY 1, 2, 3
+        """,
+        "entity_canonical_table": f"""
+            WITH m AS (
+                SELECT lower(t.word) AS key, t.word AS surface, COUNT(*) AS n
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE lower(t.word) IN (SELECT word FROM {dict_values})
+                GROUP BY 1, 2
+            ), w AS (
+                SELECT key, surface, n,
+                       SUM(n) OVER (PARTITION BY key) AS total,
+                       ROW_NUMBER() OVER (PARTITION BY key
+                           ORDER BY n DESC, surface) AS rk
+                FROM m
+            )
+            SELECT key, surface AS canonical_surface,
+                   CAST(total AS BIGINT) AS n_mentions,
+                   CAST(ROW_NUMBER() OVER (ORDER BY total DESC, key) - 1
+                        AS BIGINT) AS entity_id
+            FROM w WHERE rk = 1
         """,
         "entity_doc_freq_unigram": f"""
             WITH words AS (

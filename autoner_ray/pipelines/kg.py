@@ -36,22 +36,27 @@ from autoner_ray.stages.triples import (
 DEFAULT_BATCH_SIZE = 2048
 
 
-def _match_concurrency():
-    """Fixed actor-pool size: cluster CPUs minus one.
+def _match_concurrency(reserve: int = 1):
+    """Fixed actor-pool size: cluster CPUs minus ``reserve``.
 
     Fixed (not autoscaling) so the pool is at full width immediately —
     Ray Data's autoscaling pool ramps too slowly to matter on
-    minutes-long stages. One CPU stays free for the task-pool operators
-    (read + final aggregate — both trivial once the pair combiner is
-    fused into the actor). Scales with whatever session the driver
-    opened — same code on 8 CPUs or a 256-node cluster.
+    minutes-long stages. ``reserve`` CPUs stay free for the task-pool
+    operators (read + final aggregate — both trivial once the pair
+    combiner is fused into the actor). Pipelines that run a SECOND fixed
+    actor pool downstream (e.g. the link join) must reserve that pool's
+    width too: if the fixed pools together claim every CPU, the
+    downstream pool can never start, backpressure pins the upstream
+    operator open, and the pipeline deadlocks. Scales with whatever
+    session the driver opened — same code on 8 CPUs or a 256-node
+    cluster.
     """
     try:
         import ray
 
         if ray.is_initialized():
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            return max(2, cpus - 1)
+            return max(2, cpus - reserve)
     except Exception:
         pass
     return 4
@@ -205,6 +210,49 @@ def unigram_triples(sf_dir: str):
         pair_counts_batch, batch_format="pyarrow"
     )
     return aggregate_edges(pairs)
+
+
+def unigram_canonical_entities(sf_dir: str):
+    """SQL-checkable canonicalization: case-insensitive unigram mentions
+    -> canonical surface + dense entity ids (stages/canonicalize.py)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.canonicalize import (
+        canonical_entities,
+        entity_id_table,
+    )
+
+    dict_keys = set(UNIGRAM_DICT)
+
+    def surfaces(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            for tok in sentence_token_stream(text or ""):
+                if tok.lower() in dict_keys:
+                    out.append(tok)
+        return pa.table({"surface": pa.array(out, pa.string())})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(surfaces, batch_format="pyarrow")
+    return entity_id_table(canonical_entities(ds))
+
+
+def kg_mentions_linked(sf_dir: str, concurrency=None, link_concurrency=2):
+    """Full-trie mentions + dense entity ids via the broadcast link join."""
+    from autoner_ray.stages.canonicalize import (
+        canonical_entities,
+        link_mentions,
+    )
+
+    if concurrency is None:
+        # two fixed actor pools coexist in the linked stream — budget the
+        # matcher so the link pool (+1 task slot) can always start
+        concurrency = _match_concurrency(reserve=1 + link_concurrency)
+    mentions = matched_sentences(sf_dir, concurrency, output="mentions")
+    return link_mentions(
+        mentions, canonical_entities(mentions), concurrency=link_concurrency
+    )
 
 
 def unigram_entity_doc_freq(sf_dir: str):
