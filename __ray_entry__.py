@@ -38,7 +38,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from autoner_ray.pipelines import kg, relational
-    from autoner_ray.stages import analysis, dedup, similarity, windows
+    from autoner_ray.stages import (
+        analysis,
+        dedup,
+        multimodal,
+        similarity,
+        windows,
+    )
 
     def _docs(sf_dir, columns=None):
         import ray.data as rd
@@ -179,6 +185,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_label_counts": embeddings_label_counts,
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf,
+        "embedding_neardup": lambda sf: similarity.embedding_neardup(
+            _emb(sf), threshold=0.4
+        ),
+        # --- multimodal (stubbed codec, real Ray plumbing) ----------------
+        "media_features": lambda sf: multimodal.media_features(
+            _docs(sf, ["doc_id", "text"])
+        ),
     }
 
 
@@ -332,6 +345,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embeddings_label_counts": """
             SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

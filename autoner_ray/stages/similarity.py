@@ -125,3 +125,62 @@ def ivf_topk(emb_ds, query_vec, k: int = 10, num_lists: int = 16,
         batch_format="pyarrow",
     )
     return brute_force_topk(filtered, query_vec, k)
+
+
+class NearDupPairs:
+    """Embedding-cosine near-duplicate pairs (broadcast right side).
+
+    The full (id, vector) matrix is ``ray.put`` once and read in each
+    actor's ``__init__``; every batch computes a block x all similarity
+    slab and emits (a, b, sim) for a < b with sim >= threshold. Exact —
+    the O(n^2/P) baseline. At 10^9+ vectors the same emit step runs
+    after an IVF/LSH bucket groupby (bucket = candidate set) instead of
+    against the broadcast matrix; see :class:`IVFIndex`.
+    """
+
+    def __init__(self, all_ref, threshold: float) -> None:
+        import ray
+
+        ids, mat = (
+            ray.get(all_ref) if isinstance(all_ref, ray.ObjectRef) else all_ref
+        )
+        self.ids = ids
+        self.mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        matn = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+        sims = matn @ self.mat.T  # (b, N)
+        rows_a, rows_b, out_sims = [], [], []
+        for i, a in enumerate(ids):
+            hits = np.nonzero(sims[i] >= self.threshold)[0]
+            for j in hits:
+                b = self.ids[j]
+                if a < b:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    out_sims.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(rows_a, pa.int64()),
+                "vec_b": pa.array(rows_b, pa.int64()),
+                "sim": pa.array(out_sims, pa.float64()),
+            }
+        )
+
+
+def embedding_neardup(emb_ds, threshold: float = 0.9, concurrency: int = 2):
+    """All embedding pairs with cosine >= threshold (exact, broadcast)."""
+    import ray
+
+    full = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = np.asarray(full["vec_id"].to_list(), dtype=np.int64)
+    mat = np.array(full["embedding"].to_list(), dtype=np.float64)
+    ref = ray.put((ids, mat))
+    return emb_ds.map_batches(
+        NearDupPairs,
+        fn_constructor_kwargs={"all_ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
