@@ -88,6 +88,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         shutil.rmtree(out, ignore_errors=True)
         return run_resumable_triples(sf_dir, out, num_parts=4)
 
+    def _model_blob():
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "autoner_ray", "artifacts", "tagger_demo.npz",
+        )
+        with open(path, "rb") as f:
+            return f.read()
+
+    def _kg_mentions_neural(sf_dir):
+        from autoner_ray.stages.tagger_stage import neural_mentions
+
+        return neural_mentions(kg.sentences_dataset(sf_dir), _model_blob())
+
+    def _tagger_span_f1(sf_dir):
+        from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+        from autoner_ray.stages.tagger_stage import eval_span_f1
+
+        return eval_span_f1(
+            kg.sentences_dataset(sf_dir),
+            _model_blob(),
+            CORE_DICT,
+            FULL_DICT,
+            STOPWORDS,
+        )
+
     def docs_lang_counts(sf_dir):
         from ray.data.aggregate import Count
 
@@ -160,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["url", "sent_id", "ck"]),
         "kg_mentions_linked": kg.kg_mentions_linked,
         "entity_canonical_table": kg.unigram_canonical_entities,
+        # --- neural tagger (numpy bi-GRU actor pool; pytest-pinned) -------
+        "kg_mentions_neural": _kg_mentions_neural,
+        "tagger_span_f1": _tagger_span_f1,
         # --- relational operator probes ----------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_revenue": relational.top_customers_by_revenue,

@@ -1,0 +1,194 @@
+"""Neural tagger stages: actor-pool inference + distributed span-F1 eval.
+
+- :class:`TaggerScorer` (T3/T4): weights + vocab maps load ONCE per actor
+  from a broadcast artifact blob (``ray.put`` handle); each ``__call__``
+  re-buckets the batch by char-sequence length (token-budget batching,
+  T6 — Ray batches are row-counted so the budget slicing happens inside
+  the actor, SURVEY §7.3) and emits one row per decoded mention with its
+  chunk-head score (S12 shape).
+- :class:`TaggerEval` (A4/A5): holds BOTH the dictionary trie (gold
+  distant labels) and the model; emits per-batch partial span counts and
+  score min/max, merged with a tiny ``sum``/``min``/``max`` aggregate —
+  the distributed form of `model_partial_ner/utils.py:119-180`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from autoner_ray.state.tagger import (
+    Tagger,
+    f1_from_counts,
+    span_f1_counts,
+    token_budget_batches,
+    encode_sentence,
+)
+
+
+def _maybe_get(obj):
+    try:
+        import ray
+
+        if isinstance(obj, ray.ObjectRef):
+            return ray.get(obj)
+    except ImportError:
+        pass
+    return obj
+
+
+class TaggerScorer:
+    def __init__(self, model_blob, threshold: float = 0.0,
+                 token_budget: int = 3000) -> None:
+        self.tagger = Tagger.from_bytes(_maybe_get(model_blob))
+        self.threshold = threshold
+        self.token_budget = token_budget
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens_col = batch["tokens"].to_pylist()
+        urls = batch["url"].to_pylist()
+        dids = batch["doc_id"].to_pylist()
+        sids = batch["sent_id"].to_pylist()
+        # token-budget re-bucketing: encode once, group rows so each
+        # model call is (budget // seq_len) same-scale sentences
+        records = [
+            (*encode_sentence(t, self.tagger.c_map, self.tagger.w_map), i)
+            for i, t in enumerate(tokens_col)
+        ]
+        cols = {k: [] for k in (
+            "url", "doc_id", "sent_id", "l", "r", "surface", "types", "score"
+        )}
+        for bucket in token_budget_batches(records, self.token_budget):
+            idxs = [rec[3] for rec in bucket]
+            preds = self.tagger.predict_batch(
+                [tokens_col[i] for i in idxs], self.threshold
+            )
+            for i, spans in zip(idxs, preds):
+                for l, r, ty, score in spans:
+                    cols["url"].append(urls[i])
+                    cols["doc_id"].append(dids[i])
+                    cols["sent_id"].append(sids[i])
+                    cols["l"].append(l)
+                    cols["r"].append(r)
+                    cols["surface"].append(" ".join(tokens_col[i][l:r]))
+                    cols["types"].append(ty)
+                    cols["score"].append(round(score, 6))
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                "sent_id": pa.array(cols["sent_id"], pa.int32()),
+                "l": pa.array(cols["l"], pa.int32()),
+                "r": pa.array(cols["r"], pa.int32()),
+                "surface": pa.array(cols["surface"], pa.string()),
+                "types": pa.array(cols["types"], pa.string()),
+                "score": pa.array(cols["score"], pa.float64()),
+            }
+        )
+
+
+class TaggerEval:
+    """Per-batch partial counts: gold = dictionary segments (distant
+    labels from the trie), pred = model spans. One row per batch."""
+
+    def __init__(self, model_blob, core_lines, full_lines=(),
+                 stopword_lines=(), threshold: float = 0.0) -> None:
+        from autoner_ray.stages.dict_match import DictMatcher
+
+        self.tagger = Tagger.from_bytes(_maybe_get(model_blob))
+        self.matcher = DictMatcher(core_lines, full_lines, stopword_lines)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from autoner_ray.state.trie import FILTERED_TYPE
+
+        tokens_col = batch["tokens"].to_pylist()
+        preds = self.tagger.predict_batch(tokens_col, self.threshold)
+        n_gold = n_pred = n_hit = 0
+        smin, smax = float("inf"), float("-inf")
+        for toks, pred in zip(tokens_col, preds):
+            gold = [
+                (l, r, ty)
+                for l, r, ty in self.matcher.segments(toks)
+                if ty and ty != FILTERED_TYPE
+            ]
+            g, p, h = span_f1_counts(gold, pred)
+            n_gold += g
+            n_pred += p
+            n_hit += h
+            for _, _, _, s in pred:
+                smin = min(smin, s)
+                smax = max(smax, s)
+        return pa.table(
+            {
+                "n_gold": pa.array([n_gold], pa.int64()),
+                "n_pred": pa.array([n_pred], pa.int64()),
+                "n_hit": pa.array([n_hit], pa.int64()),
+                "score_min": pa.array(
+                    [smin if smin != float("inf") else 0.0], pa.float64()
+                ),
+                "score_max": pa.array(
+                    [smax if smax != float("-inf") else 0.0], pa.float64()
+                ),
+            }
+        )
+
+
+def neural_mentions(sentences_ds, model_blob, concurrency=2,
+                    threshold: float = 0.0, batch_size: int = 512):
+    """Sentence rows -> decoded mention rows via the actor pool."""
+    import ray
+
+    ref = model_blob if isinstance(model_blob, ray.ObjectRef) else ray.put(
+        model_blob
+    )
+    return sentences_ds.map_batches(
+        TaggerScorer,
+        fn_constructor_kwargs={"model_blob": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def eval_span_f1(sentences_ds, model_blob, core_lines, full_lines=(),
+                 stopword_lines=(), concurrency=2) -> pa.Table:
+    """Distributed span-F1 (A4) + global score min/max (A5): partial
+    counts per batch, one tiny final merge."""
+    import ray
+
+    ref = model_blob if isinstance(model_blob, ray.ObjectRef) else ray.put(
+        model_blob
+    )
+    partials = sentences_ds.map_batches(
+        TaggerEval,
+        fn_constructor_kwargs={
+            "model_blob": ref,
+            "core_lines": core_lines,
+            "full_lines": full_lines,
+            "stopword_lines": stopword_lines,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    import pandas as pd
+
+    df = partials.to_pandas()  # one row per batch — tiny
+    n_gold = int(df["n_gold"].sum())
+    n_pred = int(df["n_pred"].sum())
+    n_hit = int(df["n_hit"].sum())
+    stats = f1_from_counts(n_gold, n_pred, n_hit)
+    return pa.table(
+        {
+            "n_gold": pa.array([n_gold], pa.int64()),
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "precision": pa.array([stats["precision"]], pa.float64()),
+            "recall": pa.array([stats["recall"]], pa.float64()),
+            "f1": pa.array([stats["f1"]], pa.float64()),
+            "score_min": pa.array([float(df["score_min"].min())], pa.float64()),
+            "score_max": pa.array([float(df["score_max"].max())], pa.float64()),
+        }
+    )

@@ -1,0 +1,164 @@
+"""Neural tagger: encoder semantics, training convergence, actor stage.
+
+Pins the numpy bi-GRU tagger (state/tagger.py) and its Ray stages
+(stages/tagger_stage.py) — the engine's re-expression of the reference
+model family (ner.py / encode_folder.py / dataset.py; see module
+docstrings for file:line citations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from autoner_ray.state.tagger import (
+    BOS,
+    SEP,
+    Tagger,
+    build_vocabs,
+    encode_sentence,
+    segments_to_slots,
+    span_f1_counts,
+    spans_from_segments,
+    token_budget_batches,
+)
+
+ARTIFACT = "/root/repo/autoner_ray/artifacts/tagger_demo.npz"
+
+
+def test_encode_sentence_layout():
+    c_map = {"a": 4, "b": 5}
+    w_map = {"ab": 2, "b": 3}
+    ci, wi, slots = encode_sentence(["ab", "b", "zz"], c_map, w_map)
+    # <bos> a b <sep> b <sep> z z <sep>
+    assert ci[0] == BOS
+    assert list(ci) == [BOS, 4, 5, SEP, 5, SEP, 3, 3, SEP]  # z -> UNK(3)
+    # word ids repeat per char incl the following separator
+    assert list(wi[1:4]) == [2, 2, 2]
+    # slots: bos + one per word-final separator
+    assert list(slots) == [0, 3, 5, 8]
+    # unknown word falls back to lower then unk
+    assert wi[6] == 1  # WORD_UNK
+
+
+def test_segments_to_slots_filtered_inclusive():
+    # FILTERED [1,2) voids slots 1..2 INCLUSIVE (annotation.h:278-280)
+    brk, known = segments_to_slots(
+        4, [(0, 1, ""), (1, 2, "__FILTERED__"), (2, 4, "ENT")]
+    )
+    assert list(known) == [True, False, False, True, True]
+    assert brk[2] == 1.0 and brk[4] == 1.0 and brk[3] == 0.0
+
+
+def test_spans_supervise_none_class():
+    tl = {"None": 0, "ENT": 1}
+    spans = spans_from_segments([(0, 1, ""), (1, 3, "ENT")], tl)
+    assert len(spans) == 2
+    assert spans[0][2][0] == 1.0  # None khot
+    assert spans[1][2][1] == 1.0
+
+
+def test_token_budget_batcher():
+    recs = [(np.zeros(n),) for n in (100, 10, 50, 100, 10)]
+    batches = list(token_budget_batches(recs, budget=200))
+    # sorted desc by length; first batch: len-100 rows, 200//100 = 2 rows
+    assert [len(rec[0]) for rec in batches[0]] == [100, 100]
+    total = sum(len(b) for b in batches)
+    assert total == 5
+
+
+def test_training_learns_toy_task():
+    sents = [["aa", "bb", "cc"], ["bb", "cc", "aa"], ["cc", "aa", "bb"]]
+    segs = [
+        [(0, 1, ""), (1, 3, "ENT")],
+        [(0, 2, "ENT"), (2, 3, "")],
+        [(0, 1, ""), (1, 2, ""), (2, 3, "")],
+    ]
+    c_map, w_map, tl_map = build_vocabs(sents, [["ENT"]], char_min_count=0)
+    tg = Tagger(c_map, w_map, tl_map, char_dim=8, word_dim=8, hidden=16)
+    recs = []
+    for toks, sg in zip(sents, segs):
+        ci, wi, slots = encode_sentence(toks, c_map, w_map)
+        brk, known = segments_to_slots(len(toks), sg)
+        recs.append((ci, wi, slots, brk, known,
+                     spans_from_segments(sg, tl_map)))
+    vel, first = None, None
+    for _ in range(200):
+        for batch in token_budget_batches(recs, budget=100):
+            loss, vel = tg.train_batch(batch, lr=0.05, velocity=vel)
+            if first is None:
+                first = loss
+    assert loss < first / 10
+    ng = npd = nh = 0
+    for toks, sg, pred in zip(sents, segs, tg.predict_batch(sents)):
+        gold = [(l, r, t) for l, r, t in sg if t]
+        g, p, h = span_f1_counts(gold, pred)
+        ng += g; npd += p; nh += h
+    assert nh == ng == npd  # perfect on the toy task
+
+
+def test_checkpoint_roundtrip():
+    c_map, w_map, tl_map = build_vocabs([["ab"]], [["T"]], char_min_count=0)
+    tg = Tagger(c_map, w_map, tl_map, char_dim=4, word_dim=4, hidden=8)
+    blob = tg.to_bytes()
+    tg2 = Tagger.from_bytes(blob)
+    assert tg2.c_map == tg.c_map and tg2.tl_map == tg.tl_map
+    for k, v in tg.params.items():
+        assert np.array_equal(v, tg2.params[k])
+    preds1 = tg.predict_batch([["ab", "ab"]])
+    preds2 = tg2.predict_batch([["ab", "ab"]])
+    assert preds1 == preds2
+
+
+def test_scorer_stage_matches_single_process(ray_session):
+    """Actor-pool output == driver-side predict on the same sentences."""
+    import ray.data as rd
+
+    from autoner_ray.stages.tagger_stage import neural_mentions
+
+    with open(ARTIFACT, "rb") as f:
+        blob = f.read()
+    tagger = Tagger.from_bytes(blob)
+
+    sents = [
+        ["the", "filter", "pushes", "into", "table", "scan"],
+        ["customer", "joins", "spark"],
+    ]
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(sents))],
+            "doc_id": pa.array(range(len(sents)), pa.int64()),
+            "sent_id": pa.array([0] * len(sents), pa.int32()),
+            "tokens": pa.array(sents, pa.list_(pa.string())),
+        }
+    )
+    got = neural_mentions(rd.from_arrow(t), blob).to_pandas()
+    want = []
+    for i, spans in enumerate(tagger.predict_batch(sents)):
+        for l, r, ty, score in spans:
+            want.append((f"u{i}", l, r, ty))
+    got_set = {
+        (u, l, r, ty)
+        for u, l, r, ty in zip(got["url"], got["l"], got["r"], got["types"])
+    }
+    assert got_set == set(want)
+
+
+def test_artifact_quality_on_held_out(ray_session):
+    """The committed artifact reproduces dictionary supervision at
+    F1 >= 0.8 on sf0.01 (never seen in training)."""
+    from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+    from autoner_ray.pipelines.kg import sentences_dataset
+    from autoner_ray.stages.tagger_stage import eval_span_f1
+
+    with open(ARTIFACT, "rb") as f:
+        blob = f.read()
+    stats = eval_span_f1(
+        sentences_dataset("/root/testdata/sf0.01"),
+        blob,
+        CORE_DICT,
+        FULL_DICT,
+        STOPWORDS,
+    ).to_pandas()
+    assert stats["f1"][0] >= 0.8
+    assert stats["score_min"][0] <= stats["score_max"][0]
