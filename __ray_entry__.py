@@ -115,6 +115,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             STOPWORDS,
         )
 
+    def _kg_triples_hybrid(sf_dir):
+        from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+        from autoner_ray.stages.tagger_stage import hybrid_triples
+
+        return hybrid_triples(
+            kg.sentences_dataset(sf_dir),
+            _model_blob(),
+            CORE_DICT,
+            FULL_DICT,
+            STOPWORDS,
+        )
+
+    def _kg_graph_adjacency(sf_dir):
+        from autoner_ray.stages.graph import adjacency_lists
+
+        return adjacency_lists(kg.triples_dataset(sf_dir))
+
     def docs_lang_counts(sf_dir):
         from ray.data.aggregate import Count
 
@@ -190,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- neural tagger (numpy bi-GRU actor pool; pytest-pinned) -------
         "kg_mentions_neural": _kg_mentions_neural,
         "tagger_span_f1": _tagger_span_f1,
+        "kg_triples_hybrid": _kg_triples_hybrid,
+        "kg_graph_adjacency": _kg_graph_adjacency,
         # --- relational operator probes ----------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_revenue": relational.top_customers_by_revenue,

@@ -192,3 +192,76 @@ def eval_span_f1(sentences_ds, model_blob, core_lines, full_lines=(),
             "score_max": pa.array([float(df["score_max"].max())], pa.float64()),
         }
     )
+
+
+class HybridPairs:
+    """Union mention source (SURVEY §7.2 step 6): one actor holds BOTH
+    the dictionary trie and the neural tagger; per sentence the entity
+    set is the union of dictionary mentions and decoded neural spans
+    (canonicalized surfaces), and the batch leaves as pre-aggregated
+    co-occurrence pair partials — same zero-shuffle shape as
+    ``DictMatcher(output="pairs")``."""
+
+    def __init__(self, model_blob, core_lines, full_lines=(),
+                 stopword_lines=(), threshold: float = 0.0) -> None:
+        from autoner_ray.stages.dict_match import DictMatcher
+
+        self.matcher = DictMatcher(core_lines, full_lines, stopword_lines)
+        self.tagger = Tagger.from_bytes(_maybe_get(model_blob))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from itertools import combinations
+
+        from autoner_ray.functions.text import normalize_surface
+        from autoner_ray.stages.triples import PRED_COOCCUR
+
+        tokens_col = batch["tokens"].to_pylist()
+        preds = self.tagger.predict_batch(tokens_col, self.threshold)
+        counter: Counter[tuple[str, str]] = Counter()
+        for toks, spans in zip(tokens_col, preds):
+            ents = {m[4] for m in self.matcher.mentions_of(toks)}
+            for l, r, ty, _score in spans:
+                ents.add(normalize_surface(" ".join(toks[l:r])))
+            for a, b in combinations(sorted(ents), 2):
+                counter[(a, b)] += 1
+        subjs = [a for a, _ in counter]
+        objs = [b for _, b in counter]
+        return pa.table(
+            {
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array([PRED_COOCCUR] * len(subjs), pa.string()),
+                "obj": pa.array(objs, pa.string()),
+                "w": pa.array(list(counter.values()), pa.int64()),
+            }
+        )
+
+
+def hybrid_triples(sentences_ds, model_blob, core_lines, full_lines=(),
+                   stopword_lines=(), concurrency=None):
+    """Edge weights over the dict+neural union mention stream."""
+    import ray
+
+    from autoner_ray.pipelines.kg import _match_concurrency
+    from autoner_ray.stages.triples import aggregate_edges
+
+    if concurrency is None:
+        concurrency = _match_concurrency()
+    ref = model_blob if isinstance(model_blob, ray.ObjectRef) else ray.put(
+        model_blob
+    )
+    pairs = sentences_ds.map_batches(
+        HybridPairs,
+        fn_constructor_kwargs={
+            "model_blob": ref,
+            "core_lines": core_lines,
+            "full_lines": full_lines,
+            "stopword_lines": stopword_lines,
+        },
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return aggregate_edges(pairs)
