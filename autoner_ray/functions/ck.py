@@ -160,3 +160,50 @@ def parse_ck(text: str, keep_danger: bool = True):
     if cur_t:
         sentences.append((cur_t, cur_b, cur_y, cur_s))
     return sentences
+
+
+def bioes_to_ck(lines, ignore_misc: bool = False) -> str:
+    """S13: re-encode gold BIOES lines to Tie-or-Break ``.ck`` (3-col).
+
+    Line-exact port of the stateful FSM in
+    `preprocess_partial_ner/bioes_chunking.py:11-82`: ``B-``/``S-`` start
+    a chunk (``I`` = Break before the token), ``I-``/``E-`` continue one
+    (``O`` = Tie), ``O``/MISC-ignored tokens are singletons; sentences
+    are wrapped in ``<s> O None`` / ``<eof> I None``. The reference's
+    ``alread_ends`` flag changes nothing observable (both branches write
+    ``I None``) and is kept only as a comment, not code.
+    """
+    out: list[str] = []
+    start = False
+    for line in lines:
+        if not line.strip() or line.startswith("-DOCSTART-"):
+            if start:
+                out.append("<eof> I None\n\n")
+            else:
+                out.append("\n")
+            start = False
+            continue
+        tups = line.split()
+        label = tups[-1]
+        misc = ignore_misc and label.endswith("MISC")
+        if not start:
+            if label == "O" or misc:
+                out.append(f"<s> O None\n{tups[0]} I None\n")
+            else:
+                out.append(
+                    f"<s> O None\n{tups[0]} I {label.split('-')[-1]}\n"
+                )
+            start = True
+        elif misc:
+            out.append(f"{tups[0]} I None\n")
+        elif label.startswith(("B-", "S-")):
+            out.append(f"{tups[0]} I {label.split('-')[-1]}\n")
+        elif label.startswith(("E-", "I-")):
+            out.append(f"{tups[0]} O {label.split('-')[-1]}\n")
+        else:
+            out.append(f"{tups[0]} I None\n")
+    if start:
+        out.append("<eof> I None\n")
+    else:
+        out.append("\n")
+    return "".join(out)

@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=0.05)
     ap.add_argument("--budget", type=int, default=3000)
     ap.add_argument("--hidden", type=int, default=32)
+    ap.add_argument("--sample-ratio", type=float, default=1.0,
+                    help="keep each training sentence w.p. ratio "
+                         "(T7/O3, dataset.py:281)")
     ap.add_argument("--sf-dir", default=SF)
     ap.add_argument(
         "--out",
@@ -94,6 +97,11 @@ def main() -> None:
         spans = spans_from_segments(segments_col[i], tl_map)
         return (ci, wi, slots, brk, known, spans)
 
+    if args.sample_ratio < 1.0:  # Bernoulli keep (T7, dataset.py:281)
+        keep_rng = np.random.default_rng(11)
+        train_idx = [
+            i for i in train_idx if keep_rng.random() < args.sample_ratio
+        ]
     train_recs = [to_record(i) for i in train_idx]
     tagger = Tagger(c_map, w_map, tl_map, hidden=args.hidden)
 
