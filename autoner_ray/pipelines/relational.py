@@ -135,23 +135,26 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    def revenue(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def revenue_partial(t: pa.Table) -> pa.Table:
+        """Per-batch combiner: sum cents per orderkey with arrow's C++
+        hash aggregate — the global all-to-all then moves one row per
+        (orderkey, batch) instead of one per lineitem."""
+        tbl = pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "rev_cents": _rev_cents(
+                "order_cents": _rev_cents(
                     t["l_extendedprice"].combine_chunks(),
                     t["l_discount"].combine_chunks(),
                 ),
             }
         )
+        agg = tbl.group_by("l_orderkey").aggregate([("order_cents", "sum")])
+        return agg.rename_columns(["l_orderkey", "order_cents"])
 
-    # partial-aggregate BEFORE the join: one row per orderkey per batch
-    order_rev = (
-        line.map_batches(revenue, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_cents", alias_name="order_cents"))
-    )
+    # join the pre-combined partials directly: revenue sums are
+    # associative, so the join tolerates multiple rows per orderkey and
+    # the expensive global orderkey groupby disappears entirely
+    order_rev = line.map_batches(revenue_partial, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = order_rev.join(
@@ -162,8 +165,16 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10):
         right_on=("o_orderkey",),
     )
 
-    cust_rev = joined.groupby("o_custkey").aggregate(
-        Sum("order_cents", alias_name="cents")
+    def cust_partial(t: pa.Table) -> pa.Table:
+        agg = t.select(["o_custkey", "order_cents"]).group_by(
+            "o_custkey"
+        ).aggregate([("order_cents", "sum")])
+        return agg.rename_columns(["o_custkey", "order_cents"])
+
+    cust_rev = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("order_cents", alias_name="cents"))
     )
 
     # customer is a dimension table: broadcast the name lookup
