@@ -53,7 +53,7 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(
         sf_dir,
@@ -79,7 +79,7 @@ def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
             ).astype(np.int64),
             pa.int64(),
         )
-        return pa.table(
+        tbl = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
@@ -90,6 +90,28 @@ def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
                 ),
             }
         )
+        # per-batch combiner (arrow C++ hash aggregate): the global
+        # shuffle then moves ~|groups| rows per batch, not per lineitem.
+        # quantities are integer-valued and money is integer cents, so
+        # re-associating the sums is exact.
+        part = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("base_cents", "sum"),
+                ("disc_cents", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return part.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "base_cents",
+                "disc_cents",
+                "n",
+            ]
+        )
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -98,7 +120,7 @@ def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("base_cents", alias_name="base_cents"),
             Sum("disc_cents", alias_name="disc_cents"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
