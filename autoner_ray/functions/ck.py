@@ -64,10 +64,20 @@ def get_types(raw_tokens: list[str], segments: list[Segment]) -> list[str]:
     return ret
 
 
-def to_ck(raw_tokens: list[str], segments: list[Segment]) -> str:
-    """src/annotation.h:319-351 — byte-compatible ``.ck`` serialization."""
-    boundary = get_boundary(raw_tokens, segments)
-    types = get_types(raw_tokens, segments)
+def to_ck(
+    raw_tokens: list[str],
+    segments: list[Segment],
+    boundary: list[int] | None = None,
+    types: list[str] | None = None,
+) -> str:
+    """src/annotation.h:319-351 — byte-compatible ``.ck`` serialization.
+
+    ``boundary``/``types`` may be passed pre-computed (they are pure
+    projections of ``segments``) so hot callers derive them once."""
+    if boundary is None:
+        boundary = get_boundary(raw_tokens, segments)
+    if types is None:
+        types = get_types(raw_tokens, segments)
     out: list[str] = []
     status = 0  # outside
     for i, tok in enumerate(raw_tokens):

@@ -147,9 +147,11 @@ class DictMatcher:
         bnds, typs, cks = [], [], []
         for toks in tokens_col:
             segs = self.segments(toks)
-            bnds.append(get_boundary(toks, segs))
-            typs.append(get_types(toks, segs))
-            cks.append(to_ck(toks, segs))
+            b = get_boundary(toks, segs)
+            y = get_types(toks, segs)
+            bnds.append(b)
+            typs.append(y)
+            cks.append(to_ck(toks, segs, boundary=b, types=y))
         return pa.table(
             {
                 "url": batch["url"],

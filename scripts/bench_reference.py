@@ -1,0 +1,189 @@
+"""Head-to-head vs the reference binary on the FULL BC5CDR corpus.
+
+Compiles ``/root/reference/src/generate.cpp``, times it on
+``data/BC5CDR/raw_text.txt`` (361k token lines), then times this engine's
+DictMatcher actor-pool pipeline on the same token stream with the same
+dictionaries — and byte-compares the two ``.ck`` outputs (the strongest
+whole-corpus parity check). Prints one JSON line; paste the numbers into
+BASELINE.md.
+
+Usage: python scripts/bench_reference.py [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = Path("/root/reference")
+WORK = Path("/tmp/refbench")
+
+
+def compile_reference() -> Path:
+    WORK.mkdir(parents=True, exist_ok=True)
+    (WORK / "data").mkdir(exist_ok=True)
+    shutil.copy(REF / "data/stopwords.txt", WORK / "data/stopwords.txt")
+    binary = WORK / "generate_ref"
+    if not binary.exists():
+        subprocess.run(
+            ["g++", "-O3", "-std=c++11", "-fopenmp",
+             "-I", str(REF / "src"), str(REF / "src/generate.cpp"),
+             "-o", str(binary)],
+            check=True, capture_output=True,
+        )
+    return binary
+
+
+def sentences_from_lines(lines: list[str]):
+    """Token lines -> per-sentence token lists (blank line = boundary).
+
+    Each sentence KEEPS its trailing ``"\\n"`` sentinel token: ``to_ck``
+    emits the ``<eof>`` wrapper and the inter-sentence blank line when it
+    sees the sentinel (annotation.h:326-333), so per-sentence outputs
+    concatenate byte-identically to the whole-stream form."""
+    sents, cur = [], []
+    for line in lines:
+        if line == "":
+            if cur:
+                cur.append("\n")
+                sents.append(cur)
+                cur = []
+        else:
+            cur.append(line)
+    if cur:
+        cur.append("\n")
+        sents.append(cur)
+    return sents
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    raw = REF / "data/BC5CDR/raw_text.txt"
+    lines = raw.read_text().splitlines()
+    n_tokens = sum(1 for l in lines if l)
+    binary = compile_reference()
+
+    # --- reference single-process run ------------------------------------
+    out_ref = WORK / "full_ref.ck"
+    t0 = time.perf_counter()
+    subprocess.run(
+        [str(binary), str(raw), str(REF / "data/BC5CDR/dict_core.txt"),
+         str(REF / "data/BC5CDR/dict_full.txt"), str(out_ref)],
+        cwd=WORK, check=True, capture_output=True,
+    )
+    ref_sec = time.perf_counter() - t0
+    ref_ck = out_ref.read_text()
+
+    # --- engine run (Ray actor pool over sentence rows) -------------------
+    import ray
+
+    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    try:
+        import pyarrow as pa
+        import ray.data as rd
+
+        ctx = rd.DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.print_on_execution_start = False
+
+        from autoner_ray.stages.dict_match import DictMatcher
+
+        core = (REF / "data/BC5CDR/dict_core.txt").read_text().splitlines()
+        full = (REF / "data/BC5CDR/dict_full.txt").read_text().splitlines()
+        stop = (REF / "data/stopwords.txt").read_text().splitlines()
+
+        sents = sentences_from_lines(lines)
+        table = pa.table(
+            {
+                "url": pa.array([""] * len(sents), pa.string()),
+                "doc_id": pa.array(range(len(sents)), pa.int64()),
+                "sent_id": pa.array([0] * len(sents), pa.int32()),
+                "tokens": pa.array(sents, pa.list_(pa.string())),
+            }
+        )
+
+        # warmup (worker spin-up) on a slice
+        warm = rd.from_arrow(table.slice(0, 200)).map_batches(
+            DictMatcher,
+            fn_constructor_kwargs={"core_lines": core, "full_lines": full,
+                                   "stopword_lines": stop,
+                                   "output": "annotations"},
+            batch_format="pyarrow", concurrency=4, num_cpus=1,
+        )
+        warm.count()
+
+        def sliced(tbl, n_blocks):
+            """List of table slices -> one Ray block each, NO shuffle —
+            replaces a repartition() whose all-to-all on the heavy
+            list<string> column costs more than the matching itself."""
+            step = max(1, tbl.num_rows // n_blocks + 1)
+            return [
+                tbl.slice(i, step) for i in range(0, tbl.num_rows, step)
+            ]
+
+        conc = max(2, args.cpus - 1)
+        t0 = time.perf_counter()
+        ds = rd.from_arrow(sliced(table, conc * 2)).map_batches(
+            DictMatcher,
+            fn_constructor_kwargs={"core_lines": core, "full_lines": full,
+                                   "stopword_lines": stop,
+                                   "output": "annotations"},
+            batch_format="pyarrow", batch_size=512,
+            concurrency=conc, num_cpus=1,
+        )
+        result = ds.select_columns(["doc_id", "ck"]).to_pandas()
+        engine_sec = time.perf_counter() - t0
+
+        # byte parity: per-sentence .ck concatenated in corpus order
+        result = result.sort_values("doc_id")
+        ours = "".join(result["ck"]) + "\n"  # generate.cpp:38 trailing \n
+        match = ours == ref_ck
+
+        # steady-state throughput: same corpus replicated 64x (sentence
+        # rows shuffled into 2/CPU blocks) — the real corpus is only
+        # ~340k tokens (~0.3s of pool compute), so without replication
+        # the measurement is all fixed cost, not throughput
+        rep = pa.concat_tables([table] * 64)
+        t0 = time.perf_counter()
+        rd.from_arrow(sliced(rep, conc * 4)).map_batches(
+            DictMatcher,
+            fn_constructor_kwargs={"core_lines": core, "full_lines": full,
+                                   "stopword_lines": stop,
+                                   "output": "annotations"},
+            batch_format="pyarrow", batch_size=512,
+            concurrency=conc, num_cpus=1,
+        ).count()
+        steady_sec = time.perf_counter() - t0
+        steady_tps = round(64 * n_tokens / steady_sec)
+    finally:
+        ray.shutdown()
+
+    print(json.dumps({
+        "corpus_tokens": n_tokens,
+        "sentences": len(sents),
+        "reference_sec": round(ref_sec, 2),
+        "engine_sec": round(engine_sec, 2),
+        "speedup": round(ref_sec / engine_sec, 2),
+        "reference_tokens_per_sec": round(n_tokens / ref_sec),
+        "engine_tokens_per_sec": round(n_tokens / engine_sec),
+        "engine_steady_tokens_per_sec": steady_tps,
+        "steady_speedup_vs_reference": round(steady_tps * ref_sec / n_tokens, 2),
+        "byte_identical_ck": bool(match),
+        "num_cpus": args.cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()
