@@ -1,0 +1,127 @@
+"""Triple P/R vs the single-process oracle (BASELINE metric ≥ 0.95).
+
+The reference emits dictionary mentions (`bin/generate`); the north rule
+wraps them into sentence-scoped co-occurrence triples. The oracle here
+is an INDEPENDENT single-process composition of the byte-parity-pinned
+kernels (trie/segmentDP — themselves byte-diffed against the compiled
+reference in test_golden_reference.py) — no Ray involved — so the test
+measures exactly what the distributed pipeline can get wrong: batch
+boundaries, block layout, shuffle merges, execution order.
+
+Measured precision and recall are asserted == 1.0 on both the synthetic
+corpus and the real BC5CDR corpus (target ≥ 0.95).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REF = Path("/root/reference")
+
+
+def _oracle_edges_from_sentences(sent_tokens, matcher):
+    from autoner_ray.state.trie import FILTERED_TYPE
+
+    counter: Counter[tuple[str, str]] = Counter()
+    for toks in sent_tokens:
+        ents = sorted({m[4] for m in matcher.mentions_of(toks)})
+        for a, b in combinations(ents, 2):
+            counter[(a, b)] += 1
+    return counter
+
+
+def _pr(oracle: dict, got: dict):
+    o, g = set(oracle), set(got)
+    hit = o & g
+    precision = len(hit) / max(len(g), 1)
+    recall = len(hit) / max(len(o), 1)
+    return precision, recall, hit
+
+
+def test_triple_pr_synthetic(ray_session):
+    from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+    from autoner_ray.pipelines.kg import triples_dataset
+    from autoner_ray.sources.pages import derive_pages_batch
+    from autoner_ray.stages.dict_match import DictMatcher
+    from autoner_ray.stages.extract import extract_text_batch
+    from autoner_ray.stages.tokenize import tokenize_pages_batch
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    sents = tokenize_pages_batch(
+        extract_text_batch(derive_pages_batch(docs))
+    )["tokens"].to_pylist()
+    matcher = DictMatcher(CORE_DICT, FULL_DICT, STOPWORDS)
+    oracle = _oracle_edges_from_sentences(sents, matcher)
+
+    got_df = triples_dataset(sf, concurrency=2).to_pandas()
+    got = {
+        (r.subj, r.obj): r.weight for r in got_df.itertuples(index=False)
+    }
+    precision, recall, hit = _pr(oracle, got)
+    assert precision == 1.0 and recall == 1.0
+    for edge in hit:  # weights exact too
+        assert got[edge] == oracle[edge]
+
+
+def test_triple_pr_bc5cdr(ray_session):
+    """Real-corpus check: BC5CDR sentences + real dictionaries."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import ray.data as rd
+    from bench_reference import sentences_from_lines
+
+    from autoner_ray.stages.dict_match import DictMatcher
+    from autoner_ray.stages.triples import aggregate_edges
+
+    lines = (REF / "data/BC5CDR/raw_text.txt").read_text().splitlines()[:40000]
+    while lines and lines[-1] != "":
+        lines.pop()
+    sents = sentences_from_lines(lines)
+    core = (REF / "data/BC5CDR/dict_core.txt").read_text().splitlines()
+    full = (REF / "data/BC5CDR/dict_full.txt").read_text().splitlines()
+    stop = (REF / "data/stopwords.txt").read_text().splitlines()
+
+    matcher = DictMatcher(core, full, stop)
+    oracle = _oracle_edges_from_sentences(sents, matcher)
+    assert len(oracle) > 100  # real corpus yields a real edge set
+
+    table = pa.table(
+        {
+            "url": pa.array([""] * len(sents), pa.string()),
+            "doc_id": pa.array(range(len(sents)), pa.int64()),
+            "sent_id": pa.array([0] * len(sents), pa.int32()),
+            "tokens": pa.array(sents, pa.list_(pa.string())),
+        }
+    )
+    pairs = rd.from_arrow(
+        [table.slice(i, 500) for i in range(0, table.num_rows, 500)]
+    ).map_batches(
+        DictMatcher,
+        fn_constructor_kwargs={
+            "core_lines": core,
+            "full_lines": full,
+            "stopword_lines": stop,
+            "output": "pairs",
+        },
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=4,
+        num_cpus=1,
+    )
+    got_df = aggregate_edges(pairs).to_pandas()
+    got = {
+        (r.subj, r.obj): r.weight for r in got_df.itertuples(index=False)
+    }
+    precision, recall, hit = _pr(oracle, got)
+    assert precision == 1.0 and recall == 1.0
+    for edge in hit:
+        assert got[edge] == oracle[edge]
