@@ -216,10 +216,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_supplier_count": relational.region_supplier_count,
         "top_orders": relational.top_orders,
         "distinct_segments": relational.distinct_segments,
+        "customers_without_orders": relational.customers_without_orders,
+        "top_order_per_customer": relational.top_order_per_customer,
         # --- event windows ------------------------------------------------
         "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
         "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
         "events_sessionize": lambda sf: windows.sessionize(_events(sf)),
+        "events_sliding_window": lambda sf: windows.sliding_hourly(
+            _events(sf)
+        ),
         # --- documents: analysis / dedup ---------------------------------
         "docs_lang_counts": docs_lang_counts,
         "docs_token_stats": docs_token_stats,
@@ -370,6 +375,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts
             FROM sess GROUP BY user_id, session_id
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+        """,
+        "top_order_per_customer": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey,
+                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY floor(o_totalprice*100 + 0.5) DESC,
+                                    o_orderkey
+                       ) AS rk
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, cents / 100.0 AS o_totalprice
+            FROM ranked WHERE rk = 1
+        """,
+        "events_sliding_window": """
+            WITH exploded AS (
+                SELECT e.event_type,
+                       to_timestamp(
+                           (CAST(floor(epoch(e.ts) / 900) AS BIGINT) - k.k)
+                           * 900
+                       )::TIMESTAMP AS window_start,
+                       CAST(floor(e.value*100 + 0.5) AS BIGINT) AS cents
+                FROM events e, (VALUES (0), (1), (2), (3)) AS k(k)
+            )
+            SELECT event_type, window_start, COUNT(*) AS n,
+                   SUM(cents) / 100.0 AS sum_value
+            FROM exploded GROUP BY 1, 2
         """,
         "docs_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "docs_token_stats": f"""

@@ -329,3 +329,94 @@ def distinct_segments(sf_dir: str):
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def customers_without_orders(sf_dir: str, since: str = "2000-01-01"):
+    """ANTI-join: customers with no order since ``since``. The orders
+    keyset is aggregated distributed (filter pushed to the read, then
+    distinct custkeys ≪ orders rows), broadcast once, and the customer
+    stream filters against it — no shuffle of either full table."""
+    import pyarrow.compute as pc
+    import ray
+
+    import ray.data as rd
+
+    cutoff = pa.scalar(since).cast(pa.timestamp("us"))
+    keys = set(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            # predicate pushed into the parquet scan
+            filter=pc.field("o_orderdate") >= cutoff,
+        ).unique("o_custkey")
+    )
+    keys_ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [c not in self.keys for c in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
+    )
+
+
+def top_order_per_customer(sf_dir: str):
+    """Top-1-per-group: each customer's highest-value order.
+    Per-batch arrow combiner keeps the max row per custkey in the batch,
+    then one groupby finishes — the classic two-phase argmax."""
+    from ray.data.aggregate import Max
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def batch_max(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        okey = t["o_orderkey"].to_numpy()
+        # encode (price_cents, -orderkey) so a single int max picks the
+        # highest price, ties broken by the SMALLEST orderkey (range
+        # asserted: cents*2^24 stays well under 2^63)
+        assert okey.max() < (1 << 24), 'orderkey exceeds packing range'
+        packed = cents * (1 << 24) - okey
+        tbl = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+        agg = tbl.group_by("o_custkey").aggregate([("packed", "max")])
+        return agg.rename_columns(["o_custkey", "packed"])
+
+    agg = (
+        orders.map_batches(batch_max, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("packed", alias_name="packed"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        packed = t["packed"].to_numpy()
+        cents = (packed + (1 << 24) - 1) // (1 << 24)
+        okey = cents * (1 << 24) - packed
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": pa.array(okey, pa.int64()),
+                "o_totalprice": pa.array(
+                    cents.astype(np.float64) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -88,3 +88,53 @@ def sessionize(events_ds, gap_minutes: int = 30):
     return events_ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas"
     )
+
+
+def sliding_hourly(events_ds, window_hours: int = 1, slide_minutes: int = 15):
+    """Sliding event-time window: each event lands in
+    ``window_hours*60/slide_minutes`` overlapping windows; window_start is
+    the slide-aligned bucket. Explode-then-aggregate: the per-batch
+    explode emits (window_start, event_type) partials so the shuffle
+    moves pre-counted rows, not events x windows.
+    """
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    n_slides = (window_hours * 60) // slide_minutes
+    slide_us = slide_minutes * 60 * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # us since epoch
+        etype = batch["event_type"].to_pylist()
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        from collections import defaultdict
+
+        acc: dict[tuple[str, int], list[int]] = defaultdict(lambda: [0, 0])
+        base = (ts // slide_us) * slide_us  # slide-aligned bucket of event
+        for k in range(n_slides):
+            starts = base - k * slide_us
+            for e, s, c in zip(etype, starts, cents):
+                a = acc[(e, int(s))]
+                a[0] += 1
+                a[1] += int(c)
+        keys = list(acc.keys())
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keys], pa.string()),
+                "window_start": pa.array(
+                    [k[1] for k in keys], pa.timestamp("us")
+                ),
+                "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "cents": pa.array([acc[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    agg = (
+        events_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+    return agg.map_batches(_cents_col_to_value, batch_format="pyarrow")
