@@ -55,14 +55,19 @@ def derive_pages_batch(batch: pa.Table) -> pa.Table:
         [None if i % 2 == 0 else t for i, t in zip(doc_ids, texts)],
         type=pa.string(),
     )
-    return pa.table(
-        {
-            "url": urls,
-            "warc_ts": ts,
-            "html": htmls,
-            "text": text_col,
-            "lang": batch["lang"],
-        }
+    from autoner_ray.schemas import check
+
+    return check(
+        pa.table(
+            {
+                "url": urls,
+                "warc_ts": ts,
+                "html": htmls,
+                "text": text_col,
+                "lang": batch["lang"],
+            }
+        ),
+        "pages",
     )
 
 

@@ -43,11 +43,16 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
         t if t is not None else extract_text_from_html(h or b"")
         for t, h in zip(texts, htmls)
     ]
-    return pa.table(
-        {
-            "url": batch["url"],
-            "warc_ts": batch["warc_ts"],
-            "text": pa.array(out, type=pa.string()),
-            "lang": batch["lang"],
-        }
+    from autoner_ray.schemas import check
+
+    return check(
+        pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "text": pa.array(out, type=pa.string()),
+                "lang": batch["lang"],
+            }
+        ),
+        "extracted",
     )

@@ -58,14 +58,19 @@ def tokenize_pages_batch(batch: pa.Table) -> pa.Table:
             doc_ids.append(did)
             sent_ids.append(sid)
             token_lists.append(toks)
-    return pa.table(
-        {
-            "url": pa.array(urls, type=pa.string()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "sent_id": pa.array(sent_ids, type=pa.int32()),
-            "n_tokens": pa.array(
-                [len(t) for t in token_lists], type=pa.int32()
-            ),
-            "tokens": pa.array(token_lists, type=pa.list_(pa.string())),
-        }
+    from autoner_ray.schemas import check
+
+    return check(
+        pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "sent_id": pa.array(sent_ids, type=pa.int32()),
+                "n_tokens": pa.array(
+                    [len(t) for t in token_lists], type=pa.int32()
+                ),
+                "tokens": pa.array(token_lists, type=pa.list_(pa.string())),
+            }
+        ),
+        "sentences",
     )

@@ -48,13 +48,11 @@ def ref_binary():
 
 @pytest.fixture(scope="module")
 def corpus_prefix() -> Path:
-    """First ~4000 lines of BC5CDR raw text, cut at a sentence boundary."""
-    lines = _read_lines(REF / "data/BC5CDR/raw_text.txt")[:4000]
-    while lines and lines[-1] != "":
-        lines.pop()
-    p = WORK / "raw_head.txt"
+    """The FULL BC5CDR raw text (361,768 lines) — whole-corpus parity."""
+    p = WORK / "raw_full.txt"
     WORK.mkdir(parents=True, exist_ok=True)
-    p.write_text("\n".join(lines) + "\n")
+    if not p.exists():
+        p.write_text((REF / "data/BC5CDR/raw_text.txt").read_text())
     return p
 
 

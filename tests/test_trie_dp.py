@@ -156,3 +156,32 @@ def test_per_sentence_equals_whole_corpus():
         segs = segment_dp(t, corpus[start:])
         parts.extend((l + start, r + start, ty) for l, r, ty in segs)
     assert parts == whole
+
+
+def test_segment_dp_tiling_property():
+    """Property: for ANY token sequence, segments tile [0, n) exactly —
+    sorted, contiguous, non-overlapping — and sentinel tokens are never
+    inside a typed segment."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+    from autoner_ray.state.trie import build_trie, segment_dp
+
+    trie = build_trie(list(CORE_DICT), list(FULL_DICT), list(STOPWORDS))
+    vocab = ["hash", "join", "order", "batch", "big", "data", "the",
+             "a", "xyz", "\n", "spark", "customer"]
+
+    @given(st.lists(st.sampled_from(vocab), max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def check(tokens):
+        segs = segment_dp(trie, tokens)
+        pos = 0
+        for l, r, ty in segs:
+            assert l == pos and r > l
+            pos = r
+            if ty:
+                assert "\n" not in tokens[l:r]
+        assert pos == len(tokens)
+
+    check()
