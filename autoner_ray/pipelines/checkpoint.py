@@ -113,6 +113,42 @@ def run_resumable_triples(
     return final_edges(out_dir, num_parts)
 
 
+def run_resumable_graph(
+    sf_dir: str,
+    out_dir: str,
+    num_parts: int = 8,
+    num_shards: int = 16,
+    concurrency=None,
+):
+    """Full resumable job: checkpointed pair partials (per input
+    partition), then sorted graph shards committed as one final manifest
+    partition under ``out_dir/graph/``. A rerun skips everything already
+    committed — including the graph phase itself."""
+    from autoner_ray.stages.graph import materialize_graph
+
+    edges = run_resumable_triples(sf_dir, out_dir, num_parts, concurrency)
+    graph_dir = os.path.join(out_dir, "graph")
+    if not mf.is_complete(graph_dir, 0):
+
+        def write(tmp_dir):
+            materialize_graph(
+                edges, os.path.join(tmp_dir, "shards"), num_shards
+            )
+            return {"rows": edges.count(), "shards": num_shards}
+
+        mf.commit_partition(
+            graph_dir,
+            0,
+            write,
+            lineage={
+                "input": f"{out_dir}/part=*/pairs",
+                "stages": ["aggregate_edges", "materialize_graph"],
+                "num_shards": num_shards,
+            },
+        )
+    return os.path.join(mf.partition_dir(graph_dir, 0), "shards")
+
+
 def final_edges(out_dir: str, num_parts: int):
     """Global edge weights over every committed partition's partials."""
     import ray.data as rd

@@ -265,3 +265,24 @@ def hybrid_triples(sentences_ds, model_blob, core_lines, full_lines=(),
         num_cpus=1,
     )
     return aggregate_edges(pairs)
+
+
+def mentions_to_tsv(mention_rows, tl_map) -> str:
+    """S12: decoded-mention TSV in the reference's exact shape
+    (`test_partial_ner.py:99-109`): per span a tab-joined
+    ``st  ed  surface  type_id  type`` line, a blank line after each
+    sentence's block. ``mention_rows`` is an iterable of
+    (sent_key, l, r, surface, type) sorted by sent_key."""
+    out: list[str] = []
+    _unset = object()
+    prev_key = _unset
+    for key, l, r, surface, ty in mention_rows:
+        if prev_key is not _unset and key != prev_key:
+            out.append("\n")
+        prev_key = key
+        type_id = tl_map.get(ty, 0)
+        out.append("\t".join(str(v) for v in (l, r, surface, type_id, ty)))
+        out.append("\n")
+    if out:
+        out.append("\n")
+    return "".join(out)

@@ -162,3 +162,21 @@ def test_artifact_quality_on_held_out(ray_session):
     ).to_pandas()
     assert stats["f1"][0] >= 0.8
     assert stats["score_min"][0] <= stats["score_max"][0]
+
+
+def test_mentions_to_tsv_reference_shape():
+    from autoner_ray.stages.tagger_stage import mentions_to_tsv
+
+    rows = [
+        (0, 1, 3, "hash join", "Operator"),
+        (0, 5, 6, "spark", "System"),
+        (1, 0, 1, "row", "Structure"),
+    ]
+    tl = {"None": 0, "Operator": 1, "Structure": 2, "System": 3}
+    text = mentions_to_tsv(rows, tl)
+    lines = text.split("\n")
+    assert lines[0] == "1\t3\thash join\t1\tOperator"
+    assert lines[1] == "5\t6\tspark\t3\tSystem"
+    assert lines[2] == ""          # blank line between sentence blocks
+    assert lines[3] == "0\t1\trow\t2\tStructure"
+    assert text.endswith("\n\n")   # trailing blank per batch
