@@ -209,6 +209,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tagger_span_f1": _tagger_span_f1,
         "kg_triples_hybrid": _kg_triples_hybrid,
         "kg_graph_adjacency": _kg_graph_adjacency,
+        "kg_pagerank": lambda sf: __import__(
+            "autoner_ray.stages.graph", fromlist=["pagerank"]
+        ).pagerank(kg.triples_dataset(sf)),
+        # --- text indexing -------------------------------------------------
+        "docs_tfidf_top_terms": lambda sf: analysis.tfidf_top_terms(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "docs_inverted_index": lambda sf: analysis.inverted_index_stats(
+            _docs(sf, ["doc_id", "text"])
+        ),
         # --- relational operator probes ----------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
@@ -375,6 +385,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts
             FROM sess GROUP BY user_id, session_id
+        """,
+        "docs_tfidf_top_terms": f"""
+            WITH words AS (
+                SELECT d.doc_id, t.word, COUNT(*) AS cnt
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                GROUP BY 1, 2
+            ), lens AS (
+                SELECT doc_id, CAST(len({WORDS}) AS DOUBLE) AS n
+                FROM documents
+            ), df AS (
+                SELECT word, COUNT(DISTINCT doc_id) AS df FROM words
+                GROUP BY 1
+            ), nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT w.doc_id, w.word,
+                       round(w.cnt / l.n * ln(nd.n / CAST(df.df AS DOUBLE)),
+                             6) AS tfidf
+                FROM words w
+                JOIN lens l USING (doc_id)
+                JOIN df USING (word), nd
+            ), ranked AS (
+                SELECT doc_id, word, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, word) AS rk
+                FROM scored
+            )
+            SELECT doc_id, word, tfidf, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3
+        """,
+        "docs_inverted_index": f"""
+            WITH words AS (
+                SELECT d.doc_id, t.word, COUNT(*) AS n
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                GROUP BY 1, 2
+            )
+            SELECT word, COUNT(*) AS n_docs, SUM(n) AS total_occurrences,
+                   MIN(doc_id) AS first_doc
+            FROM words GROUP BY word
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

@@ -173,3 +173,127 @@ class LangId:
                 "pred_lang": pa.array(preds, pa.string()),
             }
         )
+
+
+def tfidf_top_terms(docs_ds, k: int = 3):
+    """Per-doc top-k TF-IDF terms (ties: lexicographic smallest word).
+
+    Two phases: (1) distributed doc-frequency aggregate over per-batch
+    DISTINCT-word partials; (2) the small (vocab-sized) df table is
+    broadcast and each batch scores its docs locally — the scoring pass
+    is shuffle-free. tf = count/len(words); idf = ln(N/df); score
+    rounded to 6 dp (same expression tree as the DuckDB oracle).
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter[str] = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(set(sentence_token_stream(text or "")))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = docs_ds.count()
+    idf = {
+        w: math.log(n_docs / d) for w, d in zip(df_tbl["word"], df_tbl["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            doc_ids, words, scores, ranks = [], [], [], []
+            for did, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                toks = sentence_token_stream(text or "")
+                if not toks:
+                    continue
+                c = Counter(toks)
+                n = len(toks)
+                scored = sorted(
+                    ((round(cnt / n * self.idf[w], 6), w)
+                     for w, cnt in c.items()),
+                    key=lambda t: (-t[0], t[1]),
+                )[:k]
+                for r, (s, w) in enumerate(scored, 1):
+                    doc_ids.append(did)
+                    words.append(w)
+                    scores.append(s)
+                    ranks.append(r)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "word": pa.array(words, pa.string()),
+                    "tfidf": pa.array(scores, pa.float64()),
+                    "rk": pa.array(ranks, pa.int64()),
+                }
+            )
+
+    return docs_ds.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=2
+    )
+
+
+def inverted_index_stats(docs_ds):
+    """Inverted-index summary per term: posting count (docs), total
+    occurrences, smallest doc id — the aggregate face of a term->postings
+    index (posting LISTS shard by hash(term) at scale; the stats here are
+    the SQL-checkable projection)."""
+    from ray.data.aggregate import Min, Sum
+
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        words, docs, counts = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for w, c in Counter(
+                sentence_token_stream(text or "")
+            ).items():
+                words.append(w)
+                docs.append(did)
+                counts.append(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n", alias_name="total_occurrences"),
+            Min("doc_id", alias_name="first_doc"),
+        )
+    )
