@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": lambda sf: __import__(
             "autoner_ray.stages.graph", fromlist=["pagerank"]
         ).pagerank(kg.triples_dataset(sf)),
+        "kg_typed_triples": lambda sf: kg.typed_triples_dataset(sf),
+        "edge_pmi_unigram": kg.unigram_edge_pmi,
         # --- text indexing -------------------------------------------------
         "docs_tfidf_top_terms": lambda sf: analysis.tfidf_top_terms(
             _docs(sf, ["doc_id", "text"])
@@ -301,6 +303,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY total DESC, key) - 1
                         AS BIGINT) AS entity_id
             FROM w WHERE rk = 1
+        """,
+        "edge_pmi_unigram": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ), pairs AS (
+                SELECT a.entity AS subj, b.entity AS obj,
+                       COUNT(*) AS weight
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2
+            ), freq AS (
+                SELECT entity, COUNT(*) AS df FROM words GROUP BY entity
+            ), nd AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT p.subj, p.obj, p.weight,
+                   round(ln(p.weight * nd.n /
+                            CAST(fa.df * fb.df AS DOUBLE)), 6) AS pmi
+            FROM pairs p
+            JOIN freq fa ON p.subj = fa.entity
+            JOIN freq fb ON p.obj = fb.entity, nd
         """,
         "entity_doc_freq_unigram": f"""
             WITH words AS (

@@ -276,3 +276,41 @@ def unigram_entity_doc_freq(sf_dir: str):
         .groupby("entity")
         .aggregate(Sum("n", alias_name="doc_freq"))
     )
+
+
+def unigram_edge_pmi(sf_dir: str):
+    """Edge scoring beyond counts: doc-level PMI per co-occurring entity
+    pair — ``ln(c_ab * N / (c_a * c_b))`` over document frequencies.
+    The pair counts and entity doc-freqs are both distributed aggregates;
+    the PMI arithmetic runs on the (edge-vocab-sized) result. SQL twin in
+    ``oracle_sql`` (same expression tree, 6-dp round)."""
+    import math
+
+    edges = unigram_triples(sf_dir).to_pandas()
+    freqs = unigram_entity_doc_freq(sf_dir).to_pandas()
+    n_docs = int(
+        __import__("pyarrow.parquet", fromlist=["read_metadata"])
+        .read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+    df = dict(zip(freqs["entity"], freqs["doc_freq"]))
+    pmi = [
+        round(math.log(w * n_docs / (df[s] * df[o])), 6)
+        for s, o, w in zip(edges["subj"], edges["obj"], edges["weight"])
+    ]
+    return pa.table(
+        {
+            "subj": pa.array(edges["subj"], pa.string()),
+            "obj": pa.array(edges["obj"], pa.string()),
+            "weight": pa.array(edges["weight"], pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        }
+    )
+
+
+def typed_triples_dataset(sf_dir: str, concurrency=None, repeat: int = 1):
+    """Pattern-rule typed triples: (subj, pred=gap-pattern|cooccurs_with,
+    obj, weight) — same zero-shuffle combiner shape as the flagship."""
+    pairs = matched_sentences(
+        sf_dir, concurrency, output="typed_pairs", repeat=repeat
+    )
+    return aggregate_edges(pairs)

@@ -59,7 +59,9 @@ class DictMatcher:
             list(_maybe_get(stopword_lines)),
         )
         self.weight = weight
-        assert output in ("sentences", "mentions", "annotations", "pairs")
+        assert output in (
+            "sentences", "mentions", "annotations", "pairs", "typed_pairs"
+        )
         self.output = output
 
     # -- kernels -----------------------------------------------------------
@@ -75,9 +77,53 @@ class DictMatcher:
                 out.append((l, r, surface, ty, normalize_surface(surface)))
         return out
 
+    # -- pattern predicates -----------------------------------------------
+    MAX_PRED_GAP = 2
+
+    def typed_pairs_of(self, tokens: list[str]):
+        """North-star "pattern rule" predicates: for each POSITIONAL pair
+        of mentions in the sentence (left subject, right object), the
+        predicate is the joined gap tokens when the gap is 1..MAX_PRED_GAP
+        plain word tokens (no separators, no other mention between);
+        otherwise the pair falls back to the undirected co-occurrence
+        edge. Deterministic function of the token stream."""
+        from autoner_ray.functions.text import is_separator_token
+
+        ms = self.mentions_of(tokens)
+        out = []
+        for i, (l1, r1, _s1, _t1, c1) in enumerate(ms):
+            for l2, r2, _s2, _t2, c2 in ms[i + 1 :]:
+                if c1 == c2:
+                    continue
+                gap = tokens[r1:l2]
+                if (
+                    1 <= len(gap) <= self.MAX_PRED_GAP
+                    and not any(is_separator_token(t) for t in gap)
+                ):
+                    out.append((c1, "_".join(gap), c2))
+                else:
+                    a, b = sorted((c1, c2))
+                    out.append((a, "cooccurs_with", b))
+        return out
+
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         tokens_col = batch["tokens"].to_pylist()
+        if self.output == "typed_pairs":
+            from collections import Counter
+
+            counter: Counter[tuple[str, str, str]] = Counter()
+            for toks in tokens_col:
+                counter.update(self.typed_pairs_of(toks))
+            keys = list(counter.keys())
+            return pa.table(
+                {
+                    "subj": pa.array([k[0] for k in keys], pa.string()),
+                    "pred": pa.array([k[1] for k in keys], pa.string()),
+                    "obj": pa.array([k[2] for k in keys], pa.string()),
+                    "w": pa.array(list(counter.values()), pa.int64()),
+                }
+            )
         if self.output == "pairs":
             from collections import Counter
             from itertools import combinations

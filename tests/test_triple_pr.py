@@ -125,3 +125,35 @@ def test_triple_pr_bc5cdr(ray_session):
     assert precision == 1.0 and recall == 1.0
     for edge in hit:
         assert got[edge] == oracle[edge]
+
+
+def test_typed_triples_match_oracle(ray_session):
+    """Pattern-predicate triples: distributed == single-process oracle."""
+    from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+    from autoner_ray.pipelines.kg import typed_triples_dataset
+    from autoner_ray.sources.pages import derive_pages_batch
+    from autoner_ray.stages.dict_match import DictMatcher
+    from autoner_ray.stages.extract import extract_text_batch
+    from autoner_ray.stages.tokenize import tokenize_pages_batch
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    sents = tokenize_pages_batch(
+        extract_text_batch(derive_pages_batch(docs))
+    )["tokens"].to_pylist()
+    matcher = DictMatcher(CORE_DICT, FULL_DICT, STOPWORDS)
+    oracle: Counter = Counter()
+    for toks in sents:
+        oracle.update(matcher.typed_pairs_of(toks))
+
+    got_df = typed_triples_dataset(sf, concurrency=2).to_pandas()
+    got = {
+        (r.subj, r.pred, r.obj): r.weight
+        for r in got_df.itertuples(index=False)
+    }
+    assert got == dict(oracle)
+    # typed predicates actually fire (not everything falls back)
+    preds = {p for _, p, _ in got}
+    assert "cooccurs_with" in preds and len(preds) > 1
