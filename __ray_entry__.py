@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).pagerank(kg.triples_dataset(sf)),
         "kg_typed_triples": lambda sf: kg.typed_triples_dataset(sf),
         "edge_pmi_unigram": kg.unigram_edge_pmi,
+        "kg_triples_evidence": lambda sf: kg.triples_with_evidence(sf),
+        "triples_evidence_unigram": kg.unigram_triples_with_evidence,
         # --- text indexing -------------------------------------------------
         "docs_tfidf_top_terms": lambda sf: analysis.tfidf_top_terms(
             _docs(sf, ["doc_id", "text"])
@@ -303,6 +305,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY total DESC, key) - 1
                         AS BIGINT) AS entity_id
             FROM w WHERE rk = 1
+        """,
+        "triples_evidence_unigram": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            )
+            SELECT a.entity AS subj, b.entity AS obj,
+                   COUNT(*) AS weight, MIN(a.doc_id) AS evidence_doc
+            FROM words a JOIN words b
+              ON a.doc_id = b.doc_id AND a.entity < b.entity
+            GROUP BY 1, 2
         """,
         "edge_pmi_unigram": f"""
             WITH words AS (

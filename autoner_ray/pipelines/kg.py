@@ -314,3 +314,51 @@ def typed_triples_dataset(sf_dir: str, concurrency=None, repeat: int = 1):
         sf_dir, concurrency, output="typed_pairs", repeat=repeat
     )
     return aggregate_edges(pairs)
+
+
+def triples_with_evidence(sf_dir: str, concurrency=None, repeat: int = 1):
+    """Flagship edges + provenance: min (url, sent_id) evidence pointer."""
+    from autoner_ray.stages.triples import aggregate_edges_with_evidence
+
+    pairs = matched_sentences(
+        sf_dir, concurrency, output="pairs_ev", repeat=repeat
+    )
+    return aggregate_edges_with_evidence(pairs)
+
+
+def unigram_triples_with_evidence(sf_dir: str):
+    """SQL-checkable twin: evidence = MIN doc_id where the pair co-occurs."""
+    from collections import Counter
+
+    from ray.data.aggregate import Min, Sum
+    from itertools import combinations
+
+    def pairs_ev(batch: pa.Table) -> pa.Table:
+        counter: Counter[tuple[str, str]] = Counter()
+        ev: dict[tuple[str, str], int] = {}
+        for did, ents in zip(
+            batch["doc_id"].to_pylist(), batch["entities"].to_pylist()
+        ):
+            for pair in combinations(ents, 2):
+                counter[pair] += 1
+                if pair not in ev or did < ev[pair]:
+                    ev[pair] = did
+        keys = list(counter.keys())
+        return pa.table(
+            {
+                "subj": pa.array([k[0] for k in keys], pa.string()),
+                "obj": pa.array([k[1] for k in keys], pa.string()),
+                "w": pa.array([counter[k] for k in keys], pa.int64()),
+                "ev": pa.array([ev[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        unigram_doc_entities(sf_dir)
+        .map_batches(pairs_ev, batch_format="pyarrow")
+        .groupby(["subj", "obj"])
+        .aggregate(
+            Sum("w", alias_name="weight"),
+            Min("ev", alias_name="evidence_doc"),
+        )
+    )

@@ -60,7 +60,8 @@ class DictMatcher:
         )
         self.weight = weight
         assert output in (
-            "sentences", "mentions", "annotations", "pairs", "typed_pairs"
+            "sentences", "mentions", "annotations", "pairs", "typed_pairs",
+            "pairs_ev",
         )
         self.output = output
 
@@ -109,6 +110,36 @@ class DictMatcher:
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         tokens_col = batch["tokens"].to_pylist()
+        if self.output == "pairs_ev":
+            # co-occurrence partials carrying PROVENANCE: per edge the
+            # lexicographically-min "url#sent_id" evidence pointer. min()
+            # is associative, so evidence merges exactly like the count.
+            from collections import Counter
+            from itertools import combinations
+
+            from autoner_ray.stages.triples import PRED_COOCCUR
+
+            counter: Counter[tuple[str, str]] = Counter()
+            ev: dict[tuple[str, str], str] = {}
+            urls = batch["url"].to_pylist()
+            sids = batch["sent_id"].to_pylist()
+            for url, sid, toks in zip(urls, sids, tokens_col):
+                pointer = f"{url}#{sid}"
+                ents = sorted({m[4] for m in self.mentions_of(toks)})
+                for pair in combinations(ents, 2):
+                    counter[pair] += 1
+                    if pair not in ev or pointer < ev[pair]:
+                        ev[pair] = pointer
+            keys = list(counter.keys())
+            return pa.table(
+                {
+                    "subj": pa.array([k[0] for k in keys], pa.string()),
+                    "pred": pa.array([PRED_COOCCUR] * len(keys), pa.string()),
+                    "obj": pa.array([k[1] for k in keys], pa.string()),
+                    "w": pa.array([counter[k] for k in keys], pa.int64()),
+                    "ev": pa.array([ev[k] for k in keys], pa.string()),
+                }
+            )
         if self.output == "typed_pairs":
             from collections import Counter
 

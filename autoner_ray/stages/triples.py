@@ -78,3 +78,13 @@ def entity_doc_freq(sentences_ds):
         .groupby("entity")
         .aggregate(Sum("n", alias_name="sent_freq"))
     )
+
+
+def aggregate_edges_with_evidence(pairs_ev_ds):
+    """Edge weights + min evidence pointer ("url#sent_id") per edge."""
+    from ray.data.aggregate import Min, Sum
+
+    return pairs_ev_ds.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("w", alias_name="weight"),
+        Min("ev", alias_name="evidence"),
+    )
