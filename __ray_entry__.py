@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": lambda sf: analysis.inverted_index_stats(
             _docs(sf, ["doc_id", "text"])
         ),
+        "bm25_search": lambda sf: analysis.bm25_topk(
+            _docs(sf, ["doc_id", "text"]), ["filter", "join", "spark"]
+        ),
         # --- relational operator probes ----------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
@@ -422,6 +425,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts
             FROM sess GROUP BY user_id, session_id
+        """,
+        "bm25_search": f"""
+            WITH lens AS (
+                SELECT doc_id, CAST(len({WORDS}) AS BIGINT) AS dl
+                FROM documents
+            ), stats AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS dl_sum
+                FROM lens
+            ), tf AS (
+                SELECT d.doc_id, t.word, CAST(COUNT(*) AS BIGINT) AS f
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word IN ('filter', 'join', 'spark')
+                GROUP BY 1, 2
+            ), df AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+                GROUP BY 1
+            ), contrib AS (
+                SELECT tf.doc_id, tf.word,
+                       ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * (tf.f * (1.2 + 1.0))
+                       / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * l.dl
+                          / (CAST(s.dl_sum AS DOUBLE) / s.n))) AS c
+                FROM tf
+                JOIN df USING (word)
+                JOIN lens l ON tf.doc_id = l.doc_id, stats s
+            ), scored AS (
+                SELECT doc_id,
+                       round((COALESCE(MAX(CASE WHEN word = 'filter'
+                                  THEN c END), 0.0)
+                            + COALESCE(MAX(CASE WHEN word = 'join'
+                                  THEN c END), 0.0))
+                            + COALESCE(MAX(CASE WHEN word = 'spark'
+                                  THEN c END), 0.0), 6) AS score
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, score FROM scored
+            WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
         """,
         "docs_tfidf_top_terms": f"""
             WITH words AS (

@@ -297,3 +297,116 @@ def inverted_index_stats(docs_ds):
             Min("doc_id", alias_name="first_doc"),
         )
     )
+
+
+def bm25_topk(docs_ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k docs for a fixed term list (classic Robertson idf).
+
+    Distributed shape: (1) one aggregate pass for N, sum(dl) and per-term
+    doc frequencies (per-batch partials -> tiny merge); (2) broadcast the
+    (terms-sized) stats and score every batch locally; (3) partial top-k
+    per batch, tiny final merge. Float discipline for the DuckDB twin:
+    dl and tf are integers, avgdl = sum(dl)/N is one exact division, and
+    the per-term contributions are added in sorted-term order — the same
+    IEEE expression tree as the oracle, so scores match to the bit before
+    the 6-dp round.
+    """
+    import heapq
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    terms = sorted(terms)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n, dl_sum = 0, 0
+        df: Counter[str] = Counter()
+        for text in batch["text"].to_pylist():
+            toks = sentence_token_stream(text or "")
+            n += 1
+            dl_sum += len(toks)
+            seen = set(toks)
+            for t in terms:
+                if t in seen:
+                    df[t] += 1
+        cols = {"n": [n], "dl_sum": [dl_sum]}
+        for t in terms:
+            cols[f"df_{t}"] = [df[t]]
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+
+    stats = (
+        docs_ds.map_batches(stat_partial, batch_format="pyarrow")
+        .sum(["n", "dl_sum"] + [f"df_{t}" for t in terms])
+    )
+    n_docs = stats["sum(n)"]
+    avgdl = stats["sum(dl_sum)"] / n_docs  # ints -> one exact division
+    idf = {
+        t: math.log(
+            (n_docs - stats[f"sum(df_{t})"] + 0.5)
+            / (stats[f"sum(df_{t})"] + 0.5)
+            + 1.0
+        )
+        for t in terms
+    }
+
+    import ray
+
+    cfg = ray.put((terms, idf, avgdl, k1, b))
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.terms, self.idf, self.avgdl, self.k1, self.b = ray.get(cfg)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            rows = []
+            for did, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                toks = sentence_token_stream(text or "")
+                if not toks:
+                    continue
+                tf = Counter(toks)
+                dl = len(toks)
+                score = 0.0
+                for t in self.terms:  # fixed order == oracle's (+ chain)
+                    f = tf.get(t, 0)
+                    if f:
+                        score += self.idf[t] * (
+                            f * (self.k1 + 1.0)
+                        ) / (
+                            f
+                            + self.k1
+                            * (1.0 - self.b + self.b * dl / self.avgdl)
+                        )
+                if score > 0.0:
+                    rows.append((round(score, 6), did))
+            rows = sorted(rows, key=lambda r: (-r[0], r[1]))[:k]
+            return pa.table(
+                {
+                    "doc_id": pa.array([d for _, d in rows], pa.int64()),
+                    "score": pa.array([s for s, _ in rows], pa.float64()),
+                }
+            )
+
+    partials = docs_ds.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=2
+    )
+    heap: list[tuple[float, int]] = []
+    for bt in partials.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, s in zip(bt["doc_id"].to_pylist(), bt["score"].to_pylist()):
+            heapq.heappush(heap, (s, -did))
+            if len(heap) > k:
+                heapq.heappop(heap)
+    top = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return pa.table(
+        {
+            "doc_id": pa.array([-d for _, d in top], pa.int64()),
+            "score": pa.array([s for s, _ in top], pa.float64()),
+        }
+    )
