@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_pmi_unigram": kg.unigram_edge_pmi,
         "kg_triples_evidence": lambda sf: kg.triples_with_evidence(sf),
         "triples_evidence_unigram": kg.unigram_triples_with_evidence,
+        "entity_type_profile_unigram": kg.unigram_entity_type_profile,
+        "simhash_neardup": lambda sf: dedup.simhash_neardup_pairs(
+            _docs(sf, ["doc_id", "text"])
+        ),
         # --- text indexing -------------------------------------------------
         "docs_tfidf_top_terms": lambda sf: analysis.tfidf_top_terms(
             _docs(sf, ["doc_id", "text"])
@@ -308,6 +312,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY total DESC, key) - 1
                         AS BIGINT) AS entity_id
             FROM w WHERE rk = 1
+        """,
+        "entity_type_profile_unigram": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity, dict.type
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            )
+            SELECT entity, type, COUNT(*) AS n_docs
+            FROM words GROUP BY 1, 2
         """,
         "triples_evidence_unigram": f"""
             WITH words AS (

@@ -362,3 +362,34 @@ def unigram_triples_with_evidence(sf_dir: str):
             Min("ev", alias_name="evidence_doc"),
         )
     )
+
+
+def unigram_entity_type_profile(sf_dir: str):
+    """Per (entity, type) doc-mention counts — the type histogram face of
+    the canonical entity table (SQL-checkable)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    type_of = {e: t for e, t in UNIGRAM_DICT.values()}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counter: Counter[tuple[str, str]] = Counter()
+        for ents in batch["entities"].to_pylist():
+            for e in ents:
+                counter[(e, type_of[e])] += 1
+        keys = list(counter.keys())
+        return pa.table(
+            {
+                "entity": pa.array([k[0] for k in keys], pa.string()),
+                "type": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(list(counter.values()), pa.int64()),
+            }
+        )
+
+    return (
+        unigram_doc_entities(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["entity", "type"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )

@@ -238,3 +238,85 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
             "simhash": pa.array([f"{h:016x}" for h in hs], pa.string()),
         }
     )
+
+
+def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
+    """SimHash near-duplicate pairs: 64-bit signatures split into
+    ``bands`` bit-bands (pigeonhole: any pair within ``max_hamming`` < 
+    ``bands`` bits shares at least one exact band); band-equality
+    candidates come from the same vectorized self-join shape as MinHash
+    LSH, then exact Hamming distance filters. Emits (doc_a, doc_b,
+    hamming)."""
+    import numpy as np
+
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    band_bits = 64 // bands
+
+    def sign(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_vals, sigs = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            h = simhash64(text or "")
+            for bi in range(bands):
+                doc_ids.append(did)
+                band_ids.append(bi)
+                band_vals.append(
+                    (h >> (bi * band_bits)) & ((1 << band_bits) - 1)
+                )
+                sigs.append(h - (1 << 63))  # store as signed int64
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_val": pa.array(band_vals, pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+            }
+        )
+
+    sigs_ds = docs_ds.map_batches(sign, batch_format="pyarrow").materialize()
+    right = sigs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "band": t["band"],
+                "band_val": t["band_val"],
+                "doc_b": t["doc_id"],
+                "sig_b": t["sig"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = sigs_ds.join(
+        right, join_type="inner", num_partitions=8, on=("band", "band_val")
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less(t["doc_id"], t["doc_b"]))
+        a = t["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        b = t["sig_b"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = np.bitwise_count(np.bitwise_xor(a, b)) if hasattr(
+            np, "bitwise_count"
+        ) else np.array(
+            [bin(int(x)).count("1") for x in np.bitwise_xor(a, b)]
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": t["doc_id"].to_numpy()[keep],
+                "doc_b": t["doc_b"].to_numpy()[keep],
+                "hamming": pa.array(
+                    np.asarray(ham)[keep].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    # distinct pairs (a pair can agree on several bands)
+    return (
+        joined.map_batches(verify, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
