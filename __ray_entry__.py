@@ -132,6 +132,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return adjacency_lists(kg.triples_dataset(sf_dir))
 
+    def _kg_mention_contexts(sf_dir):
+        from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+        from autoner_ray.stages.tagger_stage import mention_contexts
+
+        return mention_contexts(
+            kg.sentences_dataset(sf_dir), CORE_DICT, FULL_DICT, STOPWORDS
+        )
+
+    def _kg_training_export(sf_dir):
+        from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+        from autoner_ray.stages.tagger_stage import export_training_set
+
+        return export_training_set(
+            kg.sentences_dataset(sf_dir), CORE_DICT, FULL_DICT, STOPWORDS
+        )
+
     def docs_lang_counts(sf_dir):
         from ray.data.aggregate import Count
 
@@ -216,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_pmi_unigram": kg.unigram_edge_pmi,
         "kg_triples_evidence": lambda sf: kg.triples_with_evidence(sf),
         "triples_evidence_unigram": kg.unigram_triples_with_evidence,
+        "kg_mention_contexts": _kg_mention_contexts,
+        "kg_training_export": _kg_training_export,
         "entity_type_profile_unigram": kg.unigram_entity_type_profile,
         "simhash_neardup": lambda sf: dedup.simhash_neardup_pairs(
             _docs(sf, ["doc_id", "text"])

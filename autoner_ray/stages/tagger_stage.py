@@ -286,3 +286,120 @@ def mentions_to_tsv(mention_rows, tl_map) -> str:
     if out:
         out.append("\n")
     return "".join(out)
+
+
+def mention_contexts(sentences_ds, core_lines, full_lines=(),
+                     stopword_lines=(), window: int = 3, concurrency=None):
+    """Training-data export: one row per mention with ±``window`` token
+    context strings — the classic distant-supervision NER example shape.
+    Runs inside the DictMatcher-holding actor so the sentence is never
+    re-shipped."""
+    from autoner_ray.stages.dict_match import DictMatcher
+
+    class Contexts(DictMatcher):
+        def __init__(self, **kw) -> None:
+            super().__init__(**kw)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+            cols = {k: [] for k in (
+                "url", "doc_id", "sent_id", "surface", "types",
+                "left_ctx", "right_ctx",
+            )}
+            urls = batch["url"].to_pylist()
+            dids = batch["doc_id"].to_pylist()
+            sids = batch["sent_id"].to_pylist()
+            for url, did, sid, toks in zip(
+                urls, dids, sids, batch["tokens"].to_pylist()
+            ):
+                for l, r, surface, ty, _canon in self.mentions_of(toks):
+                    cols["url"].append(url)
+                    cols["doc_id"].append(did)
+                    cols["sent_id"].append(sid)
+                    cols["surface"].append(surface)
+                    cols["types"].append(ty)
+                    cols["left_ctx"].append(
+                        " ".join(toks[max(0, l - window) : l])
+                    )
+                    cols["right_ctx"].append(" ".join(toks[r : r + window]))
+            return pa.table(
+                {
+                    "url": pa.array(cols["url"], pa.string()),
+                    "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                    "sent_id": pa.array(cols["sent_id"], pa.int32()),
+                    "surface": pa.array(cols["surface"], pa.string()),
+                    "types": pa.array(cols["types"], pa.string()),
+                    "left_ctx": pa.array(cols["left_ctx"], pa.string()),
+                    "right_ctx": pa.array(cols["right_ctx"], pa.string()),
+                }
+            )
+
+    from autoner_ray.pipelines.kg import _match_concurrency
+
+    if concurrency is None:
+        concurrency = _match_concurrency()
+    return sentences_ds.map_batches(
+        Contexts,
+        fn_constructor_kwargs={
+            "core_lines": core_lines,
+            "full_lines": full_lines,
+            "stopword_lines": stopword_lines,
+        },
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def export_training_set(sentences_ds, core_lines, full_lines=(),
+                        stopword_lines=(), out_dir: str | None = None,
+                        concurrency=2):
+    """S10 as a distributed sink: sentence rows -> supervision records
+    (boundary labels, known mask, span type strings) as Parquet-ready
+    columns; ``write_parquet(out_dir)`` when a path is given."""
+    from autoner_ray.stages.dict_match import DictMatcher
+    from autoner_ray.state.tagger import segments_to_slots
+
+    class Encoder(DictMatcher):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+            brks, knowns, span_cols = [], [], []
+            tokens_col = batch["tokens"].to_pylist()
+            for toks in tokens_col:
+                segs = self.segments(toks)
+                brk, known = segments_to_slots(len(toks), segs)
+                brks.append([int(x) for x in brk])
+                knowns.append([bool(x) for x in known])
+                span_cols.append(
+                    [f"{l}:{r}:{ty}" for l, r, ty in segs if ty]
+                )
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "doc_id": batch["doc_id"],
+                    "sent_id": batch["sent_id"],
+                    "tokens": batch["tokens"],
+                    "break_labels": pa.array(
+                        brks, pa.list_(pa.int8())
+                    ),
+                    "known_mask": pa.array(knowns, pa.list_(pa.bool_())),
+                    "typed_spans": pa.array(
+                        span_cols, pa.list_(pa.string())
+                    ),
+                }
+            )
+
+    ds = sentences_ds.map_batches(
+        Encoder,
+        fn_constructor_kwargs={
+            "core_lines": core_lines,
+            "full_lines": full_lines,
+            "stopword_lines": stopword_lines,
+        },
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    if out_dir is not None:
+        ds.write_parquet(out_dir)
+    return ds

@@ -67,3 +67,48 @@ def test_hybrid_triples_superset_of_dict(ray_session):
     assert dict_edges  # non-trivial fixture
     for edge, w in dict_edges.items():
         assert hybrid.get(edge, 0) >= w
+
+
+def test_mention_contexts_and_training_export(ray_session):
+    import ray.data as rd
+
+    from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
+    from autoner_ray.stages.dict_match import DictMatcher
+    from autoner_ray.stages.tagger_stage import (
+        export_training_set,
+        mention_contexts,
+    )
+    from autoner_ray.state.tagger import segments_to_slots
+
+    sents = [["the", "filter", "pushes", "into", "table", "scan", "now"]]
+    t = pa.table(
+        {
+            "url": ["u0"],
+            "doc_id": pa.array([0], pa.int64()),
+            "sent_id": pa.array([0], pa.int32()),
+            "tokens": pa.array(sents, pa.list_(pa.string())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    ctx = mention_contexts(
+        ds, CORE_DICT, FULL_DICT, STOPWORDS, window=2, concurrency=2
+    ).to_pandas()
+    matcher = DictMatcher(CORE_DICT, FULL_DICT, STOPWORDS)
+    want = matcher.mentions_of(sents[0])
+    assert len(ctx) == len(want)
+    for (_, row), (l, r, surface, ty, _c) in zip(ctx.iterrows(), want):
+        assert row["surface"] == surface and row["types"] == ty
+        assert row["left_ctx"] == " ".join(sents[0][max(0, l - 2):l])
+        assert row["right_ctx"] == " ".join(sents[0][r:r + 2])
+
+    exp = export_training_set(
+        ds, CORE_DICT, FULL_DICT, STOPWORDS
+    ).to_pandas()
+    assert len(exp) == 1
+    segs = matcher.segments(sents[0])
+    brk, known = segments_to_slots(len(sents[0]), segs)
+    assert list(exp["break_labels"][0]) == [int(x) for x in brk]
+    assert list(exp["known_mask"][0]) == [bool(x) for x in known]
+    assert list(exp["typed_spans"][0]) == [
+        f"{l}:{r}:{ty}" for l, r, ty in segs if ty
+    ]
