@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": lambda sf: windows.sliding_hourly(
             _events(sf)
         ),
+        "events_running_totals": lambda sf: windows.user_running_totals(
+            _events(sf)
+        ),
         # --- documents: analysis / dedup ---------------------------------
         "docs_lang_counts": docs_lang_counts,
         "docs_token_stats": docs_token_stats,
@@ -567,6 +570,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start, COUNT(*) AS n,
                    SUM(cents) / 100.0 AS sum_value
             FROM exploded GROUP BY 1, 2
+        """,
+        "events_running_totals": """
+            SELECT user_id, event_id, ts,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+                   SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "docs_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "docs_token_stats": f"""

@@ -138,3 +138,30 @@ def sliding_hourly(events_ds, window_hours: int = 1, slide_minutes: int = 15):
         .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
     )
     return agg.map_batches(_cents_col_to_value, batch_format="pyarrow")
+
+
+def user_running_totals(events_ds):
+    """Per-user running (cumulative) event count and value sum in event
+    time — lag/lead-family window function via the sessionize shape:
+    ``groupby(user).map_groups`` over the ts-sorted group. Output one row
+    per event: (user_id, event_id, ts, running_n, running_cents/100)."""
+    import numpy as np
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.floor(
+            df["value"].to_numpy(dtype=float) * 100.0 + 0.5
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].values,
+                "event_id": df["event_id"].values,
+                "ts": df["ts"].values,
+                "running_n": np.arange(1, len(df) + 1, dtype="int64"),
+                "running_value": cents.cumsum() / 100.0,
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
