@@ -139,3 +139,42 @@ def normalize_surface(surface: str) -> str:
     deterministic and shard-order independent.
     """
     return _ws_re().sub(" ", to_lower_ascii(surface)).strip()
+
+
+def simple_json_to_list(s: str) -> list[str]:
+    """src/utils.h:121-141 — quoted-string extractor (no escape handling,
+    toggling on every ``"``; unbalanced quotes are an error, matching the
+    reference's assert)."""
+    out: list[str] = []
+    inside = False
+    token = ""
+    for ch in s:
+        if ch == '"':
+            inside = not inside
+            if not inside:
+                out.append(token)
+                token = ""
+        elif inside:
+            token += ch
+    if inside:
+        raise ValueError("unbalanced quotes")
+    return out
+
+
+def generate_signature(s: str) -> str:
+    """src/utils.h:249-257 — initials signature: C-locale lowercase of the
+    first char of each whitespace-delimited token."""
+    return "".join(to_lower_ascii(tok[0]) for tok in s.split())
+
+
+EPS = 1e-8
+
+
+def sqr(x: float) -> float:
+    """src/utils.h:29-32."""
+    return x * x
+
+
+def sign(x: float) -> int:
+    """src/utils.h:34-37 — (-1, 0, 1) with EPS dead zone."""
+    return -1 if x < -EPS else int(x > EPS)

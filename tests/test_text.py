@@ -88,3 +88,32 @@ def test_separator_predicates():
 
 def test_normalize_surface():
     assert normalize_surface("  Hash   Join ") == "hash join"
+
+
+def test_simple_json_to_list():
+    from autoner_ray.functions.text import simple_json_to_list
+
+    assert simple_json_to_list('["ab", "c d", ""]') == ["ab", "c d", ""]
+    assert simple_json_to_list("no quotes") == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        simple_json_to_list('"unbalanced')
+
+
+def test_generate_signature():
+    from autoner_ray.functions.text import generate_signature
+
+    assert generate_signature("New York City") == "nyc"
+    assert generate_signature("  spaced   Out ") == "so"
+    assert generate_signature("") == ""
+    # non-ASCII first char stays (C-locale tolower is ASCII-only)
+    assert generate_signature("Ärzte Berlin") == "Äb"
+
+
+def test_sqr_sign():
+    from autoner_ray.functions.text import sign, sqr
+
+    assert sqr(3.0) == 9.0
+    assert sign(5.0) == 1 and sign(-5.0) == -1
+    assert sign(1e-9) == 0 and sign(-1e-9) == 0
