@@ -31,8 +31,14 @@ def get_boundary(raw_tokens: list[str], segments: list[Segment]) -> list[int]:
     n = len(raw_tokens)
     ret = [1] * n
     for l, r, type_str in segments:
-        token = "".join(raw_tokens[l:r])
-        if is_separator_token(token) and not is_real_separator(token):
+        # fast path: single-token segments (the vast majority) need no
+        # join; multi-token joins can never be single-char separators
+        token = raw_tokens[l] if r - l == 1 else None
+        if (
+            token is not None
+            and is_separator_token(token)
+            and not is_real_separator(token)
+        ):
             continue  # whitespace segment: keep default
         if type_str == FILTERED_TYPE:
             ret[l] = 0
@@ -55,9 +61,10 @@ def get_types(raw_tokens: list[str], segments: list[Segment]) -> list[str]:
     """src/annotation.h:298-317."""
     ret = ["None"] * len(raw_tokens)
     for l, r, type_str in segments:
-        token = "".join(raw_tokens[l:r])
-        if is_separator_token(token) and not is_real_separator(token):
-            continue
+        if r - l == 1:
+            token = raw_tokens[l]
+            if is_separator_token(token) and not is_real_separator(token):
+                continue
         if type_str and type_str != FILTERED_TYPE:
             for j in range(l, r):
                 ret[j] = type_str
