@@ -198,6 +198,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.LangId, batch_format="pyarrow", concurrency=2
         )
 
+    def docs_union_all(sf_dir):
+        d = _docs(sf_dir, ["doc_id", "lang"])
+        return d.union(_docs(sf_dir, ["doc_id", "lang"]))
+
+    def docs_sample_seeded(sf_dir):
+        # O3 surface: seeded Bernoulli sample -> deterministic count/hash
+        return _docs(sf_dir, ["doc_id", "text"]).random_sample(
+            0.25, seed=19910724
+        )
+
     def docs_rolling_fingerprint(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             analysis.fingerprint_batch, batch_format="pyarrow"
@@ -273,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs_quality,
         "docs_md5": docs_md5,
         "docs_exact_dedup": docs_exact_dedup,
+        "docs_union_all": docs_union_all,
+        "docs_sample_seeded": docs_sample_seeded,
         "minhash_neardup": minhash_neardup,
         "simhash_docs": simhash_docs,
         "lang_id_predict": lang_id_predict,
@@ -597,6 +609,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "docs_union_all": """
+            SELECT doc_id, lang FROM documents
+            UNION ALL SELECT doc_id, lang FROM documents
+        """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id
             FROM documents GROUP BY text
