@@ -83,3 +83,22 @@ def test_ck_bytes_match_reference(ref_binary, corpus_prefix):
     segs = segment_dp(trie, tokens)
     ours = to_ck(tokens, segs) + "\n"  # generate.cpp:38 adds a trailing \n
     assert ours == ref_ck
+
+
+def test_published_dictionary_match_f1_reproduced():
+    """The README's Dictionary Match row (README.md:38: P 93.93 /
+    R 58.35 / F1 71.98 on the BC5CDR test split) must reproduce EXACTLY
+    from this engine's kernels against the shipped gold file."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/eval_bc5cdr_dictmatch.py"],
+        capture_output=True, text=True, check=True,
+    )
+    rows = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    test_row = next(r for r in rows if r["split"] == "test")
+    assert test_row["precision"] == 93.93
+    assert test_row["recall"] == 58.35
+    assert test_row["f1"] == 71.98
