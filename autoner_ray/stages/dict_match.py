@@ -21,6 +21,11 @@ Outputs (constructor ``output=``):
   actor so each batch of ~2k sentences leaves the pool as ~10^2 tiny
   partial rows instead of 2k sentence rows (object-store traffic drops
   ~100x and no separate task stage competes with the pool for CPUs).
+- ``"pairs_ev"``: same + an associative min "url#sent_id" evidence
+  pointer per edge (provenance).
+- ``"typed_pairs"``: pattern-rule predicates — gap tokens between a
+  positional mention pair become the predicate (see
+  :meth:`DictMatcher.typed_pairs_of`).
 """
 
 from __future__ import annotations

@@ -106,6 +106,7 @@ def main() -> None:
 
     rng = np.random.default_rng(7)
     vel, best, best_blob = None, -1.0, None
+    lr, plateau = args.lr, 0
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         order = rng.permutation(len(recs))
@@ -113,13 +114,20 @@ def main() -> None:
         for batch in token_budget_batches(
             [recs[i] for i in order], budget=args.budget
         ):
-            loss, vel = tagger.train_batch(batch, lr=args.lr, velocity=vel)
+            loss, vel = tagger.train_batch(batch, lr=lr, velocity=vel)
             tot += loss; nb += 1
         dev = eval_split("dev", limit=2000)
         print(f"epoch {epoch}: loss={tot / max(nb, 1):.4f} "
               f"dev(2k)={dev} ({time.perf_counter() - t0:.0f}s)", flush=True)
         if dev["f1"] > best:
             best, best_blob = dev["f1"], tagger.to_bytes()
+            plateau = 0
+        else:
+            plateau += 1
+            if plateau >= 2:  # reference lr-decay-on-plateau idiom (T5)
+                lr *= 0.5
+                plateau = 0
+                print(f"  lr -> {lr}", flush=True)
 
     tagger = Tagger.from_bytes(best_blob)
     final = {split: eval_split(split) for split in ("dev", "test")}
