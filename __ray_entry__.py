@@ -185,6 +185,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def knn_ivf(sf_dir):
         return similarity.ivf_topk(_emb(sf_dir), _query_vec(sf_dir))
 
+    def embedding_clusters(sf_dir):
+        """K-means cluster assignment per vector (curation: cluster-
+        balanced sampling); centroids trained once on a bounded sample,
+        broadcast, assignment streamed."""
+        from autoner_ray.stages.similarity import IVFIndex
+
+        index = IVFIndex.train(_emb(sf_dir), num_lists=8)
+        return _emb(sf_dir).map_batches(
+            index.assign_batch, batch_format="pyarrow"
+        ).select_columns(["vec_id", "ivf_list"])
+
     def minhash_neardup(sf_dir):
         return dedup.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -285,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": docs_exact_dedup,
         "docs_union_all": docs_union_all,
         "docs_sample_seeded": docs_sample_seeded,
+        "docs_systematic_sample": lambda sf: _docs(
+            sf, ["doc_id", "lang"]
+        ).filter(lambda r: r["doc_id"] % 10 < 2),
         "minhash_neardup": minhash_neardup,
         "simhash_docs": simhash_docs,
         "lang_id_predict": lang_id_predict,
@@ -293,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_label_counts": embeddings_label_counts,
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf,
+        "embedding_clusters": embedding_clusters,
         "embedding_neardup": lambda sf: similarity.embedding_neardup(
             _emb(sf), threshold=0.4
         ),
@@ -609,6 +624,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "docs_systematic_sample": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 10 < 2
+        """,
         "docs_union_all": """
             SELECT doc_id, lang FROM documents
             UNION ALL SELECT doc_id, lang FROM documents

@@ -180,3 +180,35 @@ def test_mentions_to_tsv_reference_shape():
     assert lines[2] == ""          # blank line between sentence blocks
     assert lines[3] == "0\t1\trow\t2\tStructure"
     assert text.endswith("\n\n")   # trailing blank per batch
+
+
+def test_bc5cdr_artifact_beats_dictionary_baseline():
+    """The committed BC5CDR artifact must stay above dictionary-match
+    quality on (a subset of) the human gold dev set."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from eval_bc5cdr_dictmatch import parse_gold
+    from pathlib import Path
+
+    from autoner_ray.state.tagger import (
+        Tagger,
+        f1_from_counts,
+        span_f1_counts,
+    )
+
+    with open("/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz",
+              "rb") as f:
+        tg = Tagger.from_bytes(f.read())
+    gold = parse_gold(
+        Path("/root/reference/data/BC5CDR/truth_dev.ck")
+    )[:1500]
+    ng = npd = nh = 0
+    toks_all = [t for t, _ in gold]
+    for i in range(0, len(toks_all), 256):
+        preds = tg.predict_batch(toks_all[i : i + 256])
+        for (_, gspans), pred in zip(gold[i : i + 256], preds):
+            g, p, h = span_f1_counts(gspans, pred)
+            ng += g; npd += p; nh += h
+    stats = f1_from_counts(ng, npd, nh)
+    assert stats["f1"] >= 0.70, stats
