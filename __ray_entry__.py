@@ -250,6 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "autoner_ray.stages.graph", fromlist=["pagerank"]
         ).pagerank(kg.triples_dataset(sf)),
         "kg_typed_triples": lambda sf: kg.typed_triples_dataset(sf),
+        "kg_connected_components": lambda sf: __import__(
+            "autoner_ray.stages.graph", fromlist=["connected_components"]
+        ).connected_components(kg.triples_dataset(sf)),
+        "typed_edges_unigram": lambda sf: kg.unigram_typed_edge_filter(sf),
         "edge_pmi_unigram": kg.unigram_edge_pmi,
         "kg_triples_evidence": lambda sf: kg.triples_with_evidence(sf),
         "triples_evidence_unigram": kg.unigram_triples_with_evidence,
@@ -381,6 +385,20 @@ def oracle_sql() -> dict[str, str]:
             FROM words a JOIN words b
               ON a.doc_id = b.doc_id AND a.entity < b.entity
             GROUP BY 1, 2
+        """,
+        "typed_edges_unigram": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity, dict.type
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            )
+            SELECT a.entity AS subj, 'cooccurs_with' AS pred,
+                   b.entity AS obj, COUNT(*) AS weight
+            FROM words a JOIN words b
+              ON a.doc_id = b.doc_id AND a.entity < b.entity
+            WHERE (a.type = 'Operator' AND b.type = 'Structure')
+               OR (a.type = 'Structure' AND b.type = 'Operator')
+            GROUP BY 1, 2, 3
         """,
         "edge_pmi_unigram": f"""
             WITH words AS (

@@ -393,3 +393,25 @@ def unigram_entity_type_profile(sf_dir: str):
         .groupby(["entity", "type"])
         .aggregate(Sum("n", alias_name="n_docs"))
     )
+
+
+def unigram_typed_edge_filter(sf_dir: str, subj_type="Operator",
+                              obj_type="Structure"):
+    """Edges restricted by entity TYPE on both ends — the type profile is
+    a broadcast-side dim lookup, no extra shuffle (SQL-checkable)."""
+    type_of = {e: t for e, t in UNIGRAM_DICT.values()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = [
+            # edges are (min, max)-ordered, so check both assignments
+            (type_of.get(s) == subj_type and type_of.get(o) == obj_type)
+            or (type_of.get(s) == obj_type and type_of.get(o) == subj_type)
+            for s, o in zip(
+                batch["subj"].to_pylist(), batch["obj"].to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return unigram_triples(sf_dir).map_batches(keep, batch_format="pyarrow")

@@ -117,3 +117,35 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 20):
             ),
         }
     )
+
+
+def connected_components(edges_ds):
+    """Connected components of the entity graph.
+
+    Same locality argument as :func:`pagerank`: the distributed edge
+    aggregate bounds the data to the (dictionary-bounded) entity vocab,
+    so the union-find runs driver-side on the aggregated edges. Returns
+    (entity, component) where component = the lexicographically smallest
+    member — a content-derived, execution-order-independent label.
+    """
+    df = edges_ds.to_pandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for s, o in zip(df["subj"], df["obj"]):
+        rs, ro = find(s), find(o)
+        if rs != ro:
+            parent[max(rs, ro)] = min(rs, ro)
+    ents = sorted(parent)
+    labels = [find(e) for e in ents]
+    return pa.table(
+        {
+            "entity": pa.array(ents, pa.string()),
+            "component": pa.array(labels, pa.string()),
+        }
+    )

@@ -155,3 +155,25 @@ def test_sliding_window_explode_semantics(ray_session):
     for a, b in zip(starts, starts[1:]):
         assert (b - a).total_seconds() == 900
     assert max(starts) <= ts.replace(minute=0) + datetime.timedelta(minutes=0)
+
+
+def test_connected_components_oracle(ray_session):
+    import ray.data as rd
+
+    from autoner_ray.stages.graph import connected_components
+
+    edges = pa.table(
+        {
+            "subj": ["a", "b", "x", "p"],
+            "pred": ["p"] * 4,
+            "obj": ["b", "c", "y", "q"],
+            "weight": [1] * 4,
+        }
+    )
+    got = connected_components(rd.from_arrow(edges))
+    comp = dict(zip(got["entity"].to_pylist(), got["component"].to_pylist()))
+    assert comp == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "p": "p", "q": "p",
+    }
