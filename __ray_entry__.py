@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "customers_without_orders": relational.customers_without_orders,
         "top_order_per_customer": relational.top_order_per_customer,
+        "order_price_quantiles": relational.order_price_quantiles,
         # --- event windows ------------------------------------------------
         "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
         "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
@@ -472,6 +473,18 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": """
             SELECT c_mktsegment, COUNT(*) AS n FROM customer
             GROUP BY c_mktsegment
+        """,
+        "order_price_quantiles": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT 0.25 AS p, round(quantile_cont(cents, 0.25) / 100.0, 6)
+                   AS o_totalprice_quantile FROM c
+            UNION ALL
+            SELECT 0.5, round(quantile_cont(cents, 0.5) / 100.0, 6) FROM c
+            UNION ALL
+            SELECT 0.75, round(quantile_cont(cents, 0.75) / 100.0, 6) FROM c
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -420,3 +420,56 @@ def top_order_per_customer(sf_dir: str):
         )
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def order_price_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.75)):
+    """EXACT quantiles of o_totalprice, distributed: per-batch integer-
+    cents value counts (combiner) -> one small groupby -> driver-side
+    interpolation over the (bounded-cardinality) histogram. Matches
+    DuckDB ``quantile_cont`` bit-for-bit because both interpolate the
+    same integers: v = a + (b - a) * frac at position (n-1)*p."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents_counts(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        vals, counts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(vals, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist = (
+        orders.map_batches(cents_counts, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+    )
+    vals = hist["cents"].to_numpy()
+    counts = hist["n"].to_numpy()
+    cum = counts.cumsum()
+    n = int(cum[-1])
+
+    def value_at(idx: int) -> int:
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    out_p, out_v = [], []
+    for p in ps:
+        pos = (n - 1) * p
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        a, b = value_at(lo), value_at(hi)
+        v = a + (b - a) * (pos - lo)
+        out_p.append(p)
+        out_v.append(round(v / 100.0, 6))
+    return pa.table(
+        {
+            "p": pa.array(out_p, pa.float64()),
+            "o_totalprice_quantile": pa.array(out_v, pa.float64()),
+        }
+    )
