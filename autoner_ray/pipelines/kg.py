@@ -76,7 +76,11 @@ def _default_parallelism(repeat: int):
         import ray
 
         if ray.is_initialized():
-            return 2 * max(4, int(ray.cluster_resources().get("CPU", 8)))
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            # at least 2 blocks/CPU for width, and at least one block per
+            # input copy so per-task work stays ~1-2 s — coarse blocks at
+            # high repeat leave the fixed pool with 2-wave straggler tails
+            return max(2 * max(4, cpus), repeat)
     except Exception:
         pass
     return None
