@@ -285,30 +285,66 @@ def unigram_entity_doc_freq(sf_dir: str):
 def unigram_edge_pmi(sf_dir: str):
     """Edge scoring beyond counts: doc-level PMI per co-occurring entity
     pair — ``ln(c_ab * N / (c_a * c_b))`` over document frequencies.
-    The pair counts and entity doc-freqs are both distributed aggregates;
-    the PMI arithmetic runs on the (edge-vocab-sized) result. SQL twin in
-    ``oracle_sql`` (same expression tree, 6-dp round)."""
+
+    Distributed shape: the ENTITY doc-freq table is vocab-bounded (~10^6
+    at web scale) so it is collected once and broadcast via ``ray.put``;
+    the EDGE table (up to vocab² — ~10^9 rows at web scale) stays a
+    Dataset and the PMI arithmetic streams through ``map_batches``.
+    SQL twin in ``oracle_sql`` (same expression tree, 6-dp round)."""
     import math
 
-    edges = unigram_triples(sf_dir).to_pandas()
-    freqs = unigram_entity_doc_freq(sf_dir).to_pandas()
+    import ray
+
     n_docs = int(
         __import__("pyarrow.parquet", fromlist=["read_metadata"])
         .read_metadata(f"{sf_dir}/documents.parquet").num_rows
     )
-    df = dict(zip(freqs["entity"], freqs["doc_freq"]))
-    pmi = [
-        round(math.log(w * n_docs / (df[s] * df[o])), 6)
-        for s, o, w in zip(edges["subj"], edges["obj"], edges["weight"])
-    ]
-    return pa.table(
-        {
-            "subj": pa.array(edges["subj"], pa.string()),
-            "obj": pa.array(edges["obj"], pa.string()),
-            "weight": pa.array(edges["weight"], pa.int64()),
-            "pmi": pa.array(pmi, pa.float64()),
-        }
+    freqs = {
+        r["entity"]: int(r["doc_freq"])
+        for r in unigram_entity_doc_freq(sf_dir).take_all()
+    }
+    freq_ref = ray.put(freqs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = ray.get(freq_ref)
+        pmi = [
+            round(math.log(w * n_docs / (df[s] * df[o])), 6)
+            for s, o, w in zip(
+                batch["subj"].to_pylist(),
+                batch["obj"].to_pylist(),
+                batch["weight"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "subj": batch["subj"],
+                "obj": batch["obj"],
+                "weight": batch["weight"],
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return unigram_triples(sf_dir).map_batches(
+        score, batch_format="pyarrow"
     )
+
+
+def unigram_pagerank(sf_dir: str):
+    """PageRank over the unigram co-occurrence graph — the SQL-checkable
+    face of the graph stage (oracle: 20 unrolled power iterations in
+    DuckDB). 6-dp round keeps the value-hash robust to float summation
+    order across engines."""
+    from autoner_ray.stages.graph import pagerank
+
+    return pagerank(unigram_triples(sf_dir), round_dp=6)
+
+
+def unigram_connected_components(sf_dir: str):
+    """Connected components over the unigram graph (oracle: recursive
+    reachability CTE, component = lexicographic min of reachable set)."""
+    from autoner_ray.stages.graph import connected_components
+
+    return connected_components(unigram_triples(sf_dir))
 
 
 def typed_triples_dataset(sf_dir: str, concurrency=None, repeat: int = 1):

@@ -376,6 +376,15 @@ def top_order_per_customer(sf_dir: str):
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
+    # (cents, -orderkey) argmax packed as a FIXED-WIDTH DECIMAL STRING:
+    # "cents:020d" + "(10^19 - orderkey):020d". Lexicographic max of the
+    # 40-char key == numeric max of the pair, so a plain string Max
+    # aggregate picks the highest price with smallest-orderkey tiebreak.
+    # No bit-range cliff: valid for cents < 10^20 and orderkey < 10^19
+    # (an int64 bit-packing scheme overflows around TPC-H sf>=3, where
+    # orderkeys pass 2^24).
+    _OK_BASE = 10**19
+
     def batch_max(t: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -383,15 +392,16 @@ def top_order_per_customer(sf_dir: str):
             t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
         okey = t["o_orderkey"].to_numpy()
-        # encode (price_cents, -orderkey) so a single int max picks the
-        # highest price, ties broken by the SMALLEST orderkey (range
-        # asserted: cents*2^24 stays well under 2^63)
-        assert okey.max() < (1 << 24), 'orderkey exceeds packing range'
-        packed = cents * (1 << 24) - okey
+        # int(k): 10^19 exceeds int64, so the subtraction must run in
+        # Python arbitrary-precision ints, not numpy
+        packed = [
+            f"{int(c):020d}{_OK_BASE - int(k):020d}"
+            for c, k in zip(cents, okey)
+        ]
         tbl = pa.table(
             {
                 "o_custkey": t["o_custkey"],
-                "packed": pa.array(packed, pa.int64()),
+                "packed": pa.array(packed, pa.string()),
             }
         )
         agg = tbl.group_by("o_custkey").aggregate([("packed", "max")])
@@ -406,9 +416,9 @@ def top_order_per_customer(sf_dir: str):
     def unpack(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        packed = t["packed"].to_numpy()
-        cents = (packed + (1 << 24) - 1) // (1 << 24)
-        okey = cents * (1 << 24) - packed
+        packed = t["packed"].to_pylist()
+        cents = np.array([int(s[:20]) for s in packed], np.int64)
+        okey = np.array([_OK_BASE - int(s[20:]) for s in packed], np.int64)
         return pa.table(
             {
                 "o_custkey": t["o_custkey"],

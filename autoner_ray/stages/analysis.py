@@ -72,6 +72,41 @@ def md5_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def seeded_sample(docs_ds, rate: float = 0.25, seed: int = 19910724):
+    """Deterministic Bernoulli sample by content-key hash (reference O3,
+    train_partial_ner.py --sample_ratio, re-expressed scale-first).
+
+    Unlike ``Dataset.random_sample`` the decision is a pure function of
+    (doc_id, seed): reproducible across runs, cluster sizes and block
+    layouts, and a resumed job re-selects the identical subset — the
+    property a 100-TB curation pass actually needs. md5 keeps the oracle
+    expressible in DuckDB (same hash on both sides).
+    """
+    threshold = int(rate * (1 << 32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        mask = [
+            int(
+                hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16
+            ) < threshold
+            for i in ids
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def seeded_sample_oracle_sql(rate: float = 0.25, seed: int = 19910724) -> str:
+    threshold = int(rate * (1 << 32))
+    return f"""
+        SELECT doc_id, text FROM documents
+        WHERE CAST(('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8))
+              AS UBIGINT) < {threshold}
+    """
+
+
 # -- rolling-hash fingerprint ------------------------------------------------
 
 _B = 1_000_003

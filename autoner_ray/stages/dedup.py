@@ -71,6 +71,16 @@ def _minhash_params(num_hashes: int, seed: int = 7):
     return a, b
 
 
+_PARAMS_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _cached_minhash_params(num_hashes: int):
+    """Per-worker-process cache (deterministic, so every worker agrees)."""
+    if num_hashes not in _PARAMS_CACHE:
+        _PARAMS_CACHE[num_hashes] = _minhash_params(num_hashes)
+    return _PARAMS_CACHE[num_hashes]
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """K-row signature: min over shingles of (a·h + b) mod p (vectorized)."""
     h = _shingle_hashes(text)
@@ -86,40 +96,113 @@ def minhash_lsh_candidates(
     bands: int = 16,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
-    concurrency: int = 4,
 ):
     """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash LSH."""
 
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
-    class Signer:
-        def __init__(self) -> None:
-            self.a, self.b = _minhash_params(num_hashes)
+    # TASK pool, not an actor pool: the minhash params are deterministic
+    # and cheap (seeded rng), so a module-level cache per worker replaces
+    # actor state. A FIXED actor pool here can claim every CPU on a small
+    # cluster and starve the join aggregators downstream in the same
+    # streaming topology (observed deadlock at num_cpus=4).
+    def sign(batch: pa.Table) -> pa.Table:
+        a, b = _cached_minhash_params(num_hashes)
+        doc_ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sig = minhash_signature(text or "", a, b)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                doc_ids.append(did)
+                band_ids.append(bi)
+                band_hashes.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_ids, band_ids, band_hashes = [], [], []
-            for did, text in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            ):
-                sig = minhash_signature(text or "", self.a, self.b)
-                for bi in range(bands):
-                    chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                    bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                    doc_ids.append(did)
-                    band_ids.append(bi)
-                    band_hashes.append(bh)
-            return pa.table(
-                {
-                    "doc_id": pa.array(doc_ids, pa.int64()),
-                    "band": pa.array(band_ids, pa.int32()),
-                    "band_hash": pa.array(band_hashes, pa.string()),
-                }
+    sigs = docs_ds.map_batches(sign, batch_format="pyarrow").materialize()
+
+    # HOT-BUCKET CAP: a degenerate bucket with k members emits O(k²) join
+    # rows, so buckets larger than ``max_bucket`` are dropped BEFORE the
+    # self-join via a (band, band_hash) count + inner-join pre-filter
+    # (near-identical floods are the exact-dedup stage's job, not LSH's).
+    # The count table is one row per distinct bucket — same size class as
+    # the signature table, fully distributed; the drop is logged.
+    if max_bucket is not None:
+        from ray.data.aggregate import Count as _Count
+
+        counts = (
+            sigs.groupby(["band", "band_hash"])
+            .aggregate(_Count(alias_name="bucket_n"))
+            .materialize()
+        )
+        n_hot = counts.filter(
+            lambda r: r["bucket_n"] > max_bucket
+        ).count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash LSH: dropping %d hot buckets (> %d members)",
+                n_hot,
+                max_bucket,
+            )
+            # Drop hot-bucket rows via a BROADCAST anti-filter, not a
+            # join: hot buckets are rare BY CONSTRUCTION (at most
+            # total_rows/max_bucket of them), so the key set is small
+            # enough for ray.put even at web scale, and it sidesteps a
+            # Ray 2.49 hash-join crash when a partition receives zero
+            # blocks from one side. A guard refuses to driver-collect a
+            # pathological set.
+            if n_hot > 5_000_000:
+                raise ValueError(
+                    f"{n_hot} hot LSH buckets (> {max_bucket} members "
+                    "each) — the corpus is dominated by near-identical "
+                    "floods; run exact_dedup first"
+                )
+            import ray
+
+            hot_rows = counts.filter(
+                lambda r: r["bucket_n"] > max_bucket
+            ).select_columns(["band", "band_hash"]).take_all()
+            hot_ref = ray.put(
+                {(r["band"], r["band_hash"]) for r in hot_rows}
             )
 
-    sigs = docs_ds.map_batches(
-        Signer, batch_format="pyarrow", concurrency=concurrency
-    ).materialize()
+            def drop_hot(t: pa.Table) -> pa.Table:
+                hot = ray.get(hot_ref)
+                keep = [
+                    (b, h) not in hot
+                    for b, h in zip(
+                        t["band"].to_pylist(), t["band_hash"].to_pylist()
+                    )
+                ]
+                return t.filter(pa.array(keep, pa.bool_()))
+
+            sigs = sigs.map_batches(
+                drop_hot, batch_format="pyarrow"
+            ).materialize()
+            if sigs.count() == 0:
+                import ray.data as rd
+
+                return rd.from_arrow(
+                    pa.schema(
+                        [
+                            ("doc_a", pa.int64()),
+                            ("doc_b", pa.int64()),
+                            ("n_bands", pa.int64()),
+                        ]
+                    ).empty_table()
+                )
+
     # candidates via hash-partitioned SELF-JOIN on the bucket key — the
     # join kernel pairs bucket members vectorized instead of one Python
     # map_groups call per bucket (there are ~docs*bands tiny buckets; the
@@ -134,12 +217,9 @@ def minhash_lsh_candidates(
         ),
         batch_format="pyarrow",
     )
-    joined = sigs.join(
-        right,
-        join_type="inner",
-        num_partitions=8,
-        on=("band", "band_hash"),
-    )
+    from autoner_ray.stages.joins import cogroup_join
+
+    joined = cogroup_join(sigs, right, on=("band", "band_hash"))
 
     def ordered_pairs(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -151,10 +231,6 @@ def minhash_lsh_candidates(
     from ray.data.aggregate import Count
 
     # distinct pairs; Count doubles as the LSH agreement strength.
-    # Skew note: a pathological bucket (k near-identical docs) emits
-    # O(k^2) join rows; ``max_bucket`` callers should pre-filter such
-    # buckets with a (band, band_hash) count + anti-join — near-identical
-    # floods are the exact-dedup stage's job, not LSH's.
     return (
         joined.map_batches(ordered_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
@@ -163,51 +239,83 @@ def minhash_lsh_candidates(
 
 
 def verify_jaccard(cand_ds, docs_ds, jaccard_threshold: float = 0.6):
-    """Join candidate pairs back to texts (broadcast — the candidate set is
-    small by construction) and keep pairs with exact shingle Jaccard >=
-    threshold, rounded to 6 dp."""
-    import ray
+    """Exact-Jaccard verification of LSH candidate pairs.
 
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    texts_ref = ray.put(texts)
+    Scale shape: the candidate texts come back via TWO hash joins of the
+    pair table against ``documents`` (on doc_a, then doc_b) — the corpus
+    is never materialized on the driver; both joins shuffle only the
+    (small-by-construction) candidate rows plus the doc texts that match
+    them. Keeps pairs with shingle Jaccard >= threshold, rounded 6 dp.
+    """
+    import ray.data as rd
 
-    class Verifier:
-        def __init__(self) -> None:
-            self.texts = ray.get(texts_ref)
+    _out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+    # Ray's hash join crashes when one side is entirely empty (its
+    # partition builders produce schema-less tables), so the no-candidate
+    # case short-circuits.
+    if cand_ds.count() == 0:
+        return rd.from_arrow(_out_schema.empty_table())
+    docs2 = docs_ds.select_columns(["doc_id", "text"])
+    a_side = docs2.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
+        batch_format="pyarrow",
+    )
+    b_side = docs2.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
+        batch_format="pyarrow",
+    )
+    from autoner_ray.stages.joins import cogroup_join
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_a, out_b, out_j = [], [], []
-            for a_id, b_id in zip(
-                batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
-            ):
-                sa = _shingles(self.texts.get(a_id, "") or "")
-                sb = _shingles(self.texts.get(b_id, "") or "")
-                union = len(sa | sb)
-                j = len(sa & sb) / union if union else 0.0
-                if j >= jaccard_threshold:
-                    out_a.append(a_id)
-                    out_b.append(b_id)
-                    out_j.append(round(j, 6))
-            return pa.table(
-                {
-                    "doc_a": pa.array(out_a, pa.int64()),
-                    "doc_b": pa.array(out_b, pa.int64()),
-                    "jaccard": pa.array(out_j, pa.float64()),
-                }
-            )
+    pairs = cand_ds.select_columns(["doc_a", "doc_b"])
+    with_texts = cogroup_join(
+        cogroup_join(pairs, a_side, on=("doc_a",)),
+        b_side,
+        on=("doc_b",),
+    )
 
-    return cand_ds.map_batches(Verifier, batch_format="pyarrow", concurrency=2)
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a_id, b_id, ta, tb in zip(
+            batch["doc_a"].to_pylist(),
+            batch["doc_b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            sa = _shingles(ta or "")
+            sb = _shingles(tb or "")
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= jaccard_threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return with_texts.map_batches(verify, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(docs_ds, threshold: float = 0.6, **lsh_kwargs):
-    """End-to-end near-dup: LSH candidates -> exact-Jaccard verification."""
+    """End-to-end near-dup: LSH candidates -> exact-Jaccard verification.
+
+    The candidate pair set is materialized between the two phases — it
+    is small by construction (LSH-selective), and the barrier keeps the
+    verify phase's two text joins in their own streaming topology (see
+    the aggregator-CPU note in :func:`minhash_lsh_candidates`)."""
     cand = minhash_lsh_candidates(
         docs_ds, jaccard_threshold=threshold, **lsh_kwargs
-    )
+    ).materialize()
     return verify_jaccard(cand, docs_ds, threshold)
 
 
@@ -286,9 +394,9 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
         ),
         batch_format="pyarrow",
     )
-    joined = sigs_ds.join(
-        right, join_type="inner", num_partitions=8, on=("band", "band_val")
-    )
+    from autoner_ray.stages.joins import cogroup_join
+
+    joined = cogroup_join(sigs_ds, right, on=("band", "band_val"))
 
     def verify(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -65,7 +65,8 @@ def adjacency_lists(edges_ds):
     return edges_ds.groupby("subj").map_groups(to_adj, batch_format="pandas")
 
 
-def pagerank(edges_ds, damping: float = 0.85, iters: int = 20):
+def pagerank(edges_ds, damping: float = 0.85, iters: int = 20,
+             round_dp: int = 9):
     """PageRank over the entity co-occurrence graph (undirected edges
     expanded to both directions, weight-proportional transition).
 
@@ -113,8 +114,220 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 20):
         {
             "entity": pa.array([ents[i] for i in order], pa.string()),
             "rank": pa.array(
-                [round(float(rank[i]), 9) for i in order], pa.float64()
+                [round(float(rank[i]), round_dp) for i in order],
+                pa.float64(),
             ),
+        }
+    )
+
+
+def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
+                         num_partitions: int = 8, round_dp: int = 9):
+    """PageRank with the rank vector AS A DATASET — the unbounded-vocab
+    variant (SURVEY §10.4): each power iteration is a hash join of the
+    (normalized) transition edges against the current rank table plus a
+    groupby-sum, so nothing is ever collected on the driver. Same
+    semantics as :func:`pagerank` (undirected expand, weight-
+    proportional transition, no dangling mass since every node has an
+    edge); use it when the entity vocabulary exceeds single-node memory.
+    Cost: 2 shuffles/iteration — at dictionary-bounded vocab the
+    driver-side matvec is strictly cheaper, which is why it stays the
+    default."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def expand(t: pa.Table) -> pa.Table:
+        w = t["weight"].cast(pa.float64())
+        return pa.table(
+            {
+                "src": pa.chunked_array(t["subj"].chunks + t["obj"].chunks),
+                "dst": pa.chunked_array(t["obj"].chunks + t["subj"].chunks),
+                "w": pa.chunked_array(w.chunks + w.chunks),
+            }
+        )
+
+    bidir = edges_ds.map_batches(expand, batch_format="pyarrow")
+    outw = bidir.groupby("src").aggregate(Sum("w", alias_name="ow"))
+
+    # Ray's hash join can emit zero-row blocks with an EMPTY schema
+    # (no columns); every post-join map must rebuild the proper schema
+    # or the next join fails with "no match for key field".
+    _trans_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("p", pa.float64())]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _trans_schema.empty_table()
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "p": pc.divide(t["w"], t["ow"]),
+            }
+        )
+
+    # repartition after the join is load-bearing: Ray's hash join emits
+    # zero-row blocks with an EMPTY schema for empty partitions, and a
+    # downstream join chokes on them ("no match for key field"); the
+    # repartition coalesces them into real blocks.
+    trans = (
+        bidir.join(
+            outw, join_type="inner", num_partitions=num_partitions,
+            on=("src",),
+        )
+        .map_batches(norm, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    nodes = outw.select_columns(["src"]).materialize()
+    n = nodes.count()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "rank": pa.array([1.0 / n] * len(t), pa.float64()),
+            }
+        )
+
+    rank = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    base = (1.0 - damping) / n
+    _contrib_schema = pa.schema([("dst", pa.string()), ("c", pa.float64())])
+    _rank_schema = pa.schema([("src", pa.string()), ("rank", pa.float64())])
+    for _ in range(iters):
+        def contrib(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _contrib_schema.empty_table()
+            return pa.table(
+                {
+                    "dst": t["dst"],
+                    "c": pc.multiply(t["p"], t["rank"]),
+                }
+            )
+
+        def finish(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _rank_schema.empty_table()
+            return pa.table(
+                {
+                    "src": t["dst"],
+                    "rank": pc.add(
+                        pc.multiply(t["c"], damping), base
+                    ),
+                }
+            )
+
+        rank = (
+            trans.join(
+                rank, join_type="inner", num_partitions=num_partitions,
+                on=("src",),
+            )
+            .map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(finish, batch_format="pyarrow")
+            .repartition(num_partitions)  # see trans: clear empty blocks
+            .materialize()  # cut lineage: 20 chained joins would recompute
+        )
+    out = rank.to_pandas().sort_values(
+        ["rank", "src"], ascending=[False, True], kind="mergesort"
+    )
+    return pa.table(
+        {
+            "entity": pa.array(out["src"], pa.string()),
+            "rank": pa.array(
+                [round(float(r), round_dp) for r in out["rank"]],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def connected_components_distributed(edges_ds, num_partitions: int = 8,
+                                     max_iters: int = 50):
+    """Min-label propagation with the label table AS A DATASET (the
+    unbounded-vocab variant of :func:`connected_components`): iterate
+    ``label[v] = min(label[v], min over neighbors' label)`` via a hash
+    join + groupby-min until a fixpoint (checked with a distributed
+    count of changed rows). Converges in O(component diameter)
+    rounds."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def expand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.chunked_array(t["subj"].chunks + t["obj"].chunks),
+                "dst": pa.chunked_array(t["obj"].chunks + t["subj"].chunks),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    bidir = edges_ds.map_batches(expand, batch_format="pyarrow").materialize()
+    labels = (
+        bidir.groupby("src")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"src": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_iters):
+        _nl_schema = pa.schema([("src", pa.string()), ("nl", pa.string())])
+
+        def neighbor_labels(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _nl_schema.empty_table()
+            return pa.table({"src": t["dst"], "nl": t["label"]})
+
+        neigh_min = (
+            bidir.join(
+                labels, join_type="inner", num_partitions=num_partitions,
+                on=("src",),
+            )
+            .map_batches(neighbor_labels, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Min("nl", alias_name="nl"))
+        )
+        _merged_schema = pa.schema(
+            [("src", pa.string()), ("label", pa.string()),
+             ("changed", pa.int64())]
+        )
+
+        def merge_labels(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _merged_schema.empty_table()
+            return pa.table(
+                {
+                    "src": t["src"],
+                    "label": pc.min_element_wise(t["label"], t["nl"]),
+                    "changed": pc.cast(
+                        pc.less(t["nl"], t["label"]), pa.int64()
+                    ),
+                }
+            )
+
+        merged = (
+            labels.join(
+                neigh_min, join_type="inner",
+                num_partitions=num_partitions, on=("src",),
+            )
+            .map_batches(merge_labels, batch_format="pyarrow")
+            .repartition(num_partitions)  # clear empty-schema join blocks
+            .materialize()
+        )
+        n_changed = merged.sum("changed")
+        labels = merged.select_columns(["src", "label"]).materialize()
+        if not n_changed:
+            break
+    out = labels.to_pandas().sort_values("src", kind="mergesort")
+    return pa.table(
+        {
+            "entity": pa.array(out["src"], pa.string()),
+            "component": pa.array(out["label"], pa.string()),
         }
     )
 

@@ -127,60 +127,116 @@ def ivf_topk(emb_ds, query_vec, k: int = 10, num_lists: int = 16,
     return brute_force_topk(filtered, query_vec, k)
 
 
-class NearDupPairs:
-    """Embedding-cosine near-duplicate pairs (broadcast right side).
+def _emit_pairs(ids_a, mat_a, ids_b, mat_b, threshold, triangle):
+    """Vectorized bipartite (or triangular) cosine pair emit, a < b."""
+    an = mat_a / (np.linalg.norm(mat_a, axis=1, keepdims=True) + 1e-30)
+    bn = mat_b / (np.linalg.norm(mat_b, axis=1, keepdims=True) + 1e-30)
+    sims = an @ bn.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a_ids = ids_a[ii]
+    b_ids = ids_b[jj]
+    keep = a_ids < b_ids
+    if triangle:
+        pass  # a<b already dedups the symmetric triangle
+    vals = sims[ii[keep], jj[keep]]
+    return (
+        a_ids[keep],
+        b_ids[keep],
+        np.array([round(float(v), 6) for v in vals], dtype=np.float64),
+    )
 
-    The full (id, vector) matrix is ``ray.put`` once and read in each
-    actor's ``__init__``; every batch computes a block x all similarity
-    slab and emits (a, b, sim) for a < b with sim >= threshold. Exact —
-    the O(n^2/P) baseline. At 10^9+ vectors the same emit step runs
-    after an IVF/LSH bucket groupby (bucket = candidate set) instead of
-    against the broadcast matrix; see :class:`IVFIndex`.
+
+def embedding_neardup(emb_ds, threshold: float = 0.9,
+                      block_rows: int = 4096):
+    """All embedding pairs with cosine >= threshold — EXACT, distributed.
+
+    Grid-partitioned pair join: vectors land in ``B = ceil(n/block_rows)``
+    blocks by ``vec_id % B``; each vector is replicated to the B groups
+    ``(min(b, j), max(b, j))`` so every pair of blocks meets in exactly
+    one group; a ``groupby(grp).map_groups`` computes the bipartite (or
+    triangular) similarity slab per group. No whole-table materialization
+    anywhere — the driver only computes B from the row count; per-task
+    memory is bounded by ~2*block_rows vectors. The O(n²) compute is
+    inherent to the exact semantics; at web scale prefer
+    :func:`embedding_neardup_ivf` (bucketed, approximate).
     """
+    import math
 
-    def __init__(self, all_ref, threshold: float) -> None:
-        import ray
+    import pandas as pd
 
-        ids, mat = (
-            ray.get(all_ref) if isinstance(all_ref, ray.ObjectRef) else all_ref
-        )
-        self.ids = ids
-        self.mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
-        self.threshold = threshold
+    n = emb_ds.count()
+    B = max(1, math.ceil(n / block_rows))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(batch)
-        matn = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
-        sims = matn @ self.mat.T  # (b, N)
-        rows_a, rows_b, out_sims = [], [], []
-        for i, a in enumerate(ids):
-            hits = np.nonzero(sims[i] >= self.threshold)[0]
-            for j in hits:
-                b = self.ids[j]
-                if a < b:
-                    rows_a.append(a)
-                    rows_b.append(b)
-                    out_sims.append(round(float(sims[i, j]), 6))
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        emb = batch["embedding"]
+        blocks = ids % B
+        grp_col, id_col, blk_col, emb_idx = [], [], [], []
+        for row, (vid, b) in enumerate(zip(ids, blocks)):
+            for j in range(B):
+                lo, hi = (b, j) if b <= j else (j, b)
+                grp_col.append(int(lo) * B + int(hi))
+                id_col.append(int(vid))
+                blk_col.append(int(b))
+                emb_idx.append(row)
         return pa.table(
             {
-                "vec_a": pa.array(rows_a, pa.int64()),
-                "vec_b": pa.array(rows_b, pa.int64()),
-                "sim": pa.array(out_sims, pa.float64()),
+                "grp": pa.array(grp_col, pa.int64()),
+                "vec_id": pa.array(id_col, pa.int64()),
+                "block": pa.array(blk_col, pa.int32()),
+                "embedding": emb.take(pa.array(emb_idx, pa.int64())),
             }
         )
 
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        grp = int(df["grp"].iloc[0])
+        gi, gj = grp // B, grp % B
+        mat = np.array(df["embedding"].to_list(), dtype=np.float64)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        blk = df["block"].to_numpy()
+        if gi == gj:
+            a, b, s = _emit_pairs(ids, mat, ids, mat, threshold, True)
+        else:
+            mi, mj = blk == gi, blk == gj
+            # a<b in vec_id order needs both orientations of the grid cell
+            a1, b1, s1 = _emit_pairs(
+                ids[mi], mat[mi], ids[mj], mat[mj], threshold, False
+            )
+            a2, b2, s2 = _emit_pairs(
+                ids[mj], mat[mj], ids[mi], mat[mi], threshold, False
+            )
+            a = np.concatenate([a1, a2])
+            b = np.concatenate([b1, b2])
+            s = np.concatenate([s1, s2])
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "sim": s})
 
-def embedding_neardup(emb_ds, threshold: float = 0.9, concurrency: int = 2):
-    """All embedding pairs with cosine >= threshold (exact, broadcast)."""
-    import ray
+    return (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(pairs_in_group, batch_format="pandas")
+    )
 
-    full = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = np.asarray(full["vec_id"].to_list(), dtype=np.int64)
-    mat = np.array(full["embedding"].to_list(), dtype=np.float64)
-    ref = ray.put((ids, mat))
-    return emb_ds.map_batches(
-        NearDupPairs,
-        fn_constructor_kwargs={"all_ref": ref, "threshold": threshold},
-        batch_format="pyarrow",
-        concurrency=concurrency,
+
+def embedding_neardup_ivf(emb_ds, threshold: float = 0.9,
+                          num_lists: int = 16):
+    """Approximate near-dup pairs: IVF-bucketed — pairs are only sought
+    WITHIN a coarse k-means list (recall < 1 across list boundaries; the
+    web-scale trade). Same per-group slab kernel as the exact grid join,
+    but total compute drops from O(n²) to sum of per-list squares."""
+    import pandas as pd
+
+    index = IVFIndex.train(emb_ds, num_lists=num_lists)
+
+    def pairs_in_list(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(df["embedding"].to_list(), dtype=np.float64)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        a, b, s = _emit_pairs(ids, mat, ids, mat, threshold, True)
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "sim": s})
+
+    return (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(index.assign_batch, batch_format="pyarrow")
+        .groupby("ivf_list")
+        .map_groups(pairs_in_list, batch_format="pandas")
     )

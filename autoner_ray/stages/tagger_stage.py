@@ -103,9 +103,15 @@ class TaggerEval:
         from autoner_ray.state.trie import FILTERED_TYPE
 
         tokens_col = batch["tokens"].to_pylist()
-        preds = self.tagger.predict_batch(tokens_col, self.threshold)
+        # A5 = min/max over the CHUNK-head score of every boundary slot —
+        # what the reference inference driver tracks for threshold
+        # selection (`test_partial_ner.py:80-89`), NOT the typing logits.
+        # Empty batches emit +/-inf sentinels, which can never win the
+        # downstream min/max merge (no 0.0 filler contaminating it).
+        preds, smin, smax = self.tagger.predict_batch(
+            tokens_col, self.threshold, with_chunk_stats=True
+        )
         n_gold = n_pred = n_hit = 0
-        smin, smax = float("inf"), float("-inf")
         for toks, pred in zip(tokens_col, preds):
             gold = [
                 (l, r, ty)
@@ -116,20 +122,13 @@ class TaggerEval:
             n_gold += g
             n_pred += p
             n_hit += h
-            for _, _, _, s in pred:
-                smin = min(smin, s)
-                smax = max(smax, s)
         return pa.table(
             {
                 "n_gold": pa.array([n_gold], pa.int64()),
                 "n_pred": pa.array([n_pred], pa.int64()),
                 "n_hit": pa.array([n_hit], pa.int64()),
-                "score_min": pa.array(
-                    [smin if smin != float("inf") else 0.0], pa.float64()
-                ),
-                "score_max": pa.array(
-                    [smax if smax != float("-inf") else 0.0], pa.float64()
-                ),
+                "score_min": pa.array([smin], pa.float64()),
+                "score_max": pa.array([smax], pa.float64()),
             }
         )
 
@@ -188,8 +187,18 @@ def eval_span_f1(sentences_ds, model_blob, core_lines, full_lines=(),
             "precision": pa.array([stats["precision"]], pa.float64()),
             "recall": pa.array([stats["recall"]], pa.float64()),
             "f1": pa.array([stats["f1"]], pa.float64()),
-            "score_min": pa.array([float(df["score_min"].min())], pa.float64()),
-            "score_max": pa.array([float(df["score_max"].max())], pa.float64()),
+            # inf sentinels drop out of the merge; null only if EVERY
+            # batch was slot-free
+            "score_min": pa.array(
+                [None if np.isinf(smin_all := float(df["score_min"].min()))
+                 else smin_all],
+                pa.float64(),
+            ),
+            "score_max": pa.array(
+                [None if np.isinf(smax_all := float(df["score_max"].max()))
+                 else smax_all],
+                pa.float64(),
+            ),
         }
     )
 

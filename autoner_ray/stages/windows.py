@@ -80,8 +80,11 @@ def sessionize(events_ds, gap_minutes: int = 30):
                 "user_id": df["user_id"].iloc[0],
                 "session_id": list(range(1, int(sess_id.max()) + 1)),
                 "n_events": g.size().values,
-                "start_ts": g["ts"].min().values,
-                "end_ts": g["ts"].max().values,
+                # timestamp[us] to match the events source schema (pandas
+                # .values defaults to datetime64[ns], which hash-mismatches
+                # the driver's us-resolution oracle even when values agree)
+                "start_ts": g["ts"].min().values.astype("datetime64[us]"),
+                "end_ts": g["ts"].max().values.astype("datetime64[us]"),
             }
         )
 

@@ -54,13 +54,29 @@ def pending_partitions(out_dir: str, num_parts: int) -> list[int]:
     return [i for i in range(num_parts) if not is_complete(out_dir, i)]
 
 
-def sweep_tmp(out_dir: str) -> None:
-    """Remove half-written tmp dirs left by a killed run."""
+def sweep_tmp(out_dir: str, older_than_sec: float = 3600.0) -> None:
+    """Remove half-written tmp dirs left by a KILLED run.
+
+    Only dirs whose mtime is older than ``older_than_sec`` are removed: a
+    concurrently-running driver's tmp dir is being actively written (its
+    mtime is recent), so sweeping it would make the victim's
+    ``os.rename`` fail mid-commit. Fresh orphans cost only disk until the
+    next sweep ages them out — correctness never depends on sweeping,
+    because resume reads ``_SUCCESS`` markers, not tmp dirs.
+    """
     if not os.path.isdir(out_dir):
         return
+    now = time.time()
     for name in os.listdir(out_dir):
-        if name.startswith("_tmp-"):
-            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        if not name.startswith("_tmp-"):
+            continue
+        path = os.path.join(out_dir, name)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age > older_than_sec:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def commit_partition(

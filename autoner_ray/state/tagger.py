@@ -165,6 +165,43 @@ def spans_from_segments(segments, tl_map, filtered_type="__FILTERED__"):
 
 
 # ---------------------------------------------------------------------------
+# Mixed gold+distant training set (reference DS_GOLD_MIXED path:
+# `model_partial_ner/dataset.py:298-404`,
+# `preprocess_partial_ner/encode_mixed_dataset.py:36-80`)
+# ---------------------------------------------------------------------------
+
+def segments_from_gold_labels(labels: list[tuple[int, str]]):
+    """Per-token gold ``(is_break_before, type)`` rows -> segment list
+    [(l, r, type_or_empty)]. A gold sentence is FULLY supervised: every
+    maximal chunk becomes a segment; ``None`` chunks become plain ("")
+    segments so the typing head sees the None class
+    (`encode_mixed_dataset.py:63-70` gold rows have no S/D column — all
+    safe)."""
+    n = len(labels)
+    segs = []
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or labels[i][0] == 1:
+            ty = labels[start][1]
+            segs.append((start, i, "" if ty == NONE_TYPE else ty))
+            start = i
+    return segs
+
+
+def mixed_records(distant_records, gold_records, sample_ratio: float = 1.0,
+                  seed: int = 19910724):
+    """DS_GOLD_MIXED sampling rule (`dataset.py:383`): gold records are
+    ALWAYS kept; distant records are Bernoulli-sampled at
+    ``sample_ratio``. Returns one flat record list for the token-budget
+    batcher."""
+    rng = np.random.default_rng(seed)
+    kept = [
+        r for r in distant_records if rng.uniform() <= sample_ratio
+    ]
+    return kept + list(gold_records)
+
+
+# ---------------------------------------------------------------------------
 # Token-budget batcher (T6)
 # ---------------------------------------------------------------------------
 
@@ -222,6 +259,284 @@ def init_params(
 
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+
+# ---------------------------------------------------------------------------
+# v2 model: the reference DEFAULT architecture in numpy —
+# stacked bi-LSTM (`basic.py:33` rnnunit_map['lstm'], `--layer_num 2`)
+# + highway heads (`highway.py:59-67`) + label-dim projection
+# (`ner.py:57-62` add_proj, `--label_dim 50`) + dropout. Forward AND
+# backward are hand-written (no torch in this container).
+# ---------------------------------------------------------------------------
+
+def init_params_v2(
+    n_chars: int,
+    n_words: int,
+    n_types: int,
+    char_dim: int = 30,
+    word_dim: int = 50,
+    hidden: int = 100,
+    layers: int = 2,
+    label_dim: int = 50,
+    seed: int = 19910724,
+) -> dict[str, np.ndarray]:
+    """``hidden`` is the BI-directional output dim (reference hid_dim);
+    each direction runs hidden//2 units (`basic.py:35` hid_dim//2)."""
+    assert hidden % 2 == 0
+    rng = np.random.default_rng(seed)
+    H = hidden // 2
+
+    def mat(*shape):
+        bound = np.sqrt(6.0 / sum(shape))
+        return rng.uniform(-bound, bound, size=shape).astype(np.float32)
+
+    p: dict[str, np.ndarray] = {
+        "Ec": mat(n_chars, char_dim),
+        "Ew": mat(n_words, word_dim),
+    }
+    in_dim = char_dim + word_dim
+    for layer in range(layers):
+        d = in_dim if layer == 0 else hidden
+        for direction in ("f", "b"):
+            p[f"W{layer}{direction}"] = mat(d, 4 * H)
+            p[f"U{layer}{direction}"] = mat(H, 4 * H)
+            b = np.zeros(4 * H, np.float32)
+            b[H : 2 * H] = 1.0  # forget-gate bias 1 (standard LSTM init)
+            p[f"b{layer}{direction}"] = b
+    for head in ("c", "t"):  # chunk / type heads share the shape
+        p[f"hw_{head}_tW"] = mat(hidden, hidden)
+        p[f"hw_{head}_tb"] = np.zeros(hidden, np.float32)
+        p[f"hw_{head}_gW"] = mat(hidden, hidden)
+        p[f"hw_{head}_gb"] = np.zeros(hidden, np.float32)
+        p[f"proj_{head}_W"] = mat(hidden, label_dim)
+        p[f"proj_{head}_b"] = np.zeros(label_dim, np.float32)
+    p["Wc"] = mat(label_dim, 1)
+    p["bc"] = np.zeros(1, np.float32)
+    p["Wt"] = mat(label_dim, n_types)
+    p["bt"] = np.zeros(n_types, np.float32)
+    p["_dims_v2"] = np.asarray(
+        [n_chars, n_words, n_types, char_dim, word_dim, hidden, layers,
+         label_dim],
+        np.int64,
+    )
+    return p
+
+
+def _lstm_forward(x, W, U, b, mask, reverse=False):
+    """Masked LSTM scan. x: (T,B,D) -> h: (T,B,H); torch gate order
+    i,f,g,o (`nn.LSTM`); masked steps pass (h,c) through unchanged."""
+    T, B, _ = x.shape
+    H = U.shape[0]
+    # dtype follows the input so a float64 gradcheck stays float64
+    h = np.zeros((T, B, H), x.dtype)
+    cache = []
+    hp = np.zeros((B, H), x.dtype)
+    cp = np.zeros((B, H), x.dtype)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    pre = x @ W + b  # (T,B,4H)
+    for t in steps:
+        z = pre[t] + hp @ U
+        i = _sigmoid(z[:, :H])
+        f = _sigmoid(z[:, H : 2 * H])
+        g = np.tanh(z[:, 2 * H : 3 * H])
+        o = _sigmoid(z[:, 3 * H :])
+        c = f * cp + i * g
+        tc = np.tanh(c)
+        m = mask[t][:, None]
+        ht = m * (o * tc) + (1 - m) * hp
+        ct = m * c + (1 - m) * cp
+        cache.append((t, hp, cp, i, f, g, o, tc))
+        h[t] = ht
+        hp, cp = ht, ct
+    return h, cache
+
+
+def _lstm_backward(dh_all, x, W, U, mask, cache):
+    """Backprop through the masked LSTM scan; returns (dx, dW, dU, db)."""
+    H = U.shape[0]
+    dx = np.zeros_like(x)
+    dW = np.zeros_like(W)
+    dU = np.zeros_like(U)
+    db = np.zeros(4 * H, np.float32)
+    B = x.shape[1]
+    dhp = np.zeros((B, H), np.float32)
+    dcp = np.zeros((B, H), np.float32)
+    for t, hp, cp, i, f, g, o, tc in reversed(cache):
+        m = mask[t][:, None]
+        dh_total = dh_all[t] + dhp
+        dh = dh_total * m
+        dhp_skip = dh_total * (1 - m)
+        dc = dh * o * (1 - tc * tc) + dcp * m
+        dcp_skip = dcp * (1 - m)
+        do = dh * tc
+        df = dc * cp
+        di = dc * g
+        dg = dc * i
+        dcp = dc * f + dcp_skip
+        dz = np.concatenate(
+            [
+                di * i * (1 - i),
+                df * f * (1 - f),
+                dg * (1 - g * g),
+                do * o * (1 - o),
+            ],
+            axis=1,
+        )
+        dU += hp.T @ dz
+        dW += x[t].T @ dz
+        db += dz.sum(axis=0)
+        dx[t] = dz @ W.T
+        dhp = dz @ U.T + dhp_skip
+    return dx, dW, dU, db
+
+
+def forward_v2(params, char_ids, word_ids, droprate=0.0, rng=None):
+    """Stacked bi-LSTM encoder. Returns (h_fwd, h_bwd, cache) where
+    h_fwd/h_bwd are the FINAL layer's per-direction streams (T,B,H).
+    Dropout (inverted) on the embedding concat and between layers, as the
+    reference (`ner.py:131` drop on emb; `basic.py:76` drop on layer
+    outputs)."""
+    p = params
+    layers = int(p["_dims_v2"][6])
+    xc = p["Ec"][char_ids]
+    xw = p["Ew"][word_ids]
+    x = np.concatenate([xc, xw], axis=2)
+    mask = (char_ids != PAD).astype(np.float32)
+    drops = []
+    if droprate > 0.0:
+        d = (rng.random(x.shape) >= droprate).astype(np.float32) / (
+            1 - droprate
+        )
+        x = x * d
+        drops.append(d)
+    inp = x
+    layer_caches = []
+    hf = hb = None
+    for layer in range(layers):
+        hf, cf = _lstm_forward(
+            inp, p[f"W{layer}f"], p[f"U{layer}f"], p[f"b{layer}f"], mask
+        )
+        hb, cb = _lstm_forward(
+            inp, p[f"W{layer}b"], p[f"U{layer}b"], p[f"b{layer}b"], mask,
+            reverse=True,
+        )
+        out = np.concatenate([hf, hb], axis=2)
+        dmask = None
+        if droprate > 0.0 and layer < layers - 1:
+            dmask = (rng.random(out.shape) >= droprate).astype(
+                np.float32
+            ) / (1 - droprate)
+            out = out * dmask
+        layer_caches.append((inp, cf, cb, dmask))
+        inp = out
+    cache = {
+        "x": x,
+        "mask": mask,
+        "emb_drop": drops[0] if drops else None,
+        "layers": layer_caches,
+        "char_ids": char_ids,
+        "word_ids": word_ids,
+    }
+    return hf, hb, cache
+
+
+def backward_v2(params, grads, dhf, dhb, cache):
+    """Backprop dh on the final layer's streams down through the stack
+    to the embedding tables (accumulated into ``grads``)."""
+    p = params
+    layers = int(p["_dims_v2"][6])
+    mask = cache["mask"]
+    H = dhf.shape[2]
+    for layer in range(layers - 1, -1, -1):
+        inp, cf, cb, dmask = cache["layers"][layer]
+        dxf, dWf, dUf, dbf = _lstm_backward(
+            dhf, inp, p[f"W{layer}f"], p[f"U{layer}f"], mask, cf
+        )
+        dxb, dWb, dUb, dbb = _lstm_backward(
+            dhb, inp, p[f"W{layer}b"], p[f"U{layer}b"], mask, cb
+        )
+        grads[f"W{layer}f"] += dWf
+        grads[f"U{layer}f"] += dUf
+        grads[f"b{layer}f"] += dbf
+        grads[f"W{layer}b"] += dWb
+        grads[f"U{layer}b"] += dUb
+        grads[f"b{layer}b"] += dbb
+        dinp = dxf + dxb
+        if layer > 0:
+            prev_dmask = cache["layers"][layer - 1][3]
+            if prev_dmask is not None:
+                dinp = dinp * prev_dmask
+            dhf = dinp[:, :, :H]
+            dhb = dinp[:, :, H:]
+        else:
+            if cache["emb_drop"] is not None:
+                dinp = dinp * cache["emb_drop"]
+            Cd = p["Ec"].shape[1]
+            np.add.at(grads["Ec"], cache["char_ids"], dinp[:, :, :Cd])
+            np.add.at(grads["Ew"], cache["word_ids"], dinp[:, :, Cd:])
+
+
+def head_forward_v2(params, head, X, droprate=0.0, rng=None):
+    """highway -> drop -> proj -> drop -> linear (`ner.py:63-64`
+    chunk_layer/type_layer with add_proj). X: (N, hidden). Returns
+    (out, cache)."""
+    p = params
+    d0 = None
+    if droprate > 0.0:  # `ner.py:150` drop on the head input
+        d0 = (rng.random(X.shape) >= droprate).astype(np.float32) / (
+            1 - droprate
+        )
+        X = X * d0
+    g = _sigmoid(X @ p[f"hw_{head}_gW"] + p[f"hw_{head}_gb"])
+    hrelu = np.maximum(X @ p[f"hw_{head}_tW"] + p[f"hw_{head}_tb"], 0.0)
+    hw = g * hrelu + (1 - g) * X
+    d1 = None
+    if droprate > 0.0:
+        d1 = (rng.random(hw.shape) >= droprate).astype(np.float32) / (
+            1 - droprate
+        )
+        hw = hw * d1
+    proj = hw @ p[f"proj_{head}_W"] + p[f"proj_{head}_b"]
+    d2 = None
+    if droprate > 0.0:
+        d2 = (rng.random(proj.shape) >= droprate).astype(np.float32) / (
+            1 - droprate
+        )
+        proj = proj * d2
+    oW, ob = ("Wc", "bc") if head == "c" else ("Wt", "bt")
+    out = proj @ p[oW] + p[ob]
+    return out, (X, g, hrelu, hw, proj, d0, d1, d2)
+
+
+def head_backward_v2(params, grads, head, dout, cache):
+    """Backprop the head; returns dX (N, hidden)."""
+    p = params
+    X, g, hrelu, hw, proj, d0, d1, d2 = cache
+    oW, ob = ("Wc", "bc") if head == "c" else ("Wt", "bt")
+    grads[oW] += proj.T @ dout
+    grads[ob] += dout.sum(axis=0)
+    dproj = dout @ p[oW].T
+    if d2 is not None:
+        dproj = dproj * d2
+    grads[f"proj_{head}_W"] += hw.T @ dproj
+    grads[f"proj_{head}_b"] += dproj.sum(axis=0)
+    dhw = dproj @ p[f"proj_{head}_W"].T
+    if d1 is not None:
+        dhw = dhw * d1
+    dX = dhw * (1 - g)
+    dhrelu = dhw * g
+    dg = dhw * (hrelu - X)
+    dz_t = dhrelu * (hrelu > 0)
+    grads[f"hw_{head}_tW"] += X.T @ dz_t
+    grads[f"hw_{head}_tb"] += dz_t.sum(axis=0)
+    dX = dX + dz_t @ p[f"hw_{head}_tW"].T
+    dz_g = dg * g * (1 - g)
+    grads[f"hw_{head}_gW"] += X.T @ dz_g
+    grads[f"hw_{head}_gb"] += dz_g.sum(axis=0)
+    dX = dX + dz_g @ p[f"hw_{head}_gW"].T
+    if d0 is not None:
+        dX = dX * d0
+    return dX
 
 
 def _gru_forward(x, W, U, b, mask, reverse=False):
@@ -320,12 +635,24 @@ def type_logits(params, hf, hb, b, left_pos, right_pos):
 # ---------------------------------------------------------------------------
 
 def soft_ce(logits: np.ndarray, khot: np.ndarray):
-    """softCE of `object.py:16-67`: CE against the renormalized k-hot."""
-    target = khot / max(khot.sum(), 1e-9)
+    """softCE of `model_partial_ner/object.py:16-67`: the CE target is the
+    MODEL'S OWN masked softmax over the allowed types —
+    ``t = khot*exp(s) / sum(khot*exp(s))`` — not a uniform k-hot. The
+    reference does not detach the target, so the gradient flows through
+    it too:
+
+        dL/ds_k = (p_k - t_k) - t_k * (log p_k + L)
+
+    (second term vanishes for single-type spans, where t is one-hot and
+    the loss reduces to standard CE; multi-type spans differ).
+    """
     m = logits.max()
     logp = logits - (m + np.log(np.exp(logits - m).sum()))
+    p = np.exp(logp)
+    masked = khot * np.exp(logits - m)
+    target = masked / max(masked.sum(), 1e-30)
     loss = -(target * logp).sum()
-    dlogits = np.exp(logp) - target
+    dlogits = (p - target) - target * (logp + loss)
     return loss, dlogits.astype(np.float32)
 
 
@@ -335,19 +662,45 @@ def bce_logits(score: float, label: float):
     return float(loss), float(p - label)
 
 
+def soft_ce_rows(logits: np.ndarray, khots: np.ndarray):
+    """Vectorized :func:`soft_ce` over N rows. Returns (mean loss,
+    dlogits already divided by N — reference softCE ``if_average``)."""
+    m = logits.max(axis=1, keepdims=True)
+    ex = np.exp(logits - m)
+    logp = (logits - m) - np.log(ex.sum(axis=1, keepdims=True))
+    p = np.exp(logp)
+    masked = khots * ex
+    target = masked / np.maximum(masked.sum(axis=1, keepdims=True), 1e-30)
+    loss_rows = -(target * logp).sum(axis=1)
+    dlogits = (p - target) - target * (logp + loss_rows[:, None])
+    n = len(logits)
+    return float(loss_rows.mean()), (dlogits / n).astype(np.float32)
+
+
 class Tagger:
     """Trainable numpy tagger bundling params + vocab maps (S11-style
     checkpoint: one npz holds weights and maps)."""
 
-    def __init__(self, c_map, w_map, tl_map, **hp):
+    def __init__(self, c_map, w_map, tl_map, arch: str = "gru", **hp):
         self.c_map, self.w_map, self.tl_map = c_map, w_map, tl_map
         self.types = [t for t, _ in sorted(tl_map.items(), key=lambda kv: kv[1])]
-        self.params = init_params(
+        self.arch = arch
+        init = init_params_v2 if arch == "lstm" else init_params
+        self.params = init(
             n_chars=CHAR_SPECIALS + len(c_map),
             n_words=WORD_SPECIALS + len(w_map),
             n_types=len(tl_map),
             **hp,
         )
+
+    def load_word_embeddings(self, emb: np.ndarray) -> None:
+        """Install pretrained word vectors (reference
+        `ner.py:96-104` load_pretrained_word_embedding). Shape must
+        match the (n_words, word_dim) table built at init."""
+        assert emb.shape == self.params["Ew"].shape, (
+            emb.shape, self.params["Ew"].shape
+        )
+        self.params["Ew"] = emb.astype(np.float32)
 
     # -- persistence (S11) -------------------------------------------------
     def to_bytes(self) -> bytes:
@@ -355,7 +708,12 @@ class Tagger:
 
         buf = io.BytesIO()
         meta = json.dumps(
-            {"c_map": self.c_map, "w_map": self.w_map, "tl_map": self.tl_map}
+            {
+                "c_map": self.c_map,
+                "w_map": self.w_map,
+                "tl_map": self.tl_map,
+                "arch": self.arch,
+            }
         )
         np.savez(
             buf,
@@ -381,6 +739,11 @@ class Tagger:
             obj.params = {
                 k: z[k] for k in z.files if k != "__meta__"
             }
+            # arch: explicit in meta (new blobs) or inferred from the
+            # param key set (round-1 GRU blobs predate the field)
+            obj.arch = meta.get(
+                "arch", "lstm" if "_dims_v2" in obj.params else "gru"
+            )
         return obj
 
     # -- batching helpers --------------------------------------------------
@@ -395,19 +758,61 @@ class Tagger:
         return char_ids, word_ids
 
     # -- inference (T4 + M15) ----------------------------------------------
-    def predict_batch(self, sentences: list[list[str]], threshold: float = 0.0):
-        """Decode typed spans per sentence: list of (l, r, type, score)."""
-        if not sentences:
-            return []
+    def _encode_and_run(self, sentences):
         records = [
             encode_sentence(toks, self.c_map, self.w_map)
             for toks in sentences
         ]
         char_ids, word_ids = self._pad_batch(records)
-        hf, hb, _, _, _ = forward(self.params, char_ids, word_ids)
-        out = []
+        if self.arch == "lstm":
+            hf, hb, _ = forward_v2(self.params, char_ids, word_ids)
+        else:
+            hf, hb, _, _, _ = forward(self.params, char_ids, word_ids)
+        return records, hf, hb
+
+    def _chunk_head(self, X):
+        p = self.params
+        if self.arch == "lstm":
+            return head_forward_v2(p, "c", X)[0][:, 0]
+        return (X @ p["Wc"] + p["bc"])[:, 0]
+
+    def _type_head(self, X):
+        p = self.params
+        if self.arch == "lstm":
+            return head_forward_v2(p, "t", X)[0]
+        hid = np.tanh(X @ p["Wt1"] + p["bt1"])
+        return hid @ p["Wt2"] + p["bt2"]
+
+    def predict_batch(self, sentences: list[list[str]],
+                      threshold: float = 0.0, with_chunk_stats=False):
+        """Decode typed spans per sentence: list of (l, r, type, score).
+
+        ``with_chunk_stats=True`` additionally returns (min, max) over
+        ALL chunk-head scores in the batch — the statistic the reference
+        inference driver tracks for threshold selection
+        (`test_partial_ner.py:80-89` min/max of chunk_score), or
+        (+inf, -inf) sentinels when the batch has no slots.
+        """
+        if not sentences:
+            return ([], float("inf"), float("-inf")) if with_chunk_stats \
+                else []
+        records, hf, hb = self._encode_and_run(sentences)
+        # all boundary slots of all sentences, one head call
+        pos = np.concatenate([r[2] for r in records])
+        bidx = np.concatenate(
+            [np.full(len(r[2]), b, np.int64) for b, r in enumerate(records)]
+        )
+        X_chunk = np.concatenate([hf[pos, bidx], hb[pos, bidx]], axis=1)
+        scores_all = self._chunk_head(X_chunk)
+        smin = float(scores_all.min())
+        smax = float(scores_all.max())
+        # decode breaks per sentence; gather every segment for one typing
+        # head call
+        offsets = np.cumsum([0] + [len(r[2]) for r in records])
+        seg_l, seg_r, seg_lp, seg_rp, seg_b = [], [], [], [], []
+        seg_sent: list[int] = []
         for b, (ci, wi, slots) in enumerate(records):
-            scores = chunk_scores(self.params, hf, hb, slots, b)
+            scores = scores_all[offsets[b] : offsets[b + 1]]
             # score < threshold => Break (test_partial_ner.py:91)
             breaks = [i for i, s in enumerate(scores) if s < threshold]
             if 0 not in breaks:
@@ -415,16 +820,29 @@ class Tagger:
             last = len(slots) - 1
             if last not in breaks:
                 breaks.append(last)
-            spans = []
             for a, c in zip(breaks, breaks[1:]):
-                logits = type_logits(
-                    self.params, hf, hb, b, slots[a], slots[c]
-                )
-                ti = int(np.argmax(logits))
-                ty = self.types[ti]
+                seg_l.append(a)
+                seg_r.append(c)
+                seg_lp.append(slots[a])
+                seg_rp.append(slots[c])
+                seg_b.append(b)
+                seg_sent.append(b)
+        out: list[list] = [[] for _ in records]
+        if seg_l:
+            lp = np.asarray(seg_lp)
+            rp = np.asarray(seg_rp)
+            sb = np.asarray(seg_b)
+            X_type = np.concatenate([hb[lp, sb], hf[rp, sb]], axis=1)
+            logits = self._type_head(X_type)
+            tis = np.argmax(logits, axis=1)
+            for k, ti in enumerate(tis):
+                ty = self.types[int(ti)]
                 if ty != NONE_TYPE:
-                    spans.append((a, c, ty, float(logits[ti])))
-            out.append(spans)
+                    out[seg_sent[k]].append(
+                        (seg_l[k], seg_r[k], ty, float(logits[k, ti]))
+                    )
+        if with_chunk_stats:
+            return out, smin, smax
         return out
 
     # -- one SGD step on one token-budget batch (T5) -----------------------
@@ -500,6 +918,95 @@ class Tagger:
             velocity[k] = momentum * velocity[k] - lr * scale * g
             p[k] += velocity[k]
         return total / max(n_terms, 1), velocity
+
+    # -- one Adam step on one token-budget batch (T5, v2 arch) --------------
+    def train_batch_v2(self, batch, lr: float = 1e-3, droprate: float = 0.5,
+                       clip: float = 5.0, adam_state=None, rng=None):
+        """Reference-default objective on the v2 (LSTM+highway) arch:
+        ``BCEWithLogitsLoss`` (mean over supervised slots) + softCE (mean
+        over spans), Adam, global-norm clip 5
+        (`train_partial_ner.py:50,89,135-140`). Heads are VECTORIZED
+        across every slot/span in the batch — no per-sentence python
+        loop touches the hot path."""
+        assert self.arch == "lstm"
+        if rng is None:
+            rng = np.random.default_rng(0)
+        char_ids, word_ids = self._pad_batch(batch)
+        p = self.params
+        hf, hb, cache = forward_v2(p, char_ids, word_ids, droprate, rng)
+        H = hf.shape[2]
+        grads = {
+            k: np.zeros_like(v)
+            for k, v in p.items()
+            if not k.startswith("_")
+        }
+        dhf = np.zeros_like(hf)
+        dhb = np.zeros_like(hb)
+        pos_l, b_l, lab_l = [], [], []
+        sp_lp, sp_rp, sp_b, sp_khot = [], [], [], []
+        for b, rec in enumerate(batch):
+            ci, wi, slots, brk, known, spans = rec
+            for i in np.nonzero(known)[0]:
+                pos_l.append(slots[i])
+                b_l.append(b)
+                # label 1 = Tie (high score), 0 = Break: score<thr => Break
+                lab_l.append(0.0 if brk[i] == 1.0 else 1.0)
+            for l, r, khot in spans:
+                sp_lp.append(slots[l])
+                sp_rp.append(slots[r])
+                sp_b.append(b)
+                sp_khot.append(khot)
+        loss_total = 0.0
+        if pos_l:
+            pos = np.asarray(pos_l)
+            bb = np.asarray(b_l)
+            lab = np.asarray(lab_l, np.float32)
+            Xc = np.concatenate([hf[pos, bb], hb[pos, bb]], axis=1)
+            out, hc = head_forward_v2(p, "c", Xc, droprate, rng)
+            s = out[:, 0]
+            pr = _sigmoid(s)
+            n = len(s)
+            loss_total += float(
+                -(lab * np.log(pr + 1e-12)
+                  + (1 - lab) * np.log(1 - pr + 1e-12)).mean()
+            )
+            dscore = ((pr - lab) / n).astype(np.float32)
+            dX = head_backward_v2(p, grads, "c", dscore[:, None], hc)
+            np.add.at(dhf, (pos, bb), dX[:, :H])
+            np.add.at(dhb, (pos, bb), dX[:, H:])
+        if sp_lp:
+            lp = np.asarray(sp_lp)
+            rp = np.asarray(sp_rp)
+            sb = np.asarray(sp_b)
+            K = np.stack(sp_khot)
+            Xt = np.concatenate([hb[lp, sb], hf[rp, sb]], axis=1)
+            logits, ht = head_forward_v2(p, "t", Xt, droprate, rng)
+            loss_t, dlogits = soft_ce_rows(logits.astype(np.float64), K)
+            loss_total += loss_t
+            dX = head_backward_v2(p, grads, "t", dlogits, ht)
+            np.add.at(dhb, (lp, sb), dX[:, :H])
+            np.add.at(dhf, (rp, sb), dX[:, H:])
+        backward_v2(p, grads, dhf, dhb, cache)
+        # global-norm clip 5 then Adam (reference default optimizer)
+        norm = np.sqrt(sum(float((g * g).sum()) for g in grads.values()))
+        scale = min(1.0, clip / (norm + 1e-12))
+        if adam_state is None:
+            adam_state = {
+                "t": 0,
+                "m": {k: np.zeros_like(v) for k, v in grads.items()},
+                "v": {k: np.zeros_like(v) for k, v in grads.items()},
+            }
+        adam_state["t"] += 1
+        t = adam_state["t"]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        for k, g in grads.items():
+            g = g * scale
+            adam_state["m"][k] = b1 * adam_state["m"][k] + (1 - b1) * g
+            adam_state["v"][k] = b2 * adam_state["v"][k] + (1 - b2) * g * g
+            mhat = adam_state["m"][k] / (1 - b1**t)
+            vhat = adam_state["v"][k] / (1 - b2**t)
+            p[k] -= (lr * mhat / (np.sqrt(vhat) + eps)).astype(np.float32)
+        return loss_total, adam_state
 
 
 # ---------------------------------------------------------------------------

@@ -9,9 +9,10 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
      "docs": N, "triples": M, "triples_per_sec": ...}
 
 ``--scaling``: run the flagship KG pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input and report both
-throughputs plus scaling efficiency ``eff = (thr_32/thr_8)/4`` (the
-in-sandbox stand-in for the north rule's N-vs-4N-node criterion).
+(num_cpus=4 then num_cpus=16, taskset-pinned so the widths use disjoint
+real cores) on the same input and report both throughputs plus scaling
+efficiency ``eff = (thr_hi/thr_lo)/4`` (the in-sandbox stand-in for the
+north rule's N-vs-4N-node criterion).
 
 Only this script owns the Ray session (never the library / __ray_entry__).
 """
@@ -266,7 +267,7 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of the headline queries")
     ap.add_argument("--scaling", action="store_true",
-                    help="8-vs-32-CPU fresh-process scaling run")
+                    help="4-vs-16-CPU fresh-process scaling run")
     ap.add_argument("--repeat", type=int, default=1,
                     help="replicate the input N× (N read tasks) for the "
                          "flagship pipeline")

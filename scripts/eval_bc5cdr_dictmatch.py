@@ -24,6 +24,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF = Path("/root/reference")
 
 
+def parse_gold_labels(path: Path):
+    """-> list of (tokens, labels[(is_break_before, type)]) per sentence —
+    the raw per-token view (for mixed gold+distant training records)."""
+    sentences = []
+    toks: list[str] = []
+    labels: list[tuple[int, str]] = []
+    for line in path.read_text().splitlines():
+        if not line.strip():
+            continue
+        cols = line.split(" ")
+        if len(cols) != 3:
+            continue
+        tok, io, ty = cols
+        if tok == "<s>":
+            toks, labels = [], []
+            continue
+        if tok == "<eof>":
+            if toks:
+                sentences.append((toks, labels))
+            continue
+        toks.append(tok)
+        labels.append((1 if io == "I" else 0, ty))
+    return sentences
+
+
 def parse_gold(path: Path):
     """-> list of (tokens, gold_spans[(l, r, type)]) per sentence."""
     sentences = []

@@ -1,15 +1,22 @@
 """Train the numpy Tie-or-Break tagger on REAL BC5CDR distant supervision
 and evaluate against the human gold (`truth_dev.ck` / `truth_test.ck`).
 
-This is the engine's honest AutoNER-style run: supervision comes from
-the dictionary matcher (never the gold), exactly like the reference's
-pipeline (`autoner_train.sh` step 3 feeds step 5); gold is only ever an
-eval set. The model is the numpy bi-GRU (`--rnn_unit gru` family) with
-no pretrained embeddings, so the ceiling is below the paper's torch
-LSTM + word vectors (84.80); the dictionary-match baseline this should
-beat on recall is F1 71.98.
+Supervision comes from the dictionary matcher (never the gold), exactly
+like the reference's pipeline (`autoner_train.sh` step 3 feeds step 5);
+gold is only ever an eval set — UNLESS ``--mixed`` is given, which adds
+the gold DEV sentences as fully-supervised records (the reference's
+DS_GOLD_MIXED path, `model_partial_ner/dataset.py:298-404` /
+`preprocess_partial_ner/encode_mixed_dataset.py`; dev then stops being
+a clean model-selection set, so selection uses a held-out dev slice and
+the reported number is TEST).
 
-Usage: python scripts/train_tagger_bc5cdr.py [--epochs 6]
+Architectures:
+- ``--arch lstm`` (default): the reference default — stacked bi-LSTM
+  (`--rnn_unit lstm --layer_num 2`), highway + label-dim projection
+  heads (`ner.py:57-64`), dropout, Adam (`train_partial_ner.py:50`).
+- ``--arch gru``: the round-1 single-layer bi-GRU + SGD/momentum.
+
+Usage: python scripts/train_tagger_bc5cdr.py [--epochs 8 --mixed]
 """
 
 from __future__ import annotations
@@ -31,10 +38,27 @@ REF = Path("/root/reference")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--arch", choices=("gru", "lstm"), default="lstm")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: 1e-3 (lstm/Adam), 0.05 (gru/SGD)")
     ap.add_argument("--budget", type=int, default=3000)
-    ap.add_argument("--hidden", type=int, default=48)
+    ap.add_argument("--hidden", type=int, default=100)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--char-dim", type=int, default=30)
+    ap.add_argument("--word-dim", type=int, default=50)
+    ap.add_argument("--label-dim", type=int, default=50)
+    ap.add_argument("--droprate", type=float, default=0.5)
+    ap.add_argument("--mixed", action="store_true",
+                    help="add gold DEV sentences (DS_GOLD_MIXED path)")
+    ap.add_argument("--no-pretrained-emb", action="store_true",
+                    help="skip PPMI-SVD corpus word vectors (the "
+                         "reference's load_pretrained_word_embedding "
+                         "step, trained locally — see state/word_vectors)")
+    ap.add_argument("--sample-ratio", type=float, default=1.0,
+                    help="Bernoulli keep-rate for DISTANT records in "
+                         "--mixed (dataset.py:383)")
+    ap.add_argument("--eval-limit", type=int, default=2000)
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -45,7 +69,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from bench_reference import sentences_from_lines
-    from eval_bc5cdr_dictmatch import parse_gold
+    from eval_bc5cdr_dictmatch import parse_gold, parse_gold_labels
 
     from autoner_ray.stages.dict_match import DictMatcher
     from autoner_ray.state.tagger import (
@@ -53,6 +77,8 @@ def main() -> None:
         build_vocabs,
         encode_sentence,
         f1_from_counts,
+        mixed_records,
+        segments_from_gold_labels,
         segments_to_slots,
         span_f1_counts,
         spans_from_segments,
@@ -71,30 +97,77 @@ def main() -> None:
     ]
     print(f"train sentences (distant supervision): {len(train_sents)}")
     seg_col = [matcher.segments(t) for t in train_sents]
+
+    gold_label_sents = (
+        parse_gold_labels(REF / "data/BC5CDR/truth_dev.ck")
+        if args.mixed
+        else []
+    )
+    gold_seg_col = [
+        segments_from_gold_labels(labels) for _, labels in gold_label_sents
+    ]
+
     type_lists = [
         [ty for _, _, ty in segs if ty and ty != FILTERED_TYPE]
-        for segs in seg_col
+        for segs in seg_col + gold_seg_col
     ]
-    c_map, w_map, tl_map = build_vocabs(train_sents, type_lists,
+    vocab_sents = train_sents + [toks for toks, _ in gold_label_sents]
+    c_map, w_map, tl_map = build_vocabs(vocab_sents, type_lists,
                                         char_min_count=5)
     print(f"chars={len(c_map)} words={len(w_map)} types={tl_map}")
 
-    recs = []
-    for toks, segs in zip(train_sents, seg_col):
+    def to_record(toks, segs):
         ci, wi, slots = encode_sentence(toks, c_map, w_map)
         brk, known = segments_to_slots(len(toks), segs)
-        recs.append((ci, wi, slots, brk, known,
-                     spans_from_segments(segs, tl_map)))
+        return (ci, wi, slots, brk, known,
+                spans_from_segments(segs, tl_map))
+
+    distant = [
+        to_record(toks, segs) for toks, segs in zip(train_sents, seg_col)
+    ]
+    gold_recs = [
+        to_record(toks, segs)
+        for (toks, _), segs in zip(gold_label_sents, gold_seg_col)
+    ]
+    recs = mixed_records(distant, gold_recs, args.sample_ratio) \
+        if args.mixed else distant
+    print(f"records: {len(recs)} (distant={len(distant)} "
+          f"gold={len(gold_recs)})")
 
     gold = {
         split: parse_gold(REF / f"data/BC5CDR/truth_{split}.ck")
         for split in ("dev", "test")
     }
+    # with --mixed, dev leaks into training; model selection then uses
+    # the TAIL of dev (the mixed records and eval slices still overlap a
+    # little across epochs, but test remains untouched either way)
+    sel_split, sel_slice = ("dev", slice(-2000, None)) if args.mixed else (
+        "dev", slice(0, args.eval_limit)
+    )
 
-    tagger = Tagger(c_map, w_map, tl_map, hidden=args.hidden)
+    if args.arch == "lstm":
+        tagger = Tagger(
+            c_map, w_map, tl_map, arch="lstm",
+            char_dim=args.char_dim, word_dim=args.word_dim,
+            hidden=args.hidden, layers=args.layers,
+            label_dim=args.label_dim,
+        )
+        lr = args.lr if args.lr is not None else 1e-3
+        if not args.no_pretrained_emb:
+            from autoner_ray.state.word_vectors import ppmi_svd_embeddings
 
-    def eval_split(split, limit=None):
-        sents = gold[split][:limit] if limit else gold[split]
+            t0 = time.perf_counter()
+            emb = ppmi_svd_embeddings(
+                vocab_sents, w_map, dim=args.word_dim
+            )
+            tagger.load_word_embeddings(emb)
+            print(f"pretrained PPMI-SVD word vectors "
+                  f"({time.perf_counter() - t0:.0f}s)")
+    else:
+        tagger = Tagger(c_map, w_map, tl_map, hidden=args.hidden)
+        lr = args.lr if args.lr is not None else 0.05
+
+    def eval_sents(sents):
         ng = npd = nh = 0
         toks_all = [t for t, _ in sents]
         for i in range(0, len(toks_all), 256):
@@ -105,8 +178,8 @@ def main() -> None:
         return f1_from_counts(ng, npd, nh)
 
     rng = np.random.default_rng(7)
-    vel, best, best_blob = None, -1.0, None
-    lr, plateau = args.lr, 0
+    state, best, best_blob = None, -1.0, None
+    plateau = 0
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         order = rng.permutation(len(recs))
@@ -114,11 +187,19 @@ def main() -> None:
         for batch in token_budget_batches(
             [recs[i] for i in order], budget=args.budget
         ):
-            loss, vel = tagger.train_batch(batch, lr=lr, velocity=vel)
+            if args.arch == "lstm":
+                loss, state = tagger.train_batch_v2(
+                    batch, lr=lr, droprate=args.droprate,
+                    adam_state=state, rng=rng,
+                )
+            else:
+                loss, state = tagger.train_batch(batch, lr=lr,
+                                                 velocity=state)
             tot += loss; nb += 1
-        dev = eval_split("dev", limit=2000)
+        dev = eval_sents(gold[sel_split][sel_slice])
         print(f"epoch {epoch}: loss={tot / max(nb, 1):.4f} "
-              f"dev(2k)={dev} ({time.perf_counter() - t0:.0f}s)", flush=True)
+              f"sel({sel_split})={dev} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
         if dev["f1"] > best:
             best, best_blob = dev["f1"], tagger.to_bytes()
             plateau = 0
@@ -130,8 +211,10 @@ def main() -> None:
                 print(f"  lr -> {lr}", flush=True)
 
     tagger = Tagger.from_bytes(best_blob)
-    final = {split: eval_split(split) for split in ("dev", "test")}
-    print(json.dumps({"final": final, "published_autoner_f1": 0.848,
+    final = {split: eval_sents(gold[split]) for split in ("dev", "test")}
+    print(json.dumps({"final": final, "arch": args.arch,
+                      "mixed": args.mixed,
+                      "published_autoner_f1": 0.848,
                       "dict_match_f1": 0.7198}))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "wb") as f:

@@ -1,0 +1,152 @@
+"""Near-dup operators vs brute-force single-process oracles.
+
+Pins the distributed shapes (LSH candidate join + text join-back, hot-
+bucket cap, grid-partitioned exact embedding pair join, IVF-bucketed
+approximate variant) to exact reference semantics computed in plain
+numpy/python on the sf0.001 fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_jaccard_pairs(threshold: float):
+    from autoner_ray.stages.dedup import _shingles
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sh = [_shingles(x or "") for x in t["text"].to_pylist()]
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            union = len(sh[i] | sh[j])
+            jac = len(sh[i] & sh[j]) / union if union else 0.0
+            if jac >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = round(jac, 6)
+    return out
+
+
+def test_minhash_neardup_matches_bruteforce(ray_session):
+    """LSH + verify returns a subset of the true pair set with exact
+    jaccard values; on this fixture the banding detects every true pair
+    (64 hashes / 16 bands at t=0.6), so the sets are EQUAL."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs).take_all()
+    }
+    want = _brute_jaccard_pairs(0.6)
+    assert got == want
+    assert len(got) > 0  # fixture must actually exercise the operator
+
+
+def test_minhash_hot_bucket_cap(ray_session):
+    """A flood of identical docs lands in one degenerate bucket per band;
+    with max_bucket below the flood size the bucket is dropped BEFORE the
+    self-join, so the flood yields no pairs (exact-dedup's job instead).
+    Distinct near-identical docs under the cap still pair up."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import ngram_jaccard_pairs
+
+    flood = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox jumps over the lazy dog"] * 100
+            ),
+        }
+    )
+    ds = rd.from_arrow(flood)
+    pairs = ngram_jaccard_pairs(ds, max_bucket=8).take_all()
+    assert pairs == []
+    # same flood with a permissive cap: all 100*99/2 pairs at jaccard 1.0
+    pairs = ngram_jaccard_pairs(ds, max_bucket=256).take_all()
+    assert len(pairs) == 100 * 99 // 2
+    assert all(p["jaccard"] == 1.0 for p in pairs)
+    # PARTIAL hot: a 50-doc flood (dropped by the cap) + two near-dup
+    # docs (kept) — only the legit pair survives
+    texts = ["an identical flood document body here"] * 50 + [
+        "a distinct near duplicate document body one two three",
+        "a distinct near duplicate document body one two three four",
+    ]
+    mixed = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pairs = ngram_jaccard_pairs(
+        rd.from_arrow(mixed), max_bucket=8
+    ).take_all()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(50, 51)}
+
+
+def _brute_cosine_pairs(threshold: float):
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    matn = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+    sims = matn @ matn.T
+    out = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            a, b = int(ids[i]), int(ids[j])
+            if a < b and sims[i, j] >= threshold:
+                out[(a, b)] = round(float(sims[i, j]), 6)
+    return out
+
+
+def test_embedding_neardup_grid_exact(ray_session):
+    """Grid-partitioned pair join == brute-force all-pairs, including
+    when the grid has multiple blocks (block_rows < n forces B > 1 and
+    exercises both diagonal and off-diagonal grid cells)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.similarity import embedding_neardup
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    want = _brute_cosine_pairs(0.4)
+    for block_rows in (4096, 64):  # B=1 and B=8 grids
+        got = {
+            (r["vec_a"], r["vec_b"]): r["sim"]
+            for r in embedding_neardup(
+                emb, threshold=0.4, block_rows=block_rows
+            ).take_all()
+        }
+        assert got == want, f"block_rows={block_rows}"
+    assert len(want) > 0
+
+
+def test_embedding_neardup_ivf_subset(ray_session):
+    """IVF-bucketed variant: approximate — every returned pair is a true
+    pair (exact sim value), recall may drop across list boundaries."""
+    import ray.data as rd
+
+    from autoner_ray.stages.similarity import embedding_neardup_ivf
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    want = _brute_cosine_pairs(0.4)
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_neardup_ivf(
+            emb, threshold=0.4, num_lists=4
+        ).take_all()
+    }
+    assert got  # finds something
+    for k, v in got.items():
+        assert k in want and want[k] == v

@@ -69,11 +69,65 @@ def test_filter_embeddings_semi_join(ray_session):
     assert sorted(out["word"]) == ["<unk>", "Pie", "apple", "cake"]
 
 
-def test_media_decode_stub_raises_without_fake():
-    from autoner_ray.stages.multimodal import DecodeMedia
+def test_media_video_stub_raises_without_fake():
+    """Video decode is the one declared stub: with the fake disabled it
+    must raise, not silently emit garbage."""
+    from autoner_ray.stages.multimodal import (
+        DecodeMedia,
+        synth_media_batch,
+    )
 
+    docs = pa.table({"doc_id": [2], "text": ["video doc"]})  # 2 % 3 -> video
+    media = synth_media_batch(docs)
     with pytest.raises(NotImplementedError):
-        DecodeMedia()
+        DecodeMedia(allow_fake_video=False)(media)
+
+
+def test_bmp_wav_codecs_roundtrip():
+    """Pure-python codecs: encode -> decode is exact."""
+    from autoner_ray.stages.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)  # odd width
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    samples = (rng.standard_normal(4321) * 10000).astype(np.int16)
+    rate, back = decode_wav(encode_wav(samples, rate=2000))
+    assert rate == 2000 and np.array_equal(back, samples)
+    small = resize_nearest(px, (8, 8))
+    assert small.shape == (8, 8, 3)
+
+
+def test_media_features_match_single_process_oracle(ray_session):
+    """Pipeline features == decoding every payload in-process (real
+    codec path for bmp/wav, declared fake for video)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.multimodal import (
+        DecodeMedia,
+        media_features,
+        synth_media_batch,
+    )
+
+    docs_tbl = pa.table(
+        {
+            "doc_id": list(range(12)),
+            "text": [f"payload doc {i}" for i in range(12)],
+        }
+    )
+    got = media_features(rd.from_arrow(docs_tbl)).to_pandas()
+    want = DecodeMedia()(synth_media_batch(docs_tbl)).to_pandas()
+    got = got.sort_values("media_id").reset_index(drop=True)
+    want = want.sort_values("media_id").reset_index(drop=True)
+    assert got["media_type"].tolist() == want["media_type"].tolist()
+    a = np.array(got["features"].to_list())
+    b = np.array(want["features"].to_list())
+    assert np.array_equal(a, b)
 
 
 def test_media_features_pipeline(ray_session):
@@ -95,7 +149,7 @@ def test_media_features_pipeline(ray_session):
     assert all(len(f) == FEATURE_DIM for f in out["features"])
     # video rows sample multiple frames; images exactly one
     by_type = out.groupby("media_type")["n_frames_sampled"].min()
-    assert by_type["image/jpeg"] == 1
+    assert by_type["image/bmp"] == 1
     # deterministic: same inputs -> same features
     out2 = media_features(docs).to_pandas()
     a = np.array(out.sort_values("media_id")["features"].to_list())

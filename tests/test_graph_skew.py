@@ -177,3 +177,58 @@ def test_connected_components_oracle(ray_session):
         "x": "x", "y": "x",
         "p": "p", "q": "p",
     }
+
+
+def test_pagerank_distributed_matches_driver(ray_session):
+    """The unbounded-vocab variant (rank as a Dataset, join-per-
+    iteration) agrees with the driver-side matvec to float-sum noise."""
+    import ray.data as rd
+
+    from autoner_ray.stages.graph import pagerank, pagerank_distributed
+
+    edges = pa.table(
+        {
+            "subj": ["a", "a", "b", "c", "d"],
+            "pred": ["p"] * 5,
+            "obj": ["b", "c", "c", "d", "e"],
+            "weight": [2, 1, 1, 3, 5],
+        }
+    )
+    ds = rd.from_arrow(edges)
+    want = dict(
+        zip(
+            pagerank(ds, round_dp=6)["entity"].to_pylist(),
+            pagerank(ds, round_dp=6)["rank"].to_pylist(),
+        )
+    )
+    got_t = pagerank_distributed(ds, round_dp=6)
+    got = dict(
+        zip(got_t["entity"].to_pylist(), got_t["rank"].to_pylist())
+    )
+    assert set(got) == set(want)
+    for e, r in want.items():
+        assert abs(got[e] - r) < 2e-6, (e, got[e], r)
+
+
+def test_connected_components_distributed_matches_driver(ray_session):
+    import ray.data as rd
+
+    from autoner_ray.stages.graph import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    edges = pa.table(
+        {
+            # a chain (tests multi-round propagation), plus two islands
+            "subj": ["a", "b", "c", "d", "x", "p"],
+            "pred": ["p"] * 6,
+            "obj": ["b", "c", "d", "e", "y", "q"],
+            "weight": [1] * 6,
+        }
+    )
+    ds = rd.from_arrow(edges)
+    want = connected_components(ds)
+    got = connected_components_distributed(ds)
+    assert got["entity"].to_pylist() == want["entity"].to_pylist()
+    assert got["component"].to_pylist() == want["component"].to_pylist()

@@ -8,6 +8,7 @@ identical to an uninterrupted run.
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 
@@ -72,6 +73,13 @@ def test_tmp_sweep(ray_session, tmp_path):
     from autoner_ray.state import manifest as mf
 
     out = str(tmp_path / "ckpt")
-    os.makedirs(os.path.join(out, "_tmp-00001-deadbeef"))
+    stale = os.path.join(out, "_tmp-00001-deadbeef")
+    fresh = os.path.join(out, "_tmp-00002-cafebabe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
     mf.sweep_tmp(out)
-    assert os.listdir(out) == []
+    # stale orphan removed; a fresh tmp (possibly a live concurrent
+    # driver's in-flight commit) is left alone
+    assert os.listdir(out) == ["_tmp-00002-cafebabe"]

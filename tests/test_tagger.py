@@ -182,14 +182,13 @@ def test_mentions_to_tsv_reference_shape():
     assert text.endswith("\n\n")   # trailing blank per batch
 
 
-def test_bc5cdr_artifact_beats_dictionary_baseline():
-    """The committed BC5CDR artifact must stay above dictionary-match
-    quality on (a subset of) the human gold dev set."""
+def _artifact_f1(path: str, split: str, limit: int = 1500):
     import sys
 
     sys.path.insert(0, "/root/repo/scripts")
-    from eval_bc5cdr_dictmatch import parse_gold
     from pathlib import Path
+
+    from eval_bc5cdr_dictmatch import parse_gold
 
     from autoner_ray.state.tagger import (
         Tagger,
@@ -197,12 +196,11 @@ def test_bc5cdr_artifact_beats_dictionary_baseline():
         span_f1_counts,
     )
 
-    with open("/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz",
-              "rb") as f:
+    with open(path, "rb") as f:
         tg = Tagger.from_bytes(f.read())
     gold = parse_gold(
-        Path("/root/reference/data/BC5CDR/truth_dev.ck")
-    )[:1500]
+        Path(f"/root/reference/data/BC5CDR/truth_{split}.ck")
+    )[:limit]
     ng = npd = nh = 0
     toks_all = [t for t, _ in gold]
     for i in range(0, len(toks_all), 256):
@@ -210,5 +208,23 @@ def test_bc5cdr_artifact_beats_dictionary_baseline():
         for (_, gspans), pred in zip(gold[i : i + 256], preds):
             g, p, h = span_f1_counts(gspans, pred)
             ng += g; npd += p; nh += h
-    stats = f1_from_counts(ng, npd, nh)
-    assert stats["f1"] >= 0.70, stats
+    return f1_from_counts(ng, npd, nh)
+
+
+def test_bc5cdr_artifact_f1():
+    """The committed artifacts hold their trained quality on the human
+    gold TEST split (never used in training by either recipe):
+    - main artifact (DS_GOLD_MIXED recipe, `dataset.py:298-404`):
+      test F1 >= 0.78 (measured 0.818 full-test at mint time);
+    - distant-only artifact (pure AutoNER recipe, gold never seen):
+      test F1 >= 0.72, above the 0.7198 dictionary-match baseline
+      (measured 0.744 full-test at mint time)."""
+    stats = _artifact_f1(
+        "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
+    )
+    assert stats["f1"] >= 0.78, stats
+    stats = _artifact_f1(
+        "/root/repo/autoner_ray/artifacts/tagger_bc5cdr_distant.npz",
+        "test",
+    )
+    assert stats["f1"] >= 0.72, stats
