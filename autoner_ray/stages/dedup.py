@@ -139,14 +139,20 @@ def minhash_lsh_candidates(
     if max_bucket is not None:
         from ray.data.aggregate import Count as _Count
 
-        counts = (
+        _CAP = 5_000_000
+        # one bounded job: the hot keys themselves (rare BY CONSTRUCTION
+        # — at most total_rows/max_bucket of them). ``limit`` caps the
+        # driver transfer; exceeding it means the corpus is dominated by
+        # near-identical floods and the cap refuses to proceed.
+        hot_rows = (
             sigs.groupby(["band", "band_hash"])
             .aggregate(_Count(alias_name="bucket_n"))
-            .materialize()
+            .filter(lambda r: r["bucket_n"] > max_bucket)
+            .select_columns(["band", "band_hash"])
+            .limit(_CAP + 1)
+            .take_all()
         )
-        n_hot = counts.filter(
-            lambda r: r["bucket_n"] > max_bucket
-        ).count()
+        n_hot = len(hot_rows)
         if n_hot:
             import logging
 
@@ -156,23 +162,17 @@ def minhash_lsh_candidates(
                 max_bucket,
             )
             # Drop hot-bucket rows via a BROADCAST anti-filter, not a
-            # join: hot buckets are rare BY CONSTRUCTION (at most
-            # total_rows/max_bucket of them), so the key set is small
-            # enough for ray.put even at web scale, and it sidesteps a
-            # Ray 2.49 hash-join crash when a partition receives zero
-            # blocks from one side. A guard refuses to driver-collect a
-            # pathological set.
-            if n_hot > 5_000_000:
+            # join: the key set is small enough for ray.put even at web
+            # scale (see the limit above), and it sidesteps a Ray 2.49
+            # hash-join crash when a partition receives zero blocks from
+            # one side.
+            if n_hot > _CAP:
                 raise ValueError(
-                    f"{n_hot} hot LSH buckets (> {max_bucket} members "
+                    f">{_CAP} hot LSH buckets (> {max_bucket} members "
                     "each) — the corpus is dominated by near-identical "
                     "floods; run exact_dedup first"
                 )
             import ray
-
-            hot_rows = counts.filter(
-                lambda r: r["bucket_n"] > max_bucket
-            ).select_columns(["band", "band_hash"]).take_all()
             hot_ref = ray.put(
                 {(r["band"], r["band_hash"]) for r in hot_rows}
             )
