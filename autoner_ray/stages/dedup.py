@@ -96,8 +96,23 @@ def minhash_lsh_candidates(
     bands: int = 16,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
+    num_partitions: int = 8,
 ):
-    """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash LSH."""
+    """Near-duplicate candidate pairs (doc_a < doc_b, n_bands) via
+    MinHash LSH.
+
+    Physical shape (2 shuffles total):
+    1. ONE hash shuffle co-locates every bucket (``part`` is derived
+       from the bucket hash, so a bucket never splits); inside each
+       partition a vectorized acero self-join pairs bucket members —
+       and the HOT-BUCKET CAP is applied there exactly (a degenerate
+       bucket with k members would emit O(k²) rows; buckets over
+       ``max_bucket`` are dropped and logged — near-identical floods
+       are the exact-dedup stage's job, not LSH's).
+    2. A global groupby dedups pairs that agree in several bands;
+       Count doubles as the LSH agreement strength.
+    """
+    import pandas as pd
 
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -105,11 +120,11 @@ def minhash_lsh_candidates(
     # TASK pool, not an actor pool: the minhash params are deterministic
     # and cheap (seeded rng), so a module-level cache per worker replaces
     # actor state. A FIXED actor pool here can claim every CPU on a small
-    # cluster and starve the join aggregators downstream in the same
-    # streaming topology (observed deadlock at num_cpus=4).
+    # cluster and starve downstream shuffle actors in the same streaming
+    # topology (observed deadlock at num_cpus=4).
     def sign(batch: pa.Table) -> pa.Table:
         a, b = _cached_minhash_params(num_hashes)
-        doc_ids, band_ids, band_hashes = [], [], []
+        doc_ids, band_ids, band_hashes, parts = [], [], [], []
         for did, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -120,119 +135,65 @@ def minhash_lsh_candidates(
                 doc_ids.append(did)
                 band_ids.append(bi)
                 band_hashes.append(bh)
+                # content-derived partition: bucket members always meet
+                parts.append(int(bh[:8], 16) % num_partitions)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
+                "part": pa.array(parts, pa.int32()),
             }
         )
 
-    sigs = docs_ds.map_batches(sign, batch_format="pyarrow").materialize()
-
-    # HOT-BUCKET CAP: a degenerate bucket with k members emits O(k²) join
-    # rows, so buckets larger than ``max_bucket`` are dropped BEFORE the
-    # self-join via a (band, band_hash) count + inner-join pre-filter
-    # (near-identical floods are the exact-dedup stage's job, not LSH's).
-    # The count table is one row per distinct bucket — same size class as
-    # the signature table, fully distributed; the drop is logged.
-    if max_bucket is not None:
-        from ray.data.aggregate import Count as _Count
-
-        _CAP = 5_000_000
-        # one bounded job: the hot keys themselves (rare BY CONSTRUCTION
-        # — at most total_rows/max_bucket of them). ``limit`` caps the
-        # driver transfer; exceeding it means the corpus is dominated by
-        # near-identical floods and the cap refuses to proceed.
-        hot_rows = (
-            sigs.groupby(["band", "band_hash"])
-            .aggregate(_Count(alias_name="bucket_n"))
-            .filter(lambda r: r["bucket_n"] > max_bucket)
-            .select_columns(["band", "band_hash"])
-            .limit(_CAP + 1)
-            .take_all()
-        )
-        n_hot = len(hot_rows)
-        if n_hot:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "minhash LSH: dropping %d hot buckets (> %d members)",
-                n_hot,
-                max_bucket,
+    def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None:
+            sizes = df.groupby(["band", "band_hash"])["doc_id"].transform(
+                "size"
             )
-            # Drop hot-bucket rows via a BROADCAST anti-filter, not a
-            # join: the key set is small enough for ray.put even at web
-            # scale (see the limit above), and it sidesteps a Ray 2.49
-            # hash-join crash when a partition receives zero blocks from
-            # one side.
-            if n_hot > _CAP:
-                raise ValueError(
-                    f">{_CAP} hot LSH buckets (> {max_bucket} members "
-                    "each) — the corpus is dominated by near-identical "
-                    "floods; run exact_dedup first"
+            hot = sizes > max_bucket
+            if bool(hot.any()):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash LSH: dropping %d hot buckets "
+                    "(> %d members)",
+                    df[hot].groupby(["band", "band_hash"]).ngroups,
+                    max_bucket,
                 )
-            import ray
-            hot_ref = ray.put(
-                {(r["band"], r["band_hash"]) for r in hot_rows}
+                df = df[~hot]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                }
             )
-
-            def drop_hot(t: pa.Table) -> pa.Table:
-                hot = ray.get(hot_ref)
-                keep = [
-                    (b, h) not in hot
-                    for b, h in zip(
-                        t["band"].to_pylist(), t["band_hash"].to_pylist()
-                    )
-                ]
-                return t.filter(pa.array(keep, pa.bool_()))
-
-            sigs = sigs.map_batches(
-                drop_hot, batch_format="pyarrow"
-            ).materialize()
-            if sigs.count() == 0:
-                import ray.data as rd
-
-                return rd.from_arrow(
-                    pa.schema(
-                        [
-                            ("doc_a", pa.int64()),
-                            ("doc_b", pa.int64()),
-                            ("n_bands", pa.int64()),
-                        ]
-                    ).empty_table()
-                )
-
-    # candidates via hash-partitioned SELF-JOIN on the bucket key — the
-    # join kernel pairs bucket members vectorized instead of one Python
-    # map_groups call per bucket (there are ~docs*bands tiny buckets; the
-    # per-group form costs ~0.2 ms each and dominates the stage).
-    right = sigs.map_batches(
-        lambda t: pa.table(
+        lt = pa.table(
             {
-                "band": t["band"],
-                "band_hash": t["band_hash"],
-                "doc_b": t["doc_id"],
+                "band": pa.array(df["band"], pa.int32()),
+                "band_hash": pa.array(df["band_hash"], pa.string()),
+                "doc_a": pa.array(df["doc_id"], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
-    from autoner_ray.stages.joins import cogroup_join
-
-    joined = cogroup_join(sigs, right, on=("band", "band_hash"))
-
-    def ordered_pairs(t: pa.Table) -> pa.Table:
+        )
+        rt = lt.rename_columns(["band", "band_hash", "doc_b"])
+        j = lt.join(rt, keys=["band", "band_hash"], join_type="inner")
         import pyarrow.compute as pc
 
-        keep = pc.less(t["doc_id"], t["doc_b"])
-        t = t.filter(keep)
-        return pa.table({"doc_a": t["doc_id"], "doc_b": t["doc_b"]})
+        j = j.filter(pc.less(j["doc_a"], j["doc_b"]))
+        return pd.DataFrame(
+            {
+                "doc_a": j["doc_a"].to_numpy(),
+                "doc_b": j["doc_b"].to_numpy(),
+            }
+        )
 
     from ray.data.aggregate import Count
 
-    # distinct pairs; Count doubles as the LSH agreement strength.
     return (
-        joined.map_batches(ordered_pairs, batch_format="pyarrow")
+        docs_ds.map_batches(sign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
     )
@@ -348,75 +309,79 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
+def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4,
+                          num_partitions: int = 8):
     """SimHash near-duplicate pairs: 64-bit signatures split into
-    ``bands`` bit-bands (pigeonhole: any pair within ``max_hamming`` < 
-    ``bands`` bits shares at least one exact band); band-equality
-    candidates come from the same vectorized self-join shape as MinHash
-    LSH, then exact Hamming distance filters. Emits (doc_a, doc_b,
-    hamming)."""
+    ``bands`` bit-bands (pigeonhole: any pair within ``max_hamming`` <
+    ``bands`` bits shares at least one exact band). Same 2-shuffle
+    shape as MinHash LSH: one content-hash partition shuffle co-locates
+    each (band, band_val) bucket, a vectorized in-partition self-join
+    pairs members and filters exact Hamming distance, and a global
+    groupby dedups pairs that agree on several bands. Emits
+    (doc_a, doc_b, hamming)."""
     import numpy as np
+    import pandas as pd
 
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     band_bits = 64 // bands
 
     def sign(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_vals, sigs = [], [], [], []
+        doc_ids, band_ids, band_vals, sigs, parts = [], [], [], [], []
         for did, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             h = simhash64(text or "")
             for bi in range(bands):
+                bv = (h >> (bi * band_bits)) & ((1 << band_bits) - 1)
                 doc_ids.append(did)
                 band_ids.append(bi)
-                band_vals.append(
-                    (h >> (bi * band_bits)) & ((1 << band_bits) - 1)
-                )
+                band_vals.append(bv)
                 sigs.append(h - (1 << 63))  # store as signed int64
+                parts.append(
+                    int.from_bytes(
+                        hashlib.md5(f"{bi}:{bv}".encode()).digest()[:4],
+                        "big",
+                    )
+                    % num_partitions
+                )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band": pa.array(band_ids, pa.int32()),
                 "band_val": pa.array(band_vals, pa.int64()),
                 "sig": pa.array(sigs, pa.int64()),
+                "part": pa.array(parts, pa.int32()),
             }
         )
 
-    sigs_ds = docs_ds.map_batches(sign, batch_format="pyarrow").materialize()
-    right = sigs_ds.map_batches(
-        lambda t: pa.table(
+    def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        lt = pa.table(
             {
-                "band": t["band"],
-                "band_val": t["band_val"],
-                "doc_b": t["doc_id"],
-                "sig_b": t["sig"],
+                "band": pa.array(df["band"], pa.int32()),
+                "band_val": pa.array(df["band_val"], pa.int64()),
+                "doc_a": pa.array(df["doc_id"], pa.int64()),
+                "sig_a": pa.array(df["sig"], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
-    from autoner_ray.stages.joins import cogroup_join
-
-    joined = cogroup_join(sigs_ds, right, on=("band", "band_val"))
-
-    def verify(t: pa.Table) -> pa.Table:
+        )
+        rt = lt.rename_columns(["band", "band_val", "doc_b", "sig_b"])
         import pyarrow.compute as pc
 
-        t = t.filter(pc.less(t["doc_id"], t["doc_b"]))
-        a = t["sig"].to_numpy().astype(np.int64).view(np.uint64)
-        b = t["sig_b"].to_numpy().astype(np.int64).view(np.uint64)
+        j = lt.join(rt, keys=["band", "band_val"], join_type="inner")
+        j = j.filter(pc.less(j["doc_a"], j["doc_b"]))
+        a = j["sig_a"].to_numpy().astype(np.int64).view(np.uint64)
+        b = j["sig_b"].to_numpy().astype(np.int64).view(np.uint64)
         ham = np.bitwise_count(np.bitwise_xor(a, b)) if hasattr(
             np, "bitwise_count"
         ) else np.array(
-            [bin(int(x)).count("1") for x in np.bitwise_xor(a, b)]
+            [bin(int(x)).count("1") for x in np.bitwise_xor(a, b)],
+            dtype=np.int64,
         )
-        keep = ham <= max_hamming
-        return pa.table(
+        keep = np.asarray(ham) <= max_hamming
+        return pd.DataFrame(
             {
-                "doc_a": t["doc_id"].to_numpy()[keep],
-                "doc_b": t["doc_b"].to_numpy()[keep],
-                "hamming": pa.array(
-                    np.asarray(ham)[keep].astype(np.int64), pa.int64()
-                ),
+                "doc_a": j["doc_a"].to_numpy()[keep],
+                "doc_b": j["doc_b"].to_numpy()[keep],
+                "hamming": np.asarray(ham)[keep].astype(np.int64),
             }
         )
 
@@ -424,7 +389,9 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
 
     # distinct pairs (a pair can agree on several bands)
     return (
-        joined.map_batches(verify, batch_format="pyarrow")
+        docs_ds.map_batches(sign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
