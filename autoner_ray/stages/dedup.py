@@ -220,9 +220,32 @@ def verify_jaccard(cand_ds, docs_ds, jaccard_threshold: float = 0.6):
     # Ray's hash join crashes when one side is entirely empty (its
     # partition builders produce schema-less tables), so the no-candidate
     # case short-circuits.
-    if cand_ds.count() == 0:
+    n_cand = cand_ds.count()
+    if n_cand == 0:
         return rd.from_arrow(_out_schema.empty_table())
     docs2 = docs_ds.select_columns(["doc_id", "text"])
+    # SEMI-JOIN REDUCTION: only docs that appear in a candidate pair are
+    # needed, and the candidate set is small by construction (LSH-
+    # selective), so broadcast its doc-id set and pre-filter the corpus —
+    # the joins then shuffle |candidate docs| texts, not |corpus|.
+    # Bounded: above the cap, fall back to the full join (still correct).
+    if n_cand <= 2_500_000:
+        import ray
+
+        ids: set[int] = set()
+        for b in cand_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            ids.update(b["doc_a"].to_pylist())
+            ids.update(b["doc_b"].to_pylist())
+        ids_ref = ray.put(ids)
+
+        def keep_candidates(t: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            mask = [d in wanted for d in t["doc_id"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        docs2 = docs2.map_batches(keep_candidates, batch_format="pyarrow")
     a_side = docs2.map_batches(
         lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
         batch_format="pyarrow",
