@@ -207,7 +207,7 @@ def _hw_probe(n: int, iters: int = 20_000_000) -> float:
 
 
 def run_scaling(
-    sf_dir: str, lo: int = 4, hi: int = 16, repeat: int = 256,
+    sf_dir: str, lo: int = 4, hi: int = 16, repeat: int = 512,
     trials: int = 3,
 ) -> dict:
     """N-vs-4N scaling, taskset-enforced, best of ``trials`` per width.
@@ -276,7 +276,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.sf_dir, repeat=max(args.repeat, 256))
+        out = run_scaling(args.sf_dir, repeat=max(args.repeat, 512))
     else:
         names = args.queries.split(",") if args.queries else HEADLINE
         out = run_bench(args.sf_dir, args.cpus, names, repeat=args.repeat,
