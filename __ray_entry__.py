@@ -225,8 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     # NOTE dict ORDER is load-bearing: the driver's correctness gate
-    # checks the first 50 entries. All 39 oracle-backed queries come
-    # first, then the 11 rows-only queries with the most information
+    # checks the first 50 entries. All 41 oracle-backed queries come
+    # first, then the 9 rows-only queries with the most information
     # content; the tail 10 are rows-only variants whose semantics are
     # already pinned elsewhere (pytest golden/oracle tests or an
     # oracle-backed twin above).
@@ -288,21 +288,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": lambda sf: analysis.bm25_topk(
             _docs(sf, ["doc_id", "text"]), ["filter", "join", "spark"]
         ),
+        "simhash_docs": simhash_docs,
+        "docs_rolling_fingerprint": docs_rolling_fingerprint,
         # --- oracle-backed: embeddings / similarity ----------------------
         "embeddings_label_counts": embeddings_label_counts,
         "knn_cosine": knn_cosine,
         "embedding_neardup": lambda sf: similarity.embedding_neardup(
             _emb(sf), threshold=0.4
         ),
-        # --- rows-only, in the checked window (39+11 = 50) ---------------
+        # --- rows-only, in the checked window (41+9 = 50) ----------------
         "kg_triples_full": lambda sf: kg.triples_dataset(sf),
         "kg_triples_resumable": _kg_triples_resumable,
         "kg_triples_hybrid": _kg_triples_hybrid,
         "tagger_span_f1": _tagger_span_f1,
         "minhash_neardup": minhash_neardup,
-        "simhash_docs": simhash_docs,
         "lang_id_predict": lang_id_predict,
-        "docs_rolling_fingerprint": docs_rolling_fingerprint,
         "knn_ivf": knn_ivf,
         "embedding_clusters": embedding_clusters,
         "media_features": lambda sf: multimodal.media_features(
@@ -403,14 +403,91 @@ def _connected_components_sql(dict_values: str) -> str:
     """
 
 
+def _fingerprint_sql() -> str:
+    """Rolling polynomial min-hash fingerprint in SQL (HUGEINT modular
+    arithmetic; window 8, base/mod matching the engine —
+    `analysis.py:rolling_fingerprint`). Short docs (< 8 tokens) hash the
+    whole token stream once, matching the engine fallback."""
+    from autoner_ray.stages.analysis import _B, _MOD
+
+    pows = ", ".join(f"({e}, {pow(_B, e, _MOD)})" for e in range(8))
+    return f"""
+        WITH hs AS MATERIALIZED (
+            SELECT d.doc_id, g.i AS idx,
+                   CAST(('0x' || substring(
+                       md5(string_split(d.text, ' ')[g.i]), 1, 16))
+                        AS UBIGINT) AS h
+            FROM documents d,
+                 UNNEST(generate_series(1,
+                     len(string_split(d.text, ' ')))) AS g(i)
+        ), nn AS MATERIALIZED (
+            SELECT doc_id, MAX(idx) AS n FROM hs GROUP BY doc_id
+        ), o(e, pw) AS (VALUES {pows}),
+        long_w AS (
+            SELECT h1.doc_id,
+                   SUM(CAST(h2.h AS HUGEINT) * o.pw) % {_MOD} AS whash
+            FROM hs h1
+            JOIN hs h2 ON h2.doc_id = h1.doc_id
+                      AND h2.idx BETWEEN h1.idx AND h1.idx + 7
+            JOIN o ON o.e = h1.idx + 7 - h2.idx
+            JOIN nn ON nn.doc_id = h1.doc_id
+            WHERE h1.idx + 7 <= nn.n AND nn.n >= 8
+            GROUP BY h1.doc_id, h1.idx
+        ), short_w AS (
+            SELECT hs.doc_id,
+                   SUM(CAST(hs.h AS HUGEINT) * o.pw) % {_MOD} AS whash
+            FROM hs JOIN nn ON nn.doc_id = hs.doc_id
+            JOIN o ON o.e = nn.n - hs.idx
+            WHERE nn.n < 8
+            GROUP BY hs.doc_id
+        ), best AS (
+            SELECT doc_id, MIN(whash) AS fp FROM long_w GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, whash FROM short_w
+        )
+        SELECT d.doc_id,
+               lower(lpad(to_hex(CAST(COALESCE(b.fp, 0) AS UBIGINT)),
+                          16, '0')) AS fingerprint
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from autoner_ray.stages.analysis import seeded_sample_oracle_sql
 
     dict_values = unigram_dict_sql_values()
     return {
+        "docs_rolling_fingerprint": _fingerprint_sql(),
         "kg_pagerank": _pagerank_sql(dict_values),
         "kg_connected_components": _connected_components_sql(dict_values),
         "docs_sample_seeded": seeded_sample_oracle_sql(),
+        # simhash64 in SQL: per-token md5 -> top-8-byte uint64, bit votes
+        # over 64 positions, bit set where votes > 0 (ties -> 0, matching
+        # the engine's (votes > 0)); empty-vote docs fall back to 0
+        "simhash_docs": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT d.doc_id,
+                       CAST(('0x' || substring(md5(t.word), 1, 16))
+                            AS UBIGINT) AS h
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+            ), bits AS MATERIALIZED (
+                SELECT doc_id, b.b AS bit,
+                       SUM(CASE WHEN (h >> b.b) & 1 = 1
+                           THEN 1 ELSE -1 END) AS votes
+                FROM toks,
+                     (SELECT UNNEST(generate_series(0, 63)) AS b) AS b
+                GROUP BY doc_id, b.b
+            ), hashes AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN votes > 0
+                           THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS sh
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   lower(lpad(to_hex(COALESCE(h.sh, 0)), 16, '0'))
+                       AS simhash
+            FROM documents d LEFT JOIN hashes h ON d.doc_id = h.doc_id
+        """,
         "pages_extract_text": f"SELECT {URL} AS url, text FROM documents",
         "dict_mention_counts_unigram": f"""
             WITH words AS (
