@@ -91,6 +91,13 @@ def cogroup_join(left, right, on: tuple[str, ...],
         )
     )
 
+    lt_schema = pa.schema(
+        [(c, key_types[c]) for c in on] + [(c, ltypes[c]) for c in lcols]
+    )
+    rt_schema = pa.schema(
+        [(c, key_types[c]) for c in on] + [(c, rtypes[c]) for c in rcols]
+    )
+
     def join_partition(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -99,9 +106,14 @@ def cogroup_join(left, right, on: tuple[str, ...],
         rt = t.filter(pc.invert(lmask)).select(list(on) + rcols)
         if len(lt) == 0 or len(rt) == 0:
             return out_schema.empty_table()
+        # cast back to the declared schema: the null-padded union can
+        # round-trip through PANDAS blocks inside the shuffle, where an
+        # all-null-bearing int64 column silently becomes float64
+        lt = lt.cast(lt_schema)
+        rt = rt.cast(rt_schema)
         return lt.join(rt, keys=list(on), join_type="inner").select(
             out_schema.names
-        )
+        ).cast(out_schema)
 
     return tagged.groupby(_PART).map_groups(
         join_partition, batch_format="pyarrow"
