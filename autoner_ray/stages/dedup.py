@@ -202,11 +202,15 @@ def minhash_lsh_candidates(
 def verify_jaccard(cand_ds, docs_ds, jaccard_threshold: float = 0.6):
     """Exact-Jaccard verification of LSH candidate pairs.
 
-    Scale shape: the candidate texts come back via TWO hash joins of the
-    pair table against ``documents`` (on doc_a, then doc_b) — the corpus
-    is never materialized on the driver; both joins shuffle only the
-    (small-by-construction) candidate rows plus the doc texts that match
-    them. Keeps pairs with shingle Jaccard >= threshold, rounded 6 dp.
+    Scale shape (tiered; the corpus is NEVER materialized on the
+    driver):
+    1. semi-join reduction — broadcast the candidate doc-id set and
+       pre-filter ``documents`` to just the docs that appear in a pair;
+    2. if the surviving doc set is tiny (<= 20k), broadcast those texts
+       and verify in a stateless map (zero joins);
+    3. otherwise TWO sparse-key-safe hash joins (on doc_a, then doc_b)
+       shuffle only candidate rows + matching texts.
+    Keeps pairs with shingle Jaccard >= threshold, rounded 6 dp.
     """
     import ray.data as rd
 
@@ -246,6 +250,47 @@ def verify_jaccard(cand_ds, docs_ds, jaccard_threshold: float = 0.6):
             return t.filter(pa.array(mask, pa.bool_()))
 
         docs2 = docs2.map_batches(keep_candidates, batch_format="pyarrow")
+
+        if len(ids) <= 20_000:
+            # SMALL-SIDE BROADCAST tier: the candidate texts fit the
+            # object store comfortably, so skip the two hash joins and
+            # verify against a broadcast {doc_id: text} of candidate
+            # docs ONLY (bounded — never the corpus; the join path below
+            # handles everything larger).
+            texts: dict[int, str] = {}
+            for b in docs2.iter_batches(
+                batch_size=4096, batch_format="pyarrow"
+            ):
+                texts.update(
+                    zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+                )
+            texts_ref = ray.put(texts)
+
+            def verify_broadcast(batch: pa.Table) -> pa.Table:
+                lut = ray.get(texts_ref)
+                out_a, out_b, out_j = [], [], []
+                for a_id, b_id in zip(
+                    batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
+                ):
+                    sa = _shingles(lut.get(a_id, "") or "")
+                    sb = _shingles(lut.get(b_id, "") or "")
+                    union = len(sa | sb)
+                    j = len(sa & sb) / union if union else 0.0
+                    if j >= jaccard_threshold:
+                        out_a.append(a_id)
+                        out_b.append(b_id)
+                        out_j.append(round(j, 6))
+                return pa.table(
+                    {
+                        "doc_a": pa.array(out_a, pa.int64()),
+                        "doc_b": pa.array(out_b, pa.int64()),
+                        "jaccard": pa.array(out_j, pa.float64()),
+                    }
+                )
+
+            return cand_ds.select_columns(["doc_a", "doc_b"]).map_batches(
+                verify_broadcast, batch_format="pyarrow"
+            )
     a_side = docs2.map_batches(
         lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
         batch_format="pyarrow",
