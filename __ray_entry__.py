@@ -28,6 +28,19 @@ _REV_CENTS = (
 )
 
 
+def _systematic_sample_mask(batch):
+    """Vectorized systematic sample: keep rows with doc_id % 10 < 2.
+
+    pyarrow.compute has no modulo kernel; integer divide truncates, so
+    x - (x // 10) * 10 is the remainder for the non-negative doc_id.
+    """
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id")
+    rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+    return batch.filter(pc.less(rem, 2))
+
+
 def entry() -> Any:
     """Flagship pipeline: pages -> extract -> tokenize -> trie match ->
     triples -> edge weights, at sf0.001."""
@@ -278,7 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_seeded": docs_sample_seeded,
         "docs_systematic_sample": lambda sf: _docs(
             sf, ["doc_id", "lang"]
-        ).filter(lambda r: r["doc_id"] % 10 < 2),
+        ).map_batches(_systematic_sample_mask, batch_format="pyarrow"),
         "docs_tfidf_top_terms": lambda sf: analysis.tfidf_top_terms(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -671,9 +684,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
                 SELECT user_id, ts,
-                       SUM(new_sess) OVER (PARTITION BY user_id
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM gaps
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
