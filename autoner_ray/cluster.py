@@ -1,0 +1,32 @@
+"""Session-shape helpers shared by shuffle stages.
+
+Every wide operator that hash-partitions (cogroup_join, LSH bucket
+shuffles, the distributed graph iterations) needs a partition count.
+A fixed default (8) caps parallelism on a big cluster and lets a single
+partition hold 1/8 of the shuffled table; scaling with the session's
+CPU width keeps per-task state bounded as the cluster grows — the same
+rule `_match_concurrency` applies to actor pools (pipelines/kg.py:39).
+"""
+
+from __future__ import annotations
+
+
+def default_num_partitions(multiplier: int = 2, floor: int = 8) -> int:
+    """Shuffle partition count: ``multiplier × cluster CPUs`` (≥ floor).
+
+    2× CPUs keeps every core busy through stragglers while each task
+    holds only ~1/(2·CPUs) of the shuffled table. Reads the live session
+    so the same code sizes itself on an 8-CPU laptop or a 256-node
+    cluster; falls back to ``floor`` when Ray isn't up (pure-python unit
+    tests).
+    """
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            if cpus > 0:
+                return max(floor, multiplier * cpus)
+    except Exception:
+        pass
+    return floor

@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from autoner_ray.cluster import default_num_partitions
+
 
 def _rev_cents(price: pa.Array, discount: pa.Array) -> pa.Array:
     """int64 cents of price*(1-discount); floor(x*100+0.5) — see module doc.
@@ -148,9 +150,8 @@ def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
 
 
 def top_customers_by_revenue(sf_dir: str, k: int = 10):
-    """lineitem ⋈ orders (hash-partitioned large-large join) ⋈ customer
-    (broadcast) -> revenue per customer -> top k."""
-    import ray
+    """lineitem ⋈ orders (hash-partitioned large-large join) -> revenue
+    per customer -> top k -> name lookup restricted to the k keys."""
     from ray.data.aggregate import Sum
 
     line = _read(
@@ -182,7 +183,7 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10):
     joined = order_rev.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=default_num_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -199,32 +200,33 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10):
         .aggregate(Sum("order_cents", alias_name="cents"))
     )
 
-    # customer is a dimension table: broadcast the name lookup
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
-
-    class AddName:
-        def __init__(self) -> None:
-            self.names = ray.get(name_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [
-                self.names.get(c) for c in t["o_custkey"].to_pylist()
-            ]
-            t = _cents_to_dollars(t, {"cents": "revenue"})
-            return pa.table(
-                {
-                    "c_custkey": t["o_custkey"],
-                    "c_name": pa.array(names, pa.string()),
-                    "revenue": t["revenue"],
-                }
-            )
-
-    return (
-        cust_rev.map_batches(AddName, batch_format="pyarrow", concurrency=2)
-        .sort(["revenue", "c_custkey"], descending=[True, False])
+    # top-k FIRST (cents is a monotone proxy for revenue, so the sort
+    # order is identical), then fetch names for only those k keys — the
+    # customer dimension is never materialized or broadcast (at TPC-H
+    # sf100 it is 15M rows; the keyset is k=10).
+    topk = (
+        cust_rev.sort(["cents", "o_custkey"], descending=[True, False])
         .limit(k)
+        .to_pandas()
     )
+    keys = pa.array(topk["o_custkey"].tolist(), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    names = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )  # exactly k rows
+    out = topk.merge(
+        names, left_on="o_custkey", right_on="c_custkey", how="left"
+    )
+    out["revenue"] = out["cents"].astype("float64") / 100.0
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue"]]
 
 
 def brand_revenue(sf_dir: str):

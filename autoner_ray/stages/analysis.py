@@ -213,81 +213,111 @@ class LangId:
 def tfidf_top_terms(docs_ds, k: int = 3):
     """Per-doc top-k TF-IDF terms (ties: lexicographic smallest word).
 
-    Two phases: (1) distributed doc-frequency aggregate over per-batch
-    DISTINCT-word partials; (2) the small (vocab-sized) df table is
-    broadcast and each batch scores its docs locally — the scoring pass
-    is shuffle-free. tf = count/len(words); idf = ln(N/df); score
-    rounded to 6 dp (same expression tree as the DuckDB oracle).
+    Fully distributed — the corpus VOCABULARY never lands on the driver
+    (a web corpus's term set grows with the corpus, so a df-dict
+    broadcast is unbounded):
+    (1) explode each doc to DISTINCT (doc_id, word, cnt, n_toks) rows;
+    (2) doc frequency = groupby(word) row count over the exploded rows
+        (one row per doc per word);
+    (3) cogroup_join df back to the exploded rows on word — one hash
+        shuffle, df stays sharded by word;
+    (4) per-doc top-k: hash-partition by doc_id, vectorized pandas
+        rank inside each partition group.
+    tf = cnt/n_toks; idf = ln(N/df); score rounded to 6 dp (same
+    expression tree as the DuckDB oracle). The explode plan executes
+    twice (df branch + join input) — recompute is the streaming-friendly
+    choice vs pinning the exploded corpus in the object store.
     """
     import math
 
-    import ray
+    import numpy as np
     from ray.data.aggregate import Sum
 
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import cogroup_join
     from autoner_ray.stages.tokenize import sentence_token_stream
 
-    def df_partial(batch: pa.Table) -> pa.Table:
+    n_docs = docs_ds.count()
+    P = default_num_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
-        c: Counter[str] = Counter()
-        for text in batch["text"].to_pylist():
-            c.update(set(sentence_token_stream(text or "")))
+        doc_ids, words, cnts, ntoks = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = sentence_token_stream(text or "")
+            if not toks:
+                continue
+            n = len(toks)
+            for w, c in Counter(toks).items():
+                doc_ids.append(did)
+                words.append(w)
+                cnts.append(c)
+                ntoks.append(n)
         return pa.table(
             {
-                "word": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "n_toks": pa.array(ntoks, pa.int64()),
             }
         )
 
-    df_tbl = (
-        docs_ds.map_batches(df_partial, batch_format="pyarrow")
+    terms = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": batch["word"],
+                "one": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    df_ds = (
+        terms.map_batches(ones, batch_format="pyarrow")
         .groupby("word")
-        .aggregate(Sum("n", alias_name="df"))
-        .to_pandas()
+        .aggregate(Sum("one", alias_name="df"))
     )
-    n_docs = docs_ds.count()
-    idf = {
-        w: math.log(n_docs / d) for w, d in zip(df_tbl["word"], df_tbl["df"])
-    }
-    idf_ref = ray.put(idf)
 
-    class Scorer:
-        def __init__(self) -> None:
-            self.idf = ray.get(idf_ref)
+    joined = cogroup_join(terms, df_ds, on=("word",), num_partitions=P)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from collections import Counter
+    def score(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_pylist()
+        n = batch["n_toks"].to_pylist()
+        df = batch["df"].to_pylist()
+        # per-row python round: exactly the oracle's round(x, 6)
+        tfidf = [
+            round(c / t * math.log(n_docs / d), 6)
+            for c, t, d in zip(cnt, n, df)
+        ]
+        part = np.mod(
+            batch["doc_id"].to_numpy(zero_copy_only=False), P
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "word": batch["word"],
+                "tfidf": pa.array(tfidf, pa.float64()),
+                "__part": pa.array(part),
+            }
+        )
 
-            doc_ids, words, scores, ranks = [], [], [], []
-            for did, text in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            ):
-                toks = sentence_token_stream(text or "")
-                if not toks:
-                    continue
-                c = Counter(toks)
-                n = len(toks)
-                scored = sorted(
-                    ((round(cnt / n * self.idf[w], 6), w)
-                     for w, cnt in c.items()),
-                    key=lambda t: (-t[0], t[1]),
-                )[:k]
-                for r, (s, w) in enumerate(scored, 1):
-                    doc_ids.append(did)
-                    words.append(w)
-                    scores.append(s)
-                    ranks.append(r)
-            return pa.table(
-                {
-                    "doc_id": pa.array(doc_ids, pa.int64()),
-                    "word": pa.array(words, pa.string()),
-                    "tfidf": pa.array(scores, pa.float64()),
-                    "rk": pa.array(ranks, pa.int64()),
-                }
-            )
+    scored = joined.map_batches(score, batch_format="pyarrow")
 
-    return docs_ds.map_batches(
-        Scorer, batch_format="pyarrow", concurrency=2
+    def topk_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["doc_id", "tfidf", "word"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rk"] = df.groupby("doc_id").cumcount() + 1
+        df = df[df["rk"] <= k]
+        return df[["doc_id", "word", "tfidf", "rk"]]
+
+    return scored.groupby("__part").map_groups(
+        topk_part, batch_format="pandas"
     )
 
 

@@ -96,7 +96,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Near-duplicate candidate pairs (doc_a < doc_b, n_bands) via
     MinHash LSH.
@@ -114,6 +114,10 @@ def minhash_lsh_candidates(
     """
     import pandas as pd
 
+    from autoner_ray.cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
@@ -378,7 +382,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4,
-                          num_partitions: int = 8):
+                          num_partitions: int | None = None):
     """SimHash near-duplicate pairs: 64-bit signatures split into
     ``bands`` bit-bands (pigeonhole: any pair within ``max_hamming`` <
     ``bands`` bits shares at least one exact band). Same 2-shuffle
@@ -390,6 +394,10 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4,
     import numpy as np
     import pandas as pd
 
+    from autoner_ray.cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     band_bits = 64 // bands
 

@@ -122,7 +122,8 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 20,
 
 
 def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
-                         num_partitions: int = 8, round_dp: int = 9):
+                         num_partitions: int | None = None,
+                         round_dp: int = 9):
     """PageRank with the rank vector AS A DATASET — the unbounded-vocab
     variant (SURVEY §10.4): each power iteration is a hash join of the
     (normalized) transition edges against the current rank table plus a
@@ -135,6 +136,11 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
     default."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from autoner_ray.cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
 
     def expand(t: pa.Table) -> pa.Table:
         w = t["weight"].cast(pa.float64())
@@ -182,6 +188,13 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
     )
     nodes = outw.select_columns(["src"]).materialize()
     n = nodes.count()
+    if n == 0:  # empty graph: mirror pagerank()'s empty result
+        return pa.table(
+            {
+                "entity": pa.array([], pa.string()),
+                "rank": pa.array([], pa.float64()),
+            }
+        )
 
     def init_rank(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -244,7 +257,8 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
     )
 
 
-def connected_components_distributed(edges_ds, num_partitions: int = 8,
+def connected_components_distributed(edges_ds,
+                                     num_partitions: int | None = None,
                                      max_iters: int = 50):
     """Min-label propagation with the label table AS A DATASET (the
     unbounded-vocab variant of :func:`connected_components`): iterate
@@ -254,6 +268,11 @@ def connected_components_distributed(edges_ds, num_partitions: int = 8,
     rounds."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
+
+    from autoner_ray.cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
 
     def expand(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -275,6 +294,7 @@ def connected_components_distributed(edges_ds, num_partitions: int = 8,
         )
         .materialize()
     )
+    n_changed = 0
     for _ in range(max_iters):
         _nl_schema = pa.schema([("src", pa.string()), ("nl", pa.string())])
 
@@ -323,6 +343,18 @@ def connected_components_distributed(edges_ds, num_partitions: int = 8,
         labels = merged.select_columns(["src", "label"]).materialize()
         if not n_changed:
             break
+    else:  # loop exhausted max_iters with labels still moving
+        if n_changed:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "connected_components_distributed: label propagation did "
+                "NOT converge in %d iterations (%d labels still changing) "
+                "— returned components may be split; raise max_iters "
+                "(convergence needs O(component diameter) rounds)",
+                max_iters,
+                n_changed,
+            )
     out = labels.to_pandas().sort_values("src", kind="mergesort")
     return pa.table(
         {

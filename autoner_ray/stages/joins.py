@@ -45,10 +45,14 @@ def _stable_part_col(t: pa.Table, on: tuple[str, ...], P: int) -> pa.Array:
 
 
 def cogroup_join(left, right, on: tuple[str, ...],
-                 num_partitions: int = 8):
+                 num_partitions: int | None = None):
     """INNER join of two Datasets on ``on`` (shared column names), safe
     for sparse/empty key distributions. Non-key column names must be
     disjoint between the two sides."""
+    from autoner_ray.cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     lschema = left.schema()  # ray.data Schema: .names + .types (pa types)
     rschema = right.schema()
     ltypes_all = dict(zip(lschema.names, lschema.types))

@@ -38,9 +38,8 @@ def test_no_ray_init_in_library():
     """The driver owns the Ray session: importing the entry module and
     building the query dict must never call ray.init (only bench.py,
     scripts and the test fixture may)."""
-    import ray
-
-    assert not ray.is_initialized() or True  # session may exist from fixture
+    # (the real no-ray.init proof is the clean-subprocess check below —
+    # in-process the session may already exist from the test fixture)
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
