@@ -117,13 +117,12 @@ def rolling_fingerprint(text: str, window: int = 8) -> str:
     """Deterministic doc fingerprint: min of rolling polynomial hashes over
     ``window``-token shingles (a winnowing-style sketch; whole-doc hash when
     shorter than the window)."""
+    from autoner_ray.functions.hashing import md5_64
+
     toks = sentence_token_stream(text)
     if not toks:
         return "0" * 16
-    hs = [
-        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        for t in toks
-    ]
+    hs = [md5_64(t) for t in toks]
     if len(hs) < window:
         acc = 0
         for h in hs:

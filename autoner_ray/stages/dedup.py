@@ -52,13 +52,15 @@ def _shingles(text: str, k: int = 3) -> set[bytes]:
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    from autoner_ray.functions.hashing import md5_64_array
+
     sh = _shingles(text, k)
     if not sh:
         return np.zeros(1, dtype=np.uint64)
-    return np.frombuffer(
-        b"".join(hashlib.md5(s).digest()[:8] for s in sorted(sh)),
-        dtype=np.uint64,
-    )
+    # byteswap(): md5_64_array holds the BIG-endian digest prefix; the
+    # original np.frombuffer read those same 8 bytes little-endian, and
+    # the sketch outputs are pinned — swapping restores bit-identity.
+    return md5_64_array(sorted(sh)).byteswap()
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -356,19 +358,18 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.6, **lsh_kwargs):
 
 
 def simhash64(text: str) -> int:
+    from autoner_ray.functions.hashing import md5_64_array
+
     toks = sentence_token_stream(text)
     if not toks:
         return 0
+    hs = md5_64_array(toks)  # memoized md5 per distinct token
     shifts = np.arange(64, dtype=np.uint64)
-    votes = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = np.uint64(
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        votes += 2 * bits.astype(np.int64) - 1
-    bits = (votes > 0).astype(np.uint64)
-    return int((bits << shifts).sum(dtype=np.uint64))
+    # one (n_tokens, 64) unpack instead of a 64-wide numpy op per token
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    bits_out = (votes > 0).astype(np.uint64)
+    return int((bits_out << shifts).sum(dtype=np.uint64))
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
