@@ -10,11 +10,12 @@ Codec status (this container ships no PIL/ffmpeg):
   neighbor resize + 8x8 block-mean features, end-to-end.
 - ``audio/wav``: REAL pure-python RIFF/PCM16 codec — encode + decode +
   windowed RMS features, end-to-end.
-- ``video/*``: STUB. No pure-python video codec is practical; the
-  frame-sample plumbing (duration -> frame count -> per-frame feature ->
-  mean-pool) is real but the per-frame decode is a seeded deterministic
-  fake, clearly marked. Swap ``_fake_features`` for an ffmpeg call in a
-  real deployment.
+- ``video/avi``: REAL pure-python RIFF/AVI codec (uncompressed DIB
+  frames) — encode + decode + stride-based frame sampling that decodes
+  ONLY the selected frames + per-frame image features + mean-pool.
+- other ``video/*`` containers (mp4/webm need ffmpeg): STUB — the
+  frame-sample plumbing is real but per-frame decode is a seeded
+  deterministic fake, clearly marked (``allow_fake_video``).
 
 Scale notes: media payloads are large, so these stages use SMALL
 ``batch_size`` (payload bytes × batch × concurrency must fit the worker
@@ -149,6 +150,170 @@ def audio_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return out.astype(np.float32)
 
 
+# -- pure-python AVI (RIFF, uncompressed DIB frames) codec -------------------
+
+
+def _dib_frame(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> raw DIB bytes (bottom-up BGR, 4-byte row
+    padding) — the same pixel layout the BMP codec writes."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_size), np.uint8)
+    bgr = pixels[::-1, :, ::-1]
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _dib_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, count=row_size * h).reshape(
+        h, row_size
+    )
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """Uncompressed RIFF/AVI: avih + one 'vids' stream (DIB ) + movi
+    '00db' raw frames + idx1. Every chunk even-padded per RIFF."""
+    assert frames, "need at least one frame"
+    h, w, _ = frames[0].shape
+    assert all(f.shape == (h, w, 3) for f in frames), "uniform frame size"
+    payloads = [_dib_frame(f) for f in frames]
+    frame_size = len(payloads[0])
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack("<4sI", tag, len(body)) + body + b"\x00" * (len(body) & 1)
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        frame_size * fps,  # max bytes/sec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,  # initial frames
+        1,  # streams
+        frame_size,  # suggested buffer
+        w,
+        h,
+        0, 0, 0, 0,  # reserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # scale, rate -> fps frames/sec
+        0, len(frames), frame_size, 0xFFFFFFFF, 0,
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_chunks = [chunk(b"00db", p) for p in payloads]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1 offsets are relative to the start of the 'movi' list data
+    idx, off = [], 4
+    for p in payloads:
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _avi_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """-> (width, height, n_frames, rate, scale) from avih/strh."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI ", "not AVI"
+    w = h = n = rate = scale = None
+    off = 12
+    end = 8 + struct.unpack_from("<I", payload, 4)[0]
+    while off + 8 <= end:
+        tag, size = struct.unpack_from("<4sI", payload, off)
+        if tag == b"LIST":
+            kind = payload[off + 8 : off + 12]
+            if kind in (b"hdrl", b"strl"):
+                # descend — treat list body as a chunk stream
+                off += 12
+                continue
+        elif tag == b"avih":
+            vals = struct.unpack_from("<IIIIIIIIII", payload, off + 8)
+            n, w, h = vals[4], vals[8], vals[9]
+        elif tag == b"strh":
+            fcc = payload[off + 8 : off + 12]
+            if fcc == b"vids":
+                scale, rate = struct.unpack_from("<II", payload, off + 28)
+        off += 8 + size + (size & 1)
+    assert None not in (w, h, n, rate, scale), "missing avih/strh"
+    return w, h, n, rate, scale
+
+
+def iter_avi_frames(payload: bytes):
+    """Yield (index, raw_dib_bytes) for each video frame chunk, without
+    decoding — lets the frame sampler skip decode for unselected frames."""
+    end = 8 + struct.unpack_from("<I", payload, 4)[0]
+    off, i = 12, 0
+    movi_end = None
+    while off + 8 <= end:
+        tag, size = struct.unpack_from("<4sI", payload, off)
+        if tag == b"LIST":
+            kind = payload[off + 8 : off + 12]
+            if kind == b"movi":
+                movi_end = off + 8 + size
+                off += 12
+                continue
+            if kind in (b"hdrl", b"strl"):
+                off += 12
+                continue
+        elif movi_end is not None and off < movi_end and tag in (
+            b"00db", b"00dc"
+        ):
+            yield i, payload[off + 8 : off + 8 + size]
+            i += 1
+        off += 8 + size + (size & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[float, list[np.ndarray]]:
+    """RIFF/AVI bytes -> (fps, [(h, w, 3) uint8 RGB frames])."""
+    w, h, n, rate, scale = _avi_header(payload)
+    frames = [_dib_decode(d, w, h) for _, d in iter_avi_frames(payload)]
+    assert len(frames) == n, f"frame count {len(frames)} != header {n}"
+    return rate / scale, frames
+
+
+def video_features(
+    payload: bytes,
+    frame_stride_ms: int,
+    duration_ms: int,
+    dim: int = FEATURE_DIM,
+) -> tuple[np.ndarray, int]:
+    """Frame-sample an AVI at ``frame_stride_ms`` intervals, feature each
+    sampled frame with the image kernel, mean-pool. Only the SELECTED
+    frames are decoded (the chunk walk skips the rest)."""
+    w, h, n, rate, scale = _avi_header(payload)
+    k = max(1, duration_ms // frame_stride_ms) if duration_ms > 0 else 1
+    want = sorted(
+        {
+            min(n - 1, i * frame_stride_ms * rate // (scale * 1000))
+            for i in range(k)
+        }
+    )
+    want_set = set(want)
+    feats = [
+        image_features(_dib_decode(d, w, h), dim)
+        for i, d in iter_avi_frames(payload)
+        if i in want_set
+    ]
+    return np.mean(feats, axis=0).astype(np.float32), k
+
+
 # -- fixture synthesis -------------------------------------------------------
 
 
@@ -164,7 +329,7 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
             hashlib.sha256((text or "").encode()).digest()[:8], "little"
         )
         rng = np.random.default_rng(seed)
-        kind = ("image/bmp", "audio/wav", "video/x-fake")[doc_id % 3]
+        kind = ("image/bmp", "audio/wav", "video/avi")[doc_id % 3]
         ids.append(f"media-{doc_id}")
         types.append(kind)
         if kind == "image/bmp":
@@ -185,11 +350,17 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
             ws.append(-1)
             hs.append(-1)
             ds.append(dur_ms)
-        else:
-            payloads.append(hashlib.sha256((text or "").encode()).digest() * 8)
-            ws.append(64)
-            hs.append(48)
-            ds.append(1000 * (1 + doc_id % 30))
+        else:  # real uncompressed AVI, 2 fps
+            fps = 2
+            n_frames = 1 + doc_id % 30
+            frames = [
+                rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payloads.append(encode_avi(frames, fps=fps))
+            ws.append(32)
+            hs.append(24)
+            ds.append(n_frames * 1000 // fps)
     return pa.table(
         {
             "media_id": pa.array(ids, pa.string()),
@@ -216,10 +387,11 @@ class DecodeMedia:
     this is where PIL/ffmpeg/torchvision load); ``__call__`` decodes
     each payload and emits fixed-width features:
 
-    - image/bmp, audio/wav: REAL decode via the pure-python codecs above;
-    - video/*: frame-sample plumbing is real, per-frame decode is the
-      deterministic fake unless real codecs exist (``allow_fake_video``,
-      default True, else NotImplementedError).
+    - image/bmp, audio/wav, video/avi: REAL decode via the pure-python
+      codecs above (AVI decodes only the stride-sampled frames);
+    - other video/*: frame-sample plumbing is real, per-frame decode is
+      the deterministic fake (``allow_fake_video``, default True, else
+      NotImplementedError).
     """
 
     def __init__(
@@ -251,12 +423,16 @@ class DecodeMedia:
                 _, samples = decode_wav(payload)
                 feats.append(audio_features(samples))
                 n_frames.append(self._n_frames(dur))
-            else:  # video — declared stub
+            elif mtype == "video/avi":
+                f, k = video_features(payload, self.frame_stride_ms, dur)
+                feats.append(f)
+                n_frames.append(k)
+            else:  # other video containers — declared stub
                 if not self.allow_fake_video:
                     raise NotImplementedError(
-                        "no video codec in this environment; real frames "
-                        "need ffmpeg (allow_fake_video=True uses the "
-                        "deterministic stand-in)"
+                        f"no {mtype} codec in this environment; real "
+                        "frames need ffmpeg (allow_fake_video=True uses "
+                        "the deterministic stand-in)"
                     )
                 k = self._n_frames(dur)
                 frames = [

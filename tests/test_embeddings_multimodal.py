@@ -70,17 +70,62 @@ def test_filter_embeddings_semi_join(ray_session):
 
 
 def test_media_video_stub_raises_without_fake():
-    """Video decode is the one declared stub: with the fake disabled it
-    must raise, not silently emit garbage."""
-    from autoner_ray.stages.multimodal import (
-        DecodeMedia,
-        synth_media_batch,
-    )
+    """Unsupported video containers are the one declared stub: with the
+    fake disabled they must raise, not silently emit garbage. (AVI is a
+    real codec now and must NOT raise.)"""
+    from autoner_ray.stages.multimodal import DecodeMedia
 
-    docs = pa.table({"doc_id": [2], "text": ["video doc"]})  # 2 % 3 -> video
-    media = synth_media_batch(docs)
+    media = pa.table(
+        {
+            "media_id": ["m0"],
+            "media_type": ["video/x-fake"],
+            "payload": [b"\x00" * 64],
+            "width": pa.array([64], pa.int32()),
+            "height": pa.array([48], pa.int32()),
+            "duration_ms": pa.array([12000], pa.int32()),
+        }
+    )
     with pytest.raises(NotImplementedError):
         DecodeMedia(allow_fake_video=False)(media)
+
+
+def test_avi_codec_roundtrip_and_frame_sampling():
+    """Pure-python AVI: encode -> decode is exact; the frame sampler
+    decodes only stride-selected frames and matches a by-hand pool."""
+    from autoner_ray.stages.multimodal import (
+        DecodeMedia,
+        decode_avi,
+        encode_avi,
+        image_features,
+        iter_avi_frames,
+        synth_media_batch,
+        video_features,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        for _ in range(7)
+    ]
+    payload = encode_avi(frames, fps=2)
+    fps, back = decode_avi(payload)
+    assert fps == 2.0 and len(back) == 7
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    assert sum(1 for _ in iter_avi_frames(payload)) == 7
+
+    dur_ms = 7 * 1000 // 2  # 3500
+    feat, k = video_features(payload, frame_stride_ms=1000, duration_ms=dur_ms)
+    assert k == 3  # samples at t=0s,1s,2s -> frames 0,2,4
+    want = np.mean(
+        [image_features(frames[i]) for i in (0, 2, 4)], axis=0
+    ).astype(np.float32)
+    assert np.array_equal(feat, want)
+
+    # synth video rows decode for real (no fake, no raise)
+    docs = pa.table({"doc_id": [2], "text": ["video doc"]})  # 2 % 3 -> video
+    out = DecodeMedia(allow_fake_video=False)(synth_media_batch(docs))
+    assert out["media_type"][0].as_py() == "video/avi"
+    assert len(out["features"][0].as_py()) == 64
 
 
 def test_bmp_wav_codecs_roundtrip():
