@@ -30,6 +30,21 @@ _PART = "__cg_part"
 
 
 def _stable_part_col(t: pa.Table, on: tuple[str, ...], P: int) -> pa.Array:
+    """Deterministic partition id per key row. Any function works as
+    long as BOTH join sides compute it identically (they share this
+    code); single null-free integer keys take a fully vectorized
+    splitmix64, everything else the md5 fallback loop."""
+    import numpy as np
+
+    if len(on) == 1:
+        col = t[on[0]]
+        if pa.types.is_integer(col.type) and col.null_count == 0:
+            z = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            z = z + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            return pa.array((z % np.uint64(P)).astype(np.int32))
     keys = [t[c].to_pylist() for c in on]
     parts = [
         int.from_bytes(

@@ -783,8 +783,14 @@ class Tagger:
         hid = np.tanh(X @ p["Wt1"] + p["bt1"])
         return hid @ p["Wt2"] + p["bt2"]
 
+    def forward_states(self, sentences: list[list[str]]):
+        """Encoder forward only — pass to ``predict_batch(states=...)``
+        to amortize it across decode-parameter settings."""
+        return self._encode_and_run(sentences)
+
     def predict_batch(self, sentences: list[list[str]],
-                      threshold: float = 0.0, with_chunk_stats=False):
+                      threshold: float = 0.0, with_chunk_stats=False,
+                      none_bias: float = 0.0, states=None):
         """Decode typed spans per sentence: list of (l, r, type, score).
 
         ``with_chunk_stats=True`` additionally returns (min, max) over
@@ -792,11 +798,20 @@ class Tagger:
         inference driver tracks for threshold selection
         (`test_partial_ner.py:80-89` min/max of chunk_score), or
         (+inf, -inf) sentinels when the batch has no slots.
+
+        ``none_bias`` is added to the None-type logit before the argmax:
+        a negative bias trades precision for recall (distant supervision
+        systematically under-labels, so decoded recall is the bottleneck);
+        select it on dev like ``threshold``.
         """
         if not sentences:
             return ([], float("inf"), float("-inf")) if with_chunk_stats \
                 else []
-        records, hf, hb = self._encode_and_run(sentences)
+        # `states` (from forward_states) lets a decode-parameter sweep
+        # reuse one LSTM forward across many (threshold, none_bias)
+        records, hf, hb = (
+            states if states is not None else self._encode_and_run(sentences)
+        )
         # all boundary slots of all sentences, one head call
         pos = np.concatenate([r[2] for r in records])
         bidx = np.concatenate(
@@ -834,6 +849,9 @@ class Tagger:
             sb = np.asarray(seg_b)
             X_type = np.concatenate([hb[lp, sb], hf[rp, sb]], axis=1)
             logits = self._type_head(X_type)
+            if none_bias:
+                logits = logits.copy()
+                logits[:, self.types.index(NONE_TYPE)] += none_bias
             tis = np.argmax(logits, axis=1)
             for k, ti in enumerate(tis):
                 ty = self.types[int(ti)]

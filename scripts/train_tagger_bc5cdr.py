@@ -4,11 +4,12 @@ and evaluate against the human gold (`truth_dev.ck` / `truth_test.ck`).
 Supervision comes from the dictionary matcher (never the gold), exactly
 like the reference's pipeline (`autoner_train.sh` step 3 feeds step 5);
 gold is only ever an eval set — UNLESS ``--mixed`` is given, which adds
-the gold DEV sentences as fully-supervised records (the reference's
+gold DEV sentences as fully-supervised records (the reference's
 DS_GOLD_MIXED path, `model_partial_ner/dataset.py:298-404` /
-`preprocess_partial_ner/encode_mixed_dataset.py`; dev then stops being
-a clean model-selection set, so selection uses a held-out dev slice and
-the reported number is TEST).
+`preprocess_partial_ner/encode_mixed_dataset.py`). The last 2000 dev
+sentences are then EXCLUDED from training and used only for epoch
+selection, so selection never scores training sentences; the reported
+number is TEST either way.
 
 Architectures:
 - ``--arch lstm`` (default): the reference default — stacked bi-LSTM
@@ -98,8 +99,13 @@ def main() -> None:
     print(f"train sentences (distant supervision): {len(train_sents)}")
     seg_col = [matcher.segments(t) for t in train_sents]
 
+    # --mixed trains on gold DEV *minus* the model-selection tail: the
+    # last `sel_tail` dev sentences are excluded from training so epoch
+    # selection never scores sentences the model was trained on (test is
+    # untouched either way)
+    sel_tail = 2000
     gold_label_sents = (
-        parse_gold_labels(REF / "data/BC5CDR/truth_dev.ck")
+        parse_gold_labels(REF / "data/BC5CDR/truth_dev.ck")[:-sel_tail]
         if args.mixed
         else []
     )
@@ -138,12 +144,10 @@ def main() -> None:
         split: parse_gold(REF / f"data/BC5CDR/truth_{split}.ck")
         for split in ("dev", "test")
     }
-    # with --mixed, dev leaks into training; model selection then uses
-    # the TAIL of dev (the mixed records and eval slices still overlap a
-    # little across epochs, but test remains untouched either way)
-    sel_split, sel_slice = ("dev", slice(-2000, None)) if args.mixed else (
-        "dev", slice(0, args.eval_limit)
-    )
+    # with --mixed, selection uses the dev TAIL, which is held out of
+    # training above — selection and training sentences are disjoint
+    sel_split, sel_slice = ("dev", slice(-sel_tail, None)) if args.mixed \
+        else ("dev", slice(0, args.eval_limit))
 
     if args.arch == "lstm":
         tagger = Tagger(
