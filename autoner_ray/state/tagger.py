@@ -188,6 +188,52 @@ def segments_from_gold_labels(labels: list[tuple[int, str]]):
     return segs
 
 
+def carve_pseudo_segments(segments, pred_spans, n_words: int,
+                          min_score: float = 0.0,
+                          filtered_type="__FILTERED__"):
+    """Self-training merge: stamp model-predicted spans into the UNKNOWN
+    (FILTERED) regions of a distant-supervision segmentation.
+
+    A predicted span (l, r, ty, score) is accepted iff score >=
+    ``min_score`` and every slot l..r lies inside a FILTERED region —
+    dictionary supervision is never overridden, only the unsupervised
+    gaps gain pseudo-labels. Each FILTERED span that contains accepted
+    spans is carved into the remainders around them so
+    :func:`segments_to_slots` re-enables supervision exactly on the
+    accepted slots. Returns (merged_segments, n_accepted).
+    """
+    unknown = np.zeros(n_words + 1, bool)
+    filtered = []
+    keep = []
+    for seg in segments:
+        l, r, ty = seg
+        if ty == filtered_type:
+            unknown[l : min(r, n_words) + 1] = True
+            filtered.append((l, min(r, n_words)))
+        else:
+            keep.append(seg)
+    accepted = [
+        (l, r, ty)
+        for l, r, ty, score in pred_spans
+        if score >= min_score and bool(unknown[l : r + 1].all())
+    ]
+    if not accepted:
+        return list(segments), 0
+    accepted.sort()
+    merged = keep + [(l, r, ty) for l, r, ty in accepted]
+    for fl, fr in filtered:
+        cur = fl
+        for l, r, _ in accepted:
+            if l > fr or r < fl:
+                continue
+            if l - 1 >= cur:
+                merged.append((cur, l - 1, filtered_type))
+            cur = r + 1
+        if cur <= fr:
+            merged.append((cur, fr, filtered_type))
+    return merged, len(accepted)
+
+
 def mixed_records(distant_records, gold_records, sample_ratio: float = 1.0,
                   seed: int = 19910724):
     """DS_GOLD_MIXED sampling rule (`dataset.py:383`): gold records are

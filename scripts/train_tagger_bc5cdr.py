@@ -60,6 +60,13 @@ def main() -> None:
                     help="Bernoulli keep-rate for DISTANT records in "
                          "--mixed (dataset.py:383)")
     ap.add_argument("--eval-limit", type=int, default=2000)
+    ap.add_argument("--self-train-from", default=None,
+                    help="prior artifact (.npz); its predictions pseudo-"
+                         "label the FILTERED (unknown) regions of the "
+                         "distant supervision before training")
+    ap.add_argument("--pseudo-min-score", type=float,
+                    default=float("-inf"),
+                    help="typing-logit confidence floor for pseudo spans")
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -98,6 +105,29 @@ def main() -> None:
     ]
     print(f"train sentences (distant supervision): {len(train_sents)}")
     seg_col = [matcher.segments(t) for t in train_sents]
+
+    if args.self_train_from:
+        from autoner_ray.state.tagger import (
+            Tagger as _BaseTagger,
+            carve_pseudo_segments,
+        )
+
+        base = _BaseTagger.from_bytes(
+            open(args.self_train_from, "rb").read()
+        )
+        n_added = n_sents = 0
+        for si in range(0, len(train_sents), 256):
+            batch = train_sents[si : si + 256]
+            for j, pred in enumerate(base.predict_batch(batch)):
+                merged, k = carve_pseudo_segments(
+                    seg_col[si + j], pred, len(batch[j]),
+                    min_score=args.pseudo_min_score,
+                )
+                seg_col[si + j] = merged
+                n_added += k
+                n_sents += k > 0
+        print(f"self-training: +{n_added} pseudo spans in {n_sents} "
+              f"sentences from {args.self_train_from}")
 
     # --mixed trains on gold DEV *minus* the model-selection tail: the
     # last `sel_tail` dev sentences are excluded from training so epoch
@@ -171,11 +201,12 @@ def main() -> None:
         tagger = Tagger(c_map, w_map, tl_map, hidden=args.hidden)
         lr = args.lr if args.lr is not None else 0.05
 
-    def eval_sents(sents):
+    def eval_sents(sents, model=None):
+        model = model if model is not None else tagger
         ng = npd = nh = 0
         toks_all = [t for t, _ in sents]
         for i in range(0, len(toks_all), 256):
-            preds = tagger.predict_batch(toks_all[i : i + 256])
+            preds = model.predict_batch(toks_all[i : i + 256])
             for (toks, gspans), pred in zip(sents[i : i + 256], preds):
                 g, p, h = span_f1_counts(gspans, pred)
                 ng += g; npd += p; nh += h
@@ -183,6 +214,7 @@ def main() -> None:
 
     rng = np.random.default_rng(7)
     state, best, best_blob = None, -1.0, None
+    epoch_blobs: list[tuple[float, bytes]] = []
     plateau = 0
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
@@ -204,6 +236,7 @@ def main() -> None:
         print(f"epoch {epoch}: loss={tot / max(nb, 1):.4f} "
               f"sel({sel_split})={dev} "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        epoch_blobs.append((dev["f1"], tagger.to_bytes()))
         if dev["f1"] > best:
             best, best_blob = dev["f1"], tagger.to_bytes()
             plateau = 0
@@ -213,6 +246,24 @@ def main() -> None:
                 lr *= 0.5
                 plateau = 0
                 print(f"  lr -> {lr}", flush=True)
+
+    # checkpoint averaging: mean of the top-3 epochs' float weights often
+    # beats the single best epoch (averages out the SGD tail noise);
+    # keep whichever wins on the SELECTION slice (test untouched)
+    top = sorted(epoch_blobs, key=lambda t: -t[0])[:3]
+    if len(top) >= 2:
+        models = [Tagger.from_bytes(b) for _, b in top]
+        avg = Tagger.from_bytes(top[0][1])
+        for k, v in avg.params.items():
+            if np.issubdtype(v.dtype, np.floating):
+                avg.params[k] = np.mean(
+                    [m.params[k] for m in models], axis=0
+                )
+        avg_sel = eval_sents(gold[sel_split][sel_slice], model=avg)
+        print(f"avg(top3) sel={avg_sel} vs best-single sel f1={best}",
+              flush=True)
+        if avg_sel["f1"] > best:
+            best, best_blob = avg_sel["f1"], avg.to_bytes()
 
     tagger = Tagger.from_bytes(best_blob)
     final = {split: eval_sents(gold[split]) for split in ("dev", "test")}

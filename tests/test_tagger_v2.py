@@ -153,3 +153,34 @@ def test_v2_learns_tiny_task():
     preds = tg.predict_batch([["aa", "bb"], ["cc", "dd"]])
     for pred in preds:
         assert (0, 1, "T") in [(l, r, t) for l, r, t, _ in pred]
+
+
+def test_carve_pseudo_segments_self_training_merge():
+    """Pseudo spans only land inside FILTERED regions, never override
+    dictionary supervision, and re-enable exactly their own slots."""
+    from autoner_ray.state.tagger import (
+        carve_pseudo_segments,
+        segments_to_slots,
+    )
+
+    F = "__FILTERED__"
+    segs = [(0, 2, "Chem"), (3, 7, F), (8, 10, "")]
+    pred = [
+        (4, 6, "Dis", 1.5),   # inside filtered -> accepted
+        (0, 2, "Chem", 2.0),  # overlaps dict supervision -> rejected
+        (8, 9, "Dis", 3.0),   # overlaps plain segment -> rejected
+    ]
+    merged, k = carve_pseudo_segments(segs, pred, 10)
+    assert k == 1
+    assert sorted(merged) == [
+        (0, 2, "Chem"), (3, 3, F), (4, 6, "Dis"), (7, 7, F), (8, 10, ""),
+    ]
+    brk, known = segments_to_slots(10, merged)
+    assert known.astype(int).tolist() == [1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1]
+    assert brk.astype(int).tolist() == [1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1]
+    # confidence floor rejects low-score spans
+    _, k2 = carve_pseudo_segments(segs, pred, 10, min_score=2.0)
+    assert k2 == 0
+    # no accepted spans -> segments unchanged
+    same, k3 = carve_pseudo_segments(segs, [], 10)
+    assert k3 == 0 and same == segs
