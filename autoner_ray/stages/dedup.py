@@ -113,6 +113,12 @@ def minhash_lsh_candidates(
        are the exact-dedup stage's job, not LSH's).
     2. A global groupby dedups pairs that agree in several bands;
        Count doubles as the LSH agreement strength.
+
+    ``num_partitions`` defaults to 2× the session's CPUs
+    (autoner_ray.cluster): each pairing task then holds ~1/(2·CPUs) of
+    the signature table as pandas — callers streaming very large corpora
+    through few CPUs should raise it so a single partition stays within
+    the worker heap.
     """
     import pandas as pd
 

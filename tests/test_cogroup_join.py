@@ -71,3 +71,14 @@ def test_cogroup_join_multi_key(ray_session):
     )
     want = left.join(right, keys=["k1", "k2"], join_type="inner")
     assert _pairs(got) == _pairs(want)
+
+
+def test_default_num_partitions_scales_with_session(ray_session):
+    """2x cluster CPUs when a session is live, floor otherwise."""
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert default_num_partitions() == max(8, 2 * cpus)
+    assert default_num_partitions(multiplier=1, floor=1) == max(1, cpus)
