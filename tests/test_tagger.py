@@ -214,17 +214,20 @@ def _artifact_f1(path: str, split: str, limit: int = 1500):
 def test_bc5cdr_artifact_f1():
     """The committed artifacts hold their trained quality on the human
     gold TEST split (never used in training by either recipe):
-    - main artifact (DS_GOLD_MIXED recipe, `dataset.py:298-404`):
-      test F1 >= 0.78 (measured 0.818 full-test at mint time);
-    - distant-only artifact (pure AutoNER recipe, gold never seen):
-      test F1 >= 0.72, above the 0.7198 dictionary-match baseline
-      (measured 0.744 full-test at mint time)."""
+    - main artifact (DS_GOLD_MIXED recipe, `dataset.py:298-404`, dev
+      selection tail held out of training): test F1 >= 0.79 (measured
+      0.812 full-test at mint time, round 3);
+    - distant-only artifact (pure AutoNER recipe + 2 self-training
+      rounds over the FILTERED supervision gaps; gold never seen):
+      test F1 >= 0.77, above the 0.7198 dictionary-match baseline
+      (measured 0.791 full-test at mint time, round 3; round 2 was
+      0.744)."""
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
     )
-    assert stats["f1"] >= 0.78, stats
+    assert stats["f1"] >= 0.79, stats
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr_distant.npz",
         "test",
     )
-    assert stats["f1"] >= 0.72, stats
+    assert stats["f1"] >= 0.77, stats
