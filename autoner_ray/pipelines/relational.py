@@ -183,7 +183,9 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10):
     joined = order_rev.join(
         orders,
         join_type="inner",
-        num_partitions=default_num_partitions(),
+        # 1× CPUs: Dataset.join spawns one aggregator ACTOR per
+        # partition, so 2× oversubscribes the box with actor startup
+        num_partitions=default_num_partitions(multiplier=1),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

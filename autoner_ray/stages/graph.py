@@ -140,7 +140,8 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
     from autoner_ray.cluster import default_num_partitions
 
     if num_partitions is None:
-        num_partitions = default_num_partitions()
+        # 1x CPUs: each Dataset.join partition is an aggregator ACTOR
+        num_partitions = default_num_partitions(multiplier=1)
 
     def expand(t: pa.Table) -> pa.Table:
         w = t["weight"].cast(pa.float64())
@@ -272,7 +273,8 @@ def connected_components_distributed(edges_ds,
     from autoner_ray.cluster import default_num_partitions
 
     if num_partitions is None:
-        num_partitions = default_num_partitions()
+        # 1x CPUs: each Dataset.join partition is an aggregator ACTOR
+        num_partitions = default_num_partitions(multiplier=1)
 
     def expand(t: pa.Table) -> pa.Table:
         return pa.table(
