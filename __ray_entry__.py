@@ -309,7 +309,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": lambda sf: similarity.embedding_neardup(
             _emb(sf), threshold=0.4
         ),
-        # --- rows-only, in the checked window (41+9 = 50) ----------------
+        # --- oracle-backed: near-dup pairs -------------------------------
+        "ngram_jaccard_exact": lambda sf: dedup.ngram_jaccard_exact_pairs(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "simhash_neardup": lambda sf: dedup.simhash_neardup_pairs(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        # --- rows-only, in the checked window (43+7 = 50) ----------------
         "kg_triples_full": lambda sf: kg.triples_dataset(sf),
         "kg_triples_resumable": _kg_triples_resumable,
         "kg_triples_hybrid": _kg_triples_hybrid,
@@ -336,9 +343,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_evidence": lambda sf: kg.triples_with_evidence(sf),
         "kg_mention_contexts": _kg_mention_contexts,
         "kg_training_export": _kg_training_export,
-        "simhash_neardup": lambda sf: dedup.simhash_neardup_pairs(
-            _docs(sf, ["doc_id", "text"])
-        ),
     }
 
 
@@ -863,5 +867,71 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                             CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
             LIMIT 10
+        """,
+        # exact n-gram (k=3) Jaccard: distinct token-trigram shingles per
+        # doc, intersection via shingle self-join, jaccard = c/(sa+sb-c)
+        # as float64 of exact integer counts (bit-stable vs the engine)
+        "ngram_jaccard_exact": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, {WORDS} AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END AS shingles
+                FROM toks
+            ), ds AS MATERIALIZED (
+                SELECT DISTINCT doc_id, t.s
+                FROM sh, UNNEST(shingles) AS t(s)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS c
+                FROM ds a JOIN ds b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(c AS DOUBLE)
+                       / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE)
+                      / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.6
+        """,
+        # simhash near-dup pairs: signatures exactly as in simhash_docs,
+        # all-pairs Hamming filter. Sound oracle for the engine's
+        # bit-band LSH because max_hamming(3) < bands(4) -> pigeonhole
+        # guarantees every qualifying pair shares an exact band (recall 1)
+        "simhash_neardup": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT d.doc_id,
+                       CAST(('0x' || substring(md5(t.word), 1, 16))
+                            AS UBIGINT) AS h
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+            ), bits AS MATERIALIZED (
+                SELECT doc_id, b.b AS bit,
+                       SUM(CASE WHEN (h >> b.b) & 1 = 1
+                           THEN 1 ELSE -1 END) AS votes
+                FROM toks,
+                     (SELECT UNNEST(generate_series(0, 63)) AS b) AS b
+                GROUP BY doc_id, b.b
+            ), hashes AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN votes > 0
+                           THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS sh
+                FROM bits GROUP BY doc_id
+            ), sigs AS MATERIALIZED (
+                SELECT d.doc_id, COALESCE(h.sh, 0) AS sh
+                FROM documents d LEFT JOIN hashes h ON d.doc_id = h.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
     }

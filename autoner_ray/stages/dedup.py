@@ -478,3 +478,130 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4,
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
+
+
+# -- exact n-gram Jaccard (no sketching) --------------------------------------
+
+
+def ngram_jaccard_exact_pairs(
+    docs_ds,
+    threshold: float = 0.6,
+    k: int = 3,
+    num_partitions: int | None = None,
+    max_df: int | None = None,
+):
+    """EXACT n-gram Jaccard near-duplicate pairs via a shared-shingle
+    join — the deterministic twin of :func:`ngram_jaccard_pairs` (which
+    goes through MinHash LSH candidates and is the at-scale default).
+
+    Shape: one ``map_batches`` explodes each doc into DISTINCT k-token
+    shingle hashes, every row carrying the doc's shingle-set size; one
+    content-hash shuffle co-locates each shingle (``groupby(part)``), a
+    vectorized in-partition self-join counts common shingles per pair,
+    and a global pair groupby sums the partials — each shingle lives in
+    exactly ONE partition, so partition-local pair counts add up to the
+    exact intersection and no text or set ever lands on the driver.
+    Jaccard = common / (|A| + |B| - common), computed from exact integer
+    counts in float64 (bit-stable vs a SQL oracle).
+
+    Scale note: a promiscuous shingle shared by m docs emits m² join
+    rows. Because partitioning is BY shingle, document frequency is
+    exact within a partition, so ``max_df`` prunes hot shingles (e.g.
+    boilerplate) locally with no extra pass — at the cost of exactness
+    for pairs whose overlap rides only on pruned shingles. Default None
+    (fully exact) for oracle parity; set it for web-scale corpora.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from autoner_ray.cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, shingles, sizes, parts = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sh = _shingles(text or "", k)
+            if not sh:
+                continue  # shingle-less docs cannot pair (matches SQL)
+            from autoner_ray.functions.hashing import md5_64_array
+
+            hs = md5_64_array(sorted(sh))
+            n = len(hs)
+            doc_ids.extend([did] * n)
+            # signed view for Arrow int64; partition on the unsigned value
+            shingles.extend(hs.view(np.int64).tolist())
+            sizes.extend([n] * n)
+            parts.extend((hs % np.uint64(num_partitions)).astype(np.int32).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "shingle": pa.array(shingles, pa.int64()),
+                "size": pa.array(sizes, pa.int64()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            # partitioning is by shingle -> local df IS global df
+            df = df[df.groupby("shingle")["shingle"].transform("size") <= max_df]
+        lt = pa.table(
+            {
+                "shingle": pa.array(df["shingle"], pa.int64()),
+                "doc_a": pa.array(df["doc_id"], pa.int64()),
+                "size_a": pa.array(df["size"], pa.int64()),
+            }
+        )
+        rt = lt.rename_columns(["shingle", "doc_b", "size_b"])
+        j = lt.join(rt, keys=["shingle"], join_type="inner")
+        j = j.filter(pc.less(j["doc_a"], j["doc_b"]))
+        if j.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "common": pd.Series([], dtype="int64"),
+                    "size_a": pd.Series([], dtype="int64"),
+                    "size_b": pd.Series([], dtype="int64"),
+                }
+            )
+        g = (
+            j.select(["doc_a", "doc_b", "size_a", "size_b"])
+            .to_pandas()
+            .groupby(["doc_a", "doc_b"], as_index=False)
+            .agg(common=("size_a", "size"), size_a=("size_a", "first"),
+                 size_b=("size_b", "first"))
+        )
+        return g[["doc_a", "doc_b", "common", "size_a", "size_b"]]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["common"].to_numpy().astype(np.float64)
+        sa = batch["size_a"].to_numpy().astype(np.float64)
+        sb = batch["size_b"].to_numpy().astype(np.float64)
+        jac = c / (sa + sb - c)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(batch["doc_a"].to_numpy()[keep], pa.int64()),
+                "doc_b": pa.array(batch["doc_b"].to_numpy()[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Sum("common", alias_name="common"),
+            Min("size_a", alias_name="size_a"),
+            Min("size_b", alias_name="size_b"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

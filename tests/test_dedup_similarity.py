@@ -150,3 +150,40 @@ def test_embedding_neardup_ivf_subset(ray_session):
     assert got  # finds something
     for k, v in got.items():
         assert k in want and want[k] == v
+
+
+def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
+    """The shared-shingle-join EXACT path returns the full true pair set
+    with bit-identical jaccard values (no LSH involved)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import ngram_jaccard_exact_pairs
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_exact_pairs(docs).take_all()
+    }
+    want = _brute_jaccard_pairs(0.6)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ngram_jaccard_exact_max_df_prunes(ray_session):
+    """max_df drops promiscuous shingles: with a cap of 1 no shingle is
+    shared, so no pairs survive — and with a huge cap results are exact."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import ngram_jaccard_exact_pairs
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    assert ngram_jaccard_exact_pairs(docs, max_df=1).count() == 0
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_exact_pairs(docs, max_df=10**9).take_all()
+    }
+    assert got == set(_brute_jaccard_pairs(0.6))
