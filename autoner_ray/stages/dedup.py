@@ -483,6 +483,19 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4,
 # -- exact n-gram Jaccard (no sketching) --------------------------------------
 
 
+def _pair_part(a: np.ndarray, b: np.ndarray, P: int) -> np.ndarray:
+    """Vectorized deterministic partition id for (doc_a, doc_b) pairs
+    (splitmix64 finalizer over both ids) — every occurrence of a pair
+    lands in the same partition regardless of which task emitted it."""
+    z = a.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * (
+        b.astype(np.uint64) + np.uint64(1)
+    )
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z % np.uint64(P)).astype(np.int32)
+
+
 def ngram_jaccard_exact_pairs(
     docs_ds,
     threshold: float = 0.6,
@@ -513,7 +526,6 @@ def ngram_jaccard_exact_pairs(
     """
     import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
 
     from autoner_ray.cluster import default_num_partitions
 
@@ -546,6 +558,17 @@ def ngram_jaccard_exact_pairs(
             }
         )
 
+    _empty_partials = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "common": pd.Series([], dtype="int64"),
+            "size_a": pd.Series([], dtype="int64"),
+            "size_b": pd.Series([], dtype="int64"),
+            "pair_part": pd.Series([], dtype="int32"),
+        }
+    )
+
     def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
         if max_df is not None:
             # partitioning is by shingle -> local df IS global df
@@ -561,15 +584,7 @@ def ngram_jaccard_exact_pairs(
         j = lt.join(rt, keys=["shingle"], join_type="inner")
         j = j.filter(pc.less(j["doc_a"], j["doc_b"]))
         if j.num_rows == 0:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "common": pd.Series([], dtype="int64"),
-                    "size_a": pd.Series([], dtype="int64"),
-                    "size_b": pd.Series([], dtype="int64"),
-                }
-            )
+            return _empty_partials
         g = (
             j.select(["doc_a", "doc_b", "size_a", "size_b"])
             .to_pandas()
@@ -577,19 +592,30 @@ def ngram_jaccard_exact_pairs(
             .agg(common=("size_a", "size"), size_a=("size_a", "first"),
                  size_b=("size_b", "first"))
         )
-        return g[["doc_a", "doc_b", "common", "size_a", "size_b"]]
+        g["pair_part"] = _pair_part(
+            g["doc_a"].to_numpy(), g["doc_b"].to_numpy(), num_partitions
+        )
+        return g[["doc_a", "doc_b", "common", "size_a", "size_b", "pair_part"]]
 
-    def finish(batch: pa.Table) -> pa.Table:
-        c = batch["common"].to_numpy().astype(np.float64)
-        sa = batch["size_a"].to_numpy().astype(np.float64)
-        sb = batch["size_b"].to_numpy().astype(np.float64)
+    # The global pair combine is a SECOND hash-partitioned map_groups
+    # (partition key derived from the pair), NOT a Ray row-level
+    # groupby().aggregate() — Ray 2.49's multi-key sort aggregate costs
+    # ~3 ms/row in Python; the pandas combine below is vectorized.
+    def combine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            common=("common", "sum"), size_a=("size_a", "first"),
+            size_b=("size_b", "first"),
+        )
+        c = g["common"].to_numpy().astype(np.float64)
+        sa = g["size_a"].to_numpy().astype(np.float64)
+        sb = g["size_b"].to_numpy().astype(np.float64)
         jac = c / (sa + sb - c)
         keep = jac >= threshold
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(batch["doc_a"].to_numpy()[keep], pa.int64()),
-                "doc_b": pa.array(batch["doc_b"].to_numpy()[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
+                "doc_a": g["doc_a"].to_numpy()[keep],
+                "doc_b": g["doc_b"].to_numpy()[keep],
+                "jaccard": jac[keep],
             }
         )
 
@@ -597,11 +623,6 @@ def ngram_jaccard_exact_pairs(
         docs_ds.map_batches(explode, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_in_partition, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Sum("common", alias_name="common"),
-            Min("size_a", alias_name="size_a"),
-            Min("size_b", alias_name="size_b"),
-        )
-        .map_batches(finish, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(combine_pairs, batch_format="pandas")
     )
