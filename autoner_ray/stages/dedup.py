@@ -179,6 +179,8 @@ def minhash_lsh_candidates(
                 {
                     "doc_a": pd.Series(dtype="int64"),
                     "doc_b": pd.Series(dtype="int64"),
+                    "n_bands": pd.Series(dtype="int64"),
+                    "pair_part": pd.Series(dtype="int32"),
                 }
             )
         lt = pa.table(
@@ -193,21 +195,35 @@ def minhash_lsh_candidates(
         import pyarrow.compute as pc
 
         j = j.filter(pc.less(j["doc_a"], j["doc_b"]))
-        return pd.DataFrame(
-            {
-                "doc_a": j["doc_a"].to_numpy(),
-                "doc_b": j["doc_b"].to_numpy(),
-            }
+        # partial per-partition band-agreement counts; the global combine
+        # is a second hash-partitioned pandas map_groups (pair_part), not
+        # a Ray multi-key row aggregate (~3 ms/row in 2.49)
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_a": j["doc_a"].to_numpy(),
+                    "doc_b": j["doc_b"].to_numpy(),
+                }
+            )
+            .groupby(["doc_a", "doc_b"], as_index=False)
+            .agg(n_bands=("doc_a", "size"))
         )
+        g["pair_part"] = _pair_part(
+            g["doc_a"].to_numpy(), g["doc_b"].to_numpy(), num_partitions
+        )
+        return g
 
-    from ray.data.aggregate import Count
+    def combine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_bands=("n_bands", "sum")
+        )
 
     return (
         docs_ds.map_batches(sign, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_in_partition, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
+        .groupby("pair_part")
+        .map_groups(combine_pairs, batch_format="pandas")
     )
 
 
@@ -460,23 +476,32 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, bands: int = 4,
             dtype=np.int64,
         )
         keep = np.asarray(ham) <= max_hamming
-        return pd.DataFrame(
+        g = pd.DataFrame(
             {
                 "doc_a": j["doc_a"].to_numpy()[keep],
                 "doc_b": j["doc_b"].to_numpy()[keep],
                 "hamming": np.asarray(ham)[keep].astype(np.int64),
             }
+        ).drop_duplicates(["doc_a", "doc_b"])  # hamming is pair-determined
+        g["pair_part"] = _pair_part(
+            g["doc_a"].to_numpy(), g["doc_b"].to_numpy(), num_partitions
         )
+        return g
 
-    from ray.data.aggregate import Min
+    # distinct pairs (a pair can agree on several bands, possibly in
+    # different bucket partitions) — same hash-partitioned pandas combine
+    # as the minhash/ngram paths, not a Ray multi-key row aggregate
+    def combine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]
+        ]
 
-    # distinct pairs (a pair can agree on several bands)
     return (
         docs_ds.map_batches(sign, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_in_partition, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .groupby("pair_part")
+        .map_groups(combine_pairs, batch_format="pandas")
     )
 
 
