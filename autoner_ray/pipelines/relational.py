@@ -179,16 +179,19 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10):
     # the expensive global orderkey groupby disappears entirely
     order_rev = line.map_batches(revenue_partial, batch_format="pyarrow")
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = order_rev.join(
-        orders,
-        join_type="inner",
-        # 1× CPUs: Dataset.join spawns one aggregator ACTOR per
-        # partition, so 2× oversubscribes the box with actor startup
-        num_partitions=default_num_partitions(multiplier=1),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        ),
+        batch_format="pyarrow",
     )
+    # task-based cogroup join: Ray 2.49's native Dataset.join spawns one
+    # aggregator ACTOR per partition (~0.1 s spawn each, measured 8/16/32
+    # = 4.7/5.8/7.8 s for this query at sf0.1) — a task-pool shuffle
+    # reuses warm workers and carries no per-run fleet cost
+    from autoner_ray.stages.joins import cogroup_join
+
+    joined = cogroup_join(order_rev, orders, on=("l_orderkey",))
 
     def cust_partial(t: pa.Table) -> pa.Table:
         agg = t.select(["o_custkey", "order_cents"]).group_by(
