@@ -251,6 +251,25 @@ def mixed_records(distant_records, gold_records, sample_ratio: float = 1.0,
 # Token-budget batcher (T6)
 # ---------------------------------------------------------------------------
 
+def word_dropout_records(records, p: float, rng):
+    """Word-level <unk> dropout: replace each distinct word id of a
+    record with WORD_UNK w.p. ``p`` (all its char positions at once).
+    The offline substitute for pretrained embeddings — with word
+    identity randomly unavailable, the break/type heads must lean on
+    context + character patterns, which is what generalizes to surfaces
+    the dictionary never saw. No-op at p<=0."""
+    if p <= 0:
+        return records
+    out = []
+    for ci, wi, slots, brk, known, spans in records:
+        wi2 = wi.copy()
+        for uid in np.unique(wi2):
+            if uid >= WORD_SPECIALS and rng.random() < p:
+                wi2[wi2 == uid] = WORD_UNK
+        out.append((ci, wi2, slots, brk, known, spans))
+    return out
+
+
 def token_budget_batches(records, budget: int = 3000):
     """records sorted by char-seq length desc; batch rows =
     max(budget // seq_len, 1) (`dataset.py:144-188`)."""

@@ -248,20 +248,7 @@ def train_eval_distant(ds: SynthDataset, epochs: int = 30,
             )
         return out
 
-    from autoner_ray.state.tagger import WORD_SPECIALS, WORD_UNK
-
-    def word_dropout(rec, p, rng):
-        """Replace whole words with <unk> (all their char positions) —
-        the offline substitute for pretrained embeddings: with word
-        identity randomly unavailable, the break/type heads are forced
-        onto context + character patterns, which is what lets the model
-        recover surfaces the dictionary never saw."""
-        ci, wi, slots, brk, known, spans = rec
-        wi2 = wi.copy()
-        for uid in np.unique(wi2):
-            if uid >= WORD_SPECIALS and rng.random() < p:
-                wi2[wi2 == uid] = WORD_UNK
-        return (ci, wi2, slots, brk, known, spans)
+    from autoner_ray.state.tagger import word_dropout_records
 
     def fit(batch, tagger=None, word_drop: float = 0.2):
         tagger = tagger or Tagger(
@@ -271,7 +258,7 @@ def train_eval_distant(ds: SynthDataset, epochs: int = 30,
         rng = np.random.default_rng(seed)
         state = None
         for _ in range(epochs):
-            eb = [word_dropout(r, word_drop, rng) for r in batch]
+            eb = word_dropout_records(batch, word_drop, rng)
             for bt in token_budget_batches(eb, budget=budget):
                 _, state = tagger.train_batch_v2(
                     bt, lr=lr, droprate=0.1, adam_state=state, rng=rng

@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--word-dim", type=int, default=50)
     ap.add_argument("--label-dim", type=int, default=50)
     ap.add_argument("--droprate", type=float, default=0.5)
+    ap.add_argument("--word-drop", type=float, default=0.0,
+                    help="word-level <unk> dropout prob per epoch "
+                         "(offline stand-in for pretrained embeddings)")
     ap.add_argument("--mixed", action="store_true",
                     help="add gold DEV sentences (DS_GOLD_MIXED path)")
     ap.add_argument("--no-pretrained-emb", action="store_true",
@@ -91,6 +94,7 @@ def main() -> None:
         span_f1_counts,
         spans_from_segments,
         token_budget_batches,
+        word_dropout_records,
     )
     from autoner_ray.state.trie import FILTERED_TYPE
 
@@ -225,7 +229,8 @@ def main() -> None:
         ):
             if args.arch == "lstm":
                 loss, state = tagger.train_batch_v2(
-                    batch, lr=lr, droprate=args.droprate,
+                    word_dropout_records(batch, args.word_drop, rng),
+                    lr=lr, droprate=args.droprate,
                     adam_state=state, rng=rng,
                 )
             else:
