@@ -140,7 +140,8 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
     from autoner_ray.cluster import default_num_partitions
 
     if num_partitions is None:
-        # 1x CPUs: each Dataset.join partition is an aggregator ACTOR
+        # task-based cogroup joins: 1x CPUs keeps per-iteration task
+        # count bounded without oversubscribing small graphs
         num_partitions = default_num_partitions(multiplier=1)
 
     def expand(t: pa.Table) -> pa.Table:
@@ -174,17 +175,17 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
             }
         )
 
-    # repartition after the join is load-bearing: Ray's hash join emits
-    # zero-row blocks with an EMPTY schema for empty partitions, and a
-    # downstream join chokes on them ("no match for key field"); the
-    # repartition coalesces them into real blocks.
+    # task-based cogroup join (stages/joins.py): declared schemas mean
+    # no empty-schema zero-row blocks (so no repartition needed to clear
+    # them) and no per-run aggregator-actor fleet — with `iters` joins
+    # in this function, the native operator's actor spawn cost
+    # (~0.1 s × num_partitions × iters) would dominate small graphs.
+    from autoner_ray.stages.joins import cogroup_join
+
     trans = (
-        bidir.join(
-            outw, join_type="inner", num_partitions=num_partitions,
-            on=("src",),
-        )
+        cogroup_join(bidir, outw, on=("src",),
+                     num_partitions=num_partitions)
         .map_batches(norm, batch_format="pyarrow")
-        .repartition(num_partitions)
         .materialize()
     )
     nodes = outw.select_columns(["src"]).materialize()
@@ -233,15 +234,12 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
             )
 
         rank = (
-            trans.join(
-                rank, join_type="inner", num_partitions=num_partitions,
-                on=("src",),
-            )
+            cogroup_join(trans, rank, on=("src",),
+                         num_partitions=num_partitions)
             .map_batches(contrib, batch_format="pyarrow")
             .groupby("dst")
             .aggregate(Sum("c", alias_name="c"))
             .map_batches(finish, batch_format="pyarrow")
-            .repartition(num_partitions)  # see trans: clear empty blocks
             .materialize()  # cut lineage: 20 chained joins would recompute
         )
     out = rank.to_pandas().sort_values(
@@ -273,7 +271,8 @@ def connected_components_distributed(edges_ds,
     from autoner_ray.cluster import default_num_partitions
 
     if num_partitions is None:
-        # 1x CPUs: each Dataset.join partition is an aggregator ACTOR
+        # task-based cogroup joins: 1x CPUs keeps per-iteration task
+        # count bounded without oversubscribing small graphs
         num_partitions = default_num_partitions(multiplier=1)
 
     def expand(t: pa.Table) -> pa.Table:
@@ -305,11 +304,11 @@ def connected_components_distributed(edges_ds,
                 return _nl_schema.empty_table()
             return pa.table({"src": t["dst"], "nl": t["label"]})
 
+        from autoner_ray.stages.joins import cogroup_join
+
         neigh_min = (
-            bidir.join(
-                labels, join_type="inner", num_partitions=num_partitions,
-                on=("src",),
-            )
+            cogroup_join(bidir, labels, on=("src",),
+                         num_partitions=num_partitions)
             .map_batches(neighbor_labels, batch_format="pyarrow")
             .groupby("src")
             .aggregate(Min("nl", alias_name="nl"))
@@ -333,12 +332,9 @@ def connected_components_distributed(edges_ds,
             )
 
         merged = (
-            labels.join(
-                neigh_min, join_type="inner",
-                num_partitions=num_partitions, on=("src",),
-            )
+            cogroup_join(labels, neigh_min, on=("src",),
+                         num_partitions=num_partitions)
             .map_batches(merge_labels, batch_format="pyarrow")
-            .repartition(num_partitions)  # clear empty-schema join blocks
             .materialize()
         )
         n_changed = merged.sum("changed")
