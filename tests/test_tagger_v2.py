@@ -184,3 +184,23 @@ def test_carve_pseudo_segments_self_training_merge():
     # no accepted spans -> segments unchanged
     same, k3 = carve_pseudo_segments(segs, [], 10)
     assert k3 == 0 and same == segs
+
+
+def test_word_dropout_records():
+    """p=0 is identity (same objects); p=1 unks every real word id but
+    never specials; char stream and supervision untouched."""
+    from autoner_ray.state.tagger import (
+        WORD_PAD,
+        WORD_SPECIALS,
+        WORD_UNK,
+        word_dropout_records,
+    )
+
+    _, batch, _ = _tiny_setup()
+    assert word_dropout_records(batch, 0.0, np.random.default_rng(0)) is batch
+    out = word_dropout_records(batch, 1.0, np.random.default_rng(0))
+    for (ci, wi, *rest), (ci2, wi2, *rest2) in zip(batch, out):
+        assert ci is ci2 and rest[0] is rest2[0]  # chars/slots untouched
+        real = wi >= WORD_SPECIALS
+        assert (wi2[real] == WORD_UNK).all()
+        assert (wi2[~real] == wi[~real]).all()  # PAD stays PAD
