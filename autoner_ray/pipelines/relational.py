@@ -249,22 +249,31 @@ def brand_revenue(sf_dir: str):
 
     class BrandRev:
         def __init__(self) -> None:
-            self.brand = ray.get(brand_ref)
+            import pandas as pd
+
+            # partkey -> brand as a pandas Series: vectorized gather in
+            # __call__ instead of a per-row dict loop
+            self.brand = pd.Series(ray.get(brand_ref))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            import collections
+            import pandas as pd
 
-            acc: dict[str, int] = collections.defaultdict(int)
             cents = _rev_cents(
                 t["l_extendedprice"].combine_chunks(),
                 t["l_discount"].combine_chunks(),
             ).to_numpy()
-            for pk, c in zip(t["l_partkey"].to_numpy(), cents):
-                acc[self.brand[pk]] += int(c)
+            brands = self.brand.reindex(
+                t["l_partkey"].to_numpy(zero_copy_only=False)
+            ).to_numpy()
+            acc = (
+                pd.DataFrame({"p_brand": brands, "cents": cents})
+                .groupby("p_brand", as_index=False, sort=False)["cents"]
+                .sum()
+            )
             return pa.table(
                 {
-                    "p_brand": pa.array(list(acc.keys()), pa.string()),
-                    "cents": pa.array(list(acc.values()), pa.int64()),
+                    "p_brand": pa.array(acc["p_brand"], pa.string()),
+                    "cents": pa.array(acc["cents"], pa.int64()),
                 }
             )
 
