@@ -108,30 +108,41 @@ def sliding_hourly(events_ds, window_hours: int = 1, slide_minutes: int = 15):
     slide_us = slide_minutes * 60 * 1_000_000
 
     def explode(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         ts = batch["ts"].cast(pa.int64()).to_numpy()  # us since epoch
-        etype = batch["event_type"].to_pylist()
+        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         cents = np.floor(
             batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
-        from collections import defaultdict
-
-        acc: dict[tuple[str, int], list[int]] = defaultdict(lambda: [0, 0])
         base = (ts // slide_us) * slide_us  # slide-aligned bucket of event
-        for k in range(n_slides):
-            starts = base - k * slide_us
-            for e, s, c in zip(etype, starts, cents):
-                a = acc[(e, int(s))]
-                a[0] += 1
-                a[1] += int(c)
-        keys = list(acc.keys())
+        # each event lands in n_slides windows; materialize the
+        # (n_slides × rows) expansion vectorized and pre-combine with a
+        # pandas groupby — no per-row python loop
+        starts = (
+            base[None, :]
+            - (np.arange(n_slides, dtype=np.int64) * slide_us)[:, None]
+        ).ravel()
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": np.tile(etype, n_slides),
+                    "window_start": starts,
+                    "cents": np.tile(cents, n_slides),
+                }
+            )
+            .groupby(["event_type", "window_start"], as_index=False,
+                     sort=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
         return pa.table(
             {
-                "event_type": pa.array([k[0] for k in keys], pa.string()),
+                "event_type": pa.array(g["event_type"], pa.string()),
                 "window_start": pa.array(
-                    [k[1] for k in keys], pa.timestamp("us")
+                    g["window_start"].to_numpy(), pa.timestamp("us")
                 ),
-                "n": pa.array([acc[k][0] for k in keys], pa.int64()),
-                "cents": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
             }
         )
 
