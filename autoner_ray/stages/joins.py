@@ -45,6 +45,14 @@ def _stable_part_col(t: pa.Table, on: tuple[str, ...], P: int) -> pa.Array:
             z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
             z = z ^ (z >> np.uint64(31))
             return pa.array((z % np.uint64(P)).astype(np.int32))
+        if pa.types.is_string(col.type) and col.null_count == 0:
+            # same value as the md5 fallback below for a single string
+            # key (md5(str(v)) == md5(v)), but memoized per worker —
+            # Zipfian key streams (words, entities) mostly hit the cache
+            from autoner_ray.functions.hashing import md5_64_array
+
+            hs = md5_64_array(col.to_pylist())
+            return pa.array((hs % np.uint64(P)).astype(np.int32))
     keys = [t[c].to_pylist() for c in on]
     parts = [
         int.from_bytes(
