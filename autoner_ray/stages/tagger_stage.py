@@ -37,9 +37,43 @@ def _maybe_get(obj):
     return obj
 
 
+def bucketed_predict(tagger, tokens_col, threshold: float = 0.0,
+                     budget: int = 12000, with_chunk_stats: bool = False,
+                     none_bias: float = 0.0):
+    """Length-bucketed ``predict_batch`` over a whole Ray batch (T6):
+    same-scale sentences share one padded forward, so a mixed-length web
+    batch doesn't pad every row to the longest sentence (~2x measured
+    at budget 12000 vs one unbucketed 512-row call). Returns the span
+    lists in input order, plus batch-wide chunk-score min/max when
+    ``with_chunk_stats``."""
+    records = [
+        (*encode_sentence(t, tagger.c_map, tagger.w_map), i)
+        for i, t in enumerate(tokens_col)
+    ]
+    out: list[list] = [[] for _ in tokens_col]
+    smin, smax = float("inf"), float("-inf")
+    for bucket in token_budget_batches(records, budget):
+        idxs = [rec[3] for rec in bucket]
+        res = tagger.predict_batch(
+            [tokens_col[i] for i in idxs], threshold,
+            with_chunk_stats=with_chunk_stats, none_bias=none_bias,
+        )
+        if with_chunk_stats:
+            preds, bmin, bmax = res
+            smin = min(smin, bmin)
+            smax = max(smax, bmax)
+        else:
+            preds = res
+        for i, spans in zip(idxs, preds):
+            out[i] = spans
+    if with_chunk_stats:
+        return out, smin, smax
+    return out
+
+
 class TaggerScorer:
     def __init__(self, model_blob, threshold: float = 0.0,
-                 token_budget: int = 3000) -> None:
+                 token_budget: int = 12000) -> None:
         self.tagger = Tagger.from_bytes(_maybe_get(model_blob))
         self.threshold = threshold
         self.token_budget = token_budget
@@ -49,30 +83,22 @@ class TaggerScorer:
         urls = batch["url"].to_pylist()
         dids = batch["doc_id"].to_pylist()
         sids = batch["sent_id"].to_pylist()
-        # token-budget re-bucketing: encode once, group rows so each
-        # model call is (budget // seq_len) same-scale sentences
-        records = [
-            (*encode_sentence(t, self.tagger.c_map, self.tagger.w_map), i)
-            for i, t in enumerate(tokens_col)
-        ]
+        preds_all = bucketed_predict(
+            self.tagger, tokens_col, self.threshold, self.token_budget
+        )
         cols = {k: [] for k in (
             "url", "doc_id", "sent_id", "l", "r", "surface", "types", "score"
         )}
-        for bucket in token_budget_batches(records, self.token_budget):
-            idxs = [rec[3] for rec in bucket]
-            preds = self.tagger.predict_batch(
-                [tokens_col[i] for i in idxs], self.threshold
-            )
-            for i, spans in zip(idxs, preds):
-                for l, r, ty, score in spans:
-                    cols["url"].append(urls[i])
-                    cols["doc_id"].append(dids[i])
-                    cols["sent_id"].append(sids[i])
-                    cols["l"].append(l)
-                    cols["r"].append(r)
-                    cols["surface"].append(" ".join(tokens_col[i][l:r]))
-                    cols["types"].append(ty)
-                    cols["score"].append(round(score, 6))
+        for i, spans in enumerate(preds_all):
+            for l, r, ty, score in spans:
+                cols["url"].append(urls[i])
+                cols["doc_id"].append(dids[i])
+                cols["sent_id"].append(sids[i])
+                cols["l"].append(l)
+                cols["r"].append(r)
+                cols["surface"].append(" ".join(tokens_col[i][l:r]))
+                cols["types"].append(ty)
+                cols["score"].append(round(score, 6))
         return pa.table(
             {
                 "url": pa.array(cols["url"], pa.string()),
@@ -108,8 +134,8 @@ class TaggerEval:
         # selection (`test_partial_ner.py:80-89`), NOT the typing logits.
         # Empty batches emit +/-inf sentinels, which can never win the
         # downstream min/max merge (no 0.0 filler contaminating it).
-        preds, smin, smax = self.tagger.predict_batch(
-            tokens_col, self.threshold, with_chunk_stats=True
+        preds, smin, smax = bucketed_predict(
+            self.tagger, tokens_col, self.threshold, with_chunk_stats=True
         )
         n_gold = n_pred = n_hit = 0
         for toks, pred in zip(tokens_col, preds):
@@ -227,7 +253,7 @@ class HybridPairs:
         from autoner_ray.stages.triples import PRED_COOCCUR
 
         tokens_col = batch["tokens"].to_pylist()
-        preds = self.tagger.predict_batch(tokens_col, self.threshold)
+        preds = bucketed_predict(self.tagger, tokens_col, self.threshold)
         counter: Counter[tuple[str, str]] = Counter()
         for toks, spans in zip(tokens_col, preds):
             ents = {m[4] for m in self.matcher.mentions_of(toks)}

@@ -204,3 +204,39 @@ def test_word_dropout_records():
         real = wi >= WORD_SPECIALS
         assert (wi2[real] == WORD_UNK).all()
         assert (wi2[~real] == wi[~real]).all()  # PAD stays PAD
+
+
+def test_bucketed_predict_matches_unbucketed():
+    """Length-bucketed inference (the actor-pool hot path) must decode
+    the same spans and the same chunk-score min/max as one padded
+    whole-batch call — bucketing is a padding optimization, not a
+    semantic change. (Scores are float32 BLAS sums whose shape changes
+    with padding, so they match to ~1e-5, not bit-exactly.)"""
+    from autoner_ray.stages.tagger_stage import bucketed_predict
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "longword" * 3]
+    sents = [
+        [vocab[j] for j in rng.integers(0, len(vocab), n)]
+        for n in rng.integers(1, 12, 40)
+    ]
+    types = [["T"] if i % 3 == 0 else ["U"] for i in range(len(sents))]
+    c_map, w_map, tl_map = build_vocabs(sents, types, char_min_count=0)
+    tg = Tagger(c_map, w_map, tl_map, arch="lstm", char_dim=8, word_dim=8,
+                hidden=16, layers=2, label_dim=10, seed=5)
+    want, wmin, wmax = tg.predict_batch(sents, 0.0, with_chunk_stats=True)
+    # tiny budget forces many buckets; large budget = one bucket
+    for budget in (8, 64, 10_000):
+        got, gmin, gmax = bucketed_predict(
+            tg, sents, 0.0, budget=budget, with_chunk_stats=True
+        )
+        assert [[s[:3] for s in row] for row in got] == [
+            [s[:3] for s in row] for row in want
+        ]
+        for wrow, grow in zip(want, got):
+            assert np.allclose(
+                [s[3] for s in wrow], [s[3] for s in grow], atol=1e-5
+            )
+        assert np.isclose(gmin, wmin, atol=1e-5)
+        assert np.isclose(gmax, wmax, atol=1e-5)
+    assert bucketed_predict(tg, [], 0.0) == []
