@@ -11,14 +11,19 @@ Semantics (deterministic, order-independent):
 
 Scale design (SURVEY.md §2.4 J5 / §4 skew):
 - Counting (canon, surface) pairs is ASSOCIATIVE, so a per-batch
-  combiner (``map_batches`` Counter) runs first and the groupby shuffle
-  moves one row per distinct (canon, surface) per block — Zipfian head
+  combiner (``map_batches`` Counter) runs first and the shuffle moves
+  one row per distinct (canon, surface) per block — Zipfian head
   entities ship partial counts, not raw mentions.
-- The non-associative "pick canonical surface" step uses SALTED
-  two-phase selection: phase 1 groups by ``(key, salt)`` (salt = hash of
-  the surface, bounded) and picks a local winner, phase 2 groups the ≤S
-  local winners per key and picks the global winner. A head entity with
-  10^9 mentions never concentrates in a single reducer.
+- ONE hash shuffle on ``hash(key) % P`` colocates everything a key
+  needs; a single vectorized pandas pass per partition then finishes
+  the pair counts AND picks the canonical surface. (Rounds 1–2 used a
+  3-shuffle salted two-phase plan; the combiner already bounds a hot
+  key's partial rows to #blocks × #surface-variants, so the extra
+  salting shuffles bought nothing but wall time — Ray multi-key row
+  aggregates cost ~3 ms/row in Python.)
+- Skew bound: a partition holds ~pairs_total/P plus the hot key's
+  ≤ #blocks × #variants partials — pandas groupby handles millions of
+  such rows per task; raise ``num_partitions`` with cluster size.
 - Linking mentions back to ids is a BROADCAST join: the entity dim table
   is ``ray.put`` once and each map task resolves ids locally — no second
   shuffle of the big mention stream.
@@ -31,8 +36,6 @@ from collections import Counter
 import pyarrow as pa
 
 from autoner_ray.functions.text import normalize_surface
-
-DEFAULT_NUM_SALTS = 16
 
 
 def surface_pair_partials(mentions_batch: pa.Table) -> pa.Table:
@@ -51,75 +54,56 @@ def surface_pair_partials(mentions_batch: pa.Table) -> pa.Table:
     )
 
 
-def _add_salt(batch: pa.Table, num_salts: int) -> pa.Table:
-    import zlib
-
-    # stable salt from the surface bytes (NOT the key: all rows of one
-    # key+surface must meet to finish the count; different surfaces of a
-    # hot key spread across salts)
-    salts = [
-        zlib.crc32(s.encode()) % num_salts
-        for s in batch["surface"].to_pylist()
-    ]
-    return batch.append_column("salt", pa.array(salts, pa.int32()))
-
-
-def _pick_winner(df):
-    """Winner surface within a group: max n, then smallest surface."""
+def _reduce_partition(df):
+    """Finish one hash partition: complete the (key, surface) counts,
+    then per key pick the winner surface (max n, then smallest surface)
+    and the mention total. All keys of the partition in one vectorized
+    pandas pass."""
     import pandas as pd
 
-    df = df.sort_values(["n", "surface"], ascending=[False, True],
-                        kind="mergesort")
-    total = int(df["n"].sum())
-    top = df.iloc[0]
+    pairs = df.groupby(["key", "surface"], as_index=False, sort=False)[
+        "n"
+    ].sum()
+    pairs = pairs.sort_values(
+        ["key", "n", "surface"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    winners = pairs.drop_duplicates("key", keep="first")
+    totals = pairs.groupby("key", sort=False)["n"].sum()
     return pd.DataFrame(
         {
-            "key": [top["key"]],
-            "surface": [top["surface"]],
-            "n": [int(top["n"])],
-            "total": [total],
+            "key": winners["key"].to_numpy(),
+            "canonical_surface": winners["surface"].to_numpy(),
+            "n_mentions": totals.loc[winners["key"]].to_numpy(),
         }
     )
 
 
-def canonical_entities(mentions_ds, num_salts: int = DEFAULT_NUM_SALTS):
-    """Entity dim table: key, canonical_surface, n_mentions, entity_id.
+def canonical_entities(mentions_ds, num_partitions: int | None = None):
+    """Entity dim table rows: key, canonical_surface, n_mentions.
 
-    Returns a ray Dataset sorted by (n_mentions desc, key) with dense ids.
+    One combiner pass + ONE hash shuffle + one pandas reduce per
+    partition (see module docstring for the skew bound).
     """
-    from ray.data.aggregate import Sum
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
 
-    # phase 0: combiner + exact pair counts (associative groupby)
-    pair_counts = (
-        mentions_ds.map_batches(surface_pair_partials, batch_format="pyarrow")
-        .groupby(["key", "surface"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    # phase 1: salted local winners
-    local = (
-        pair_counts.map_batches(
-            lambda b: _add_salt(b, num_salts), batch_format="pyarrow"
-        )
-        .groupby(["key", "salt"])
-        .map_groups(_pick_winner, batch_format="pandas")
-    )
-    # phase 2: global winner per key (≤ num_salts rows per key)
-    def merge_winners(df):
-        import pandas as pd
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
 
-        total = int(df["total"].sum())
-        df = df.sort_values(["n", "surface"], ascending=[False, True],
-                            kind="mergesort")
-        top = df.iloc[0]
-        return pd.DataFrame(
-            {
-                "key": [top["key"]],
-                "canonical_surface": [top["surface"]],
-                "n_mentions": [total],
-            }
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", _stable_part_col(t, ("key",), num_partitions)
         )
 
-    return local.groupby("key").map_groups(merge_winners, batch_format="pandas")
+    return (
+        mentions_ds.map_batches(
+            surface_pair_partials, batch_format="pyarrow"
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_reduce_partition, batch_format="pandas")
+    )
 
 
 def entity_id_table(entities_ds) -> pa.Table:

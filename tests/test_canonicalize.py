@@ -64,7 +64,7 @@ def test_canonical_entities_match_oracle(ray_session):
     entities, ids = _oracle(table)
     # tiny blocks to force multi-block combine paths
     ds = rd.from_arrow(table).repartition(5)
-    got = entity_id_table(canonical_entities(ds, num_salts=4))
+    got = entity_id_table(canonical_entities(ds, num_partitions=4))
     got_map = {
         k: (s, n)
         for k, s, n in zip(
@@ -89,7 +89,7 @@ def test_link_mentions(ray_session):
     table = _mentions_table()
     _, ids = _oracle(table)
     ds = rd.from_arrow(table).repartition(3)
-    linked = link_mentions(ds, canonical_entities(ds, num_salts=4)).to_pandas()
+    linked = link_mentions(ds, canonical_entities(ds, num_partitions=4)).to_pandas()
     from autoner_ray.functions.text import normalize_surface
 
     assert len(linked) == table.num_rows

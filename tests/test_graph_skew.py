@@ -46,7 +46,7 @@ def test_materialize_graph_sorted_shards(ray_session, tmp_path):
 
 def test_canonicalize_zipfian_head(ray_session):
     """A head entity holding 60% of mentions (Zipf worst case) still
-    resolves exactly through the salted two-phase selection."""
+    resolves exactly through the combiner + hash-partitioned reduce."""
     import ray.data as rd
 
     from autoner_ray.stages.canonicalize import (
@@ -58,7 +58,7 @@ def test_canonicalize_zipfian_head(ray_session):
     tail = [f"ent{i}" for i in range(200) for _ in range(3)]
     table = pa.table({"surface": pa.array(head + tail, pa.string())})
     ds = rd.from_arrow(table).repartition(16)
-    got = entity_id_table(canonical_entities(ds, num_salts=8))
+    got = entity_id_table(canonical_entities(ds, num_partitions=4))
     m = {
         k: (s, n, i)
         for k, s, n, i in zip(
