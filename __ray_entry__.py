@@ -316,7 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": lambda sf: dedup.simhash_neardup_pairs(
             _docs(sf, ["doc_id", "text"])
         ),
-        # --- rows-only, in the checked window (43+7 = 50) ----------------
+        "docs_neardup_keep_one": lambda sf: dedup.neardup_keep_one(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        # --- rows-only, in the checked window (44+6 = 50) ----------------
         "kg_triples_full": lambda sf: kg.triples_dataset(sf),
         "kg_triples_resumable": _kg_triples_resumable,
         "kg_triples_hybrid": _kg_triples_hybrid,
@@ -902,6 +905,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(c AS DOUBLE)
                       / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.6
+        """,
+        # keep-one dedup: same exact-Jaccard pairs, transitive closure
+        # over the pair graph (recursive reachability, as in the
+        # kg_connected_components oracle), drop every cluster member
+        # except its numeric-min doc_id
+        "docs_neardup_keep_one": f"""
+            WITH RECURSIVE toks AS MATERIALIZED (
+                SELECT doc_id, {WORDS} AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END AS shingles
+                FROM toks
+            ), ds AS MATERIALIZED (
+                SELECT DISTINCT doc_id, t.s
+                FROM sh, UNNEST(shingles) AS t(s)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS c
+                FROM ds a JOIN ds b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS MATERIALIZED (
+                SELECT doc_a, doc_b
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(c AS DOUBLE)
+                          / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.6
+            ), bidir AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT u, u FROM bidir
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN bidir e ON e.u = r.b
+            ), losers AS (
+                SELECT a AS doc_id FROM reach GROUP BY a
+                HAVING MIN(b) < a
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         # simhash near-dup pairs: signatures exactly as in simhash_docs,
         # all-pairs Hamming filter. Sound oracle for the engine's

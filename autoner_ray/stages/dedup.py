@@ -651,3 +651,95 @@ def ngram_jaccard_exact_pairs(
         .groupby("pair_part")
         .map_groups(combine_pairs, batch_format="pandas")
     )
+
+
+def neardup_keep_one(
+    docs_ds,
+    threshold: float = 0.6,
+    k: int = 3,
+    num_partitions: int | None = None,
+    driver_cc_max_pairs: int = 2_000_000,
+):
+    """End-to-end near-duplicate REMOVAL — the pipeline a training-data
+    run actually executes (pairs alone are diagnostics): exact n-gram
+    Jaccard pairs (:func:`ngram_jaccard_exact_pairs`) → distributed
+    min-id label propagation over the pair graph
+    (``connected_components_distributed``, int64 nodes) → every cluster
+    keeps its smallest ``doc_id``; docs in no pair survive untouched.
+
+    Returns a Dataset of surviving ``doc_id`` rows.
+
+    Scale shape: the pair graph holds ONLY near-duplicate docs, so the
+    label table is the duplicate fraction of the corpus, never the
+    corpus. TIERED like ``verify_jaccard``: a pair set up to
+    ``driver_cc_max_pairs`` runs union-find on the driver (the common
+    case — each distributed CC iteration costs 2 shuffles, pure fixed
+    cost on a small graph); above the bound, distributed min-label
+    propagation (``connected_components_distributed``, int64 nodes)
+    takes over with identical results. The loser set (cluster members
+    minus winners) is broadcast once via ``ray.put`` and the full doc
+    stream anti-filters against it with a vectorized ``pc.is_in`` — no
+    shuffle of the corpus. At extreme duplicate rates (loser set too
+    big for one object) swap the broadcast for a ``cogroup_join``
+    anti-join on doc_id; the rest of the pipeline is unchanged.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    pairs = ngram_jaccard_exact_pairs(
+        docs_ds, threshold=threshold, k=k, num_partitions=num_partitions
+    ).materialize()
+
+    if pairs.count() <= driver_cc_max_pairs:
+        pdf = pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        loser_ids = [n for n in parent if find(n) != n]
+    else:
+        from autoner_ray.stages.graph import (
+            connected_components_distributed,
+        )
+
+        edges = pairs.map_batches(
+            lambda t: pa.table({"subj": t["doc_a"], "obj": t["doc_b"]}),
+            batch_format="pyarrow",
+        )
+        labels = connected_components_distributed(
+            edges, num_partitions=num_partitions, as_dataset=True
+        )
+        # losers: members whose propagated min-label is a smaller id
+        _loser_schema = pa.schema([("doc_id", pa.int64())])
+
+        def losers_batch(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _loser_schema.empty_table()
+            keep = pc.less(t["label"], t["src"])
+            return pa.table({"doc_id": t["src"].filter(keep)})
+
+        loser_ids = labels.map_batches(
+            losers_batch, batch_format="pyarrow"
+        ).to_pandas()["doc_id"]
+    losers_ref = ray.put(pa.array(loser_ids, pa.int64()))
+
+    class SurvivorFilter:
+        def __init__(self) -> None:
+            self.losers = ray.get(losers_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t["doc_id"], value_set=self.losers))
+            return pa.table({"doc_id": t["doc_id"].filter(mask)})
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        SurvivorFilter, batch_format="pyarrow", concurrency=2
+    )

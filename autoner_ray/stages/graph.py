@@ -258,13 +258,20 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
 
 def connected_components_distributed(edges_ds,
                                      num_partitions: int | None = None,
-                                     max_iters: int = 50):
+                                     max_iters: int = 50,
+                                     as_dataset: bool = False):
     """Min-label propagation with the label table AS A DATASET (the
     unbounded-vocab variant of :func:`connected_components`): iterate
     ``label[v] = min(label[v], min over neighbors' label)`` via a hash
     join + groupby-min until a fixpoint (checked with a distributed
     count of changed rows). Converges in O(component diameter)
-    rounds."""
+    rounds.
+
+    Node dtype follows the edge columns (string entities or int64 doc
+    ids both work; "min" is the dtype's natural order). With
+    ``as_dataset=True`` the (src, label) Dataset is returned WITHOUT
+    driver materialization — the shape downstream dedup pipelines need.
+    """
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
@@ -274,6 +281,8 @@ def connected_components_distributed(edges_ds,
         # task-based cogroup joins: 1x CPUs keeps per-iteration task
         # count bounded without oversubscribing small graphs
         num_partitions = default_num_partitions(multiplier=1)
+    schema = edges_ds.schema()
+    node_type = schema.types[schema.names.index("subj")]
 
     def expand(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -297,7 +306,7 @@ def connected_components_distributed(edges_ds,
     )
     n_changed = 0
     for _ in range(max_iters):
-        _nl_schema = pa.schema([("src", pa.string()), ("nl", pa.string())])
+        _nl_schema = pa.schema([("src", node_type), ("nl", node_type)])
 
         def neighbor_labels(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or len(t) == 0:
@@ -314,7 +323,7 @@ def connected_components_distributed(edges_ds,
             .aggregate(Min("nl", alias_name="nl"))
         )
         _merged_schema = pa.schema(
-            [("src", pa.string()), ("label", pa.string()),
+            [("src", node_type), ("label", node_type),
              ("changed", pa.int64())]
         )
 
@@ -353,11 +362,13 @@ def connected_components_distributed(edges_ds,
                 max_iters,
                 n_changed,
             )
+    if as_dataset:
+        return labels
     out = labels.to_pandas().sort_values("src", kind="mergesort")
     return pa.table(
         {
-            "entity": pa.array(out["src"], pa.string()),
-            "component": pa.array(out["label"], pa.string()),
+            "entity": pa.array(out["src"], node_type),
+            "component": pa.array(out["label"], node_type),
         }
     )
 

@@ -187,3 +187,48 @@ def test_ngram_jaccard_exact_max_df_prunes(ray_session):
         for r in ngram_jaccard_exact_pairs(docs, max_df=10**9).take_all()
     }
     assert got == set(_brute_jaccard_pairs(0.6))
+
+
+def test_neardup_keep_one_matches_bruteforce(ray_session):
+    """End-to-end keep-one dedup: survivors == all doc_ids minus every
+    Jaccard>=0.6 cluster member except the cluster's numeric-min id,
+    where clusters are the transitive closure of the brute-force pair
+    set. Also exercises connected_components_distributed on INT64
+    nodes (the string path is covered by the kg graph tests)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import neardup_keep_one
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = sorted(
+        r["doc_id"] for r in neardup_keep_one(docs).take_all()
+    )
+    # distributed tier (forced small bound) must agree exactly
+    got_dist = sorted(
+        r["doc_id"]
+        for r in neardup_keep_one(docs, driver_cc_max_pairs=0).take_all()
+    )
+    assert got == got_dist
+
+    # brute-force: union-find over the exact pair set
+    pairs = _brute_jaccard_pairs(0.6)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    want = sorted(i for i in all_ids if find(i) == i)
+    assert got == want
+    assert len(want) < len(all_ids)  # fixture must drop something
