@@ -13,6 +13,7 @@ BOTH sides (engine + oracle) so the driver's value-hash compare is stable.
 
 from __future__ import annotations
 
+from collections import Counter
 import hashlib
 
 import numpy as np
@@ -169,35 +170,54 @@ _LANG_SEEDS = {
 
 def _trigrams(s: str) -> dict[str, int]:
     s = f"  {s.lower()}  "
-    out: dict[str, int] = {}
-    for i in range(len(s) - 2):
-        g = s[i : i + 3]
-        out[g] = out.get(g, 0) + 1
-    return out
+    # zip-of-shifted-views + C-level Counter: ~1.6x the indexing loop
+    return Counter(map("".join, zip(s, s[1:], s[2:])))
 
 
 class LangId:
-    """Actor-pool stage: profiles built once per actor in ``__init__``."""
+    """Actor-pool stage: profiles built once per actor in ``__init__``
+    as a dense (vocab × langs) matrix — per doc the score against ALL
+    languages is one vectorized gather + matmul row, not a per-language
+    Python dict loop. Trigrams outside every profile contribute 0 to
+    every dot product (they only enter through the doc norm), so the
+    union vocab is complete."""
 
     def __init__(self) -> None:
-        self.profiles = {}
-        for lang, seed in _LANG_SEEDS.items():
-            prof = _trigrams(seed)
-            norm = np.sqrt(sum(v * v for v in prof.values()))
-            self.profiles[lang] = (prof, norm)
+        self.langs = sorted(_LANG_SEEDS)
+        profs = {lang: _trigrams(_LANG_SEEDS[lang]) for lang in self.langs}
+        self.vocab = {
+            g: i
+            for i, g in enumerate(
+                sorted({g for p in profs.values() for g in p})
+            )
+        }
+        P = np.zeros((len(self.vocab), len(self.langs)), np.float64)
+        for j, lang in enumerate(self.langs):
+            prof = profs[lang]
+            pnorm = np.sqrt(sum(v * v for v in prof.values()))
+            if pnorm:
+                for g, v in prof.items():
+                    P[self.vocab[g], j] = v / pnorm
+        self.P = P
 
     def predict(self, text: str) -> str:
         tg = _trigrams(text[:1000])
         if not tg:
             return "und"
         tnorm = np.sqrt(sum(v * v for v in tg.values()))
-        best_lang, best = "und", -1.0
-        for lang, (prof, pnorm) in sorted(self.profiles.items()):
-            dot = sum(c * prof.get(g, 0) for g, c in tg.items())
-            sim = dot / (tnorm * pnorm) if pnorm else 0.0
-            if sim > best:
-                best, best_lang = sim, lang
-        return best_lang
+        idx = [self.vocab.get(g, -1) for g in tg]
+        rows = [i for i in idx if i >= 0]
+        if not rows:
+            # zero overlap: every sim is exactly 0.0; the sorted-first
+            # language wins, matching the scalar reference loop
+            return self.langs[0]
+        cnts = np.fromiter(
+            (c for i, c in zip(idx, tg.values()) if i >= 0),
+            np.float64,
+            count=len(rows),
+        )
+        sims = cnts @ self.P[rows] / tnorm
+        return self.langs[int(np.argmax(sims))]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = [self.predict(t or "") for t in batch["text"].to_pylist()]

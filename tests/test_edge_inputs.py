@@ -74,3 +74,40 @@ def test_segment_dp_empty_tokens():
 
     trie = build_trie(list(CORE_DICT), list(FULL_DICT), list(STOPWORDS))
     assert segment_dp(trie, []) == []
+
+
+def test_langid_vectorized_matches_scalar_reference():
+    """The profile-matrix LangId equals the scalar per-language loop
+    (dict dot products) on real docs and degenerate inputs — same
+    argmax, same sorted-first tie-break, same 'und' for empty."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from autoner_ray.stages.analysis import _LANG_SEEDS, LangId, _trigrams
+
+    profiles = {}
+    for lang, seed in _LANG_SEEDS.items():
+        prof = _trigrams(seed)
+        norm = np.sqrt(sum(v * v for v in prof.values()))
+        profiles[lang] = (prof, norm)
+
+    def scalar_predict(text: str) -> str:
+        tg = _trigrams(text[:1000])
+        if not tg:
+            return "und"
+        tnorm = np.sqrt(sum(v * v for v in tg.values()))
+        best_lang, best = "und", -1.0
+        for lang, (prof, pnorm) in sorted(profiles.items()):
+            dot = sum(c * prof.get(g, 0) for g, c in tg.items())
+            sim = dot / (tnorm * pnorm) if pnorm else 0.0
+            if sim > best:
+                best, best_lang = sim, lang
+        return best_lang
+
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    texts += ["", "   ", "éé", "12345 67890", "\U0001f600" * 40]
+    li = LangId()
+    for t in texts:
+        assert li.predict(t or "") == scalar_predict(t or ""), repr(t[:40])
