@@ -174,6 +174,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.token_stats_batch, batch_format="pyarrow"
         )
 
+    def docs_bpe_token_counts(sf_dir):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            analysis.bpe_token_counts_batch, batch_format="pyarrow"
+        )
+
     def docs_quality(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             analysis.quality_batch, batch_format="pyarrow"
@@ -284,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-backed: documents analysis / dedup / indexing --------
         "docs_lang_counts": docs_lang_counts,
         "docs_token_stats": docs_token_stats,
+        "docs_bpe_token_counts": docs_bpe_token_counts,
         "docs_quality": docs_quality,
         "docs_md5": docs_md5,
         "docs_exact_dedup": docs_exact_dedup,
@@ -825,6 +831,16 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": f"""
             SELECT doc_id, CAST(len({WORDS}) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "docs_bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       COALESCE(text, ''), '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+                       AS n_bpe_tokens,
+                   CAST(len(list_filter(
+                       string_split_regex(COALESCE(text, ''), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_ws_tokens
             FROM documents
         """,
         "docs_quality": f"""

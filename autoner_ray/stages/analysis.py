@@ -494,3 +494,36 @@ def bm25_topk(docs_ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75):
             "score": pa.array([s for s, _ in top], pa.float64()),
         }
     )
+
+
+# -- BPE-ish token counting ----------------------------------------------------
+
+# GPT-2-style pretokenizer, alternation-only so the SAME pattern runs
+# under Python `regex` (engine) and RE2 (DuckDB oracle): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+_BPE_RE = None
+
+
+def bpe_token_counts_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens (pretokenizer matches), n_ws_tokens
+    (non-empty whitespace-split tokens) — the two token budgets an LLM
+    data pipeline tracks. Pattern compiled once per worker process."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import regex
+
+        _BPE_RE = regex.compile(BPE_PATTERN)
+    texts = batch["text"].to_pylist()
+    n_bpe = [len(_BPE_RE.findall(t or "")) for t in texts]
+    n_ws = [len((t or "").split()) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "n_ws_tokens": pa.array(n_ws, pa.int64()),
+        }
+    )
