@@ -215,8 +215,9 @@ def test_bc5cdr_artifact_f1():
     """The committed artifacts hold their trained quality on the human
     gold TEST split (never used in training by either recipe):
     - main artifact (DS_GOLD_MIXED recipe, `dataset.py:298-404`, dev
-      selection tail held out of training): test F1 >= 0.81 (measured
-      0.832 full-test at mint time, round 3 with word-drop 0.25);
+      selection tail held out of training, word-drop 0.25 + one
+      self-training round): test F1 >= 0.82 (measured 0.837 full-test
+      at mint time, round 3);
     - distant-only artifact (pure AutoNER recipe + word-level
       unk-dropout 0.25 + 3 self-training rounds over the FILTERED
       supervision gaps; gold never seen): test F1 >= 0.80, above the
@@ -225,7 +226,7 @@ def test_bc5cdr_artifact_f1():
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
     )
-    assert stats["f1"] >= 0.81, stats
+    assert stats["f1"] >= 0.82, stats
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr_distant.npz",
         "test",
