@@ -358,23 +358,23 @@ def customers_without_orders(sf_dir: str, since: str = "2000-01-01"):
     import ray.data as rd
 
     cutoff = pa.scalar(since).cast(pa.timestamp("us"))
-    keys = set(
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey"],
-            # predicate pushed into the parquet scan
-            filter=pc.field("o_orderdate") >= cutoff,
-        ).unique("o_custkey")
-    )
-    keys_ref = ray.put(keys)
+    keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        # predicate pushed into the parquet scan
+        filter=pc.field("o_orderdate") >= cutoff,
+    ).unique("o_custkey")
+    keys_ref = ray.put(pa.array(keys, pa.int64()))
 
     class AntiFilter:
         def __init__(self) -> None:
             self.keys = ray.get(keys_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [c not in self.keys for c in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            mask = pc.invert(
+                pc.is_in(t["c_custkey"], value_set=self.keys)
+            )
+            return t.filter(mask)
 
     return (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
