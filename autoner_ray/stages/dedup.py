@@ -659,10 +659,13 @@ def neardup_keep_one(
     k: int = 3,
     num_partitions: int | None = None,
     driver_cc_max_pairs: int = 2_000_000,
+    pair_source: str = "exact",
 ):
     """End-to-end near-duplicate REMOVAL — the pipeline a training-data
-    run actually executes (pairs alone are diagnostics): exact n-gram
-    Jaccard pairs (:func:`ngram_jaccard_exact_pairs`) → distributed
+    run actually executes (pairs alone are diagnostics): n-gram Jaccard
+    pairs (``pair_source="exact"``: deterministic shared-shingle join,
+    oracle-checkable; ``"lsh"``: MinHash-LSH candidates + verify, the
+    sub-quadratic web-scale default) → distributed
     min-id label propagation over the pair graph
     (``connected_components_distributed``, int64 nodes) → every cluster
     keeps its smallest ``doc_id``; docs in no pair survive untouched.
@@ -687,9 +690,19 @@ def neardup_keep_one(
 
     import pyarrow.compute as pc
 
-    pairs = ngram_jaccard_exact_pairs(
-        docs_ds, threshold=threshold, k=k, num_partitions=num_partitions
-    ).materialize()
+    if pair_source == "exact":
+        pairs = ngram_jaccard_exact_pairs(
+            docs_ds, threshold=threshold, k=k,
+            num_partitions=num_partitions,
+        ).materialize()
+    elif pair_source == "lsh":
+        # at-scale default pair generator: MinHash-LSH candidates +
+        # exact verification; sub-quadratic, recall < 1 by design
+        pairs = ngram_jaccard_pairs(
+            docs_ds, threshold=threshold
+        ).materialize()
+    else:
+        raise ValueError(f"unknown pair_source: {pair_source!r}")
 
     if pairs.count() <= driver_cc_max_pairs:
         pdf = pairs.to_pandas()

@@ -232,3 +232,24 @@ def test_neardup_keep_one_matches_bruteforce(ray_session):
     want = sorted(i for i in all_ids if find(i) == i)
     assert got == want
     assert len(want) < len(all_ids)  # fixture must drop something
+
+
+def test_neardup_keep_one_lsh_source(ray_session):
+    """pair_source='lsh' survivors equal the exact-pair survivors on
+    this fixture (the LSH banding detects every true pair here, pinned
+    by test_minhash_neardup_matches_bruteforce)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import neardup_keep_one
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    exact = sorted(
+        r["doc_id"] for r in neardup_keep_one(docs).take_all()
+    )
+    lsh = sorted(
+        r["doc_id"]
+        for r in neardup_keep_one(docs, pair_source="lsh").take_all()
+    )
+    assert exact == lsh
