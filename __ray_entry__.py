@@ -224,7 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def lang_id_predict(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            analysis.LangId, batch_format="pyarrow", concurrency=2
+            analysis.lang_id_batch, batch_format="pyarrow"
         )
 
     def docs_union_all(sf_dir):

@@ -175,7 +175,7 @@ def _trigrams(s: str) -> dict[str, int]:
 
 
 class LangId:
-    """Actor-pool stage: profiles built once per actor in ``__init__``
+    """Language-ID kernel: profiles built once per instance
     as a dense (vocab × langs) matrix — per doc the score against ALL
     languages is one vectorized gather + matmul row, not a per-language
     Python dict loop. Trigrams outside every profile contribute 0 to
@@ -227,6 +227,20 @@ class LangId:
                 "pred_lang": pa.array(preds, pa.string()),
             }
         )
+
+
+_LANGID_SINGLETON = None
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """TASK-pool wrapper: LangId state is tiny and deterministic, so a
+    per-worker-process singleton replaces actor state — warm Ray workers
+    carry no per-run actor-spawn cost (same reasoning as the minhash
+    signer, dedup.py) and the stage scales with the task pool."""
+    global _LANGID_SINGLETON
+    if _LANGID_SINGLETON is None:
+        _LANGID_SINGLETON = LangId()
+    return _LANGID_SINGLETON(batch)
 
 
 def tfidf_top_terms(docs_ds, k: int = 3):
