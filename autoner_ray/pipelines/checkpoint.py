@@ -31,9 +31,9 @@ def _partition_pairs(sf_dir: str, part: int, num_parts: int, concurrency):
     import ray.data as rd
 
     from autoner_ray.dicts import CORE_DICT, FULL_DICT, STOPWORDS
-    from autoner_ray.pipelines.kg import DEFAULT_BATCH_SIZE, _match_concurrency
+    from autoner_ray.pipelines.kg import DEFAULT_BATCH_SIZE
     from autoner_ray.sources.pages import derive_pages_batch
-    from autoner_ray.stages.dict_match import DictMatcher
+    from autoner_ray.stages.dict_match import dict_match_fn
     from autoner_ray.stages.extract import extract_text_batch
     from autoner_ray.stages.tokenize import tokenize_pages_batch
 
@@ -44,20 +44,14 @@ def _partition_pairs(sf_dir: str, part: int, num_parts: int, concurrency):
         # doc_id % num_parts == part, as a pushed-down row filter
         filter=pc.bit_wise_and(pc.field("doc_id"), num_parts - 1) == part,
     )
-    if concurrency is None:
-        concurrency = _match_concurrency()
     return (
         ds.map_batches(derive_pages_batch, batch_format="pyarrow")
         .map_batches(extract_text_batch, batch_format="pyarrow")
         .map_batches(tokenize_pages_batch, batch_format="pyarrow")
         .map_batches(
-            DictMatcher,
-            fn_constructor_kwargs={
-                "core_lines": CORE_DICT,
-                "full_lines": FULL_DICT,
-                "stopword_lines": STOPWORDS,
-                "output": "pairs",
-            },
+            dict_match_fn(
+                CORE_DICT, FULL_DICT, STOPWORDS, output="pairs"
+            ),
             batch_format="pyarrow",
             batch_size=DEFAULT_BATCH_SIZE,
             concurrency=concurrency,

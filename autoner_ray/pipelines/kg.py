@@ -1,7 +1,7 @@
 """Flagship KG-construction pipeline (north rule end-to-end).
 
     read pages -> extract_text -> tokenize (sentence rows)
-      -> DictMatcher actor pool (trie + segmentDP)
+      -> DictMatcher task pool w/ per-worker trie cache (trie + segmentDP)
       -> pair partial counts -> groupby edge aggregate
       -> [optional] sorted adjacency graph shards
 
@@ -39,17 +39,16 @@ DEFAULT_BATCH_SIZE = 2048
 def _match_concurrency(reserve: int = 1):
     """Fixed actor-pool size: cluster CPUs minus ``reserve``.
 
-    Fixed (not autoscaling) so the pool is at full width immediately —
-    Ray Data's autoscaling pool ramps too slowly to matter on
-    minutes-long stages. ``reserve`` CPUs stay free for the task-pool
-    operators (read + final aggregate — both trivial once the pair
-    combiner is fused into the actor). Pipelines that run a SECOND fixed
-    actor pool downstream (e.g. the link join) must reserve that pool's
-    width too: if the fixed pools together claim every CPU, the
-    downstream pool can never start, backpressure pins the upstream
-    operator open, and the pipeline deadlocks. Scales with whatever
-    session the driver opened — same code on 8 CPUs or a 256-node
-    cluster.
+    Kept for callers that still need a FIXED ACTOR pool (state too big
+    for one-copy-per-worker, e.g. a multi-GB KB trie at narrow width).
+    The default match stages now run as TASK pools with per-worker state
+    caches (``dict_match_fn`` / ``cached_stage_fn``) — no per-run pool
+    spawn, no fixed-pool CPU-budget deadlock: if the fixed pools of a
+    topology together claim every CPU, a downstream pool can never
+    start, backpressure pins the upstream operator open, and the
+    pipeline deadlocks; that budgeting discipline only applies when you
+    opt back into fixed actor pools. Scales with whatever session the
+    driver opened — same code on 8 CPUs or a 256-node cluster.
     """
     try:
         import ray
@@ -110,17 +109,18 @@ def matched_sentences(
     output: str = "sentences",
     repeat: int = 1,
 ):
-    """Actor-pool dictionary match over sentence rows."""
-    if concurrency is None:
-        concurrency = _match_concurrency()
+    """Dictionary match over sentence rows — TASK pool with a per-worker
+    trie cache (``dict_match_fn``): the trie builds once per worker for
+    the whole session, so back-to-back pipelines over the same
+    dictionaries carry no per-run pool-spawn or rebuild cost. Pass
+    ``concurrency`` to cap concurrent tasks (tests); None = let the
+    scheduler use every free CPU."""
+    from autoner_ray.stages.dict_match import dict_match_fn
+
     return sentences_dataset(sf_dir, repeat=repeat).map_batches(
-        DictMatcher,
-        fn_constructor_kwargs={
-            "core_lines": CORE_DICT,
-            "full_lines": FULL_DICT,
-            "stopword_lines": STOPWORDS,
-            "output": output,
-        },
+        dict_match_fn(
+            CORE_DICT, FULL_DICT, STOPWORDS, output=output
+        ),
         batch_format="pyarrow",
         batch_size=DEFAULT_BATCH_SIZE,
         concurrency=concurrency,
@@ -249,10 +249,10 @@ def kg_mentions_linked(sf_dir: str, concurrency=None, link_concurrency=2):
         link_mentions,
     )
 
-    if concurrency is None:
-        # two fixed actor pools coexist in the linked stream — budget the
-        # matcher so the link pool (+1 task slot) can always start
-        concurrency = _match_concurrency(reserve=1 + link_concurrency)
+    # matcher is a task pool now (dict_match_fn) — it yields CPUs to the
+    # fixed link actor pool naturally, so no width budgeting is needed.
+    # (LinkMentions stays an actor pool: its broadcast table is computed
+    # per run, so a per-worker cache would just accumulate stale state.)
     mentions = matched_sentences(sf_dir, concurrency, output="mentions")
     return link_mentions(
         mentions, canonical_entities(mentions), concurrency=link_concurrency

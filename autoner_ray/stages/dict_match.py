@@ -1,11 +1,18 @@
-"""Dictionary-matching actor-pool stage (T1 trie + T2 segmentDP).
+"""Dictionary-matching stage (T1 trie + T2 segmentDP).
 
-A callable CLASS for ``map_batches(DictMatcher, concurrency=N, ...)``: the
-trie is built ONCE per actor in ``__init__`` from broadcast dictionary
-lines (pass small lists directly, or ``ray.put`` handles for KB-scale
-dictionaries — both accepted), then every ``__call__`` segments each
-sentence row independently. Embarrassingly parallel; no shuffle
-(SURVEY.md §2.3 T1/T2).
+Two execution shapes over the same :class:`DictMatcher` kernel:
+- ``dict_match_fn(...)`` (DEFAULT): a TASK-pool function whose trie is
+  built once per WORKER PROCESS and cached for the whole session —
+  repeated pipelines over the same dictionaries pay zero per-run pool
+  spawn or trie rebuild. Memory ≈ one trie per worker ≈ CPU-count
+  copies per node.
+- ``map_batches(DictMatcher, concurrency=N, ...)``: the classic FIXED
+  actor pool — use when the dictionary is too large for a per-worker
+  copy and must be bounded to N actors.
+The trie is built ONCE per actor/worker from broadcast dictionary
+lines (plain lists or ``ray.put`` handles — both accepted), then every
+``__call__`` segments each sentence row independently. Embarrassingly
+parallel; no shuffle (SURVEY.md §2.3 T1/T2).
 
 Outputs (constructor ``output=``):
 - ``"sentences"``: input row + ``entities: list<string>`` (sorted distinct
@@ -244,3 +251,121 @@ class DictMatcher:
                 "ck": pa.array(cks, type=pa.string()),
             }
         )
+
+
+# -- task-pool twin ------------------------------------------------------------
+
+_MATCHER_CACHE: dict = {}
+
+
+def _content_key(lines) -> str:
+    """Stable state key: ObjectRef hex (already content-addressed for the
+    session) or an md5 over the lines themselves."""
+    import hashlib
+
+    try:
+        import ray
+
+        if isinstance(lines, ray.ObjectRef):
+            return lines.hex()
+    except ImportError:
+        pass
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode() if isinstance(ln, str) else ln)
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def dict_match_fn(core_lines, full_lines=(), stopword_lines=(),
+                  weight: float = 1.0, output: str = "sentences"):
+    """TASK-pool twin of the :class:`DictMatcher` actor class.
+
+    Returns a plain function for ``map_batches`` — no actor pool. The
+    trie is built once per WORKER PROCESS (module-level cache keyed by
+    dictionary content + output mode) and then reused by every task of
+    every query in the session: repeated pipelines over the same
+    dictionaries pay the trie build once per worker instead of once per
+    actor per run, and there is no per-run pool-spawn cost or
+    fixed-pool CPU-budget deadlock to manage (same reasoning as the
+    minhash signer, dedup.py).
+
+    Dictionary lines are shipped as ``ray.put`` handles captured in the
+    closure — tasks deserialize a tiny ref, not the dictionary.
+
+    Memory bound: at most one trie per worker process ≈ CPU-count
+    copies per node — the same count as the CPU-wide actor pool. For a
+    dictionary too large for that budget, use the actor class with a
+    narrower ``concurrency`` instead.
+    """
+    import ray
+
+    key = (
+        _content_key(core_lines),
+        _content_key(full_lines),
+        _content_key(stopword_lines),
+        weight,
+        output,
+    )
+
+    def _as_ref(lines):
+        return lines if isinstance(lines, ray.ObjectRef) else ray.put(
+            list(lines)
+        )
+
+    core_ref, full_ref, stop_ref = map(
+        _as_ref, (core_lines, full_lines, stopword_lines)
+    )
+
+    def match_batch(batch: pa.Table) -> pa.Table:
+        m = _MATCHER_CACHE.get(key)
+        if m is None:
+            m = DictMatcher(
+                _maybe_get(core_ref),
+                _maybe_get(full_ref),
+                _maybe_get(stop_ref),
+                weight,
+                output,
+            )
+            _MATCHER_CACHE[key] = m
+        return m(batch)
+
+    return match_batch
+
+
+def cached_stage_fn(cls, **kwargs):
+    """Generic task-pool wrapper for an actor-class stage: builds the
+    class once per WORKER PROCESS (cache keyed by class + kwarg content)
+    and reuses it for every task of every query in the session. List,
+    tuple and bytes kwargs are shipped as ``ray.put`` handles so tasks
+    deserialize a ref, not the payload. Same memory bound as
+    :func:`dict_match_fn`: ≤ one instance per worker ≈ CPU-count copies
+    per node. Use the actor class directly when the state exceeds that
+    budget."""
+    import hashlib
+
+    import ray
+
+    def norm(v):
+        if isinstance(v, ray.ObjectRef):
+            return v.hex(), v
+        if isinstance(v, (list, tuple)):
+            return _content_key(v), ray.put(list(v))
+        if isinstance(v, bytes):
+            return hashlib.md5(v).hexdigest(), ray.put(v)
+        return repr(v), v
+
+    keyed = {k: norm(v) for k, v in sorted(kwargs.items())}
+    key = (cls.__module__, cls.__qualname__) + tuple(
+        (k, h) for k, (h, _) in keyed.items()
+    )
+    shipped = {k: v for k, (_, v) in keyed.items()}
+
+    def stage_batch(batch: pa.Table) -> pa.Table:
+        inst = _MATCHER_CACHE.get(key)
+        if inst is None:
+            inst = cls(**{k: _maybe_get(v) for k, v in shipped.items()})
+            _MATCHER_CACHE[key] = inst
+        return inst(batch)
+
+    return stage_batch

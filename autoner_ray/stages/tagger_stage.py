@@ -159,17 +159,17 @@ class TaggerEval:
         )
 
 
-def neural_mentions(sentences_ds, model_blob, concurrency=2,
+def neural_mentions(sentences_ds, model_blob, concurrency=None,
                     threshold: float = 0.0, batch_size: int = 512):
-    """Sentence rows -> decoded mention rows via the actor pool."""
-    import ray
+    """Sentence rows -> decoded mention rows. Task pool with a
+    per-worker model cache (``cached_stage_fn``): the blob deserializes
+    once per worker per session, not once per actor per run."""
+    from autoner_ray.stages.dict_match import cached_stage_fn
 
-    ref = model_blob if isinstance(model_blob, ray.ObjectRef) else ray.put(
-        model_blob
-    )
     return sentences_ds.map_batches(
-        TaggerScorer,
-        fn_constructor_kwargs={"model_blob": ref, "threshold": threshold},
+        cached_stage_fn(
+            TaggerScorer, model_blob=model_blob, threshold=threshold
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -178,22 +178,19 @@ def neural_mentions(sentences_ds, model_blob, concurrency=2,
 
 
 def eval_span_f1(sentences_ds, model_blob, core_lines, full_lines=(),
-                 stopword_lines=(), concurrency=2) -> pa.Table:
+                 stopword_lines=(), concurrency=None) -> pa.Table:
     """Distributed span-F1 (A4) + global score min/max (A5): partial
     counts per batch, one tiny final merge."""
-    import ray
+    from autoner_ray.stages.dict_match import cached_stage_fn
 
-    ref = model_blob if isinstance(model_blob, ray.ObjectRef) else ray.put(
-        model_blob
-    )
     partials = sentences_ds.map_batches(
-        TaggerEval,
-        fn_constructor_kwargs={
-            "model_blob": ref,
-            "core_lines": core_lines,
-            "full_lines": full_lines,
-            "stopword_lines": stopword_lines,
-        },
+        cached_stage_fn(
+            TaggerEval,
+            model_blob=model_blob,
+            core_lines=core_lines,
+            full_lines=full_lines,
+            stopword_lines=stopword_lines,
+        ),
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
@@ -278,22 +275,17 @@ def hybrid_triples(sentences_ds, model_blob, core_lines, full_lines=(),
     """Edge weights over the dict+neural union mention stream."""
     import ray
 
-    from autoner_ray.pipelines.kg import _match_concurrency
+    from autoner_ray.stages.dict_match import cached_stage_fn
     from autoner_ray.stages.triples import aggregate_edges
 
-    if concurrency is None:
-        concurrency = _match_concurrency()
-    ref = model_blob if isinstance(model_blob, ray.ObjectRef) else ray.put(
-        model_blob
-    )
     pairs = sentences_ds.map_batches(
-        HybridPairs,
-        fn_constructor_kwargs={
-            "model_blob": ref,
-            "core_lines": core_lines,
-            "full_lines": full_lines,
-            "stopword_lines": stopword_lines,
-        },
+        cached_stage_fn(
+            HybridPairs,
+            model_blob=model_blob,
+            core_lines=core_lines,
+            full_lines=full_lines,
+            stopword_lines=stopword_lines,
+        ),
         batch_format="pyarrow",
         batch_size=512,
         concurrency=concurrency,
@@ -368,17 +360,15 @@ def mention_contexts(sentences_ds, core_lines, full_lines=(),
                 }
             )
 
-    from autoner_ray.pipelines.kg import _match_concurrency
+    from autoner_ray.stages.dict_match import cached_stage_fn
 
-    if concurrency is None:
-        concurrency = _match_concurrency()
     return sentences_ds.map_batches(
-        Contexts,
-        fn_constructor_kwargs={
-            "core_lines": core_lines,
-            "full_lines": full_lines,
-            "stopword_lines": stopword_lines,
-        },
+        cached_stage_fn(
+            Contexts,
+            core_lines=core_lines,
+            full_lines=full_lines,
+            stopword_lines=stopword_lines,
+        ),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=concurrency,
@@ -423,13 +413,15 @@ def export_training_set(sentences_ds, core_lines, full_lines=(),
                 }
             )
 
+    from autoner_ray.stages.dict_match import cached_stage_fn
+
     ds = sentences_ds.map_batches(
-        Encoder,
-        fn_constructor_kwargs={
-            "core_lines": core_lines,
-            "full_lines": full_lines,
-            "stopword_lines": stopword_lines,
-        },
+        cached_stage_fn(
+            Encoder,
+            core_lines=core_lines,
+            full_lines=full_lines,
+            stopword_lines=stopword_lines,
+        ),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=concurrency,
