@@ -219,9 +219,9 @@ def test_bc5cdr_artifact_f1():
       self-training round): test F1 >= 0.82 (measured 0.837 full-test
       at mint time, round 3);
     - distant-only artifact (pure AutoNER recipe + word-level
-      unk-dropout 0.25 + 3 self-training rounds over the FILTERED
+      unk-dropout 0.25 + 4 self-training rounds over the FILTERED
       supervision gaps; gold never seen): test F1 >= 0.80, above the
-      0.7198 dictionary-match baseline (measured 0.826 full-test at
+      0.7198 dictionary-match baseline (measured 0.827 full-test at
       mint time, round 3; round 2 was 0.744)."""
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
