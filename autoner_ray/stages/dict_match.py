@@ -256,6 +256,15 @@ class DictMatcher:
 # -- task-pool twin ------------------------------------------------------------
 
 _MATCHER_CACHE: dict = {}
+_MATCHER_CACHE_MAX = 8
+
+
+def _cache_put(key, inst):
+    """FIFO-bounded per-worker cache: a long session cycling many
+    distinct dictionaries (test suites) must not accumulate tries."""
+    if len(_MATCHER_CACHE) >= _MATCHER_CACHE_MAX:
+        _MATCHER_CACHE.pop(next(iter(_MATCHER_CACHE)))
+    _MATCHER_CACHE[key] = inst
 
 
 def _content_key(lines) -> str:
@@ -327,7 +336,7 @@ def dict_match_fn(core_lines, full_lines=(), stopword_lines=(),
                 weight,
                 output,
             )
-            _MATCHER_CACHE[key] = m
+            _cache_put(key, m)
         return m(batch)
 
     return match_batch
@@ -365,7 +374,7 @@ def cached_stage_fn(cls, **kwargs):
         inst = _MATCHER_CACHE.get(key)
         if inst is None:
             inst = cls(**{k: _maybe_get(v) for k, v in shipped.items()})
-            _MATCHER_CACHE[key] = inst
+            _cache_put(key, inst)
         return inst(batch)
 
     return stage_batch
