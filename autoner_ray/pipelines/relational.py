@@ -149,9 +149,17 @@ def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def top_customers_by_revenue(sf_dir: str, k: int = 10):
-    """lineitem ⋈ orders (hash-partitioned large-large join) -> revenue
-    per customer -> top k -> name lookup restricted to the k keys."""
+def top_customers_by_revenue(sf_dir: str, k: int = 10,
+                             broadcast_max_rows: int = 5_000_000):
+    """lineitem ⋈ orders -> revenue per customer -> top k -> name lookup
+    restricted to the k keys.
+
+    TIERED join (same pattern as verify_jaccard / neardup keep-one): an
+    orders side up to ``broadcast_max_rows`` (≈80 MB as two int64
+    arrays) ships once as a sorted-array lookup and each lineitem batch
+    resolves custkeys locally with ``np.searchsorted`` — no shuffle of
+    either table. Above the bound (TPC-H sf≳30) the hash-partitioned
+    large-large ``cogroup_join`` takes over with identical results."""
     from ray.data.aggregate import Sum
 
     line = _read(
@@ -174,35 +182,77 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10):
         agg = tbl.group_by("l_orderkey").aggregate([("order_cents", "sum")])
         return agg.rename_columns(["l_orderkey", "order_cents"])
 
-    # join the pre-combined partials directly: revenue sums are
-    # associative, so the join tolerates multiple rows per orderkey and
-    # the expensive global orderkey groupby disappears entirely
-    order_rev = line.map_batches(revenue_partial, batch_format="pyarrow")
+    import pyarrow.parquet as pq
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        lambda t: pa.table(
-            {"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
-        ),
-        batch_format="pyarrow",
-    )
-    # task-based cogroup join: Ray 2.49's native Dataset.join spawns one
-    # aggregator ACTOR per partition (~0.1 s spawn each, measured 8/16/32
-    # = 4.7/5.8/7.8 s for this query at sf0.1) — a task-pool shuffle
-    # reuses warm workers and carries no per-run fleet cost
-    from autoner_ray.stages.joins import cogroup_join
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= broadcast_max_rows:
+        import numpy as np
+        import ray
 
-    joined = cogroup_join(order_rev, orders, on=("l_orderkey",))
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        okeys = ot["o_orderkey"].to_numpy()
+        order_ix = np.argsort(okeys, kind="stable")
+        lookup_ref = ray.put(
+            (okeys[order_ix], ot["o_custkey"].to_numpy()[order_ix])
+        )
 
-    def cust_partial(t: pa.Table) -> pa.Table:
-        agg = t.select(["o_custkey", "order_cents"]).group_by(
-            "o_custkey"
-        ).aggregate([("order_cents", "sum")])
-        return agg.rename_columns(["o_custkey", "order_cents"])
+        # single fused pass over lineitem: cents -> searchsorted custkey
+        # -> per-batch custkey combine. The orderkey grouping disappears
+        # entirely; large batches make each partial ≤ |customers| rows.
+        def cust_partial_direct(t: pa.Table) -> pa.Table:
+            keys, custs = ray.get(lookup_ref)
+            pos = np.searchsorted(keys, t["l_orderkey"].to_numpy())
+            agg = pa.table(
+                {
+                    "o_custkey": pa.array(custs[pos], pa.int64()),
+                    "order_cents": _rev_cents(
+                        t["l_extendedprice"].combine_chunks(),
+                        t["l_discount"].combine_chunks(),
+                    ),
+                }
+            ).group_by("o_custkey").aggregate([("order_cents", "sum")])
+            return agg.rename_columns(["o_custkey", "order_cents"])
 
-    cust_rev = (
-        joined.map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("order_cents", alias_name="cents"))
+        joined_partials = line.map_batches(
+            cust_partial_direct, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        # join the pre-combined partials directly: revenue sums are
+        # associative, so the join tolerates multiple rows per orderkey
+        # and the expensive global orderkey groupby disappears entirely
+        order_rev = line.map_batches(
+            revenue_partial, batch_format="pyarrow"
+        )
+        orders = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey"]
+        ).map_batches(
+            lambda t: pa.table(
+                {"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+            ),
+            batch_format="pyarrow",
+        )
+        # task-based cogroup join: Ray 2.49's native Dataset.join spawns
+        # one aggregator ACTOR per partition (~0.1 s spawn each, measured
+        # 8/16/32 = 4.7/5.8/7.8 s for this query at sf0.1) — a task-pool
+        # shuffle reuses warm workers and carries no per-run fleet cost
+        from autoner_ray.stages.joins import cogroup_join
+
+        joined = cogroup_join(order_rev, orders, on=("l_orderkey",))
+
+        def cust_partial(t: pa.Table) -> pa.Table:
+            agg = t.select(["o_custkey", "order_cents"]).group_by(
+                "o_custkey"
+            ).aggregate([("order_cents", "sum")])
+            return agg.rename_columns(["o_custkey", "order_cents"])
+
+        joined_partials = joined.map_batches(
+            cust_partial, batch_format="pyarrow"
+        )
+
+    cust_rev = joined_partials.groupby("o_custkey").aggregate(
+        Sum("order_cents", alias_name="cents")
     )
 
     # top-k FIRST (cents is a monotone proxy for revenue, so the sort
