@@ -44,13 +44,18 @@ def _systematic_sample_mask(batch):
 def entry() -> Any:
     """Flagship pipeline: pages -> extract -> tokenize -> trie match ->
     triples -> edge weights, at sf0.001."""
+    from autoner_ray.cluster import tune_data_context
     from autoner_ray.pipelines.kg import triples_dataset
 
+    tune_data_context()
     return triples_dataset("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from autoner_ray.cluster import tune_data_context
     from autoner_ray.pipelines import kg, relational
+
+    tune_data_context()
     from autoner_ray.stages import (
         analysis,
         dedup,

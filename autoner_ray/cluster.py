@@ -30,3 +30,24 @@ def default_num_partitions(multiplier: int = 2, floor: int = 8) -> int:
     except Exception:
         pass
     return floor
+
+
+def tune_data_context() -> None:
+    """Session-level Ray Data tuning for this engine's topologies.
+
+    Disables per-operator resource reservation (Ray 2.49 default ratio
+    0.5): with it on, a 3-operator pipeline (read → fused task-pool map
+    → aggregate) caps the hot map operator at roughly half the CPUs —
+    measured 32 s vs 14 s wall for the flagship at 4 CPUs. The engine's
+    stages are task pools with per-worker state caches, so nothing
+    relies on reservation to avoid starvation (fixed actor pools, which
+    did, are opt-in only). Safe to call repeatedly; no-op if Ray Data
+    is unavailable.
+    """
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current(
+        ).op_resource_reservation_enabled = False
+    except Exception:
+        pass

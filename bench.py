@@ -82,6 +82,8 @@ def run_bench(
 ) -> dict:
     import ray
 
+    from autoner_ray.cluster import tune_data_context
+
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -89,6 +91,7 @@ def run_bench(
         logging_level="ERROR",
         log_to_driver=False,
     )
+    tune_data_context()
     try:
         import ray.data
 

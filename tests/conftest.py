@@ -14,6 +14,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from autoner_ray.cluster import tune_data_context
+
+    tune_data_context()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
