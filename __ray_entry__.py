@@ -330,12 +330,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardup_keep_one": lambda sf: dedup.neardup_keep_one(
             _docs(sf, ["doc_id", "text"])
         ),
+        "minhash_neardup": minhash_neardup,
         # --- rows-only, in the checked window (44+6 = 50) ----------------
         "kg_triples_full": lambda sf: kg.triples_dataset(sf),
         "kg_triples_resumable": _kg_triples_resumable,
         "kg_triples_hybrid": _kg_triples_hybrid,
         "tagger_span_f1": _tagger_span_f1,
-        "minhash_neardup": minhash_neardup,
         "lang_id_predict": lang_id_predict,
         "knn_ivf": knn_ivf,
         "embedding_clusters": embedding_clusters,
@@ -921,6 +921,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(c AS DOUBLE)
                        / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE)
+                      / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.6
+        """,
+        # MinHash-LSH + verify vs the EXACT-Jaccard pair SQL: the verify
+        # phase emits exact jaccard values, and the 64-hash/16-band LSH
+        # detects every true pair >= 0.6 on this corpus (recall 1 pinned
+        # by tests/test_dedup_similarity.py equality vs brute force), so
+        # the exact pair set IS the expected output
+        "minhash_neardup": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, {WORDS} AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END AS shingles
+                FROM toks
+            ), ds AS MATERIALIZED (
+                SELECT DISTINCT doc_id, t.s
+                FROM sh, UNNEST(shingles) AS t(s)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS c
+                FROM ds a JOIN ds b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(c AS DOUBLE)
+                       / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) AS jaccard
             FROM common
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
