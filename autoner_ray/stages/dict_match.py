@@ -342,7 +342,7 @@ def dict_match_fn(core_lines, full_lines=(), stopword_lines=(),
     return match_batch
 
 
-def cached_stage_fn(cls, **kwargs):
+def cached_stage_fn(cls, _cache_key_extra: str = "", **kwargs):
     """Generic task-pool wrapper for an actor-class stage: builds the
     class once per WORKER PROCESS (cache keyed by class + kwarg content)
     and reuses it for every task of every query in the session. List,
@@ -350,7 +350,13 @@ def cached_stage_fn(cls, **kwargs):
     deserialize a ref, not the payload. Same memory bound as
     :func:`dict_match_fn`: ≤ one instance per worker ≈ CPU-count copies
     per node. Use the actor class directly when the state exceeds that
-    budget."""
+    budget.
+
+    ``_cache_key_extra``: REQUIRED whenever ``cls`` is a local class
+    whose behavior depends on enclosing-scope variables (they are baked
+    into the shipped class but invisible to the kwarg-content key) —
+    pass their repr so differently-parameterized closures never share a
+    cached instance."""
     import hashlib
 
     import ray
@@ -365,7 +371,7 @@ def cached_stage_fn(cls, **kwargs):
         return repr(v), v
 
     keyed = {k: norm(v) for k, v in sorted(kwargs.items())}
-    key = (cls.__module__, cls.__qualname__) + tuple(
+    key = (cls.__module__, cls.__qualname__, _cache_key_extra) + tuple(
         (k, h) for k, (h, _) in keyed.items()
     )
     shipped = {k: v for k, (_, v) in keyed.items()}

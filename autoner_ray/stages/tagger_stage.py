@@ -365,6 +365,8 @@ def mention_contexts(sentences_ds, core_lines, full_lines=(),
     return sentences_ds.map_batches(
         cached_stage_fn(
             Contexts,
+            # window is closure state inside the local class — key it
+            _cache_key_extra=f"window={window}",
             core_lines=core_lines,
             full_lines=full_lines,
             stopword_lines=stopword_lines,

@@ -112,3 +112,31 @@ def test_mention_contexts_and_training_export(ray_session):
     assert list(exp["typed_spans"][0]) == [
         f"{l}:{r}:{ty}" for l, r, ty in segs if ty
     ]
+
+
+def test_mention_contexts_window_not_cached_across_values(ray_session):
+    """Two mention_contexts calls with different windows in ONE session
+    must not share a cached worker instance (the window is closure state
+    inside the local Contexts class — regression test for the per-worker
+    stage cache key)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.tagger_stage import mention_contexts
+
+    t = pa.table(
+        {
+            "url": ["u0"],
+            "doc_id": pa.array([0], pa.int64()),
+            "sent_id": pa.array([0], pa.int32()),
+            "tokens": pa.array(
+                [["alpha", "beta", "spark", "gamma", "delta", "epsilon"]],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    core = ["System\tspark"]
+    ds = rd.from_arrow(t)
+    w1 = mention_contexts(ds, core, window=1).to_pandas()
+    w3 = mention_contexts(rd.from_arrow(t), core, window=3).to_pandas()
+    assert w1.loc[0, "left_ctx"] == "beta"
+    assert w3.loc[0, "left_ctx"] == "alpha beta"
