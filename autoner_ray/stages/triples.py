@@ -49,12 +49,56 @@ def pair_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def aggregate_edges(pairs_ds):
-    """Final edge weights: small shuffle over pre-aggregated partials."""
-    from ray.data.aggregate import Sum
+def aggregate_edges(pairs_ds, num_partitions: int | None = None):
+    """Final edge weights: ONE hash shuffle on ``subj`` (every row of an
+    edge shares its subj, so co-location holds) + a vectorized pandas
+    sum per partition. Replaces Ray's multi-key row aggregate, which
+    costs ~3 ms/row in Python AND holds ~0.9 GB of driver-side state
+    for a 1.5k-block shuffle (measured at repeat=640) — the partition
+    combine keeps the driver at block-metadata size."""
+    import pandas as pd
 
-    return pairs_ds.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("w", alias_name="weight")
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def precombine(t: pa.Table) -> pa.Table:
+        # streaming coalesce: many tiny per-task partial blocks merge
+        # into ≤ edge-vocab rows per 64k-row batch BEFORE the shuffle.
+        # The AllToAll's driver-side state scales with input blocks ×
+        # partitions (~100k object metadata records at 1.5k blocks —
+        # the measured 0.9 GB), so cutting blocks is the real fix.
+        g = (
+            t.select(["subj", "pred", "obj", "w"])
+            .group_by(["subj", "pred", "obj"])
+            .aggregate([("w", "sum")])
+        )
+        return g.rename_columns(["subj", "pred", "obj", "w"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", _stable_part_col(t, ("subj",), num_partitions)
+        )
+
+    def combine(df):
+        g = df.groupby(["subj", "pred", "obj"], as_index=False,
+                       sort=False)["w"].sum()
+        return pd.DataFrame(
+            {
+                "subj": g["subj"], "pred": g["pred"], "obj": g["obj"],
+                "weight": g["w"],
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(
+            precombine, batch_format="pyarrow", batch_size=65536
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
@@ -80,11 +124,47 @@ def entity_doc_freq(sentences_ds):
     )
 
 
-def aggregate_edges_with_evidence(pairs_ev_ds):
-    """Edge weights + min evidence pointer ("url#sent_id") per edge."""
-    from ray.data.aggregate import Min, Sum
+def aggregate_edges_with_evidence(pairs_ev_ds,
+                                  num_partitions: int | None = None):
+    """Edge weights + min evidence pointer ("url#sent_id") per edge —
+    same single-shuffle partition combine as :func:`aggregate_edges`."""
+    import pandas as pd
 
-    return pairs_ev_ds.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("w", alias_name="weight"),
-        Min("ev", alias_name="evidence"),
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def precombine(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["subj", "pred", "obj", "w", "ev"])
+            .group_by(["subj", "pred", "obj"])
+            .aggregate([("w", "sum"), ("ev", "min")])
+        )
+        return g.rename_columns(["subj", "pred", "obj", "w", "ev"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", _stable_part_col(t, ("subj",), num_partitions)
+        )
+
+    def combine(df):
+        g = df.groupby(["subj", "pred", "obj"], as_index=False,
+                       sort=False).agg(weight=("w", "sum"),
+                                       evidence=("ev", "min"))
+        return pd.DataFrame(
+            {
+                "subj": g["subj"], "pred": g["pred"], "obj": g["obj"],
+                "weight": g["weight"], "evidence": g["evidence"],
+            }
+        )
+
+    return (
+        pairs_ev_ds.map_batches(
+            precombine, batch_format="pyarrow", batch_size=65536
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
     )
