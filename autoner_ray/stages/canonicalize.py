@@ -91,6 +91,14 @@ def canonical_entities(mentions_ds, num_partitions: int | None = None):
     if num_partitions is None:
         num_partitions = default_num_partitions()
 
+    def precombine(t: pa.Table) -> pa.Table:
+        # coalesce many tiny per-block partial tables into ≤ pair-vocab
+        # rows per 64k batch BEFORE the shuffle: the sort-shuffle's
+        # driver-side metadata scales with input blocks × partitions
+        # (see aggregate_edges, stages/triples.py)
+        g = t.group_by(["key", "surface"]).aggregate([("n", "sum")])
+        return g.rename_columns(["key", "surface", "n"])
+
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
             "part", _stable_part_col(t, ("key",), num_partitions)
@@ -100,6 +108,7 @@ def canonical_entities(mentions_ds, num_partitions: int | None = None):
         mentions_ds.map_batches(
             surface_pair_partials, batch_format="pyarrow"
         )
+        .map_batches(precombine, batch_format="pyarrow", batch_size=65536)
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_reduce_partition, batch_format="pandas")

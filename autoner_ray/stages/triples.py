@@ -117,8 +117,13 @@ def entity_doc_freq(sentences_ds):
             }
         )
 
+    def precombine(t: pa.Table) -> pa.Table:
+        g = t.group_by("entity").aggregate([("n", "sum")])
+        return g.rename_columns(["entity", "n"])
+
     return (
         sentences_ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(precombine, batch_format="pyarrow", batch_size=65536)
         .groupby("entity")
         .aggregate(Sum("n", alias_name="sent_freq"))
     )
