@@ -291,7 +291,9 @@ def hybrid_triples(sentences_ds, model_blob, core_lines, full_lines=(),
         concurrency=concurrency,
         num_cpus=1,
     )
-    return aggregate_edges(pairs)
+    # coalesce off: the inference stream is far slower than the bundler
+    # and the edge vocab is tiny — see aggregate_edges docstring
+    return aggregate_edges(pairs, coalesce=False)
 
 
 def mentions_to_tsv(mention_rows, tl_map) -> str:

@@ -49,13 +49,21 @@ def pair_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def aggregate_edges(pairs_ds, num_partitions: int | None = None):
+def aggregate_edges(pairs_ds, num_partitions: int | None = None,
+                    coalesce: bool = True):
     """Final edge weights: ONE hash shuffle on ``subj`` (every row of an
     edge shares its subj, so co-location holds) + a vectorized pandas
     sum per partition. Replaces Ray's multi-key row aggregate, which
-    costs ~3 ms/row in Python AND holds ~0.9 GB of driver-side state
-    for a 1.5k-block shuffle (measured at repeat=640) — the partition
-    combine keeps the driver at block-metadata size."""
+    costs ~3 ms/row in Python.
+
+    ``coalesce`` (default True) inserts a streaming 64k-row pre-combine
+    BEFORE the shuffle: the sort-shuffle's driver-side metadata scales
+    with input blocks × partitions (~0.9 GB measured at 1.5k tiny
+    partial blocks), and merging blocks is the only fix. Turn it OFF
+    for pipelines whose upstream is much slower than the partial stream
+    AND whose total partial rows never fill a batch (e.g. the hybrid
+    tagger at small scale): a bundler waiting on a starved slow stream
+    measurably drags the whole topology (4.3 s → 11 s at sf0.1)."""
     import pandas as pd
 
     from autoner_ray.cluster import default_num_partitions
@@ -92,11 +100,13 @@ def aggregate_edges(pairs_ds, num_partitions: int | None = None):
             }
         )
 
-    return (
-        pairs_ds.map_batches(
+    ds = pairs_ds
+    if coalesce:
+        ds = ds.map_batches(
             precombine, batch_format="pyarrow", batch_size=65536
         )
-        .map_batches(add_part, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
@@ -123,16 +133,18 @@ def entity_doc_freq(sentences_ds):
 
     return (
         sentences_ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(precombine, batch_format="pyarrow", batch_size=65536)
+        .map_batches(precombine, batch_format="pyarrow", batch_size=None)
         .groupby("entity")
         .aggregate(Sum("n", alias_name="sent_freq"))
     )
 
 
 def aggregate_edges_with_evidence(pairs_ev_ds,
-                                  num_partitions: int | None = None):
+                                  num_partitions: int | None = None,
+                                  coalesce: bool = True):
     """Edge weights + min evidence pointer ("url#sent_id") per edge —
-    same single-shuffle partition combine as :func:`aggregate_edges`."""
+    same single-shuffle partition combine (and ``coalesce`` contract)
+    as :func:`aggregate_edges`."""
     import pandas as pd
 
     from autoner_ray.cluster import default_num_partitions
@@ -165,11 +177,13 @@ def aggregate_edges_with_evidence(pairs_ev_ds,
             }
         )
 
-    return (
-        pairs_ev_ds.map_batches(
+    ds = pairs_ev_ds
+    if coalesce:
+        ds = ds.map_batches(
             precombine, batch_format="pyarrow", batch_size=65536
         )
-        .map_batches(add_part, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
