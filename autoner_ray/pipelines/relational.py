@@ -433,69 +433,66 @@ def customers_without_orders(sf_dir: str, since: str = "2000-01-01"):
 
 
 def top_order_per_customer(sf_dir: str):
-    """Top-1-per-group: each customer's highest-value order.
-    Per-batch arrow combiner keeps the max row per custkey in the batch,
-    then one groupby finishes — the classic two-phase argmax."""
-    from ray.data.aggregate import Max
+    """Top-1-per-group: each customer's highest-value order (ties break
+    to the smallest orderkey).
+
+    Vectorized two-phase argmax: a per-batch pandas winner-per-custkey
+    combiner (sort + drop_duplicates — no per-row Python), then ONE hash
+    shuffle on custkey and the same vectorized reduce per partition.
+    (Rounds 1–3a packed (cents, orderkey) into 40-char decimal strings
+    for a Ray string-Max aggregate — correct, but the row-wise f-string
+    packing was the stage's hot loop.)"""
+    import numpy as np
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
 
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
     )
+    num_partitions = default_num_partitions()
 
-    # (cents, -orderkey) argmax packed as a FIXED-WIDTH DECIMAL STRING:
-    # "cents:020d" + "(10^19 - orderkey):020d". Lexicographic max of the
-    # 40-char key == numeric max of the pair, so a plain string Max
-    # aggregate picks the highest price with smallest-orderkey tiebreak.
-    # No bit-range cliff: valid for cents < 10^20 and orderkey < 10^19
-    # (an int64 bit-packing scheme overflows around TPC-H sf>=3, where
-    # orderkeys pass 2^24).
-    _OK_BASE = 10**19
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "cents", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.drop_duplicates("o_custkey", keep="first")
 
     def batch_max(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         cents = np.floor(
             t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
-        okey = t["o_orderkey"].to_numpy()
-        # int(k): 10^19 exceeds int64, so the subtraction must run in
-        # Python arbitrary-precision ints, not numpy
-        packed = [
-            f"{int(c):020d}{_OK_BASE - int(k):020d}"
-            for c, k in zip(cents, okey)
-        ]
-        tbl = pa.table(
+        df = pd.DataFrame(
             {
-                "o_custkey": t["o_custkey"],
-                "packed": pa.array(packed, pa.string()),
+                "o_custkey": t["o_custkey"].to_numpy(),
+                "o_orderkey": t["o_orderkey"].to_numpy(),
+                "cents": cents,
             }
         )
-        agg = tbl.group_by("o_custkey").aggregate([("packed", "max")])
-        return agg.rename_columns(["o_custkey", "packed"])
+        out = winners(df)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return tbl.append_column(
+            "part", _stable_part_col(tbl, ("o_custkey",), num_partitions)
+        )
 
-    agg = (
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = winners(df)
+        return pd.DataFrame(
+            {
+                "o_custkey": out["o_custkey"].to_numpy(),
+                "o_orderkey": out["o_orderkey"].to_numpy(),
+                "o_totalprice": out["cents"].to_numpy().astype(np.float64)
+                / 100.0,
+            }
+        )
+
+    return (
         orders.map_batches(batch_max, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Max("packed", alias_name="packed"))
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pandas")
     )
-
-    def unpack(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        packed = t["packed"].to_pylist()
-        cents = np.array([int(s[:20]) for s in packed], np.int64)
-        okey = np.array([_OK_BASE - int(s[20:]) for s in packed], np.int64)
-        return pa.table(
-            {
-                "o_custkey": t["o_custkey"],
-                "o_orderkey": pa.array(okey, pa.int64()),
-                "o_totalprice": pa.array(
-                    cents.astype(np.float64) / 100.0, pa.float64()
-                ),
-            }
-        )
-
-    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 def order_price_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.75)):
