@@ -157,3 +157,24 @@ def test_typed_triples_match_oracle(ray_session):
     # typed predicates actually fire (not everything falls back)
     preds = {p for _, p, _ in got}
     assert "cooccurs_with" in preds and len(preds) > 1
+
+
+def test_aggregate_edges_coalesce_paths_equal(ray_session):
+    """coalesce=True (pre-combine before the shuffle) and coalesce=False
+    produce identical edge tables — the knob is an execution-shape
+    choice, never a semantic one."""
+    from autoner_ray.pipelines.kg import matched_sentences
+    from autoner_ray.stages.triples import aggregate_edges
+
+    sf = "/root/testdata/sf0.001"
+
+    def edges(coalesce):
+        pairs = matched_sentences(sf, output="pairs")
+        df = aggregate_edges(pairs, coalesce=coalesce).to_pandas()
+        return {
+            (r.subj, r.pred, r.obj): r.weight
+            for r in df.itertuples(index=False)
+        }
+
+    a, b = edges(True), edges(False)
+    assert a == b and len(a) > 0
