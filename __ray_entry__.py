@@ -179,6 +179,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.token_stats_batch, batch_format="pyarrow"
         )
 
+    def docs_stratified_sample(sf_dir):
+        return analysis.stratified_sample(
+            _docs(sf_dir, ["doc_id", "lang", "text"])
+        )
+
     def docs_bpe_token_counts(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             analysis.bpe_token_counts_batch, batch_format="pyarrow"
@@ -300,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": docs_exact_dedup,
         "docs_union_all": docs_union_all,
         "docs_sample_seeded": docs_sample_seeded,
+        "docs_stratified_sample": docs_stratified_sample,
         "docs_systematic_sample": lambda sf: _docs(
             sf, ["doc_id", "lang"]
         ).map_batches(_systematic_sample_mask, batch_format="pyarrow"),
@@ -484,7 +490,10 @@ def _fingerprint_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from autoner_ray.stages.analysis import seeded_sample_oracle_sql
+    from autoner_ray.stages.analysis import (
+        seeded_sample_oracle_sql,
+        stratified_sample_oracle_sql,
+    )
 
     dict_values = unigram_dict_sql_values()
     return {
@@ -492,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(dict_values),
         "kg_connected_components": _connected_components_sql(dict_values),
         "docs_sample_seeded": seeded_sample_oracle_sql(),
+        "docs_stratified_sample": stratified_sample_oracle_sql(),
         # simhash64 in SQL: per-token md5 -> top-8-byte uint64, bit votes
         # over 64 positions, bit set where votes > 0 (ties -> 0, matching
         # the engine's (votes > 0)); empty-vote docs fall back to 0

@@ -541,3 +541,56 @@ def bpe_token_counts_batch(batch: pa.Table) -> pa.Table:
             "n_ws_tokens": pa.array(n_ws, pa.int64()),
         }
     )
+
+
+DEFAULT_STRATA_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25,
+                        "zh": 0.1}
+
+
+def stratified_sample(docs_ds, rates: dict[str, float] | None = None,
+                      default_rate: float = 0.0, seed: int = 19910724):
+    """Per-language deterministic Bernoulli sample — the curation move
+    that rebalances a web corpus's language mix (e.g. downsample the en
+    head, keep the tail). Same content-hash contract as
+    :func:`seeded_sample`: keep iff md5(doc_id:seed) < rate(lang)·2³²,
+    a pure function of (doc_id, lang, seed) — reproducible across runs,
+    cluster sizes and resumes; languages missing from ``rates`` use
+    ``default_rate``."""
+    if rates is None:
+        rates = DEFAULT_STRATA_RATES
+    thresholds = {
+        lang: int(rate * (1 << 32)) for lang, rate in rates.items()
+    }
+    default_threshold = int(default_rate * (1 << 32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        mask = [
+            int(
+                hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16
+            ) < thresholds.get(lang, default_threshold)
+            for i, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample_oracle_sql(rates: dict[str, float] | None = None,
+                                 default_rate: float = 0.0,
+                                 seed: int = 19910724) -> str:
+    if rates is None:
+        rates = DEFAULT_STRATA_RATES
+    cases = "\n".join(
+        f"WHEN '{lang}' THEN {int(rate * (1 << 32))}"
+        for lang, rate in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id, lang, text FROM documents
+        WHERE CAST(('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8))
+              AS UBIGINT)
+              < CASE lang {cases}
+                ELSE {int(default_rate * (1 << 32))} END
+    """
