@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.token_stats_batch, batch_format="pyarrow"
         )
 
+    def docs_quality_filter(sf_dir):
+        return analysis.quality_filter(_docs(sf_dir, ["doc_id", "text"]))
+
     def docs_stratified_sample(sf_dir):
         return analysis.stratified_sample(
             _docs(sf_dir, ["doc_id", "lang", "text"])
@@ -305,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": docs_exact_dedup,
         "docs_union_all": docs_union_all,
         "docs_sample_seeded": docs_sample_seeded,
+        "docs_quality_filter": docs_quality_filter,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_systematic_sample": lambda sf: _docs(
             sf, ["doc_id", "lang"]
@@ -867,6 +871,26 @@ def oracle_sql() -> dict[str, str]:
                              list_transform({WORDS}, w -> length(w)), 'sum')
                          / CAST(len({WORDS}) AS DOUBLE), 6) AS mean_word_len
             FROM documents
+        """,
+        # same scored expressions, threshold-kept (the curation cut)
+        "docs_quality_filter": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(len({WORDS}) AS BIGINT) AS n_words,
+                       round(len(list_filter({WORDS},
+                                 w -> w IN ('a', 'the')))
+                             / CAST(len({WORDS}) AS DOUBLE), 6)
+                           AS stop_ratio,
+                       round(list_aggregate(
+                                 list_transform({WORDS},
+                                                w -> length(w)), 'sum')
+                             / CAST(len({WORDS}) AS DOUBLE), 6)
+                           AS mean_word_len
+                FROM documents
+            )
+            SELECT * FROM q
+            WHERE n_words >= 20 AND stop_ratio >= 0.02
+              AND mean_word_len <= 5.0
         """,
         "docs_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "docs_systematic_sample": """

@@ -594,3 +594,28 @@ def stratified_sample_oracle_sql(rates: dict[str, float] | None = None,
               < CASE lang {cases}
                 ELSE {int(default_rate * (1 << 32))} END
     """
+
+
+def quality_filter(docs_ds, min_words: int = 20,
+                   min_stop_ratio: float = 0.02,
+                   max_mean_word_len: float = 5.0):
+    """Threshold-keep quality curation — the filter an LLM data pipeline
+    actually applies (docs_quality only SCORES): keep docs with enough
+    words, a plausible stopword ratio (gibberish has ~0) and a sane
+    mean word length (URLs/base64 blow it up). Thresholds compare the
+    same 6-dp-rounded values the oracle computes, so the cut is
+    bit-stable across engine and SQL."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(q["n_words"], min_words),
+                pc.greater_equal(q["stop_ratio"], min_stop_ratio),
+            ),
+            pc.less_equal(q["mean_word_len"], max_mean_word_len),
+        )
+        return q.filter(mask)
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
