@@ -291,8 +291,7 @@ def unigram_edge_pmi(sf_dir: str):
     the EDGE table (up to vocab² — ~10^9 rows at web scale) stays a
     Dataset and the PMI arithmetic streams through ``map_batches``.
     SQL twin in ``oracle_sql`` (same expression tree, 6-dp round)."""
-    import math
-
+    import numpy as np
     import ray
 
     n_docs = int(
@@ -306,15 +305,23 @@ def unigram_edge_pmi(sf_dir: str):
     freq_ref = ray.put(freqs)
 
     def score(batch: pa.Table) -> pa.Table:
+        # vectorized gather + log over the (vocab²-sized) edge table:
+        # pandas map against the broadcast doc-freq dict, numpy log,
+        # np.round(…, 6) — half-even like the oracle's ROUND(x, 6);
+        # the driver value-hash pins equality (brand_revenue pattern).
+        import pandas as pd
+
         df = ray.get(freq_ref)
-        pmi = [
-            round(math.log(w * n_docs / (df[s] * df[o])), 6)
-            for s, o, w in zip(
-                batch["subj"].to_pylist(),
-                batch["obj"].to_pylist(),
-                batch["weight"].to_pylist(),
-            )
-        ]
+        dfs = pd.Series(batch["subj"].to_pylist()).map(df).to_numpy(
+            np.float64
+        )
+        dfo = pd.Series(batch["obj"].to_pylist()).map(df).to_numpy(
+            np.float64
+        )
+        w = batch["weight"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pmi = np.round(np.log(w * n_docs / (dfs * dfo)), 6)
         return pa.table(
             {
                 "subj": batch["subj"],

@@ -21,6 +21,7 @@ used for ratios of exactly-representable values.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -203,14 +204,30 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
         # entirely; large batches make each partial ≤ |customers| rows.
         def cust_partial_direct(t: pa.Table) -> pa.Table:
             keys, custs = ray.get(lookup_ref)
-            pos = np.searchsorted(keys, t["l_orderkey"].to_numpy())
+            lkeys = t["l_orderkey"].to_numpy()
+            if len(keys) == 0:
+                return pa.table(
+                    {
+                        "o_custkey": pa.array([], pa.int64()),
+                        "order_cents": pa.array([], pa.int64()),
+                    }
+                )
+            pos = np.clip(np.searchsorted(keys, lkeys), 0, len(keys) - 1)
+            # inner-join semantics (same as the cogroup tier): drop
+            # lineitems whose orderkey is absent from orders instead of
+            # silently attributing them to the nearest customer
+            hit = keys[pos] == lkeys
+            cents = _rev_cents(
+                t["l_extendedprice"].combine_chunks(),
+                t["l_discount"].combine_chunks(),
+            )
+            if not hit.all():
+                pos = pos[hit]
+                cents = cents.filter(pa.array(hit))
             agg = pa.table(
                 {
                     "o_custkey": pa.array(custs[pos], pa.int64()),
-                    "order_cents": _rev_cents(
-                        t["l_extendedprice"].combine_chunks(),
-                        t["l_discount"].combine_chunks(),
-                    ),
+                    "order_cents": cents,
                 }
             ).group_by("o_custkey").aggregate([("order_cents", "sum")])
             return agg.rename_columns(["o_custkey", "order_cents"])
@@ -359,15 +376,14 @@ def region_supplier_count(sf_dir: str):
             self.n2r = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            import collections
-
-            acc: dict[str, int] = collections.Counter(
-                self.n2r[n] for n in t["s_nationkey"].to_pylist()
-            )
+            # vectorized: nationkey -> region name gather (25 nations),
+            # then an arrow value_counts — no per-row Python
+            rn = pd.Series(t["s_nationkey"].to_numpy(zero_copy_only=False))
+            vc = rn.map(self.n2r).value_counts()
             return pa.table(
                 {
-                    "r_name": pa.array(list(acc.keys()), pa.string()),
-                    "n": pa.array(list(acc.values()), pa.int64()),
+                    "r_name": pa.array(vc.index.tolist(), pa.string()),
+                    "n": pa.array(vc.to_numpy(), pa.int64()),
                 }
             )
 

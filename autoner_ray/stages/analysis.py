@@ -317,14 +317,12 @@ def tfidf_top_terms(docs_ds, k: int = 3):
     joined = cogroup_join(terms, df_ds, on=("word",), num_partitions=P)
 
     def score(batch: pa.Table) -> pa.Table:
-        cnt = batch["cnt"].to_pylist()
-        n = batch["n_toks"].to_pylist()
-        df = batch["df"].to_pylist()
-        # per-row python round: exactly the oracle's round(x, 6)
-        tfidf = [
-            round(c / t * math.log(n_docs / d), 6)
-            for c, t, d in zip(cnt, n, df)
-        ]
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n_toks"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # np.round is round-half-even on float64 exactly like the
+        # oracle's Python round(x, 6); the driver value-hash pins this
+        tfidf = np.round(cnt / n * np.log(n_docs / df), 6)
         part = np.mod(
             batch["doc_id"].to_numpy(zero_copy_only=False), P
         ).astype(np.int32)

@@ -724,10 +724,16 @@ def neardup_keep_one(
             connected_components_distributed,
         )
 
-        edges = pairs.map_batches(
-            lambda t: pa.table({"subj": t["doc_a"], "obj": t["doc_b"]}),
-            batch_format="pyarrow",
-        )
+        _edge_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+
+        def pairs_to_edges(t: pa.Table) -> pa.Table:
+            # schema-less empty blocks reach UDFs after sparse shuffles
+            # (same RefBundle quirk losers_batch guards against)
+            if t.num_columns == 0 or len(t) == 0:
+                return _edge_schema.empty_table()
+            return pa.table({"subj": t["doc_a"], "obj": t["doc_b"]})
+
+        edges = pairs.map_batches(pairs_to_edges, batch_format="pyarrow")
         labels = connected_components_distributed(
             edges, num_partitions=num_partitions, as_dataset=True
         )

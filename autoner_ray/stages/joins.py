@@ -31,27 +31,43 @@ _PART = "__cg_part"
 
 def _stable_part_col(t: pa.Table, on: tuple[str, ...], P: int) -> pa.Array:
     """Deterministic partition id per key row. Any function works as
-    long as BOTH join sides compute it identically (they share this
-    code); single null-free integer keys take a fully vectorized
-    splitmix64, everything else the md5 fallback loop."""
+    long as BOTH join sides compute it identically — so the branch is on
+    the SCHEMA TYPE only, never on per-batch properties like null_count
+    (a nullable int key split across batches must land on the same
+    partition function everywhere). Single integer keys take a fully
+    vectorized splitmix64 with nulls mapped to a fixed sentinel (a null
+    key never matches in an inner join, so its partition only needs to
+    be deterministic); single string keys take the memoized md5 path
+    with the same ``str(None)`` image as the multi-key fallback;
+    multi-column keys take the md5 fallback loop."""
     import numpy as np
 
     if len(on) == 1:
         col = t[on[0]]
-        if pa.types.is_integer(col.type) and col.null_count == 0:
+        if pa.types.is_integer(col.type):
+            if col.null_count:
+                # fixed sentinel: deterministic, type-stable, and
+                # collision with a real key only co-locates rows
+                col = col.fill_null(-(1 << 62) + 0x5EED)
             z = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             z = z + np.uint64(0x9E3779B97F4A7C15)
             z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
             z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
             z = z ^ (z >> np.uint64(31))
             return pa.array((z % np.uint64(P)).astype(np.int32))
-        if pa.types.is_string(col.type) and col.null_count == 0:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+            col.type
+        ):
             # same value as the md5 fallback below for a single string
-            # key (md5(str(v)) == md5(v)), but memoized per worker —
-            # Zipfian key streams (words, entities) mostly hit the cache
+            # key (md5(str(v)) == md5(v); nulls hash as str(None)), but
+            # memoized per worker — Zipfian key streams (words,
+            # entities) mostly hit the cache
             from autoner_ray.functions.hashing import md5_64_array
 
-            hs = md5_64_array(col.to_pylist())
+            vals = col.to_pylist()
+            if col.null_count:
+                vals = ["None" if v is None else v for v in vals]
+            hs = md5_64_array(vals)
             return pa.array((hs % np.uint64(P)).astype(np.int32))
     keys = [t[c].to_pylist() for c in on]
     parts = [

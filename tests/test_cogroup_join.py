@@ -82,3 +82,57 @@ def test_default_num_partitions_scales_with_session(ray_session):
     cpus = int(ray.cluster_resources()["CPU"])
     assert default_num_partitions() == max(8, 2 * cpus)
     assert default_num_partitions(multiplier=1, floor=1) == max(1, cpus)
+
+def test_cogroup_join_nullable_int_key(ray_session):
+    """A nullable int key split across batches must use ONE partition
+    function: a batch containing a null must not reroute its non-null
+    keys to a different partitioner than a null-free batch (ADVICE r3).
+    Null keys themselves never match (inner-join semantics)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.joins import cogroup_join
+
+    # left: two single-row blocks — one with a null, one without —
+    # so the same key value 7 appears in both null-free and nullable
+    # batches; right: null-free batch with the matching keys.
+    left = rd.from_arrow_refs(
+        [
+            __import__("ray").put(
+                pa.table({"k": pa.array([7, None], pa.int64()), "a": [1, 2]})
+            ),
+            __import__("ray").put(
+                pa.table({"k": pa.array([7, 3], pa.int64()), "a": [3, 4]})
+            ),
+        ]
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([7, 3, None], pa.int64()), "b": [70, 30, 0]})
+    )
+    got = _pairs(cogroup_join(left, right, on=("k",), num_partitions=16))
+    want = _pairs(
+        pa.table({"k": pa.array([7, None, 7, 3], pa.int64()),
+                  "a": [1, 2, 3, 4]}).join(
+            pa.table({"k": pa.array([7, 3, None], pa.int64()),
+                      "b": [70, 30, 0]}),
+            keys=["k"], join_type="inner",
+        )
+    )
+    assert got == want
+
+
+def test_stable_part_col_type_only_branch():
+    """Same int key value gets the same partition id whether or not its
+    batch contains nulls; string nulls hash like the str(None) fallback."""
+    from autoner_ray.stages.joins import _stable_part_col
+
+    clean = pa.table({"k": pa.array([7, 3, 1 << 40], pa.int64())})
+    dirty = pa.table({"k": pa.array([7, None, 3, 1 << 40], pa.int64())})
+    pc_clean = _stable_part_col(clean, ("k",), 64).to_pylist()
+    pc_dirty = _stable_part_col(dirty, ("k",), 64).to_pylist()
+    assert [pc_dirty[0], pc_dirty[2], pc_dirty[3]] == pc_clean
+
+    s_clean = pa.table({"k": pa.array(["a", "bb"], pa.string())})
+    s_dirty = pa.table({"k": pa.array(["a", None, "bb"], pa.string())})
+    sc = _stable_part_col(s_clean, ("k",), 64).to_pylist()
+    sd = _stable_part_col(s_dirty, ("k",), 64).to_pylist()
+    assert [sd[0], sd[2]] == sc
