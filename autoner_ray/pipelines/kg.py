@@ -336,6 +336,92 @@ def unigram_edge_pmi(sf_dir: str):
     )
 
 
+def unigram_cooccur_topk(sf_dir: str, k: int = 3,
+                         num_partitions: int | None = None):
+    """Per-entity top-k co-occurring neighbors over the unigram graph:
+    (entity, neighbor, weight, rank) with rank 1..k ordered weight DESC,
+    neighbor ASC (deterministic tie-break). SQL twin: ROW_NUMBER() over
+    the bidirectional edge list.
+
+    Scale shape: the input is the ALREADY-AGGREGATED edge table (≤
+    vocab² rows, one per undirected pair), expanded to both directions
+    inside the batch. A per-batch partial top-k bounds every entity to
+    ≤k rows per batch before the single hash shuffle on entity, so the
+    shuffle moves O(k · |vocab| · blocks-touching-entity) rows, never
+    the full edge table; the per-partition pandas head(k) finishes. The
+    corpus itself never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.functions.hashing import md5_64_array
+
+    P = num_partitions or default_num_partitions()
+    _partial_schema = pa.schema(
+        [
+            ("entity", pa.string()),
+            ("neighbor", pa.string()),
+            ("weight", pa.int64()),
+            ("part", pa.int32()),
+        ]
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _partial_schema.empty_table()
+        df = t.select(["subj", "obj", "weight"]).to_pandas()
+        both = pd.concat(
+            [
+                df.rename(columns={"subj": "entity", "obj": "neighbor"}),
+                df.rename(columns={"obj": "entity", "subj": "neighbor"}),
+            ],
+            ignore_index=True,
+        )[["entity", "neighbor", "weight"]]
+        both = both.sort_values(
+            ["entity", "weight", "neighbor"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = both.groupby("entity", sort=False).head(k)
+        pid = (
+            md5_64_array(top["entity"].tolist()) % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "entity": pa.array(top["entity"], pa.string()),
+                "neighbor": pa.array(top["neighbor"], pa.string()),
+                "weight": pa.array(top["weight"].to_numpy(), pa.int64()),
+                "part": pa.array(pid),
+            }
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "entity" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series([], dtype="object"),
+                    "neighbor": pd.Series([], dtype="object"),
+                    "weight": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["entity", "weight", "neighbor"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("entity", sort=False).head(k).copy()
+        top["rank"] = top.groupby("entity", sort=False).cumcount() + 1
+        return top[["entity", "neighbor", "weight", "rank"]]
+
+    return (
+        unigram_triples(sf_dir)
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def unigram_pagerank(sf_dir: str):
     """PageRank over the unigram co-occurrence graph — the SQL-checkable
     face of the graph stage (oracle: 20 unrolled power iterations in

@@ -43,7 +43,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 65 and len(sqls) == 48
+    assert len(qs) == 67 and len(sqls) == 50
     import subprocess
     import sys
 
