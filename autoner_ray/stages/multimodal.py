@@ -13,9 +13,13 @@ Codec status (this container ships no PIL/ffmpeg):
 - ``video/avi``: REAL pure-python RIFF/AVI codec (uncompressed DIB
   frames) — encode + decode + stride-based frame sampling that decodes
   ONLY the selected frames + per-frame image features + mean-pool.
+- ``video/y4m``: REAL pure-python YUV4MPEG2 codec (planar C444, BT.601
+  fixed-point) — same stride-sampling contract; fixed-size FRAME chunks
+  make skipping unselected frames a pure seek.
 - other ``video/*`` containers (mp4/webm need ffmpeg): STUB — the
-  frame-sample plumbing is real but per-frame decode is a seeded
-  deterministic fake, clearly marked (``allow_fake_video``).
+  frame-sample plumbing is real but per-frame decode FAILS LOUDLY by
+  default; ``allow_fake_video=True`` opts into a seeded deterministic
+  stand-in, clearly marked.
 
 Scale notes: media payloads are large, so these stages use SMALL
 ``batch_size`` (payload bytes × batch × concurrency must fit the worker
@@ -314,6 +318,124 @@ def video_features(
     return np.mean(feats, axis=0).astype(np.float32), k
 
 
+# -- pure-python Y4M (YUV4MPEG2, planar C444) codec ---------------------------
+#
+# Second real video container (VERDICT r3 §7): uncompressed YUV4MPEG2
+# stream — ASCII header + fixed-size FRAME chunks, so stride sampling
+# can seek straight to a frame without touching the others.
+
+
+def _rgb_to_yuv444(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB -> (3, h, w) uint8 planar YUV (BT.601 full
+    range, 8-bit fixed-point — deterministic integer math)."""
+    r = px[..., 0].astype(np.int32)
+    g = px[..., 1].astype(np.int32)
+    b = px[..., 2].astype(np.int32)
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    u = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+    v = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+    return np.stack([y, u, v]).clip(0, 255).astype(np.uint8)
+
+
+def _yuv444_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    """(3, h, w) uint8 planar YUV -> (h, w, 3) uint8 RGB (inverse
+    fixed-point BT.601; roundtrip error ≤ a few counts per channel)."""
+    y = yuv[0].astype(np.int32)
+    u = yuv[1].astype(np.int32) - 128
+    v = yuv[2].astype(np.int32) - 128
+    r = y + ((359 * v + 128) >> 8)
+    g = y - ((88 * u + 183 * v + 128) >> 8)
+    b = y + ((454 * u + 128) >> 8)
+    return np.stack([r, g, b], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """Uncompressed YUV4MPEG2 C444: one ASCII stream header, then
+    ``FRAME\\n`` + raw Y,U,V planes per frame."""
+    assert frames, "need at least one frame"
+    h, w, _ = frames[0].shape
+    assert all(f.shape == (h, w, 3) for f in frames), "uniform frame size"
+    parts = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(_rgb_to_yuv444(f).tobytes())
+    return b"".join(parts)
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """-> (width, height, fps_num, fps_den, header_end_offset)."""
+    assert payload[:9] == b"YUV4MPEG2", "not YUV4MPEG2"
+    nl = payload.index(b"\n")
+    w = h = num = den = None
+    for tok in payload[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C" and tok != b"C444":
+            raise NotImplementedError(
+                f"y4m colorspace {tok.decode()} unsupported (C444 only)"
+            )
+    assert None not in (w, h, num, den), "missing W/H/F in y4m header"
+    return w, h, num, den, nl + 1
+
+
+def iter_y4m_frames(payload: bytes):
+    """Yield (index, raw_planar_yuv_bytes) per frame without converting —
+    FRAME chunks are fixed-size, so unselected frames cost one seek."""
+    w, h, _, _, off = _y4m_header(payload)
+    plane = w * h
+    i = 0
+    while off < len(payload):
+        assert payload[off : off + 5] == b"FRAME", "bad y4m frame marker"
+        nl = payload.index(b"\n", off)
+        yield i, payload[nl + 1 : nl + 1 + 3 * plane]
+        off = nl + 1 + 3 * plane
+        i += 1
+
+
+def decode_y4m(payload: bytes) -> tuple[float, list[np.ndarray]]:
+    """Y4M bytes -> (fps, [(h, w, 3) uint8 RGB frames])."""
+    w, h, num, den, _ = _y4m_header(payload)
+    frames = [
+        _yuv444_to_rgb(np.frombuffer(d, np.uint8).reshape(3, h, w))
+        for _, d in iter_y4m_frames(payload)
+    ]
+    return num / den, frames
+
+
+def y4m_video_features(
+    payload: bytes,
+    frame_stride_ms: int,
+    duration_ms: int,
+    dim: int = FEATURE_DIM,
+) -> tuple[np.ndarray, int]:
+    """Stride-sample a Y4M stream; only selected frames convert to RGB
+    (mirror of the AVI :func:`video_features` contract)."""
+    w, h, num, den, off = _y4m_header(payload)
+    plane = w * h
+    n = 0
+    p = off
+    while p < len(payload):  # frame count: fixed-size seek walk
+        p = payload.index(b"\n", p) + 1 + 3 * plane
+        n += 1
+    k = max(1, duration_ms // frame_stride_ms) if duration_ms > 0 else 1
+    want_set = {
+        min(n - 1, i * frame_stride_ms * num // (den * 1000))
+        for i in range(k)
+    }
+    feats = [
+        image_features(
+            _yuv444_to_rgb(np.frombuffer(d, np.uint8).reshape(3, h, w)), dim
+        )
+        for i, d in iter_y4m_frames(payload)
+        if i in want_set
+    ]
+    return np.mean(feats, axis=0).astype(np.float32), k
+
+
 # -- fixture synthesis -------------------------------------------------------
 
 
@@ -350,14 +472,18 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
             ws.append(-1)
             hs.append(-1)
             ds.append(dur_ms)
-        else:  # real uncompressed AVI, 2 fps
+        else:  # real uncompressed video, 2 fps — alternating containers
             fps = 2
             n_frames = 1 + doc_id % 30
             frames = [
                 rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
                 for _ in range(n_frames)
             ]
-            payloads.append(encode_avi(frames, fps=fps))
+            if (doc_id // 3) % 2:
+                types[-1] = "video/y4m"
+                payloads.append(encode_y4m(frames, fps=fps))
+            else:
+                payloads.append(encode_avi(frames, fps=fps))
             ws.append(32)
             hs.append(24)
             ds.append(n_frames * 1000 // fps)
@@ -387,18 +513,20 @@ class DecodeMedia:
     this is where PIL/ffmpeg/torchvision load); ``__call__`` decodes
     each payload and emits fixed-width features:
 
-    - image/bmp, audio/wav, video/avi: REAL decode via the pure-python
-      codecs above (AVI decodes only the stride-sampled frames);
-    - other video/*: frame-sample plumbing is real, per-frame decode is
-      the deterministic fake (``allow_fake_video``, default True, else
-      NotImplementedError).
+    - image/bmp, audio/wav, video/avi, video/y4m: REAL decode via the
+      pure-python codecs above (both video codecs decode only the
+      stride-sampled frames);
+    - other video/*: frame-sample plumbing is real, per-frame decode
+      FAILS LOUDLY by default (NotImplementedError — real frames need
+      ffmpeg); opt into the deterministic stand-in with
+      ``allow_fake_video=True``.
     """
 
     def __init__(
         self,
         target_size: tuple[int, int] = (32, 32),
         frame_stride_ms: int = 5000,
-        allow_fake_video: bool = True,
+        allow_fake_video: bool = False,
     ) -> None:
         self.target_size = target_size
         self.frame_stride_ms = frame_stride_ms
@@ -425,6 +553,12 @@ class DecodeMedia:
                 n_frames.append(self._n_frames(dur))
             elif mtype == "video/avi":
                 f, k = video_features(payload, self.frame_stride_ms, dur)
+                feats.append(f)
+                n_frames.append(k)
+            elif mtype == "video/y4m":
+                f, k = y4m_video_features(
+                    payload, self.frame_stride_ms, dur
+                )
                 feats.append(f)
                 n_frames.append(k)
             else:  # other video containers — declared stub

@@ -200,3 +200,66 @@ def test_media_features_pipeline(ray_session):
     a = np.array(out.sort_values("media_id")["features"].to_list())
     b = np.array(out2.sort_values("media_id")["features"].to_list())
     assert np.array_equal(a, b)
+
+def test_y4m_codec_roundtrip_and_frame_sampling():
+    """Pure-python YUV4MPEG2 (C444): header/frame-count exact, pixel
+    roundtrip within fixed-point YUV tolerance; the stride sampler
+    converts only selected frames and matches a by-hand pool."""
+    from autoner_ray.stages.multimodal import (
+        DecodeMedia,
+        _rgb_to_yuv444,
+        _yuv444_to_rgb,
+        decode_y4m,
+        encode_y4m,
+        image_features,
+        iter_y4m_frames,
+        synth_media_batch,
+        y4m_video_features,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [
+        rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        for _ in range(7)
+    ]
+    payload = encode_y4m(frames, fps=2)
+    assert payload.startswith(b"YUV4MPEG2 W32 H24 F2:1 ")
+    fps, back = decode_y4m(payload)
+    assert fps == 2.0 and len(back) == 7
+    for a, b in zip(frames, back):
+        assert a.shape == b.shape
+        # BT.601 integer fixed-point roundtrip: small bounded error
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
+    assert sum(1 for _ in iter_y4m_frames(payload)) == 7
+
+    # the sampler's selected-frame features equal converting by hand
+    dur_ms = 7 * 1000 // 2
+    feat, k = y4m_video_features(
+        payload, frame_stride_ms=1000, duration_ms=dur_ms
+    )
+    assert k == 3  # t=0s,1s,2s -> frames 0,2,4
+    want = np.mean(
+        [
+            image_features(_yuv444_to_rgb(_rgb_to_yuv444(frames[i])))
+            for i in (0, 2, 4)
+        ],
+        axis=0,
+    ).astype(np.float32)
+    assert np.array_equal(feat, want)
+
+    # synth alternates containers; doc_id 5 -> (5//3)%2 == 1 -> y4m,
+    # and it decodes for REAL with the fake path disabled (the default)
+    docs = pa.table({"doc_id": [5], "text": ["video doc"]})
+    out = DecodeMedia()(synth_media_batch(docs))
+    assert out["media_type"][0].as_py() == "video/y4m"
+    assert len(out["features"][0].as_py()) == 64
+
+
+def test_y4m_rejects_unsupported_colorspace():
+    import pytest
+
+    from autoner_ray.stages.multimodal import decode_y4m
+
+    bad = b"YUV4MPEG2 W2 H2 F2:1 Ip A1:1 C420\nFRAME\n" + b"\x00" * 6
+    with pytest.raises(NotImplementedError):
+        decode_y4m(bad)
