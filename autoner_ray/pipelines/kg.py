@@ -182,9 +182,15 @@ def unigram_doc_entities(sf_dir: str):
 
 
 def unigram_mention_type_counts(sf_dir: str):
-    """Per-type count of matched (doc, entity) pairs — SQL-checkable."""
-    from ray.data.aggregate import Sum
+    """Per-type count of matched (doc, entity) pairs — SQL-checkable.
+
+    Type cardinality is bounded by the dictionary, so the tail is a
+    shuffle-free ``bounded_key_sum`` (two-level streaming combine)
+    rather than a sort-shuffle groupby over a ≤|types|-row stream.
+    """
     from collections import Counter
+
+    from autoner_ray.stages.combine import bounded_key_sum
 
     type_of = {e: t for e, t in UNIGRAM_DICT.values()}
 
@@ -196,16 +202,14 @@ def unigram_mention_type_counts(sf_dir: str):
         return pa.table(
             {
                 "type": pa.array(list(counter.keys()), pa.string()),
-                "n": pa.array(list(counter.values()), pa.int64()),
+                "mentions": pa.array(list(counter.values()), pa.int64()),
             }
         )
 
-    return (
-        unigram_doc_entities(sf_dir)
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("type")
-        .aggregate(Sum("n", alias_name="mentions"))
+    partials = unigram_doc_entities(sf_dir).map_batches(
+        explode, batch_format="pyarrow"
     )
+    return bounded_key_sum(partials, ["type"], ["mentions"])
 
 
 def unigram_triples(sf_dir: str):

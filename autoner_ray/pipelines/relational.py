@@ -56,7 +56,7 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
-    from ray.data.aggregate import Sum
+    from autoner_ray.stages.combine import bounded_key_sum
 
     ds = _read(
         sf_dir,
@@ -116,15 +116,24 @@ def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
             ]
         )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="base_cents"),
-            Sum("disc_cents", alias_name="disc_cents"),
-            Sum("n", alias_name="count_order"),
-        )
+    # (returnflag, linestatus) cardinality is bounded (≤ a dozen pairs),
+    # so the tail is a shuffle-free two-level combine, not a sort-shuffle.
+    agg = bounded_key_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "base_cents", "disc_cents", "n"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "base_cents",
+                "disc_cents",
+                "count_order",
+            ]
+        ),
+        batch_format="pyarrow",
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -1,0 +1,63 @@
+"""Shuffle-free sum-combine for bounded-cardinality keys.
+
+Many pipeline tails reduce a pre-aggregated partial stream whose key
+cardinality is small and bounded by construction — entity types (bounded
+by the dictionary), TPC-H (returnflag, linestatus) pairs, language
+codes. Ray's ``groupby().aggregate(...)`` runs a full sort-based
+shuffle for these, which at small scale costs ~1-2 s of machinery for a
+4-row result and at large scale moves every partial block through an
+all-to-all exchange it doesn't need.
+
+``bounded_key_sum`` instead does a streaming two-level combine:
+
+1. per-batch arrow hash aggregate over ~64k-row batches (the partial
+   stream shrinks to ≤ |keys| rows per batch), then
+2. a single-task final combine over the coalesced remainder.
+
+Correct because integer/float sums re-associate. At 10^12-doc scale the
+stream entering the final task is (#post-coalesce blocks × ≤ |keys|)
+rows: for |keys| ≤ 10^4 and ~10^6 input blocks that is well under one
+task's memory. NOT for unbounded keys (entity surfaces, doc ids) —
+those keep the hash-partitioned shuffles in ``stages/triples.py``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def bounded_key_sum(ds, keys: list[str], sum_cols: list[str],
+                    coalesce_rows: int = 65536):
+    """Sum ``sum_cols`` grouped by bounded-cardinality ``keys``.
+
+    ``ds`` rows must already be partial sums (any pre-aggregation level,
+    including none). Returns a Dataset with columns ``keys + sum_cols``
+    (original names preserved).
+    """
+    out_names = list(keys) + list(sum_cols)
+    aggs = [(c, "sum") for c in sum_cols]
+
+    def combine(t: pa.Table) -> pa.Table:
+        # len == 0 flows through the aggregate (keeps the real schema);
+        # zero-COLUMN blocks (schema-less empties some operators emit)
+        # can't — synthesize the declared layout.
+        if t.num_columns == 0:
+            return pa.table(
+                {k: pa.array([], pa.string()) for k in keys}
+                | {c: pa.array([], pa.int64()) for c in sum_cols}
+            )
+        return (
+            t.select(out_names)
+            .group_by(keys)
+            .aggregate(aggs)
+            .rename_columns(out_names)
+        )
+
+    return (
+        ds.map_batches(
+            combine, batch_format="pyarrow", batch_size=coalesce_rows
+        )
+        .repartition(1)
+        # batch_size=None -> whole (single) block in one task
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )

@@ -111,3 +111,23 @@ def test_langid_vectorized_matches_scalar_reference():
     li = LangId()
     for t in texts:
         assert li.predict(t or "") == scalar_predict(t or ""), repr(t[:40])
+
+
+def test_bounded_key_sum_multi_block_matches_groupby():
+    """bounded_key_sum over a multi-block partial stream == plain sum,
+    including a zero-row block in the stream."""
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    blocks = [
+        pa.table({"k": ["a", "b", "a"], "n": [1, 2, 3]}),
+        pa.table({"k": pa.array([], pa.string()),
+                  "n": pa.array([], pa.int64())}),
+        pa.table({"k": ["b", "c"], "n": [10, 5]}),
+    ]
+    ds = rd.from_arrow(blocks)
+    out = bounded_key_sum(ds, ["k"], ["n"]).to_pandas()
+    got = dict(zip(out["k"], out["n"]))
+    assert got == {"a": 4, "b": 12, "c": 5}
+    assert list(out.columns) == ["k", "n"]
