@@ -33,6 +33,9 @@ def ppmi_svd_embeddings(
     window: int = 5,
     min_count: int = 1,
     seed: int = 19910724,
+    subword: bool = False,
+    subword_ngrams: tuple[int, int] = (3, 6),
+    subword_min_count: int = 10,
 ) -> np.ndarray:
     """Return an embedding matrix aligned to ``w_map`` index space
     (rows 0..1 = specials, seeded uniform like `save_emb.py:47-53`).
@@ -42,6 +45,15 @@ def ppmi_svd_embeddings(
     - PPMI with add-nothing smoothing, clipped at 0;
     - embeddings = U_d * sqrt(S_d) of the PPMI matrix (via eigh of the
       C x C gram — no scipy in this container).
+
+    ``subword=True`` adds fastText-style char-n-gram back-off
+    (Bojanowski et al. 2017): each n-gram (lengths in
+    ``subword_ngrams``, over "<word>") gets the mean vector of the
+    CONFIDENT words (corpus freq >= ``subword_min_count``) containing
+    it; a rare word's vector is then blended with the mean of its
+    n-gram vectors, weight sliding from pure-subword at freq 1 to
+    pure-corpus at ``subword_min_count``. Biomedical morphology
+    (-azole, -emia, hydroxy-) makes rare-word back-off informative.
     """
     from autoner_ray.state.tagger import WORD_SPECIALS
 
@@ -101,9 +113,78 @@ def ppmi_svd_embeddings(
     norms = np.linalg.norm(emb_words, axis=1, keepdims=True)
     emb_words = emb_words / np.maximum(norms, 1e-6)
 
+    if subword:
+        emb_words = _subword_backoff(
+            emb_words, w_row, freq, subword_ngrams, subword_min_count
+        )
+
     rng = np.random.default_rng(seed)
     bound = 2.0 * np.sqrt(3.0 / dim)
     emb = rng.uniform(-bound, bound, size=(n_rows, dim)).astype(np.float32)
     for w, row in w_row.items():
         emb[w_map[w]] = emb_words[row]
     return emb
+
+
+def _word_ngrams(w: str, lo: int, hi: int) -> list[str]:
+    s = f"<{w}>"
+    return [
+        s[i : i + n]
+        for n in range(lo, hi + 1)
+        for i in range(len(s) - n + 1)
+        if n < len(s)  # skip the n-gram equal to the whole "<w>"
+    ]
+
+
+def _subword_backoff(
+    emb_words: np.ndarray,
+    w_row: dict[str, int],
+    freq: Counter,
+    ngrams: tuple[int, int],
+    min_count: int,
+) -> np.ndarray:
+    """Blend rare-word rows of ``emb_words`` toward the mean vector of
+    their char n-grams, where each n-gram vector is the mean over
+    confident (freq >= min_count) words containing it."""
+    lo, hi = ngrams
+    dim = emb_words.shape[1]
+
+    g_sum: dict[str, np.ndarray] = {}
+    g_n: Counter[str] = Counter()
+    for w, row in w_row.items():
+        if freq[w] < min_count:
+            continue
+        v = emb_words[row]
+        for g in set(_word_ngrams(w, lo, hi)):
+            acc = g_sum.get(g)
+            if acc is None:
+                g_sum[g] = v.astype(np.float64).copy()
+            else:
+                acc += v
+            g_n[g] += 1
+
+    out = emb_words.copy()
+    for w, row in w_row.items():
+        f = freq[w]
+        if f >= min_count:
+            continue
+        acc = np.zeros(dim, np.float64)
+        k = 0
+        for g in set(_word_ngrams(w, lo, hi)):
+            n = g_n.get(g, 0)
+            if n:
+                acc += g_sum[g] / n
+                k += 1
+        if not k:
+            continue
+        sub = acc / k
+        nrm = np.linalg.norm(sub)
+        if nrm > 1e-6:
+            sub = sub / nrm
+        alpha = f / float(min_count)  # 1/min_count .. (mc-1)/mc
+        blended = alpha * out[row] + (1.0 - alpha) * sub
+        nrm = np.linalg.norm(blended)
+        if nrm > 1e-6:
+            blended = blended / nrm
+        out[row] = blended.astype(np.float32)
+    return out

@@ -55,6 +55,11 @@ def main() -> None:
                          "(offline stand-in for pretrained embeddings)")
     ap.add_argument("--mixed", action="store_true",
                     help="add gold DEV sentences (DS_GOLD_MIXED path)")
+    ap.add_argument("--emb-subword", action="store_true",
+                    help="fastText-style char-n-gram back-off for "
+                         "rare-word PPMI-SVD vectors")
+    ap.add_argument("--emb-subword-min-count", type=int, default=10)
+    ap.add_argument("--emb-num-context", type=int, default=1024)
     ap.add_argument("--no-pretrained-emb", action="store_true",
                     help="skip PPMI-SVD corpus word vectors (the "
                          "reference's load_pretrained_word_embedding "
@@ -196,7 +201,10 @@ def main() -> None:
 
             t0 = time.perf_counter()
             emb = ppmi_svd_embeddings(
-                vocab_sents, w_map, dim=args.word_dim
+                vocab_sents, w_map, dim=args.word_dim,
+                num_context=args.emb_num_context,
+                subword=args.emb_subword,
+                subword_min_count=args.emb_subword_min_count,
             )
             tagger.load_word_embeddings(emb)
             print(f"pretrained PPMI-SVD word vectors "

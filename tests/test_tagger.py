@@ -232,3 +232,37 @@ def test_bc5cdr_artifact_f1():
         "test",
     )
     assert stats["f1"] >= 0.80, stats
+
+
+def test_ppmi_subword_backoff_rare_words():
+    """subword=True: confident rows unchanged, rare rows blend toward
+    the mean of their char-n-gram vectors (fastText-style back-off)."""
+    import numpy as np
+
+    from autoner_ray.state.tagger import build_vocabs
+    from autoner_ray.state.word_vectors import ppmi_svd_embeddings
+
+    # 'chemizole' (rare) shares the -izole suffix with frequent words
+    base = [["the", "drug", "lamizole", "treats", "the", "rash"],
+            ["lamizole", "and", "damizole", "reduce", "fever"],
+            ["damizole", "dose", "given", "daily"]] * 8
+    rare = [["chemizole", "was", "administered", "once"]]
+    sents = base + rare
+    c_map, w_map, _ = build_vocabs(sents, [], char_min_count=0)
+
+    plain = ppmi_svd_embeddings(sents, w_map, dim=8, subword=False)
+    sub = ppmi_svd_embeddings(sents, w_map, dim=8, subword=True,
+                              subword_min_count=5)
+    assert sub.shape == plain.shape
+    # frequent word rows untouched
+    for w in ("lamizole", "damizole", "the"):
+        assert np.allclose(plain[w_map[w]], sub[w_map[w]])
+    # the rare word's row changed and moved toward its suffix-mates
+    r = w_map["chemizole"]
+    assert not np.allclose(plain[r], sub[r])
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    mates = (sub[w_map["lamizole"]] + sub[w_map["damizole"]]) / 2
+    assert cos(sub[r], mates) > cos(plain[r], mates)
