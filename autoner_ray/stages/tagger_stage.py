@@ -160,10 +160,17 @@ class TaggerEval:
 
 
 def neural_mentions(sentences_ds, model_blob, concurrency=None,
-                    threshold: float = 0.0, batch_size: int = 512):
+                    threshold: float = 0.0, batch_size: int = 128):
     """Sentence rows -> decoded mention rows. Task pool with a
     per-worker model cache (``cached_stage_fn``): the blob deserializes
-    once per worker per session, not once per actor per run."""
+    once per worker per session, not once per actor per run.
+
+    batch_size bounds TASK size (Ray bundles blocks up to it), so it is
+    the inference stage's parallelism dial: tasks ≈ rows/batch_size.
+    Total inference CPU is flat from 512 down to 128 (length-bucketed
+    GEMMs stay big enough), so 128 buys 4× the concurrency on small
+    inputs at no CPU cost; at web scale the task count is large either
+    way."""
     from autoner_ray.stages.dict_match import cached_stage_fn
 
     return sentences_ds.map_batches(
@@ -192,6 +199,8 @@ def eval_span_f1(sentences_ds, model_blob, core_lines, full_lines=(),
             stopword_lines=stopword_lines,
         ),
         batch_format="pyarrow",
+        # parallelism dial — see neural_mentions docstring
+        batch_size=128,
         concurrency=concurrency,
         num_cpus=1,
     )
@@ -287,7 +296,8 @@ def hybrid_triples(sentences_ds, model_blob, core_lines, full_lines=(),
             stopword_lines=stopword_lines,
         ),
         batch_format="pyarrow",
-        batch_size=512,
+        # parallelism dial — see neural_mentions docstring
+        batch_size=128,
         concurrency=concurrency,
         num_cpus=1,
     )
