@@ -170,8 +170,6 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
     resolves custkeys locally with ``np.searchsorted`` — no shuffle of
     either table. Above the bound (TPC-H sf≳30) the hash-partitioned
     large-large ``cogroup_join`` takes over with identical results."""
-    from ray.data.aggregate import Sum
-
     line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -277,19 +275,52 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
             cust_partial, batch_format="pyarrow"
         )
 
-    cust_rev = joined_partials.groupby("o_custkey").aggregate(
-        Sum("order_cents", alias_name="cents")
-    )
+    # ONE hash shuffle on custkey, then per-partition sum + top-k: a
+    # global top-k never needs the all-to-all SORT of the full customer
+    # revenue table — each partition holds every partial for its keys,
+    # so its local top-k is exact and the driver merges ≤ P×k rows.
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", _stable_part_col(t, ("o_custkey",), P)
+        )
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        sums = (
+            df.groupby("o_custkey", sort=False)["order_cents"]
+            .sum()
+            .reset_index(name="cents")
+        )
+        return sums.sort_values(
+            ["cents", "o_custkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    cand = (
+        joined_partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pandas")
+        .to_pandas()
+    )  # ≤ P×k rows
 
     # top-k FIRST (cents is a monotone proxy for revenue, so the sort
     # order is identical), then fetch names for only those k keys — the
     # customer dimension is never materialized or broadcast (at TPC-H
     # sf100 it is 15M rows; the keyset is k=10).
-    topk = (
-        cust_rev.sort(["cents", "o_custkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
-    )
+    topk = cand.sort_values(
+        ["cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
     keys = pa.array(topk["o_custkey"].tolist(), pa.int64())
 
     def pick(t: pa.Table) -> pa.Table:
