@@ -167,11 +167,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def docs_lang_counts(sf_dir):
-        from ray.data.aggregate import Count
+        # language codes are a bounded key set: per-batch value_counts
+        # partials + the shuffle-free bounded-key combine
+        import pyarrow as pa
+        import pyarrow.compute as _pc
 
-        return (
-            _docs(sf_dir, ["lang"]).groupby("lang")
-            .aggregate(Count(alias_name="n"))
+        from autoner_ray.stages.combine import bounded_key_sum
+
+        def lang_partial(t):
+            vc = t["lang"].value_counts()
+            return pa.table(
+                {
+                    "lang": vc.field("values"),
+                    "n": _pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        return bounded_key_sum(
+            _docs(sf_dir, ["lang"]).map_batches(
+                lang_partial, batch_format="pyarrow", batch_size=65536
+            ),
+            ["lang"], ["n"],
         )
 
     def docs_token_stats(sf_dir):

@@ -400,7 +400,6 @@ def brand_revenue(sf_dir: str):
 def region_supplier_count(sf_dir: str):
     """Dim-chain broadcast: region ⋈ nation driver-side, supplier streamed."""
     import ray
-    from ray.data.aggregate import Sum
 
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
@@ -423,33 +422,68 @@ def region_supplier_count(sf_dir: str):
             return pa.table(
                 {
                     "r_name": pa.array(vc.index.tolist(), pa.string()),
-                    "n": pa.array(vc.to_numpy(), pa.int64()),
+                    "suppliers": pa.array(vc.to_numpy(), pa.int64()),
                 }
             )
 
-    return (
-        sup.map_batches(RegionOf, batch_format="pyarrow", concurrency=2)
-        .groupby("r_name")
-        .aggregate(Sum("n", alias_name="suppliers"))
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    # 5 regions: shuffle-free bounded-key combine over the partials
+    return bounded_key_sum(
+        sup.map_batches(RegionOf, batch_format="pyarrow", concurrency=2),
+        ["r_name"], ["suppliers"],
     )
 
 
 def top_orders(sf_dir: str, k: int = 10):
+    """Global top-k without a global sort: every batch emits its local
+    top-k (exact — a global winner is a winner in its own batch), the
+    ≤ k·blocks candidates coalesce to one block, and a single final
+    task picks the k. The orders table never shuffles."""
     ds = _read(
         sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"]
     )
-    return ds.sort(
-        ["o_totalprice", "o_orderkey"], descending=[True, False]
-    ).limit(k)
+    keys = ["o_totalprice", "o_orderkey"]
+    order = [(keys[0], "descending"), (keys[1], "ascending")]
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                    ("o_orderpriority", pa.string()),
+                ]
+            ).empty_table()
+        return t.sort_by(order).slice(0, k)
+
+    return (
+        ds.map_batches(batch_topk, batch_format="pyarrow",
+                       batch_size=65536)
+        .repartition(1)
+        .map_batches(batch_topk, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def distinct_segments(sf_dir: str):
-    from ray.data.aggregate import Count
+    """5 market segments: per-batch value_counts partials + shuffle-free
+    bounded-key combine."""
+    from autoner_ray.stages.combine import bounded_key_sum
 
-    return (
-        _read(sf_dir, "customer", ["c_mktsegment"])
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n"))
+    def seg_counts(t: pa.Table) -> pa.Table:
+        vc = t["c_mktsegment"].value_counts()
+        return pa.table(
+            {
+                "c_mktsegment": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return bounded_key_sum(
+        _read(sf_dir, "customer", ["c_mktsegment"]).map_batches(
+            seg_counts, batch_format="pyarrow", batch_size=65536
+        ),
+        ["c_mktsegment"], ["n"],
     )
 
 

@@ -31,17 +31,29 @@ def _cents_col_to_value(t: pa.Table, out: str = "sum_value") -> pa.Table:
 
 
 def hourly_counts(events_ds):
-    """(event_type, hour) -> n, sum_value. Tumbling hour via floor_temporal."""
-    from ray.data.aggregate import Count, Sum
+    """(event_type, hour) -> n, sum_value. Tumbling hour via floor_temporal.
 
-    def add_hour(batch: pa.Table) -> pa.Table:
+    Key cardinality is |event types| × |hours in the corpus time span|
+    (~10⁵–10⁶ for years of web data) — bounded, so the tail is the
+    shuffle-free two-level combine over per-batch arrow hash partials
+    rather than a sort-shuffle of the full event stream."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return _value_cents(batch.append_column("hour", hour))
+        t = _value_cents(batch.append_column("hour", hour))
+        agg = (
+            t.select(["event_type", "hour", "value_cents"])
+            .group_by(["event_type", "hour"])
+            .aggregate([("value_cents", "count"), ("value_cents", "sum")])
+        )
+        return agg.rename_columns(["event_type", "hour", "n", "cents"])
 
-    agg = (
-        events_ds.map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="cents"))
+    agg = bounded_key_sum(
+        events_ds.map_batches(
+            hour_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["event_type", "hour"], ["n", "cents"],
     )
     return agg.map_batches(_cents_col_to_value, batch_format="pyarrow")
 
