@@ -591,7 +591,7 @@ def order_price_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.75)):
     interpolation over the (bounded-cardinality) histogram. Matches
     DuckDB ``quantile_cont`` bit-for-bit because both interpolate the
     same integers: v = a + (b - a) * frac at position (n-1)*p."""
-    from ray.data.aggregate import Sum
+    from autoner_ray.stages.combine import bounded_key_sum
 
     orders = _read(sf_dir, "orders", ["o_totalprice"])
 
@@ -607,10 +607,13 @@ def order_price_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.75)):
             }
         )
 
+    # the histogram key set is bounded by the price range, so the
+    # combine is the shuffle-free two-level one
     hist = (
-        orders.map_batches(cents_counts, batch_format="pyarrow")
-        .groupby("cents")
-        .aggregate(Sum("n", alias_name="n"))
+        bounded_key_sum(
+            orders.map_batches(cents_counts, batch_format="pyarrow"),
+            ["cents"], ["n"],
+        )
         .to_pandas()
         .sort_values("cents")
     )

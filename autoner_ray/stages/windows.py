@@ -59,16 +59,40 @@ def hourly_counts(events_ds):
 
 
 def user_stats(events_ds):
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """Per-user event stats. count/sum/min/max all re-associate, so a
+    per-batch arrow hash partial shrinks the shuffle input to
+    ≤ |users-in-batch| rows per batch — the event stream itself never
+    sort-shuffles; only the pre-combined partials do."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        t = _value_cents(batch)
+        agg = (
+            t.select(["user_id", "value_cents", "ts"])
+            .group_by("user_id")
+            .aggregate(
+                [
+                    ("value_cents", "count"),
+                    ("value_cents", "sum"),
+                    ("ts", "min"),
+                    ("ts", "max"),
+                ]
+            )
+        )
+        return agg.rename_columns(
+            ["user_id", "n_events", "cents", "first_ts", "last_ts"]
+        )
 
     agg = (
-        events_ds.map_batches(_value_cents, batch_format="pyarrow")
+        events_ds.map_batches(
+            user_partial, batch_format="pyarrow", batch_size=65536
+        )
         .groupby("user_id")
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="cents"),
-            Min("ts", alias_name="first_ts"),
-            Max("ts", alias_name="last_ts"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("cents", alias_name="cents"),
+            Min("first_ts", alias_name="first_ts"),
+            Max("last_ts", alias_name="last_ts"),
         )
     )
     return agg.map_batches(_cents_col_to_value, batch_format="pyarrow")
