@@ -18,6 +18,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from autoner_ray.dicts import STOPWORDS
 from autoner_ray.stages.tokenize import sentence_token_stream
@@ -300,16 +301,22 @@ def tfidf_top_terms(docs_ds, k: int = 3):
 
     terms = docs_ds.map_batches(explode, batch_format="pyarrow")
 
-    def ones(batch: pa.Table) -> pa.Table:
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # per-batch combine: rows are (doc, DISTINCT word), so a word's
+        # in-batch row count is a valid df partial — the shuffle moves
+        # ≤ |batch vocab| rows per batch instead of every exploded row
+        vc = batch["word"].value_counts()
         return pa.table(
             {
-                "word": batch["word"],
-                "one": pa.array(np.ones(len(batch), np.int64)),
+                "word": vc.field("values"),
+                "one": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
     df_ds = (
-        terms.map_batches(ones, batch_format="pyarrow")
+        terms.map_batches(
+            df_partial, batch_format="pyarrow", batch_size=65536
+        )
         .groupby("word")
         .aggregate(Sum("one", alias_name="df"))
     )
@@ -382,15 +389,26 @@ def inverted_index_stats(docs_ds):
             }
         )
 
-    from ray.data.aggregate import Count
+    def index_partial(batch: pa.Table) -> pa.Table:
+        # per-batch combine (count/sum/min all re-associate): the
+        # shuffle moves ≤ |batch vocab| rows per batch, not every
+        # exploded (doc, word) row
+        agg = batch.group_by("word").aggregate(
+            [("doc_id", "count"), ("n", "sum"), ("doc_id", "min")]
+        )
+        return agg.rename_columns(
+            ["word", "n_docs", "total_occurrences", "first_doc"]
+        )
 
     return (
         docs_ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(index_partial, batch_format="pyarrow",
+                     batch_size=65536)
         .groupby("word")
         .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n", alias_name="total_occurrences"),
-            Min("doc_id", alias_name="first_doc"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_occurrences", alias_name="total_occurrences"),
+            Min("first_doc", alias_name="first_doc"),
         )
     )
 
