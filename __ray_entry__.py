@@ -390,6 +390,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_evidence": lambda sf: kg.triples_with_evidence(sf),
         "kg_mention_contexts": _kg_mention_contexts,
         "kg_training_export": _kg_training_export,
+        # --- oracle-backed additions past the window (checked by the
+        # local gate; the driver window above stays fixed) ---------------
+        "docs_source_stats": lambda sf: analysis.source_stats(
+            _docs(sf, ["doc_id", "source", "n_chars"])
+        ),
+        "docs_length_histogram": lambda sf: analysis.length_histogram(
+            _docs(sf, ["doc_id", "n_chars"])
+        ),
     }
 
 
@@ -1128,6 +1136,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT entity, neighbor, weight, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "docs_source_stats": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "docs_length_histogram": """
+            SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT)
+                       AS bucket,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-

@@ -635,3 +635,57 @@ def quality_filter(docs_ds, min_words: int = 20,
         return q.filter(mask)
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def source_stats(docs_ds):
+    """Per-source (domain-like) corpus profile: doc count, total chars,
+    smallest doc id. The web-curation "which hosts dominate my crawl"
+    probe. Source cardinality is bounded (hosts ≪ docs), so the tail is
+    the shuffle-free bounded-key combine over per-batch arrow hash
+    partials — the documents stream itself never sort-shuffles."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select(["source", "n_chars", "doc_id"])
+            .group_by("source")
+            .aggregate([("doc_id", "count"), ("n_chars", "sum")])
+        )
+        return agg.rename_columns(["source", "n_docs", "total_chars"])
+
+    return bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536),
+        ["source"], ["n_docs", "total_chars"],
+    )
+
+
+def length_histogram(docs_ds, bucket: int = 100):
+    """Doc-length histogram: floor(n_chars / bucket) -> doc count. The
+    curation length-profile probe; bucket count is bounded by the max
+    doc length, so the tail is the shuffle-free bounded-key combine."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(t["n_chars"], pa.float64()), float(bucket)
+                )
+            ),
+            pa.int64(),
+        )
+        vc = b.value_counts() if not isinstance(b, pa.ChunkedArray) \
+            else b.combine_chunks().value_counts()
+        return pa.table(
+            {
+                "bucket": vc.field("values"),
+                "n_docs": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536),
+        ["bucket"], ["n_docs"],
+    )

@@ -14,24 +14,19 @@ def _entry_module():
     return mod
 
 
-def test_every_oracle_inside_the_driver_window():
+def test_driver_window_fully_oracle_backed():
     """The grading driver checks only the FIRST 50 queries() entries, so
-    dict ORDER is load-bearing: every oracle-backed query must precede
-    every rows-only one, and all oracles must land inside the window."""
+    dict ORDER is load-bearing: every window seat must carry an oracle
+    (the driver then hash-checks all 50). Oracle-backed queries BEYOND
+    the window are fine — the local gate (scripts/check_correctness.py)
+    validates those."""
     m = _entry_module()
     names = list(m.queries())
     oracles = set(m.oracle_sql())
     assert oracles <= set(names), "oracle without a query"
     window = names[:50]
-    missing = oracles - set(window)
-    assert not missing, f"oracle-backed queries outside the window: {missing}"
-    # oracle block is a PREFIX: no rows-only query before an oracle one
-    seen_rows_only = False
-    for n in names:
-        if n in oracles:
-            assert not seen_rows_only, f"oracle {n} after a rows-only query"
-        else:
-            seen_rows_only = True
+    unbacked = [n for n in window if n not in oracles]
+    assert not unbacked, f"window seats without an oracle: {unbacked}"
 
 
 def test_no_ray_init_in_library():
@@ -43,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 67 and len(sqls) == 50
+    assert len(qs) == 69 and len(sqls) == 52
     import subprocess
     import sys
 
