@@ -131,3 +131,50 @@ def test_bounded_key_sum_multi_block_matches_groupby():
     got = dict(zip(out["k"], out["n"]))
     assert got == {"a": 4, "b": 12, "c": 5}
     assert list(out.columns) == ["k", "n"]
+
+
+def test_bounded_key_sum_property_matches_pandas(ray_session=None):
+    """Property: for random multi-block partial streams (any key
+    distribution, any block split, zero-row blocks), bounded_key_sum
+    equals a plain pandas groupby-sum."""
+    import pandas as pd
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    rows = st.lists(
+        st.tuples(st.sampled_from("abcdef"),
+                  st.integers(-10**9, 10**9)),
+        min_size=0, max_size=60,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(rows=rows, n_blocks=st.integers(1, 5))
+    def check(rows, n_blocks):
+        blocks = []
+        per = max(1, (len(rows) + n_blocks - 1) // n_blocks)
+        for i in range(0, max(len(rows), 1), per):
+            chunk = rows[i : i + per]
+            blocks.append(
+                pa.table(
+                    {
+                        "k": pa.array([r[0] for r in chunk], pa.string()),
+                        "v": pa.array([r[1] for r in chunk], pa.int64()),
+                    }
+                )
+            )
+        got = bounded_key_sum(rd.from_arrow(blocks), ["k"], ["v"]).to_pandas()
+        if not rows:
+            # empty stream -> empty result (Ray may drop the schema of an
+            # all-empty dataset at the to_pandas boundary)
+            assert len(got) == 0
+            return
+        want = (
+            pd.DataFrame(rows, columns=["k", "v"])
+            .groupby("k", as_index=False)["v"].sum()
+        )
+        assert dict(zip(got["k"], got["v"])) == dict(zip(want["k"], want["v"]))
+
+    check()
