@@ -221,8 +221,8 @@ def test_bc5cdr_artifact_f1():
     - distant-only artifact (pure AutoNER recipe + subword-augmented
       PPMI-SVD vectors + word-level unk-dropout 0.25 + self-training
       rounds over the FILTERED supervision gaps; gold never seen):
-      test F1 >= 0.82, above the 0.7198 dictionary-match baseline
-      (measured 0.831 full-test at mint time, round 4; round 3 was
+      test F1 >= 0.83, above the 0.7198 dictionary-match baseline
+      (measured 0.841 full-test at mint time, round 4 st2; round 3 was
       0.827, round 2 was 0.744)."""
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
@@ -232,7 +232,7 @@ def test_bc5cdr_artifact_f1():
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr_distant.npz",
         "test",
     )
-    assert stats["f1"] >= 0.82, stats
+    assert stats["f1"] >= 0.83, stats
 
 
 def test_ppmi_subword_backoff_rare_words():
