@@ -215,24 +215,27 @@ def test_bc5cdr_artifact_f1():
     """The committed artifacts hold their trained quality on the human
     gold TEST split (never used in training by either recipe):
     - main artifact (DS_GOLD_MIXED recipe, `dataset.py:298-404`, dev
-      selection tail held out of training, word-drop 0.25 + one
-      self-training round): test F1 >= 0.82 (measured 0.837 full-test
-      at mint time, round 3);
+      selection tail held out of training, word-drop 0.25, subword
+      PPMI-SVD vectors, self-trained from the distant st2 teacher):
+      test F1 >= 0.84 (measured 0.8546 full-test at mint time, round 4;
+      round 3 was 0.837);
     - distant-only artifact (pure AutoNER recipe + subword-augmented
-      PPMI-SVD vectors + word-level unk-dropout 0.25 + self-training
-      rounds over the FILTERED supervision gaps; gold never seen):
-      test F1 >= 0.83, above the 0.7198 dictionary-match baseline
-      (measured 0.841 full-test at mint time, round 4 st2; round 3 was
-      0.827, round 2 was 0.744)."""
+      PPMI-SVD vectors + word-level unk-dropout 0.25 + FOUR
+      self-training rounds over the FILTERED supervision gaps; gold
+      never seen): test F1 >= 0.84, above BOTH the 0.7198
+      dictionary-match baseline and the published 0.8480
+      (`/root/reference/README.md:40`) — measured 0.8497 full-test at
+      mint time, round 4 st4; st2 was 0.841, round 3 was 0.827,
+      round 2 was 0.744."""
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
     )
-    assert stats["f1"] >= 0.82, stats
+    assert stats["f1"] >= 0.84, stats
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr_distant.npz",
         "test",
     )
-    assert stats["f1"] >= 0.83, stats
+    assert stats["f1"] >= 0.84, stats
 
 
 def test_ppmi_subword_backoff_rare_words():
