@@ -26,6 +26,13 @@ WORDS = "string_split(text, ' ')"
 _REV_CENTS = (
     "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
 )
+# PII defaults + one corpus-hitting keyword pattern so the value-hash
+# check is non-trivial on the synthetic documents table (RE2 both sides)
+_AUDIT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "kw": r"\b(?:table|query|join)\b",
+}
 
 
 def _systematic_sample_mask(batch):
@@ -61,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         similarity,
+        webtext,
         windows,
     )
 
@@ -398,6 +406,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_histogram": lambda sf: analysis.length_histogram(
             _docs(sf, ["doc_id", "n_chars"])
         ),
+        "docs_repetition": lambda sf: _docs(
+            sf, ["doc_id", "text"]
+        ).map_batches(webtext.repetition_batch, batch_format="pyarrow"),
+        "docs_hot_ngrams": lambda sf: webtext.hot_ngrams(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "docs_pattern_counts": lambda sf: _docs(
+            sf, ["doc_id", "text"]
+        ).map_batches(
+            lambda b: webtext.pattern_counts_batch(b, _AUDIT_PATTERNS),
+            batch_format="pyarrow",
+        ),
     }
 
 
@@ -529,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         seeded_sample_oracle_sql,
         stratified_sample_oracle_sql,
     )
+    from autoner_ray.stages import webtext
 
     dict_values = unigram_dict_sql_values()
     out = {
@@ -1149,6 +1170,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "docs_repetition": webtext.repetition_oracle_sql(),
+        "docs_hot_ngrams": webtext.hot_ngrams_oracle_sql(),
+        "docs_pattern_counts": webtext.pattern_counts_oracle_sql(
+            _AUDIT_PATTERNS
+        ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

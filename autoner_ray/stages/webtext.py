@@ -1,0 +1,281 @@
+"""Web-corpus curation operators (engine extensions, no reference
+counterpart — the reference is a corpus-NER system; these are the
+standard web-text quality/boilerplate passes a 100-TB training-data
+pipeline runs BEFORE distant supervision: Gopher-style repetition
+signals (Rae et al. 2021, §A1.1), C4/CCNet-style boilerplate n-gram
+profiling, and RE2 pattern counting / PII scrubbing).
+
+All kernels are stateless ``map_batches`` transforms; the only shuffle
+(hot_ngrams) moves per-batch pre-combined gram partials, never the
+exploded corpus. Floats are rounded to 6 dp on BOTH sides (engine +
+DuckDB oracle) so the driver value-hash is stable.
+
+Tokenization here is plain ``text.split(' ')`` — deliberately identical
+to DuckDB ``string_split(text, ' ')`` (NOT ``sentence_token_stream``)
+so every kernel stays SQL-twinnable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _exploded(texts: list[str | None]) -> pd.DataFrame:
+    """(i, w) rows: doc index -> word, in document order."""
+    s = pd.Series([(t or "").split(" ") for t in texts])
+    return (
+        pd.DataFrame({"i": np.arange(len(texts)), "w": s})
+        .explode("w", ignore_index=True)
+    )
+
+
+def _gram_frame(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """(i, g) rows: doc index -> space-joined word n-gram.
+
+    Vectorized: n-1 shifts of the exploded word column, row j is a
+    valid gram iff rows j..j+n-1 belong to the same doc.
+    """
+    w = df["w"].astype(str)
+    i = df["i"].to_numpy()
+    parts = [w]
+    for s in range(1, n):
+        parts.append(w.shift(-s))
+    valid = np.zeros(len(df), dtype=bool)
+    if len(df) >= n:
+        valid[: len(df) - (n - 1)] = i[: len(df) - (n - 1)] == i[n - 1 :]
+    gram = parts[0].str.cat(parts[1:], sep=" ")
+    return pd.DataFrame({"i": i[valid], "g": gram.to_numpy()[valid]})
+
+
+def repetition_batch(batch: pa.Table, n: int = 5) -> pa.Table:
+    """Per-doc Gopher repetition signals (Rae et al. 2021, table A1):
+
+    - ``top_word_frac``  — most-frequent-word count / n_words
+    - ``dup_word_frac``  — 1 - distinct_words / n_words
+    - ``dup_ngram_frac`` — 1 - distinct n-grams / total n-grams
+      (0.0 when the doc has fewer than ``n`` words)
+
+    High values flag machine-generated / boilerplate pages for the
+    quality cut. Stateless and vectorized (pandas explode + shifted
+    gram join) — scales as a pure map stage.
+    """
+    texts = batch["text"].to_pylist()
+    df = _exploded(texts)
+    n_rows = len(texts)
+
+    counts = df.groupby(["i", "w"], sort=False).size()
+    per_doc = counts.groupby(level=0)
+    total = np.zeros(n_rows, dtype=np.float64)
+    mx = np.zeros(n_rows, dtype=np.float64)
+    dist = np.zeros(n_rows, dtype=np.float64)
+    idx = per_doc.sum().index.to_numpy()
+    total[idx] = per_doc.sum().to_numpy()
+    mx[idx] = per_doc.max().to_numpy()
+    dist[idx] = per_doc.size().to_numpy()
+
+    grams = _gram_frame(df, n)
+    g_counts = grams.groupby(["i", "g"], sort=False).size()
+    g_per_doc = g_counts.groupby(level=0)
+    g_total = np.zeros(n_rows, dtype=np.float64)
+    g_dist = np.zeros(n_rows, dtype=np.float64)
+    gidx = g_per_doc.sum().index.to_numpy()
+    g_total[gidx] = g_per_doc.sum().to_numpy()
+    g_dist[gidx] = g_per_doc.size().to_numpy()
+
+    safe_total = np.maximum(total, 1.0)
+    safe_g = np.maximum(g_total, 1.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(total.astype(np.int64), pa.int64()),
+            "top_word_frac": pa.array(
+                np.round(mx / safe_total, 6), pa.float64()
+            ),
+            "dup_word_frac": pa.array(
+                np.round(1.0 - dist / safe_total, 6), pa.float64()
+            ),
+            "dup_ngram_frac": pa.array(
+                np.round(
+                    np.where(g_total > 0, 1.0 - g_dist / safe_g, 0.0), 6
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def repetition_oracle_sql(n: int = 5) -> str:
+    return f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        w AS (SELECT doc_id, unnest(ws) AS w FROM ws),
+        c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+        s AS (
+            SELECT doc_id, SUM(c) AS total, MAX(c) AS mx,
+                   COUNT(*) AS dist
+            FROM c GROUP BY doc_id
+        ),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+{n - 1}], ' ') AS g
+            FROM ws, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+        ),
+        gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        gs AS (
+            SELECT doc_id, SUM(c) AS g_total, COUNT(*) AS g_dist
+            FROM gc GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(s.total AS BIGINT) AS n_words,
+               round(s.mx / CAST(s.total AS DOUBLE), 6) AS top_word_frac,
+               round(1.0 - s.dist / CAST(s.total AS DOUBLE), 6)
+                   AS dup_word_frac,
+               COALESCE(
+                   round(1.0 - gs.g_dist / CAST(gs.g_total AS DOUBLE), 6),
+                   0.0) AS dup_ngram_frac
+        FROM s LEFT JOIN gs USING (doc_id)
+    """
+
+
+def hot_ngrams(docs_ds, n: int = 5, min_df: int = 2, k: int = 20):
+    """Corpus-level boilerplate profile: the top-``k`` word ``n``-grams
+    by total occurrences among grams appearing in ≥ ``min_df`` docs
+    (ties broken lexicographically) — the C4/CCNet "find the repeated
+    boilerplate phrases" pass that feeds span-level dedup.
+
+    Scale shape: each batch pre-combines to (gram, n_occurrences,
+    n_docs) partials — a doc is a single row, so batches partition docs
+    and per-batch distinct-doc counts SUM exactly. One gram-vocab-sized
+    hash shuffle, then partition-local top-k and a single tiny merge
+    block; the exploded gram stream never shuffles and the driver never
+    sees the vocab.
+    """
+    from ray.data.aggregate import Sum
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        grams = _gram_frame(_exploded(batch["text"].to_pylist()), n)
+        if grams.empty:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "occ": pa.array([], pa.int64()),
+                    "docs": pa.array([], pa.int64()),
+                }
+            )
+        agg = grams.groupby("g", sort=False)["i"].agg(["size", "nunique"])
+        return pa.table(
+            {
+                "gram": pa.array(agg.index.to_numpy(), pa.string()),
+                "occ": pa.array(agg["size"].to_numpy(), pa.int64()),
+                "docs": pa.array(agg["nunique"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(
+            Sum("occ", alias_name="n_occurrences"),
+            Sum("docs", alias_name="n_docs"),
+        )
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["n_docs"] >= min_df]
+        df = df.sort_values(
+            ["n_occurrences", "gram"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+        return pa.Table.from_pandas(
+            df[["gram", "n_occurrences", "n_docs"]], preserve_index=False
+        )
+
+    # per-block partial top-k (vocab-bounded blocks -> <=k rows each),
+    # then one tiny single-block merge
+    return (
+        agg.map_batches(topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def hot_ngrams_oracle_sql(n: int = 5, min_df: int = 2, k: int = 20) -> str:
+    return f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+{n - 1}], ' ') AS gram
+            FROM ws, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+        ),
+        agg AS (
+            SELECT gram, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM g GROUP BY gram
+        )
+        SELECT gram, n_occurrences, n_docs FROM agg
+        WHERE n_docs >= {min_df}
+        ORDER BY n_occurrences DESC, gram
+        LIMIT {k}
+    """
+
+
+# RE2-syntax patterns, identical semantics in pyarrow (count_substring_regex)
+# and DuckDB (regexp_extract_all) — both are RE2, leftmost non-overlapping.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pattern_counts_batch(
+    batch: pa.Table, patterns: dict[str, str] | None = None
+) -> pa.Table:
+    """doc_id + one ``n_<name>`` int64 column per named RE2 pattern
+    (defaults: the PII set). Fully vectorized via Arrow's
+    ``count_substring_regex`` — the scan-side PII / policy audit pass.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    text = pc.fill_null(batch["text"], "")
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {"doc_id": batch["doc_id"]}
+    for name, pat in pats.items():
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(text, pat), pa.int64()
+        )
+    return pa.table(cols)
+
+
+def pattern_counts_oracle_sql(patterns: dict[str, str] | None = None) -> str:
+    pats = patterns if patterns is not None else PII_PATTERNS
+    exprs = ",\n               ".join(
+        "CAST(len(regexp_extract_all(COALESCE(text, ''), '{}')) AS BIGINT)"
+        " AS n_{}".format(p.replace("'", "''"), name)
+        for name, p in pats.items()
+    )
+    return f"SELECT doc_id,\n               {exprs}\n        FROM documents"
+
+
+def pii_scrub_batch(
+    batch: pa.Table, patterns: dict[str, str] | None = None
+) -> pa.Table:
+    """Redact PII matches in place: each named pattern's matches become
+    ``[NAME]``. Vectorized ``replace_substring_regex`` chain; patterns
+    applied in dict order (email before ipv4 before phone by default).
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    text = pc.fill_null(batch["text"], "")
+    for name, pat in pats.items():
+        text = pc.replace_substring_regex(
+            text, pat, f"[{name.upper()}]"
+        )
+    cols = {c: batch[c] for c in batch.column_names}
+    cols["text"] = text
+    return pa.table(cols)
