@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tune_data_context()
     from autoner_ray.stages import (
         analysis,
+        asof,
         dedup,
         multimodal,
         similarity,
@@ -418,6 +419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: webtext.pattern_counts_batch(b, _AUDIT_PATTERNS),
             batch_format="pyarrow",
         ),
+        "events_asof_attribution": lambda sf: asof.events_asof(
+            _events(sf)
+        ),
+        "events_window_count": lambda sf: asof.window_count(_events(sf)),
     }
 
 
@@ -549,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         seeded_sample_oracle_sql,
         stratified_sample_oracle_sql,
     )
+    from autoner_ray.stages import asof as asof_mod
     from autoner_ray.stages import webtext
 
     dict_values = unigram_dict_sql_values()
@@ -1175,6 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pattern_counts": webtext.pattern_counts_oracle_sql(
             _AUDIT_PATTERNS
         ),
+        "events_asof_attribution": asof_mod.events_asof_oracle_sql(),
+        "events_window_count": asof_mod.window_count_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

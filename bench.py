@@ -246,7 +246,10 @@ def run_scaling(
     thr_lo = r_lo["docs_per_sec_kg"]
     thr_hi = r_hi["docs_per_sec_kg"]
     raw_eff = round((thr_hi / thr_lo) / (hi / lo), 3)
-    eff = round(raw_eff / hw_ceiling, 3)
+    # normalized efficiency cannot meaningfully exceed 1.0: if the probe
+    # reports a ceiling far below raw (a perturbed probe), clamp rather
+    # than publish a >1 "efficiency" — raw is always reported alongside
+    eff = min(1.0, round(raw_eff / hw_ceiling, 3))
     return {
         "metric": "scaling_efficiency",
         "value": eff,
