@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         similarity,
+        sketches,
         webtext,
         windows,
     )
@@ -423,6 +424,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf)
         ),
         "events_window_count": lambda sf: asof.window_count(_events(sf)),
+        "docs_distinct_words_hll": lambda sf: sketches.distinct_words_hll(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "docs_heavy_hitters_cm": lambda sf: sketches.cm_heavy_hitters(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "lineitem_brand_semi_join": sketches.lineitem_brand_semi_join,
     }
 
 
@@ -555,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_oracle_sql,
     )
     from autoner_ray.stages import asof as asof_mod
+    from autoner_ray.stages import sketches as sketches_mod
     from autoner_ray.stages import webtext
 
     dict_values = unigram_dict_sql_values()
@@ -1183,6 +1192,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_asof_attribution": asof_mod.events_asof_oracle_sql(),
         "events_window_count": asof_mod.window_count_oracle_sql(),
+        # Count-Min estimates are exact on this corpus's bounded word
+        # vocab (pytest pins zero CM collisions across all 4 rows at the
+        # oracle scales), so the exact top-k twin is a valid value hash —
+        # same justification pattern as the LSH keep-one oracle above
+        "docs_heavy_hitters_cm": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            c AS (SELECT word, COUNT(*) AS est_count FROM w GROUP BY word)
+            SELECT word, est_count FROM c
+            ORDER BY est_count DESC, word LIMIT 10
+        """,
+        "lineitem_brand_semi_join":
+            sketches_mod.lineitem_brand_semi_join_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

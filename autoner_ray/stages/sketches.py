@@ -1,0 +1,312 @@
+"""Mergeable one-pass sketches (engine extensions for corpus-scale
+profiling): HyperLogLog distinct counting, Count-Min heavy hitters, and
+a Bloom-filter semi-join prefilter.
+
+Scale shape shared by all three: every sketch here is a fixed-size,
+order-independent MERGE (elementwise max / sum / or), so a batch stream
+of any block layout reduces to one tiny blob per batch, then one blob
+per block, then one final row — no shuffle of the data itself, no
+driver-side state proportional to the corpus. Determinism: all hashing
+is md5-derived (``functions/hashing.md5_64_array``), so estimates are
+pure functions of the input multiset — pinned by pytest, not by SQL
+(an approximate value has no exact SQL twin; the Bloom path IS exact
+because membership is re-verified, so it carries a SQL oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from autoner_ray.functions.hashing import md5_64_array
+
+# ---------------------------------------------------------------- HLL
+
+HLL_P = 14  # 2^14 registers = 16 KiB per sketch, ~0.8% rel. error
+
+
+def _hll_update(registers: np.ndarray, hashes: np.ndarray) -> None:
+    """Fold 64-bit hashes into uint8 registers in place (vectorized)."""
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = hashes << np.uint64(HLL_P)
+    # rho = leading zeros of the remaining 64-P bits + 1; a zero rest
+    # means all 64-P bits were zero -> rho = 64-P+1
+    nz = rest != 0
+    rho = np.full(len(hashes), 64 - HLL_P + 1, dtype=np.uint8)
+    if nz.any():
+        r = rest[nz]
+        lz = np.zeros(len(r), dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            r[mask] = r[mask] << np.uint64(shift)
+        rho[nz] = (lz + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rho)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Classic HLL estimate with small-range (linear counting) and
+    large-range corrections (Flajolet et al. 2007)."""
+    m = float(1 << HLL_P)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -registers.astype(np.float64))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(registers == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    elif est > (2**64) / 30.0:
+        est = -(2**64) * np.log(1.0 - est / 2**64)
+    return float(est)
+
+
+def distinct_words_hll(docs_ds):
+    """Approximate count of distinct word tokens in the corpus.
+
+    One pass: per-batch 16 KiB register partials -> in-block elementwise
+    max -> single-block final max + estimate. Returns a one-row Dataset
+    (n_distinct_est int64, n_registers). Exact distinct at 100 TB needs
+    a full vocab shuffle; this needs 16 KiB per task.
+    """
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+        toks: list[str] = []
+        for text in batch["text"].to_pylist():
+            toks.extend((text or "").split(" "))
+        if toks:
+            # one memoized-md5 pass per batch; HLL updates are
+            # idempotent so no per-doc dedup is needed
+            _hll_update(regs, md5_64_array(toks))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for blob in batch["regs"].to_pylist():
+            np.maximum(
+                regs, np.frombuffer(blob, dtype=np.uint8), out=regs
+            )
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        merged = merge(batch)
+        regs = np.frombuffer(
+            merged["regs"][0].as_py(), dtype=np.uint8
+        )
+        return pa.table(
+            {
+                "n_distinct_est": pa.array(
+                    [int(round(hll_estimate(regs)))], pa.int64()
+                ),
+                "n_registers": pa.array([1 << HLL_P], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(batch_sketch, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=4096)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ---------------------------------------------------- Count-Min sketch
+
+CM_DEPTH = 4
+CM_WIDTH = 1 << 16
+
+
+def _cm_rows(hashes: np.ndarray) -> np.ndarray:
+    """(depth, n) row indices into the flattened CM table."""
+    out = np.empty((CM_DEPTH, len(hashes)), dtype=np.int64)
+    for d in range(CM_DEPTH):
+        # d-th 16-bit slice of the 64-bit hash: independent-enough rows
+        # with ONE md5 per token (the md5 cache stays effective)
+        out[d] = ((hashes >> np.uint64(16 * d)) & np.uint64(CM_WIDTH - 1)).astype(
+            np.int64
+        ) + d * CM_WIDTH
+    return out
+
+
+def cm_heavy_hitters(docs_ds, k: int = 10, candidates_per_batch: int = 64):
+    """Top-``k`` words by Count-Min estimated count.
+
+    Per batch: add word counts into a 4×65536 int64 CM partial AND emit
+    the batch's local top-``candidates_per_batch`` words (a Zipfian
+    stream's global heavy hitters are heavy in essentially every batch,
+    the standard CM candidate heuristic). Merge: CM partials sum
+    elementwise; candidates union. Final single block: estimate each
+    candidate from the merged CM (min over rows) and keep the top-k
+    (ties lexicographic). Estimates are upper bounds (CM never
+    undercounts); with this corpus's skew the top-k SET equals the exact
+    one — pinned by pytest against exact counts.
+    """
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        cm = np.zeros(CM_DEPTH * CM_WIDTH, dtype=np.int64)
+        from collections import Counter
+
+        local = Counter()
+        for text in batch["text"].to_pylist():
+            local.update((text or "").split(" "))
+        words = list(local.keys())
+        cnts = np.array([local[w] for w in words], dtype=np.int64)
+        if words:
+            rows = _cm_rows(md5_64_array(words))
+            for d in range(CM_DEPTH):
+                np.add.at(cm, rows[d], cnts)
+        cand = [w for w, _ in local.most_common(candidates_per_batch)]
+        return pa.table(
+            {
+                "cm": pa.array([cm.tobytes()], pa.binary()),
+                "cands": pa.array([cand], pa.list_(pa.string())),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        cm = np.zeros(CM_DEPTH * CM_WIDTH, dtype=np.int64)
+        cands: set[str] = set()
+        for blob, cl in zip(
+            batch["cm"].to_pylist(), batch["cands"].to_pylist()
+        ):
+            cm += np.frombuffer(blob, dtype=np.int64)
+            cands.update(cl)
+        return pa.table(
+            {
+                "cm": pa.array([cm.tobytes()], pa.binary()),
+                "cands": pa.array([sorted(cands)], pa.list_(pa.string())),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        merged = merge(batch)
+        cm = np.frombuffer(merged["cm"][0].as_py(), dtype=np.int64)
+        cands = sorted(set(merged["cands"][0].as_py()))
+        if not cands:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "est_count": pa.array([], pa.int64()),
+                }
+            )
+        rows = _cm_rows(md5_64_array(cands))
+        est = cm[rows].min(axis=0)
+        order = sorted(
+            range(len(cands)), key=lambda i: (-int(est[i]), cands[i])
+        )[:k]
+        return pa.table(
+            {
+                "word": pa.array([cands[i] for i in order], pa.string()),
+                "est_count": pa.array(
+                    [int(est[i]) for i in order], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(batch_sketch, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=1024)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ------------------------------------------------ Bloom semi-join
+
+def _bloom_build(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """Bit array (uint64 words) from int64/uint64 keys; double hashing
+    h1 + i*h2 over the splitmix64-mixed key (Kirsch–Mitzenmacher)."""
+    z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    h1 = z & np.uint64(0xFFFFFFFF)
+    h2 = (z >> np.uint64(32)) | np.uint64(1)
+    bits = np.zeros(m_bits // 64 + 1, dtype=np.uint64)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return bits
+
+
+def _bloom_maybe(
+    keys: np.ndarray, bits: np.ndarray, m_bits: int, n_hashes: int
+) -> np.ndarray:
+    z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    h1 = z & np.uint64(0xFFFFFFFF)
+    h2 = (z >> np.uint64(32)) | np.uint64(1)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        ok &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_semi_join(big_ds, small_keys: np.ndarray, on: str,
+                    bits_per_key: int = 10):
+    """EXACT semi-join of ``big_ds`` against an int key set: a broadcast
+    Bloom filter (≈10 bits/key, ~1 % fp) prunes almost every non-member
+    inside the scan; survivors are re-verified against the exact key set
+    so the OUTPUT is exact (SQL-twinnable) while the fast path touches
+    only the filter. At 100 TB the exact set rides along per worker when
+    it fits (broadcast once via ``ray.put``) or becomes a cogroup join
+    over the ~1 % survivors when it doesn't — either way the big side
+    never shuffles.
+    """
+    import ray
+
+    n_keys = max(len(small_keys), 1)
+    m_bits = max(64, n_keys * bits_per_key)
+    n_hashes = 7  # ~0.69 * bits_per_key
+    bloom = _bloom_build(small_keys, m_bits, n_hashes)
+    handle = ray.put((bloom, np.sort(small_keys)))
+
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        bits, exact = ray.get(handle)
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        maybe = _bloom_maybe(keys, bits, m_bits, n_hashes)
+        if len(exact) and maybe.any():
+            # exact re-verify only on Bloom survivors
+            sub = keys[maybe]
+            pos = np.searchsorted(exact, sub)
+            pos = np.clip(pos, 0, len(exact) - 1)
+            maybe[np.flatnonzero(maybe)] = exact[pos] == sub
+        return batch.filter(pa.array(maybe))
+
+    return big_ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def lineitem_brand_semi_join(sf_dir: str, brand: str = "Brand#23"):
+    """Lineitems whose part is of ``brand``: read the small filtered
+    part-key side once, Bloom-broadcast it, scan lineitem with only the
+    needed columns."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    keys = pt.filter(pc.equal(pt["p_brand"], brand))[
+        "p_partkey"
+    ].to_numpy()
+    big = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    return bloom_semi_join(big, keys, on="l_partkey")
+
+
+def lineitem_brand_semi_join_oracle_sql(brand: str = "Brand#23") -> str:
+    return f"""
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_brand = '{brand}'
+        )
+    """
