@@ -102,8 +102,25 @@ def aggregate_edges(pairs_ds, num_partitions: int | None = None,
 
     ds = pairs_ds
     if coalesce:
+        # num_cpus=0.5 BREAKS operator fusion with the upstream match
+        # chain (Ray fuses map_batches ops only when remote args are
+        # equal). Fused, the whole read->match->precombine chain bundles
+        # to THIS stage's 64k-row batch_size, collapsing the expensive
+        # match stage to corpus/65536 tasks (measured: 8 tasks for 1024
+        # blocks at sf0.01x1024 — half the cluster idle at any width
+        # beyond that). Unfused, match parallelizes per read block and
+        # only the cheap arrow combine bundles 64k rows; the fractional
+        # CPU also lets the coalescer interleave with the match wave.
         ds = ds.map_batches(
-            precombine, batch_format="pyarrow", batch_size=65536
+            precombine, batch_format="pyarrow", batch_size=65536,
+            num_cpus=0.5,
+        )
+        return (
+            ds.map_batches(
+                add_part, batch_format="pyarrow", num_cpus=0.5
+            )
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
         )
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
