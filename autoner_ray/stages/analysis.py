@@ -314,8 +314,13 @@ def tfidf_top_terms(docs_ds, k: int = 3):
         )
 
     df_ds = (
+        # num_cpus=0.5 keeps this combiner UNFUSED from the expensive
+        # explode stage (fused chains bundle to the largest batch_size,
+        # capping explode at docs/65536 tasks — stages/triples.py
+        # aggregate_edges documents the measured effect)
         terms.map_batches(
-            df_partial, batch_format="pyarrow", batch_size=65536
+            df_partial, batch_format="pyarrow", batch_size=65536,
+            num_cpus=0.5,
         )
         .groupby("word")
         .aggregate(Sum("one", alias_name="df"))
@@ -402,8 +407,9 @@ def inverted_index_stats(docs_ds):
 
     return (
         docs_ds.map_batches(explode, batch_format="pyarrow")
+        # num_cpus=0.5: unfused from explode (see tfidf_top_terms note)
         .map_batches(index_partial, batch_format="pyarrow",
-                     batch_size=65536)
+                     batch_size=65536, num_cpus=0.5)
         .groupby("word")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),

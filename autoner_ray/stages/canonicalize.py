@@ -108,8 +108,13 @@ def canonical_entities(mentions_ds, num_partitions: int | None = None):
         mentions_ds.map_batches(
             surface_pair_partials, batch_format="pyarrow"
         )
-        .map_batches(precombine, batch_format="pyarrow", batch_size=65536)
-        .map_batches(add_part, batch_format="pyarrow")
+        # num_cpus=0.5 breaks fusion with surface_pair_partials: fused,
+        # the chain bundles to THIS stage's 64k batch_size and caps the
+        # expensive pair stage at rows/65536 tasks (stages/triples.py
+        # aggregate_edges documents the measured effect)
+        .map_batches(precombine, batch_format="pyarrow",
+                     batch_size=65536, num_cpus=0.5)
+        .map_batches(add_part, batch_format="pyarrow", num_cpus=0.5)
         .groupby("part")
         .map_groups(_reduce_partition, batch_format="pandas")
     )

@@ -196,8 +196,18 @@ def aggregate_edges_with_evidence(pairs_ev_ds,
 
     ds = pairs_ev_ds
     if coalesce:
+        # num_cpus=0.5 breaks fusion with the upstream match chain —
+        # see aggregate_edges above for the measured parallelism cap
         ds = ds.map_batches(
-            precombine, batch_format="pyarrow", batch_size=65536
+            precombine, batch_format="pyarrow", batch_size=65536,
+            num_cpus=0.5,
+        )
+        return (
+            ds.map_batches(
+                add_part, batch_format="pyarrow", num_cpus=0.5
+            )
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
         )
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
