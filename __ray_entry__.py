@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])
         ),
         "lineitem_brand_semi_join": sketches.lineitem_brand_semi_join,
+        "embedding_pca": lambda sf: similarity.pca_project(
+            _emb(sf), n_components=8
+        ),
     }
 
 

@@ -240,3 +240,86 @@ def embedding_neardup_ivf(emb_ds, threshold: float = 0.9,
         .groupby("ivf_list")
         .map_groups(pairs_in_list, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------------ PCA
+
+def pca_fit(emb_ds, n_components: int = 8):
+    """Distributed PCA fit: one streaming pass of (n, Σx, ΣxxT) moment
+    partials — each a (1 + d + d²)-float blob, merged associatively —
+    then a LOCAL d×d eigendecomposition (d is the embedding dim, ~64;
+    the d×d covariance always fits on one core no matter the corpus).
+
+    Returns (mean[d], components[k,d], explained_variance_ratio[k]).
+    Component signs are fixed deterministically (largest-|coeff| entry
+    made positive) so repeated fits agree up to float-sum ordering.
+    """
+
+    def moments(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        n = mat.shape[0]
+        s = mat.sum(axis=0)
+        xx = mat.T @ mat
+        blob = np.concatenate(([float(n)], s, xx.ravel()))
+        return pa.table({"m": pa.array([blob.tobytes()], pa.binary())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        acc = None
+        for b in batch["m"].to_pylist():
+            v = np.frombuffer(b, dtype=np.float64)
+            acc = v if acc is None else acc + v
+        return pa.table({"m": pa.array([acc.tobytes()], pa.binary())})
+
+    merged = (
+        emb_ds.map_batches(moments, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=4096)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .take(1)
+    )[0]["m"]
+    v = np.frombuffer(merged, dtype=np.float64)
+    n = v[0]
+    d = int(round((-1 + np.sqrt(1 + 4 * (len(v) - 1))) / 2))
+    s, xx = v[1 : 1 + d], v[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = xx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # deterministic sign: largest-|coeff| entry of each component > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = np.maximum(evals[order], 0.0) / max(
+        float(np.sum(np.maximum(evals, 0.0))), 1e-300
+    )
+    return mean, comps, ratio
+
+
+def pca_project(emb_ds, n_components: int = 8):
+    """Two-pass distributed PCA: fit on the moment partials, then a
+    stateless projection map (vec_id, components list<float>, 6-dp).
+    The fit state (mean + k×d components) broadcasts once via
+    ``ray.put``; the projection pass is a pure vectorized matmul.
+    """
+    import ray
+
+    mean, comps, _ = pca_fit(emb_ds, n_components)
+    handle = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, c = ray.get(handle)
+        ids, mat = _batch_matrix(batch)
+        proj = np.round((mat - mu) @ c.T, 6)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "components": pa.array(
+                    [row for row in proj.tolist()],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(project, batch_format="pyarrow")
