@@ -222,11 +222,11 @@ def test_bc5cdr_artifact_f1():
     - distant-only artifact (pure AutoNER recipe + subword-augmented
       PPMI-SVD vectors + word-level unk-dropout 0.25 + FOUR
       self-training rounds over the FILTERED supervision gaps; gold
-      never seen): test F1 >= 0.84, above BOTH the 0.7198
+      never seen): test F1 >= 0.845, above BOTH the 0.7198
       dictionary-match baseline and the published 0.8480
-      (`/root/reference/README.md:40`) — measured 0.8497 full-test at
-      mint time, round 4 st4; st2 was 0.841, round 3 was 0.827,
-      round 2 was 0.744."""
+      (`/root/reference/README.md:40`) — measured 0.8524 full-test at
+      mint time, round 4 st5 (dev-selected over st4's 0.8497); st2 was
+      0.841, round 3 was 0.827, round 2 was 0.744."""
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
     )
@@ -235,7 +235,7 @@ def test_bc5cdr_artifact_f1():
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr_distant.npz",
         "test",
     )
-    assert stats["f1"] >= 0.84, stats
+    assert stats["f1"] >= 0.845, stats
 
 
 def test_ppmi_subword_backoff_rare_words():
