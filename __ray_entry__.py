@@ -434,6 +434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": lambda sf: similarity.pca_project(
             _emb(sf), n_components=8
         ),
+        "docs_temperature_sample": lambda sf: analysis.temperature_sample(
+            _docs(sf, ["doc_id", "lang", "text"])
+        ),
     }
 
 
@@ -564,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
     from autoner_ray.stages.analysis import (
         seeded_sample_oracle_sql,
         stratified_sample_oracle_sql,
+        temperature_sample_oracle_sql,
     )
     from autoner_ray.stages import asof as asof_mod
     from autoner_ray.stages import sketches as sketches_mod
@@ -1210,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_brand_semi_join":
             sketches_mod.lineitem_brand_semi_join_oracle_sql(),
+        "docs_temperature_sample": temperature_sample_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -695,3 +695,86 @@ def length_histogram(docs_ds, bucket: int = 100):
                             batch_size=65536),
         ["bucket"], ["n_docs"],
     )
+
+
+def temperature_sample(docs_ds, tau: float = 0.7, seed: int = 19910724):
+    """Temperature-based language rebalancing (the multilingual-mixing
+    pass of LLM data pipelines: keep-rate ∝ (n_lang/N)^(τ-1), scaled so
+    the rarest language keeps everything — τ<1 downsamples the head
+    toward the tail, τ=1 keeps all).
+
+    Two passes, both scale-clean: (1) per-language counts via the
+    shuffle-free bounded-key combine (|langs| is bounded); (2) the same
+    deterministic md5(doc_id:seed) Bernoulli filter as
+    :func:`stratified_sample`, thresholds broadcast in the closure.
+    Keep-set is a pure function of (corpus lang histogram, doc_id, seed)
+    — reproducible across runs, widths and resumes. The DuckDB twin
+    recomputes the same thresholds in SQL; both sides use float64
+    ``pow``, and a boundary flip would need the two pows to differ by
+    ~2⁻³² relative — not observed at either oracle scale.
+    """
+    import math
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        vc = t["lang"].value_counts()
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = bounded_key_sum(
+        docs_ds.select_columns(["lang"]).map_batches(
+            lang_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["lang"], ["n"],
+    ).to_pandas()
+    total = float(counts["n"].sum())
+    w = {
+        r["lang"]: math.pow(r["n"] / total, tau - 1.0)
+        for _, r in counts.iterrows()
+    }
+    mx = max(w.values())
+    thresholds = {
+        lang: int(math.floor(v / mx * (1 << 32))) for lang, v in w.items()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        mask = [
+            int(
+                hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16
+            ) < thresholds.get(lang, 0)
+            for i, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def temperature_sample_oracle_sql(tau: float = 0.7,
+                                  seed: int = 19910724) -> str:
+    return f"""
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(n) AS total FROM c),
+        q AS (
+            SELECT lang,
+                   pow(n / CAST(total AS DOUBLE), {tau} - 1.0) AS w
+            FROM c, tot
+        ),
+        mx AS (SELECT MAX(w) AS m FROM q),
+        th AS (
+            SELECT lang,
+                   CAST(floor(w / m * 4294967296.0) AS UBIGINT) AS thr
+            FROM q, mx
+        )
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d JOIN th USING (lang)
+        WHERE CAST(('0x' || substring(
+                  md5(CAST(d.doc_id AS VARCHAR) || ':{seed}'), 1, 8))
+              AS UBIGINT) < thr
+    """

@@ -138,3 +138,42 @@ def test_pii_scrub_redacts_in_place():
     )
     assert out["text"][1] == "clean"
     assert out["doc_id"].tolist() == [0, 1]
+
+
+def test_temperature_sample_rebalances_and_matches_oracle(ray_session):
+    """τ<1 downsamples the head language toward the tail; the keep-set
+    is deterministic and equal to the DuckDB twin."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from autoner_ray.stages.analysis import (
+        temperature_sample,
+        temperature_sample_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    got = (
+        temperature_sample(ds, tau=0.7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pq.read_table(f"{sf}/documents.parquet"))
+    want = (
+        con.execute(temperature_sample_oracle_sql(tau=0.7))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns])
+    mix = got["lang"].value_counts()
+    full = con.execute(
+        "SELECT lang, COUNT(*) n FROM documents GROUP BY lang"
+    ).df().set_index("lang")["n"]
+    # the head (en) loses a larger fraction than the rarest language
+    assert mix["en"] / full["en"] < mix[full.idxmin()] / full.min()
