@@ -83,18 +83,7 @@ def asof_join(left, right, by: str, on: str, tiebreak: str,
         r = df[df[_SIDE] == 1][[by, on] + rcols]
         if l.empty or r.empty:
             return out_schema.empty_table()
-        # dedupe right per (by, on): keep max tiebreak
-        r = r.sort_values([on, tiebreak], kind="mergesort").drop_duplicates(
-            [by, on], keep="last"
-        )
-        r = r.sort_values(on, kind="mergesort")
-        r[f"r_{on}"] = r[on]
-        l = l.sort_values(on, kind="mergesort")
-        m = pd.merge_asof(
-            l, r, on=on, by=by, direction="backward",
-            allow_exact_matches=True,
-        )
-        m = m.dropna(subset=[f"r_{on}"])
+        m = asof_match_frame(l, r, by=by, on=on, tiebreak=tiebreak)
         return pa.Table.from_pandas(
             m[out_schema.names], preserve_index=False
         ).cast(out_schema)
@@ -181,6 +170,57 @@ def events_asof_oracle_sql(left_type: str = "purchase",
     """
 
 
+def count_window_frame(df: pd.DataFrame, w: pd.Timedelta) -> pd.DataFrame:
+    """Per-event count of same-user events in ``[ts - w, ts]`` for one
+    partition's (event_id, user_id, ts) frame — the vectorized kernel
+    under :func:`window_count`, exposed for property tests. Count =
+    rank_at(ts) - rank_before(ts - w) via two merge_asof rank lookups;
+    merge_asof keeps the LAST row among equal timestamps, i.e. the max
+    cumcount, so equal-ts events count each other (BETWEEN semantics).
+    """
+    df = df.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["k"] = df.groupby("user_id", sort=False).cumcount()
+    ranks = df[["user_id", "ts", "k"]]
+    le = pd.merge_asof(
+        df[["user_id", "ts"]], ranks, on="ts", by="user_id",
+        direction="backward", allow_exact_matches=True,
+    )["k"]
+    lo = df[["user_id", "ts"]].copy()
+    # whole-minute shift keeps microsecond resolution exact; astype pins
+    # the dtype back to us (pandas Timedelta math promotes to ns)
+    lo["ts"] = (lo["ts"] - w).astype("datetime64[us]")
+    lt = pd.merge_asof(
+        lo, ranks, left_on="ts", right_on="ts", by="user_id",
+        direction="backward", allow_exact_matches=False,
+    )["k"]
+    out = df[["event_id", "user_id", "ts"]].copy()
+    out["n_window"] = (le - lt.fillna(-1)).astype("int64")
+    return out
+
+
+def asof_match_frame(l: pd.DataFrame, r: pd.DataFrame, by: str, on: str,
+                     tiebreak: str) -> pd.DataFrame:
+    """Backward-inclusive as-of inner match for one partition's frames —
+    the kernel under :func:`asof_join`, exposed for property tests.
+    Right is deduped per (by, on) keeping max ``tiebreak``; unmatched
+    left rows are dropped."""
+    r = r.sort_values([on, tiebreak], kind="mergesort").drop_duplicates(
+        [by, on], keep="last"
+    )
+    r = r.sort_values(on, kind="mergesort")
+    r = r.copy()
+    r[f"r_{on}"] = r[on]
+    l = l.sort_values(on, kind="mergesort")
+    m = pd.merge_asof(
+        l, r, on=on, by=by, direction="backward",
+        allow_exact_matches=True,
+    )
+    return m.dropna(subset=[f"r_{on}"])
+
+
 def window_count(events_ds, minutes: int = 5,
                  num_partitions: int | None = None):
     """Per-event preceding-range count: how many events by the same user
@@ -211,35 +251,10 @@ def window_count(events_ds, minutes: int = 5,
     def count_partition(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             return _empty.empty_table()
-        df = (
-            t.select(["event_id", "user_id", "ts"])
-            .to_pandas()
-            .sort_values(["ts", "event_id"], kind="mergesort")
-            .reset_index(drop=True)
-        )
+        df = t.select(["event_id", "user_id", "ts"]).to_pandas()
         if df.empty:
             return _empty.empty_table()
-        df["ts"] = df["ts"].astype("datetime64[us]")
-        df["k"] = df.groupby("user_id", sort=False).cumcount()
-        ranks = df[["user_id", "ts", "k"]]
-        # rank of last event with ts' <= ts (merge_asof keeps the LAST
-        # matching row, i.e. the max k among equal timestamps)
-        le = pd.merge_asof(
-            df[["user_id", "ts"]], ranks, on="ts", by="user_id",
-            direction="backward", allow_exact_matches=True,
-        )["k"]
-        lo = df[["user_id", "ts"]].copy()
-        # whole-minute shift keeps microsecond resolution exact; astype
-        # pins the dtype back to us (pandas Timedelta math promotes to ns)
-        lo["ts"] = (lo["ts"] - w).astype("datetime64[us]")
-        lt = pd.merge_asof(
-            lo, ranks, left_on="ts", right_on="ts", by="user_id",
-            direction="backward", allow_exact_matches=False,
-        )["k"]
-        n = (le - lt.fillna(-1)).astype("int64")
-        out = df[["event_id", "user_id"]].copy()
-        out["ts"] = df["ts"]
-        out["n_window"] = n
+        out = count_window_frame(df, w)
         return pa.Table.from_pandas(out, preserve_index=False).cast(_empty)
 
     return (
