@@ -35,6 +35,18 @@ _AUDIT_PATTERNS = {
 }
 
 
+def _mod10_mask(batch, invert: bool = False):
+    """Boolean mask for doc_id % 10 == 0 (the synthetic benchmark split
+    used by docs_decontaminate); ``invert`` selects the corpus side.
+    Same no-modulo-kernel remainder trick as _systematic_sample_mask."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id")
+    rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+    mask = pc.equal(rem, 0)
+    return pc.invert(mask) if invert else mask
+
+
 def _systematic_sample_mask(batch):
     """Vectorized systematic sample: keep rows with doc_id % 10 < 2.
 
@@ -66,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from autoner_ray.stages import (
         analysis,
         asof,
+        decontam,
         dedup,
         multimodal,
         similarity,
@@ -436,6 +449,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_temperature_sample": lambda sf: analysis.temperature_sample(
             _docs(sf, ["doc_id", "lang", "text"])
+        ),
+        # benchmark side = doc_id % 10 == 0 (deterministic synthetic
+        # "test set"); corpus side = the rest. n=8 per GPT-3 App. C.
+        "docs_decontaminate": lambda sf: decontam.contamination_hits(
+            _docs(sf, ["doc_id", "text"]).map_batches(
+                lambda t: t.filter(_mod10_mask(t, invert=True)),
+                batch_format="pyarrow",
+            ),
+            _docs(sf, ["doc_id", "text"]).map_batches(
+                lambda t: t.filter(_mod10_mask(t)),
+                batch_format="pyarrow",
+            ),
+            n=8,
         ),
     }
 
@@ -1215,6 +1241,24 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_brand_semi_join":
             sketches_mod.lineitem_brand_semi_join_oracle_sql(),
         "docs_temperature_sample": temperature_sample_oracle_sql(),
+        # single-space split + DISTINCT 8-token windows on both sides;
+        # DuckDB list slices are 1-based INCLUSIVE so w[i:i+7] is 8 toks
+        "docs_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(w) - 7, 0)))
+                     AS t(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+            corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+            SELECT c.doc_id AS doc_id, count(*) AS n_hits
+            FROM corpus c JOIN bench b USING (g)
+            GROUP BY c.doc_id
+        """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

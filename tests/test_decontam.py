@@ -1,0 +1,83 @@
+"""Decontamination operator: broadcast tier vs join tier vs a plain
+python brute-force oracle on the sf0.001 fixture (benchmark side =
+doc_id % 10 == 0, the same split the driver query uses)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+N = 8
+
+
+def _brute_hits():
+    from autoner_ray.stages.decontam import _doc_grams
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    bench: set[str] = set()
+    for did, txt in zip(ids, texts):
+        if did % 10 == 0:
+            bench.update(_doc_grams(txt, N))
+    out = {}
+    for did, txt in zip(ids, texts):
+        if did % 10 == 0:
+            continue
+        h = sum(1 for g in set(_doc_grams(txt, N)) if g in bench)
+        if h:
+            out[did] = h
+    return out
+
+
+def _split(ray_session):
+    import ray
+
+    from autoner_ray.cluster import tune_data_context
+
+    tune_data_context()
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    corpus = ds.filter(lambda r: r["doc_id"] % 10 != 0)
+    bench = ds.filter(lambda r: r["doc_id"] % 10 == 0)
+    return corpus, bench
+
+
+def _as_dict(ds):
+    df = ds.to_pandas()
+    return dict(zip(df["doc_id"].astype(int), df["n_hits"].astype(int)))
+
+
+def test_broadcast_tier_matches_bruteforce(ray_session):
+    from autoner_ray.stages.decontam import contamination_hits
+
+    corpus, bench = _split(ray_session)
+    got = _as_dict(contamination_hits(corpus, bench, n=N))
+    assert got == _brute_hits()
+    assert got, "fixture must produce non-trivial contamination"
+
+
+def test_join_tier_matches_broadcast(ray_session):
+    from autoner_ray.stages.decontam import contamination_hits
+
+    corpus, bench = _split(ray_session)
+    got = _as_dict(
+        contamination_hits(corpus, bench, n=N, force_join=True)
+    )
+    assert got == _brute_hits()
+
+
+def test_decontaminate_removes_hit_docs(ray_session):
+    from autoner_ray.stages.decontam import decontaminate
+
+    corpus, bench = _split(ray_session)
+    kept = set(
+        decontaminate(corpus, bench, n=N).to_pandas()["doc_id"].astype(int)
+    )
+    brute = _brute_hits()
+    all_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    corpus_ids = {d for d in all_ids if d % 10 != 0}
+    assert kept == corpus_ids - set(brute)

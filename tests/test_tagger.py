@@ -224,9 +224,11 @@ def test_bc5cdr_artifact_f1():
       self-training rounds over the FILTERED supervision gaps; gold
       never seen): test F1 >= 0.845, above BOTH the 0.7198
       dictionary-match baseline and the published 0.8480
-      (`/root/reference/README.md:40`) — measured 0.8524 full-test at
-      mint time, round 4 st5 (dev-selected over st4's 0.8497); st2 was
-      0.841, round 3 was 0.827, round 2 was 0.744."""
+      (`/root/reference/README.md:40`) — measured 0.8510 full-test at
+      mint time, round 4 st6 (dev-selected over st5 0.855578 /
+      avg(st5,st6) 0.856383 on dev f1 0.856521; st5's test was 0.8524
+      but dev selection is the honest rule); round 3 was 0.827,
+      round 2 was 0.744."""
     stats = _artifact_f1(
         "/root/repo/autoner_ray/artifacts/tagger_bc5cdr.npz", "test"
     )
