@@ -463,6 +463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             n=8,
         ),
+        "docs_lm_perplexity": lambda sf: analysis.lm_perplexity(
+            _docs(sf, ["doc_id", "text"])
+        ),
     }
 
 
@@ -591,6 +594,7 @@ def _fingerprint_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from autoner_ray.stages.analysis import (
+        lm_perplexity_oracle_sql,
         seeded_sample_oracle_sql,
         stratified_sample_oracle_sql,
         temperature_sample_oracle_sql,
@@ -1259,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (g)
             GROUP BY c.doc_id
         """,
+        "docs_lm_perplexity": lm_perplexity_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -778,3 +778,177 @@ def temperature_sample_oracle_sql(tau: float = 0.7,
                   md5(CAST(d.doc_id AS VARCHAR) || ':{seed}'), 1, 8))
               AS UBIGINT) < thr
     """
+
+
+def lm_perplexity(docs_ds, num_partitions: int | None = None):
+    """Per-doc bigram-LM negative-log-likelihood — the CCNet-style
+    language-model quality signal (Wenzek et al. 2020 bucket web docs by
+    LM perplexity; docs whose token transitions are improbable under a
+    corpus-trained model are boilerplate/gibberish candidates).
+
+    Model: add-V-smoothed bigram LM trained on THIS corpus.
+    P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V) with c2 the global bigram
+    count, c1(w1) = sum_w2 c2(w1,w2) (occurrences of w1 as a context)
+    and V the corpus distinct-token count. Tokens are ``text.split(' ')``
+    (DuckDB ``string_split`` twin). Output per doc with >=1 bigram:
+    ``n_bigrams`` and ``nll_micro`` = sum over positions of
+    ``floor(ln((c1+V)/(c2+1)) * 1e6 + 0.5)`` as int64 — each position's
+    NLL is quantized to integer micro-nats BEFORE the sum, so the
+    aggregate is order-independent and value-hash-stable against the SQL
+    oracle (the float-sum analogue of the integer-cents trick).
+    Perplexity = exp(nll_micro / 1e6 / n_bigrams).
+
+    Fully distributed — neither the vocabulary nor the bigram table ever
+    lands on the driver (both grow with a web corpus):
+    (1) explode each doc to per-doc bigram counts (doc_id, w1, w2, occ);
+    (2) global bigram counts = groupby(w1, w2) over per-batch partials;
+    (3) context counts c1 = groupby(w1) over the bigram table;
+    (4) cogroup_join c1 onto the bigram table (sharded by w1), then the
+        doc rows onto it (sharded by (w1, w2)) — two hash shuffles;
+    (5) per-doc aggregate of integer partials.
+    V is the one scalar on the driver (a count, not a table). The
+    explode plan executes twice (count branch + score branch) —
+    recompute over re-pinning the exploded corpus, as in tfidf.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from autoner_ray.stages.joins import cogroup_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, w1s, w2s, occs = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split(" ")
+            if len(toks) < 2:
+                continue
+            for (a, b), c in Counter(zip(toks, toks[1:])).items():
+                doc_ids.append(did)
+                w1s.append(a)
+                w2s.append(b)
+                occs.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "occ": pa.array(occs, pa.int64()),
+            }
+        )
+
+    def distinct_words(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for text in batch["text"].to_pylist():
+            out.update((text or "").split(" "))
+        return pa.table({"word": pa.array(sorted(out), pa.string())})
+
+    # V: distinct tokens over ALL positions (shuffle of per-batch
+    # distinct partials; the count is the only thing the driver holds)
+    vocab_size = (
+        docs_ds.map_batches(distinct_words, batch_format="pyarrow")
+        .groupby("word")
+        .count()
+        .count()
+    )
+
+    doc_bigrams = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def c2_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["w1", "w2"]).aggregate([("occ", "sum")])
+        return agg.rename_columns(["w1", "w2", "c2"])
+
+    bigrams = (
+        doc_bigrams.map_batches(
+            c2_partial, batch_format="pyarrow", batch_size=65536,
+            num_cpus=0.5,  # fusion break: keep explode at its own width
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c2", alias_name="c2"))
+    )
+
+    def c1_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("w1").aggregate([("c2", "sum")])
+        return agg.rename_columns(["w1", "c1"])
+
+    contexts = (
+        bigrams.map_batches(c1_partial, batch_format="pyarrow")
+        .groupby("w1")
+        .aggregate(Sum("c1", alias_name="c1"))
+    )
+
+    model = cogroup_join(
+        bigrams, contexts, on=("w1",), num_partitions=num_partitions
+    )
+
+    scored = cogroup_join(
+        doc_bigrams, model, on=("w1", "w2"), num_partitions=num_partitions
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "nll_micro": pa.array([], pa.int64()),
+                }
+            )
+        c1 = batch["c1"].to_numpy().astype(np.float64)
+        c2 = batch["c2"].to_numpy().astype(np.float64)
+        occ = batch["occ"].to_numpy()
+        nll = np.floor(
+            np.log((c1 + float(vocab_size)) / (c2 + 1.0)) * 1e6 + 0.5
+        ).astype(np.int64)
+        part = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(occ, pa.int64()),
+                "nll_micro": pa.array(occ * nll, pa.int64()),
+            }
+        )
+        agg = part.group_by("doc_id").aggregate(
+            [("n_bigrams", "sum"), ("nll_micro", "sum")]
+        )
+        return agg.rename_columns(["doc_id", "n_bigrams", "nll_micro"])
+
+    return (
+        scored.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("nll_micro", alias_name="nll_micro"),
+        )
+    )
+
+
+def lm_perplexity_oracle_sql() -> str:
+    """DuckDB twin of :func:`lm_perplexity` — same tokenization, same
+    smoothing, same per-position micro-nat quantization before the sum."""
+    return """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+        ),
+        allw AS (
+            SELECT w[i] AS wd
+            FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+        ),
+        v AS (SELECT count(DISTINCT wd) AS v FROM allw),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1)
+        SELECT p.doc_id AS doc_id, count(*) AS n_bigrams,
+               sum(CAST(floor(
+                   ln((c1.c1 + v.v) / (c2.c2 + 1.0)) * 1000000 + 0.5
+               ) AS BIGINT)) AS nll_micro
+        FROM pos p
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+        GROUP BY p.doc_id
+    """
