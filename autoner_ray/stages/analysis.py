@@ -780,7 +780,12 @@ def temperature_sample_oracle_sql(tau: float = 0.7,
     """
 
 
-def lm_perplexity(docs_ds, num_partitions: int | None = None):
+def lm_perplexity(
+    docs_ds,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 5_000_000,
+    force_join: bool = False,
+):
     """Per-doc bigram-LM negative-log-likelihood — the CCNet-style
     language-model quality signal (Wenzek et al. 2020 bucket web docs by
     LM perplexity; docs whose token transitions are improbable under a
@@ -798,17 +803,21 @@ def lm_perplexity(docs_ds, num_partitions: int | None = None):
     oracle (the float-sum analogue of the integer-cents trick).
     Perplexity = exp(nll_micro / 1e6 / n_bigrams).
 
-    Fully distributed — neither the vocabulary nor the bigram table ever
-    lands on the driver (both grow with a web corpus):
-    (1) explode each doc to per-doc bigram counts (doc_id, w1, w2, occ);
-    (2) global bigram counts = groupby(w1, w2) over per-batch partials;
-    (3) context counts c1 = groupby(w1) over the bigram table;
-    (4) cogroup_join c1 onto the bigram table (sharded by w1), then the
-        doc rows onto it (sharded by (w1, w2)) — two hash shuffles;
-    (5) per-doc aggregate of integer partials.
-    V is the one scalar on the driver (a count, not a table). The
-    explode plan executes twice (count branch + score branch) —
-    recompute over re-pinning the exploded corpus, as in tfidf.
+    Two tiers, same results:
+
+    - **broadcast** (default while the trained model — the bigram TYPE
+      table — fits ``broadcast_limit`` rows; bigram types grow with the
+      vocabulary, not the corpus): two small-partial shuffles train the
+      model (distinct-vocab count V; groupby(w1, w2) over per-batch
+      bigram-count partials), c1 folds locally from the collected
+      bigram table, and ONE streaming pass scores the corpus — each
+      doc's bigrams live inside its own batch, so per-doc sums finalize
+      in the kernel via a vectorized pandas merge against the
+      ``ray.put``-broadcast model. Zero corpus-sized shuffles.
+    - **join** (``force_join=True`` or model above the limit): the
+      corpus explodes to per-doc bigram rows, the model cogroup-joins
+      onto them sharded by (w1, w2), and a final per-doc groupby sums
+      integer partials — nothing vocabulary-sized on the driver.
     """
     from collections import Counter
 
@@ -853,20 +862,87 @@ def lm_perplexity(docs_ds, num_partitions: int | None = None):
         .count()
     )
 
-    doc_bigrams = docs_ds.map_batches(explode, batch_format="pyarrow")
-
     def c2_partial(batch: pa.Table) -> pa.Table:
         agg = batch.group_by(["w1", "w2"]).aggregate([("occ", "sum")])
         return agg.rename_columns(["w1", "w2", "c2"])
 
     bigrams = (
-        doc_bigrams.map_batches(
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(
             c2_partial, batch_format="pyarrow", batch_size=65536,
             num_cpus=0.5,  # fusion break: keep explode at its own width
         )
         .groupby(["w1", "w2"])
         .aggregate(Sum("c2", alias_name="c2"))
     )
+
+    if not force_join:
+        # model-size probe without recompute: the TYPE table is tiny
+        # vs the corpus, so pinning it in the object store is safe
+        bigrams = bigrams.materialize()
+        if bigrams.count() <= broadcast_limit:
+            import pandas as pd
+            import ray
+
+            model = bigrams.to_pandas()
+            # c1 folds locally from the collected model — no shuffle
+            model["c1"] = model.groupby("w1")["c2"].transform("sum")
+            model["nll"] = np.floor(
+                np.log(
+                    (model["c1"].to_numpy().astype(np.float64)
+                     + float(vocab_size))
+                    / (model["c2"].to_numpy().astype(np.float64) + 1.0)
+                ) * 1e6 + 0.5
+            ).astype(np.int64)
+            # separator: tokens come from split(' ') so they cannot
+            # contain a space ("w1 w2" is collision-free); NUL is NOT
+            # safe here — numpy/pandas string concat silently strips it
+            model_ref = ray.put(
+                dict(
+                    zip(
+                        (model["w1"] + " " + model["w2"]).tolist(),
+                        model["nll"].tolist(),
+                    )
+                )
+            )
+
+            def score_docs(batch: pa.Table) -> pa.Table:
+                nll_of = ray.get(model_ref)
+                ids, nb, bounds, keys = [], [], [0], []
+                for did, text in zip(
+                    batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist(),
+                ):
+                    toks = (text or "").split(" ")
+                    if len(toks) < 2:
+                        continue
+                    ids.append(did)
+                    nb.append(len(toks) - 1)
+                    keys.extend(
+                        a + " " + b for a, b in zip(toks, toks[1:])
+                    )
+                    bounds.append(len(keys))
+                if not ids:
+                    return pa.table(
+                        {
+                            "doc_id": pa.array([], pa.int64()),
+                            "n_bigrams": pa.array([], pa.int64()),
+                            "nll_micro": pa.array([], pa.int64()),
+                        }
+                    )
+                # every corpus bigram is in the model by construction:
+                # vectorized gather + segmented sum (Series.map / reduceat)
+                vals = pd.Series(keys).map(nll_of).to_numpy(np.int64)
+                sums = np.add.reduceat(vals, np.asarray(bounds[:-1]))
+                return pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "n_bigrams": pa.array(nb, pa.int64()),
+                        "nll_micro": pa.array(sums, pa.int64()),
+                    }
+                )
+
+            return docs_ds.map_batches(score_docs, batch_format="pyarrow")
 
     def c1_partial(batch: pa.Table) -> pa.Table:
         agg = batch.group_by("w1").aggregate([("c2", "sum")])
@@ -882,6 +958,7 @@ def lm_perplexity(docs_ds, num_partitions: int | None = None):
         bigrams, contexts, on=("w1",), num_partitions=num_partitions
     )
 
+    doc_bigrams = docs_ds.map_batches(explode, batch_format="pyarrow")
     scored = cogroup_join(
         doc_bigrams, model, on=("w1", "w2"), num_partitions=num_partitions
     )
