@@ -466,6 +466,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_perplexity": lambda sf: analysis.lm_perplexity(
             _docs(sf, ["doc_id", "text"])
         ),
+        "docs_length_quantiles": lambda sf: (
+            sketches.doc_length_quantiles_sketch(
+                _docs(sf, ["doc_id", "n_chars"])
+            )
+        ),
     }
 
 
@@ -1264,6 +1269,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "docs_lm_perplexity": lm_perplexity_oracle_sql(),
+        # exact at oracle scale: n_chars support is bounded, the sketch
+        # never compacts (same oracle justification as Count-Min above)
+        "docs_length_quantiles":
+            sketches_mod.doc_length_quantiles_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

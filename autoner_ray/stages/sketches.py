@@ -310,3 +310,131 @@ def lineitem_brand_semi_join_oracle_sql(brand: str = "Brand#23") -> str:
             SELECT p_partkey FROM part WHERE p_brand = '{brand}'
         )
     """
+
+
+# ------------------------------------------------ quantile sketch
+
+Q_CAP = 8192  # summary points per partial; fixed memory per task
+
+
+def _q_merge_pairs(vals: np.ndarray, wts: np.ndarray):
+    """Combine duplicate values (sorted unique + weight sums)."""
+    uvals, inv = np.unique(vals, return_inverse=True)
+    uwts = np.zeros(len(uvals), dtype=np.float64)
+    np.add.at(uwts, inv, wts)
+    return uvals, uwts
+
+
+def _q_compact(vals: np.ndarray, wts: np.ndarray, cap: int = Q_CAP):
+    """Deterministic re-summarization to ``cap`` points: pick the values
+    at ``cap`` evenly spaced weighted ranks, assign uniform weight W/cap.
+    Rank error per compaction ≤ W/cap; no randomness (same input multiset
+    -> same sketch regardless of block layout, given the same merge
+    tree)."""
+    if len(vals) <= cap:
+        return vals, wts
+    W = wts.sum()
+    cum = np.cumsum(wts)
+    targets = (np.arange(cap, dtype=np.float64) + 0.5) * (W / cap)
+    idx = np.minimum(
+        np.searchsorted(cum, targets, side="left"), len(vals) - 1
+    )
+    return vals[idx], np.full(cap, W / cap, dtype=np.float64)
+
+
+def _q_blob(vals: np.ndarray, wts: np.ndarray) -> "pa.Table":
+    return pa.table(
+        {
+            "qvals": pa.array([vals.astype(np.float64).tobytes()], pa.binary()),
+            "qwts": pa.array([wts.astype(np.float64).tobytes()], pa.binary()),
+        }
+    )
+
+
+def quantile_sketch(ds, column: str, ps=(0.1, 0.5, 0.9, 0.99),
+                    cap: int = Q_CAP):
+    """Mergeable quantile sketch over a numeric column — the
+    unbounded-support complement to the exact bounded-histogram path
+    (``relational.order_price_quantiles``): fixed ``cap`` summary points
+    per task regardless of value cardinality, deterministic compaction,
+    no shuffle of the data.
+
+    EXACT while the merged distinct-value count stays ≤ ``cap`` (no
+    compaction ever fires; the sketch IS the weighted histogram) — that
+    property carries the SQL oracle at the test scales, the same
+    justification as the Count-Min oracle above. Past ``cap`` the
+    estimate's rank error is ≤ (levels × W/cap); the pytest pins the
+    error bound on a forced-tiny cap against the exact quantiles.
+    Interpolation matches DuckDB ``quantile_cont`` when exact:
+    v = a + (b - a) * frac at weighted position (n - 1) * p.
+    """
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        x = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        if len(x) == 0:
+            return _q_blob(np.array([]), np.array([]))
+        vals, counts = np.unique(x, return_counts=True)
+        vals, wts = _q_compact(vals, counts.astype(np.float64), cap)
+        return _q_blob(vals, wts)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        vs = [
+            np.frombuffer(b, dtype=np.float64)
+            for b in batch["qvals"].to_pylist()
+        ]
+        ws = [
+            np.frombuffer(b, dtype=np.float64)
+            for b in batch["qwts"].to_pylist()
+        ]
+        vals = np.concatenate(vs) if vs else np.array([])
+        wts = np.concatenate(ws) if ws else np.array([])
+        if len(vals):
+            vals, wts = _q_merge_pairs(vals, wts)
+            vals, wts = _q_compact(vals, wts, cap)
+        return _q_blob(vals, wts)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        merged = merge(batch)
+        vals = np.frombuffer(merged["qvals"][0].as_py(), dtype=np.float64)
+        wts = np.frombuffer(merged["qwts"][0].as_py(), dtype=np.float64)
+        out_p, out_v = [], []
+        if len(vals):
+            cum = np.cumsum(wts)
+            n = cum[-1]
+            for p in ps:
+                pos = (n - 1) * p
+                lo, hi = np.floor(pos), np.ceil(pos)
+                a = vals[np.searchsorted(cum, lo + 1.0, side="left")]
+                b = vals[np.searchsorted(cum, hi + 1.0, side="left")]
+                out_p.append(float(p))
+                out_v.append(round(float(a + (b - a) * (pos - lo)), 6))
+        return pa.table(
+            {
+                "p": pa.array(out_p, pa.float64()),
+                "quantile": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_sketch, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=4096)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def doc_length_quantiles_sketch(docs_ds, ps=(0.1, 0.5, 0.9, 0.99)):
+    """Corpus doc-length (n_chars) quantiles via the mergeable sketch.
+    n_chars has bounded support, so the sketch never compacts and the
+    result is exact (SQL ``quantile_cont`` twin)."""
+    return quantile_sketch(docs_ds, "n_chars", ps=ps)
+
+
+def doc_length_quantiles_oracle_sql(ps=(0.1, 0.5, 0.9, 0.99)) -> str:
+    parts = [
+        f"SELECT {p} AS p, round(quantile_cont(n_chars, {p}), 6)"
+        f" AS quantile FROM documents"
+        for p in ps
+    ]
+    return " UNION ALL ".join(parts)

@@ -144,3 +144,65 @@ def test_bloom_semi_join_exact(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want[got.columns])
+
+
+def test_quantile_sketch_exact_under_cap(ray_session):
+    """Bounded-support column: no compaction fires, quantiles equal the
+    exact interpolated values (the oracle-exactness claim)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    )
+    got = sk.doc_length_quantiles_sketch(ds).to_pandas()
+    import pyarrow.parquet as pq
+
+    x = np.sort(
+        pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["n_chars"]
+        )["n_chars"].to_numpy()
+    ).astype(np.float64)
+    for p, v in zip(got["p"], got["quantile"]):
+        pos = (len(x) - 1) * p
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        exact = x[lo] + (x[hi] - x[lo]) * (pos - lo)
+        assert v == round(float(exact), 6), (p, v, exact)
+
+
+def test_quantile_sketch_error_bound_compacted():
+    """High-cardinality stream through a tiny cap: weighted-rank error
+    of each estimate stays within levels*W/cap of exact."""
+    rng = np.random.RandomState(7)
+    x = rng.lognormal(3.0, 1.5, size=50_000)
+    cap = 256
+    # simulate the dataset merge tree: batch partials -> pairwise merges
+    parts = []
+    for lo in range(0, len(x), 2048):
+        vals, counts = np.unique(x[lo : lo + 2048], return_counts=True)
+        parts.append(sk._q_compact(vals, counts.astype(np.float64), cap))
+    while len(parts) > 1:
+        nxt = []
+        for i in range(0, len(parts), 4):
+            chunk = parts[i : i + 4]
+            vals = np.concatenate([c[0] for c in chunk])
+            wts = np.concatenate([c[1] for c in chunk])
+            vals, wts = sk._q_merge_pairs(vals, wts)
+            nxt.append(sk._q_compact(vals, wts, cap))
+        parts = nxt
+    vals, wts = parts[0]
+    cum = np.cumsum(wts)
+    n = cum[-1]
+    xs = np.sort(x)
+    levels = int(np.ceil(np.log2(len(x) / 2048))) + 2
+    tol_rank = levels * n / cap
+    for p in (0.1, 0.5, 0.9, 0.99):
+        pos = (n - 1) * p
+        est = vals[
+            min(int(np.searchsorted(cum, pos + 1.0)), len(vals) - 1)
+        ]
+        # rank of the estimate in the TRUE sorted data
+        true_rank = np.searchsorted(xs, est)
+        assert abs(true_rank - pos) <= tol_rank, (
+            p, est, true_rank, pos, tol_rank,
+        )
