@@ -471,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _docs(sf, ["doc_id", "n_chars"])
             )
         ),
+        "docs_source_lang_rollup": lambda sf: analysis.source_lang_rollup(
+            _docs(sf, ["source", "lang", "n_chars"])
+        ),
     }
 
 
@@ -600,6 +603,7 @@ def _fingerprint_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from autoner_ray.stages.analysis import (
         lm_perplexity_oracle_sql,
+        source_lang_rollup_oracle_sql as analysis_rollup_oracle,
         seeded_sample_oracle_sql,
         stratified_sample_oracle_sql,
         temperature_sample_oracle_sql,
@@ -1273,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         # never compacts (same oracle justification as Count-Min above)
         "docs_length_quantiles":
             sketches_mod.doc_length_quantiles_oracle_sql(),
+        "docs_source_lang_rollup": analysis_rollup_oracle(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -1029,3 +1029,78 @@ def lm_perplexity_oracle_sql() -> str:
         CROSS JOIN v
         GROUP BY p.doc_id
     """
+
+
+def source_lang_rollup(docs_ds):
+    """Hierarchical corpus profile: doc count + char volume by
+    (source, lang) with ROLLUP subtotal rows — per-source totals (lang
+    NULL) and the grand total (both NULL), the standard GROUPING SETS
+    shape a curation dashboard reads.
+
+    Scale shape: the (source, lang) key set is bounded (site × language
+    taxonomy, not corpus-sized), so the finest level reduces via the
+    shuffle-free two-level ``bounded_key_sum``; every coarser rollup
+    level is derivable from that small table, computed in one final
+    single-block kernel instead of re-scanning the corpus once per
+    level (what a naive UNION of GROUP BYs would do).
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select(["source", "lang", "n_chars"])
+            .group_by(["source", "lang"])
+            .aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        )
+        return agg.rename_columns(
+            ["source", "lang", "total_chars", "n_docs"]
+        )
+
+    fine = bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        ["total_chars", "n_docs"],
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        per_source = (
+            df.groupby("source", as_index=False)[["total_chars", "n_docs"]]
+            .sum()
+        )
+        per_source["lang"] = None
+        grand = pd.DataFrame(
+            {
+                "source": [None],
+                "lang": [None],
+                "total_chars": [df["total_chars"].sum()],
+                "n_docs": [df["n_docs"].sum()],
+            }
+        )
+        out = pd.concat([df, per_source, grand], ignore_index=True)
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "total_chars": pa.array(
+                    out["total_chars"].astype("int64"), pa.int64()
+                ),
+                "n_docs": pa.array(out["n_docs"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None
+    )
+
+
+def source_lang_rollup_oracle_sql() -> str:
+    return """
+        SELECT source, lang,
+               SUM(n_chars) AS total_chars,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY ROLLUP(source, lang)
+    """
