@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_totals": lambda sf: windows.user_running_totals(
             _events(sf)
         ),
+        # strict-order view -> click -> purchase completion funnel
+        "events_funnel": lambda sf: windows.funnel_counts(_events(sf)),
         # --- oracle-backed: documents analysis / dedup / indexing --------
         "docs_lang_counts": docs_lang_counts,
         "docs_token_stats": docs_token_stats,
@@ -465,6 +467,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_lm_perplexity": lambda sf: analysis.lm_perplexity(
             _docs(sf, ["doc_id", "text"])
+        ),
+        # within-corpus exact window duplication (Lee et al. 2022
+        # substring-dedup signal, doc-level counts); n=8 so the
+        # synthetic corpus has measurable overlap density
+        "docs_crossdoc_dup_windows": lambda sf: (
+            decontam.crossdoc_dup_windows(
+                _docs(sf, ["doc_id", "text"]), n=8
+            )
         ),
         "docs_length_quantiles": lambda sf: (
             sketches.doc_length_quantiles_sketch(
@@ -959,6 +969,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        # strictly-increasing timestamps chain the funnel steps; each
+        # CTE's min-ts per user feeds the next step's "after" filter
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS depth, 'view' AS step,
+                   count(*) AS users FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+        """,
         "docs_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "docs_token_stats": f"""
             SELECT doc_id, CAST(len({WORDS}) AS BIGINT) AS n_tokens,
@@ -1273,6 +1309,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "docs_lm_perplexity": lm_perplexity_oracle_sql(),
+        # same gram CTE as docs_decontaminate; a gram row set is
+        # DISTINCT per doc, so count(*)>=2 means >=2 docs share it
+        "docs_crossdoc_dup_windows": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(w) - 7, 0)))
+                     AS t(i)
+            ),
+            shared AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)
+            SELECT doc_id, count(*) AS dup_grams
+            FROM grams JOIN shared USING (g)
+            GROUP BY doc_id
+        """,
         # exact at oracle scale: n_chars support is bounded, the sketch
         # never compacts (same oracle justification as Count-Min above)
         "docs_length_quantiles":

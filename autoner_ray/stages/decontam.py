@@ -222,3 +222,98 @@ def decontaminate(
         return batch.filter(mask)
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def crossdoc_dup_windows(
+    docs_ds,
+    n: int = 8,
+    num_partitions: int | None = None,
+):
+    """(doc_id, dup_grams): per corpus doc, how many of its DISTINCT
+    n-token windows appear verbatim in at least one OTHER document.
+
+    The within-corpus twin of ``contamination_hits`` — the exact
+    substring-duplication signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), reduced to doc-level
+    counts: a high ``dup_grams`` / gram-count ratio marks boilerplate
+    and templated near-copies that survive exact-doc dedup.
+
+    Tokens are ``text.split(' ')`` and grams are distinct n-token
+    windows — identical to the decontamination op, so the SQL oracle
+    shares its gram CTE.  No broadcast tier exists here (both "sides"
+    are the whole corpus): one explode pass emits (gram-hash128,
+    doc_id) rows, ONE content-hash shuffle co-locates each gram, and
+    the in-partition test is a vectorized group-size>=2 mask — a gram
+    shared by a million docs costs a million rows, never a pairwise
+    blowup.  Per-partition per-doc counts are final partials (a gram
+    lives in exactly one partition, distinct per doc), summed by one
+    doc-key groupby whose input is already <= |docs| x partitions.
+    """
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, his, los, parts = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            g = _doc_grams(text, n)
+            if not g:
+                continue
+            hi, lo = _gram_hash128(g)
+            ids.extend([did] * len(g))
+            his.extend(hi.view(np.int64).tolist())
+            los.extend(lo.view(np.int64).tolist())
+            parts.extend(
+                (hi % np.uint64(num_partitions)).astype(np.int32).tolist()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "hi": pa.array(his, pa.int64()),
+                "lo": pa.array(los, pa.int64()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    grams = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def dup_in_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "dup_grams": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "hi" not in df.columns:
+            return empty
+        # rows are distinct (gram, doc) pairs, so a gram group with
+        # >=2 rows spans >=2 docs -> every row in it is a shared window
+        shared = df.duplicated(subset=["hi", "lo"], keep=False)
+        if not shared.any():
+            return empty
+        out = (
+            df.loc[shared]
+            .groupby("doc_id", as_index=False)
+            .agg(dup_grams=("hi", "size"))
+        )
+        return out.astype({"doc_id": "int64", "dup_grams": "int64"})
+
+    partials = grams.groupby("part").map_groups(
+        dup_in_partition, batch_format="pandas"
+    )
+    return partials.groupby("doc_id").sum("dup_grams").map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dup_grams": t["sum(dup_grams)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -215,3 +215,102 @@ def user_running_totals(events_ds):
     return events_ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas"
     )
+
+
+def funnel_counts(
+    events_ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_partitions: int | None = None,
+):
+    """Ordered-funnel completion: for each prefix of ``steps``, how many
+    users performed those event types in strict temporal order — the
+    earliest ``steps[0]``, then the earliest ``steps[1]`` STRICTLY after
+    it, and so on. Output one row per funnel depth:
+    (depth [1-based], step, users).
+
+    Shape: filter to funnel event types and project 3 columns BEFORE
+    the shuffle (the funnel never needs the rest of the stream), ONE
+    hash shuffle on user_id, then a vectorized per-partition chain of
+    K-1 groupby-min merges — no per-user Python. Each user lives in
+    exactly one partition, so per-partition depth counts are final
+    partials; the tail is a K-row combine on the driver-side groupby.
+    """
+    import numpy as np
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = num_partitions or default_num_partitions()
+    steps = tuple(steps)
+    step_set = list(steps)
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_type"])
+        mask = pc.is_in(t["event_type"], value_set=pa.array(step_set))
+        t = t.filter(mask)
+        return t.append_column(
+            "__part", _stable_part_col(t, ("user_id",), P)
+        )
+
+    out_schema = pa.schema(
+        [("depth", pa.int64()), ("step", pa.string()),
+         ("users", pa.int64())]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "depth": pd.Series([], dtype="int64"),
+                "step": pd.Series([], dtype="object"),
+                "users": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "event_type" not in df.columns:
+            return empty
+        counts = np.zeros(len(steps), dtype=np.int64)
+        cur = (
+            df.loc[df["event_type"] == steps[0], ["user_id", "ts"]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+        )
+        counts[0] = len(cur)
+        for k in range(1, len(steps)):
+            if cur.empty:
+                break
+            e = df.loc[df["event_type"] == steps[k], ["user_id", "ts"]]
+            m = e.merge(
+                cur.rename(columns={"ts": "prev_ts"}),
+                on="user_id", how="inner",
+            )
+            m = m.loc[m["ts"] > m["prev_ts"], ["user_id", "ts"]]
+            cur = m.groupby("user_id", as_index=False)["ts"].min()
+            counts[k] = len(cur)
+        return pd.DataFrame(
+            {
+                "depth": np.arange(1, len(steps) + 1, dtype="int64"),
+                "step": list(steps),
+                "users": counts,
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(partial, batch_format="pandas")
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return out_schema.empty_table()
+        agg = (
+            t.group_by(["depth", "step"]).aggregate([("users", "sum")])
+        )
+        return agg.rename_columns(["depth", "step", "users"]).cast(
+            out_schema
+        )
+
+    # K*P partial rows -> one tiny block; repartition(1) keeps the
+    # combine a single task without materializing anything big
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pyarrow"
+    )

@@ -81,3 +81,32 @@ def test_decontaminate_removes_hit_docs(ray_session):
     ].to_pylist()
     corpus_ids = {d for d in all_ids if d % 10 != 0}
     assert kept == corpus_ids - set(brute)
+
+def test_crossdoc_dup_windows_matches_bruteforce(ray_session):
+    import ray
+
+    from autoner_ray.stages.decontam import (
+        _doc_grams,
+        crossdoc_dup_windows,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    grams = {
+        did: set(_doc_grams(txt, N))
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    from collections import Counter
+
+    df_count = Counter(g for gs in grams.values() for g in gs)
+    brute = {}
+    for did, gs in grams.items():
+        c = sum(1 for g in gs if df_count[g] >= 2)
+        if c:
+            brute[did] = c
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    df = crossdoc_dup_windows(ds, n=N).to_pandas()
+    got = dict(zip(df["doc_id"].astype(int), df["dup_grams"].astype(int)))
+    assert got == brute
+    assert got, "fixture must contain cross-doc duplicated windows"
