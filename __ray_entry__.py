@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph path is pinned by tests/test_graph_skew.py and exercised
         # by kg_graph_adjacency below)
         "kg_pagerank": lambda sf: kg.unigram_pagerank(sf),
+        "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
         ),
@@ -627,6 +628,22 @@ def oracle_sql() -> dict[str, str]:
         "docs_rolling_fingerprint": _fingerprint_sql(),
         "kg_pagerank": _pagerank_sql(dict_values),
         "kg_connected_components": _connected_components_sql(dict_values),
+        # pairs is subj<obj-unique, so each triangle appears exactly
+        # once with a<b<c and credits all three corners
+        "kg_triangle_count": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            tri AS (
+                SELECT p1.subj AS a, p1.obj AS b, p2.obj AS c
+                FROM pairs p1
+                JOIN pairs p2 ON p2.subj = p1.obj
+                JOIN pairs p3 ON p3.subj = p1.subj AND p3.obj = p2.obj
+            )
+            SELECT entity, count(*) AS triangles FROM (
+                SELECT a AS entity FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY entity
+        """,
         "docs_sample_seeded": seeded_sample_oracle_sql(),
         "docs_stratified_sample": stratified_sample_oracle_sql(),
         # simhash64 in SQL: per-token md5 -> top-8-byte uint64, bit votes

@@ -444,6 +444,16 @@ def unigram_connected_components(sf_dir: str):
     return connected_components(unigram_triples(sf_dir))
 
 
+def unigram_triangles(sf_dir: str):
+    """Per-entity triangle counts over the unigram co-occurrence graph
+    (oracle: three-way self-join on the subj<obj pair list; each
+    triangle is enumerated once at its lexicographic orientation and
+    credited to all three corners)."""
+    from autoner_ray.stages.graph import triangle_counts
+
+    return triangle_counts(unigram_triples(sf_dir))
+
+
 def typed_triples_dataset(sf_dir: str, concurrency=None, repeat: int = 1):
     """Pattern-rule typed triples: (subj, pred=gap-pattern|cooccurs_with,
     obj, weight) — same zero-shuffle combiner shape as the flagship."""

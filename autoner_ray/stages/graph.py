@@ -403,3 +403,175 @@ def connected_components(edges_ds):
             "component": pa.array(labels, pa.string()),
         }
     )
+
+
+def triangle_counts(edges_ds, num_partitions: int | None = None):
+    """Per-entity triangle participation counts over the undirected
+    co-occurrence graph (edges as unique ``subj < obj`` string pairs).
+
+    Compact-forward / degree orientation (Latapy 2008): every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, so
+    each node's OUT-degree is O(sqrt(m)) and the wedge set — all pairs
+    of out-neighbors of a node — is O(m^1.5) total instead of
+    sum(deg^2), which is what kills skewed co-occurrence graphs (a hub
+    in 10^6 docs would otherwise emit 10^12 wedges).
+
+    Distribution shape: degrees are a bounded-key combine (the entity
+    vocabulary is DICTIONARY-BOUNDED, SURVEY §9 — same justification as
+    :func:`pagerank`), and the (degree, entity)-rank map is broadcast
+    ONCE via ``ray.put``. The corpus-scale work — wedge generation and
+    wedge-closure semi-join — is two content-hash shuffles: one on the
+    wedge CENTER to group out-adjacency, one on the wedge ENDPOINT pair
+    to co-locate each wedge with the single oriented edge that can
+    close it. Per-corner counts leave each partition pre-aggregated.
+
+    Returns (entity, triangles) for entities in >=1 triangle.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    P = num_partitions or default_num_partitions()
+
+    # 1) degree per entity: per-batch partials -> bounded combine
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64())})
+        ents = pa.concat_arrays(
+            [pc.cast(t["subj"], pa.string()).combine_chunks(),
+             pc.cast(t["obj"], pa.string()).combine_chunks()]
+        )
+        vc = ents.value_counts()
+        return pa.table({"entity": vc.field("values"),
+                         "deg": pc.cast(vc.field("counts"), pa.int64())})
+
+    deg = bounded_key_sum(
+        edges_ds.select_columns(["subj", "obj"]).map_batches(
+            deg_partial, batch_format="pyarrow"
+        ),
+        ["entity"], ["deg"],
+    ).to_pandas()  # vocab-bounded (same collect the pagerank tail does)
+    if len(deg) == 0:
+        return pa.table({"entity": pa.array([], pa.string()),
+                         "triangles": pa.array([], pa.int64())})
+    deg = deg.sort_values(["deg", "entity"], kind="mergesort")
+    ents = deg["entity"].tolist()
+    rank_ref = ray.put({e: i for i, e in enumerate(ents)})
+    ents_ref = ray.put(np.array(ents, dtype=object))
+
+    _MIX = 2654435761  # Knuth multiplicative mix for dense-id balance
+
+    # 2) orient edges lower-rank -> higher-rank; partition by center
+    def orient(t: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref)
+        s = pd.Series(t["subj"].to_pylist()).map(rank).to_numpy(np.int64)
+        o = pd.Series(t["obj"].to_pylist()).map(rank).to_numpy(np.int64)
+        lo = np.minimum(s, o)
+        hi = np.maximum(s, o)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "cpart": pa.array((lo * _MIX) % P, pa.int32()),
+                "epart": pa.array(((lo * _MIX + hi) * _MIX) % P,
+                                  pa.int32()),
+            }
+        )
+
+    oriented = edges_ds.select_columns(["subj", "obj"]).map_batches(
+        orient, batch_format="pyarrow"
+    )
+
+    _wedge_schema = pd.DataFrame(
+        {
+            "v": pd.Series([], dtype="int64"),
+            "w": pd.Series([], dtype="int64"),
+            "u": pd.Series([], dtype="int64"),
+            "epart": pd.Series([], dtype="int32"),
+        }
+    )
+
+    # 3) wedges: per center u, all out-neighbor pairs (v < w by rank)
+    def wedges_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lo" not in df.columns:
+            return _wedge_schema
+        vs, ws, us = [], [], []
+        for u, g in df.groupby("lo"):
+            nb = np.unique(g["hi"].to_numpy(np.int64))
+            d = len(nb)
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, k=1)
+            vs.append(nb[i])
+            ws.append(nb[j])
+            us.append(np.full(len(i), u, dtype=np.int64))
+        if not vs:
+            return _wedge_schema
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        u = np.concatenate(us)
+        return pd.DataFrame(
+            {
+                "v": v, "w": w, "u": u,
+                "epart": ((v * _MIX + w) * _MIX % P).astype("int32"),
+            }
+        )
+
+    wedges = oriented.groupby("cpart").map_groups(
+        wedges_in_partition, batch_format="pandas"
+    )
+
+    # pandas blocks to match the wedge side (union requires one type)
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lo" not in df.columns:
+            return _wedge_schema
+        return pd.DataFrame(
+            {
+                "v": df["lo"].to_numpy(np.int64),
+                "w": df["hi"].to_numpy(np.int64),
+                "u": np.full(len(df), -1, dtype=np.int64),
+                "epart": df["epart"].to_numpy(np.int32),
+            }
+        )
+
+    edge_side = oriented.map_batches(edge_keys, batch_format="pandas")
+
+    _count_schema = pd.DataFrame(
+        {
+            "entity": pd.Series([], dtype="object"),
+            "triangles": pd.Series([], dtype="int64"),
+        }
+    )
+
+    # 4) close wedges against the oriented edge in the same partition;
+    #    per-corner counts leave pre-aggregated and entity-named
+    def close_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "v" not in df.columns:
+            return _count_schema
+        is_edge = df["u"] < 0
+        ek = df.loc[is_edge, ["v", "w"]]
+        wd = df.loc[~is_edge]
+        if ek.empty or wd.empty:
+            return _count_schema
+        closed = wd.merge(ek, on=["v", "w"], how="inner")
+        if closed.empty:
+            return _count_schema
+        ids = np.concatenate(
+            [closed["u"].to_numpy(np.int64),
+             closed["v"].to_numpy(np.int64),
+             closed["w"].to_numpy(np.int64)]
+        )
+        uniq, cnt = np.unique(ids, return_counts=True)
+        names = ray.get(ents_ref)[uniq]
+        return pd.DataFrame(
+            {"entity": names, "triangles": cnt.astype("int64")}
+        )
+
+    partials = wedges.union(edge_side).groupby("epart").map_groups(
+        close_in_partition, batch_format="pandas"
+    )
+    return bounded_key_sum(partials, ["entity"], ["triangles"])

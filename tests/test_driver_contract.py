@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 85 and len(sqls) == 66
+    assert len(qs) == 86 and len(sqls) == 67
     import subprocess
     import sys
 
