@@ -341,6 +341,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # strict-order view -> click -> purchase completion funnel
         "events_funnel": lambda sf: windows.funnel_counts(_events(sf)),
+        # first-event-day cohorts x distinct active day offsets
+        "events_retention": lambda sf: windows.retention_cohorts(
+            _events(sf)
+        ),
+        # wide crosstab: one row per source, doc counts per language
+        "docs_source_lang_pivot": lambda sf: analysis.source_lang_pivot(
+            _docs(sf, ["source", "lang"])
+        ),
         # --- oracle-backed: documents analysis / dedup / indexing --------
         "docs_lang_counts": docs_lang_counts,
         "docs_token_stats": docs_token_stats,
@@ -619,9 +627,11 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_oracle_sql,
         temperature_sample_oracle_sql,
     )
+    from autoner_ray.stages import analysis as analysis_mod
     from autoner_ray.stages import asof as asof_mod
     from autoner_ray.stages import sketches as sketches_mod
     from autoner_ray.stages import webtext
+    from autoner_ray.stages import windows as windows_mod
 
     dict_values = unigram_dict_sql_values()
     out = {
@@ -1348,6 +1358,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_quantiles":
             sketches_mod.doc_length_quantiles_oracle_sql(),
         "docs_source_lang_rollup": analysis_rollup_oracle(),
+        "events_retention": windows_mod.retention_cohorts_oracle_sql(),
+        "docs_source_lang_pivot": (
+            analysis_mod.source_lang_pivot_oracle_sql()
+        ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -1104,3 +1104,89 @@ def source_lang_rollup_oracle_sql() -> str:
         FROM documents
         GROUP BY ROLLUP(source, lang)
     """
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def source_lang_pivot(docs_ds, langs: tuple[str, ...] = _PIVOT_LANGS):
+    """Crosstab: one row per source, one doc-count column per language
+    (``n_<lang>``) plus ``n_total`` — the wide layout a mixing
+    dashboard plots directly.  The language axis must be a FIXED,
+    declared column set (schemas are static in Arrow and in SQL);
+    unexpected langs land in ``n_other`` rather than silently dropping.
+
+    Scale shape: same bounded-(source, lang) combine as the rollup —
+    per-batch arrow hash partials, shuffle-free two-level sum — then a
+    single-block long->wide reshape of the tiny aggregate.
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    langs = tuple(langs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select(["source", "lang"])
+            .group_by(["source", "lang"])
+            .aggregate([("lang", "count")])
+        )
+        return agg.rename_columns(["source", "lang", "n"])
+
+    fine = bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        ["n"],
+    )
+
+    out_schema = pa.schema(
+        [("source", pa.string())]
+        + [(f"n_{lg}", pa.int64()) for lg in langs]
+        + [("n_other", pa.int64()), ("n_total", pa.int64())]
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        df["lang"] = df["lang"].where(df["lang"].isin(langs), "__other")
+        wide = (
+            df.pivot_table(
+                index="source", columns="lang", values="n",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=list(langs) + ["__other"], fill_value=0)
+            .reset_index()
+        )
+        cols = {"source": pa.array(wide["source"], pa.string())}
+        total = None
+        for lg in list(langs) + ["__other"]:
+            v = wide[lg].astype("int64")
+            name = "n_other" if lg == "__other" else f"n_{lg}"
+            cols[name] = pa.array(v, pa.int64())
+            total = v if total is None else total + v
+        cols["n_total"] = pa.array(total.astype("int64"), pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return fine.repartition(1).map_batches(
+        widen, batch_format="pyarrow", batch_size=None
+    )
+
+
+def source_lang_pivot_oracle_sql(
+    langs: tuple[str, ...] = _PIVOT_LANGS,
+) -> str:
+    cases = ",\n               ".join(
+        f"SUM(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS n_{lg}"
+        for lg in langs
+    )
+    in_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+        SELECT source,
+               {cases},
+               SUM(CASE WHEN lang NOT IN ({in_list}) OR lang IS NULL
+                   THEN 1 ELSE 0 END) AS n_other,
+               COUNT(*) AS n_total
+        FROM documents GROUP BY source
+    """

@@ -314,3 +314,103 @@ def funnel_counts(
     return partials.repartition(1).map_batches(
         combine, batch_format="pyarrow"
     )
+
+
+def retention_cohorts(events_ds, num_partitions: int | None = None):
+    """Cohort retention table: cohort = a user's first-ever event DAY;
+    output (cohort_day, day_offset, users) = how many cohort members
+    were active exactly ``day_offset`` days after their first day
+    (offset 0 row = cohort size).
+
+    Shape: project (user_id, ts) pre-shuffle, ONE user-hash shuffle,
+    per-partition vectorized pandas (distinct user-days, per-user min,
+    one merge) — each user lives in exactly one partition so the
+    (cohort_day, offset) partials are exact; the key set is bounded by
+    |days in corpus|^2, so the tail is a single-block combine.
+    """
+    import numpy as np
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = num_partitions or default_num_partitions()
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts"])
+        return t.append_column(
+            "__part", _stable_part_col(t, ("user_id",), P)
+        )
+
+    out_schema = pa.schema(
+        [("cohort_day", pa.date32()), ("day_offset", pa.int64()),
+         ("users", pa.int64())]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cohort_day": pd.Series([], dtype="datetime64[us]"),
+                "day_offset": pd.Series([], dtype="int64"),
+                "users": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "ts" not in df.columns:
+            return empty
+        ud = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "day": df["ts"].dt.normalize(),
+            }
+        ).drop_duplicates()
+        first = ud.groupby("user_id", as_index=False)["day"].min()
+        m = ud.merge(
+            first.rename(columns={"day": "cohort_day"}), on="user_id"
+        )
+        m["day_offset"] = (
+            (m["day"] - m["cohort_day"]).dt.days.astype("int64")
+        )
+        out = m.groupby(
+            ["cohort_day", "day_offset"], as_index=False
+        ).agg(users=("user_id", "size"))
+        return out.astype({"day_offset": "int64", "users": "int64"})
+
+    partials = (
+        events_ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(partial, batch_format="pandas")
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return out_schema.empty_table()
+        agg = (
+            t.group_by(["cohort_day", "day_offset"])
+            .aggregate([("users", "sum")])
+            .rename_columns(["cohort_day", "day_offset", "users"])
+        )
+        return agg.set_column(
+            0, "cohort_day", pc.cast(agg["cohort_day"], pa.date32())
+        ).cast(out_schema)
+
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
+def retention_cohorts_oracle_sql() -> str:
+    return """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, min(day) AS cohort_day FROM ud
+            GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, ud.day) AS day_offset,
+               count(*) AS users
+        FROM ud JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """

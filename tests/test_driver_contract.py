@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 86 and len(sqls) == 67
+    assert len(qs) == 88 and len(sqls) == 69
     import subprocess
     import sys
 

@@ -66,3 +66,56 @@ def test_funnel_fixture_nontrivial(ray_session):
     # monotone non-increasing depth counts, non-trivial at depth 3
     assert users[0] >= users[1] >= users[2]
     assert users[2] > 0
+
+
+def test_retention_cohorts_matches_bruteforce(ray_session):
+    import ray
+
+    from autoner_ray.stages.windows import retention_cohorts
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts"],
+    )
+    ud = df.assign(day=df["ts"].dt.normalize()).loc[
+        :, ["user_id", "day"]
+    ].drop_duplicates()
+    first = ud.groupby("user_id")["day"].min().rename("cohort")
+    m = ud.merge(first, left_on="user_id", right_index=True)
+    m["off"] = (m["day"] - m["cohort"]).dt.days
+    brute = (
+        m.groupby([m["cohort"].dt.date, "off"]).size().to_dict()
+    )
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    got_df = retention_cohorts(ds).to_pandas()
+    got = {
+        (c, int(o)): int(u)
+        for c, o, u in zip(
+            got_df["cohort_day"], got_df["day_offset"], got_df["users"]
+        )
+    }
+    assert got == brute
+    assert got
+
+
+def test_pivot_totals_match_lang_counts(ray_session):
+    import ray
+
+    from autoner_ray.stages.analysis import source_lang_pivot
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["source", "lang"],
+    )
+    wide = source_lang_pivot(ds).to_pandas()
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["source", "lang"],
+    )
+    assert wide["n_total"].sum() == len(df)
+    assert (wide["n_other"] == 0).all()
+    for lg in ("en", "de"):
+        assert wide[f"n_{lg}"].sum() == (df["lang"] == lg).sum()
