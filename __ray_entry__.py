@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "top_order_per_customer": relational.top_order_per_customer,
         "order_price_quantiles": relational.order_price_quantiles,
+        "customer_revenue_ntile": relational.customer_revenue_ntile,
         # --- oracle-backed: event windows --------------------------------
         "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
         "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
@@ -842,6 +843,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.5, round(quantile_cont(cents, 0.5) / 100.0, 6) FROM c
             UNION ALL
             SELECT 0.75, round(quantile_cont(cents, 0.75) / 100.0, 6) FROM c
+        """,
+        "customer_revenue_ntile": f"""
+            WITH rev AS (
+                SELECT o.o_custkey, SUM({_REV_CENTS}) AS cents
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_custkey
+            )
+            SELECT o_custkey,
+                   cents / 100.0 AS revenue,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+                       AS revenue_rank,
+                   NTILE(4) OVER (ORDER BY cents DESC, o_custkey)
+                       AS revenue_ntile
+            FROM rev
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

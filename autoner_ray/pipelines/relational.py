@@ -159,17 +159,17 @@ def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-01"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def top_customers_by_revenue(sf_dir: str, k: int = 10,
-                             broadcast_max_rows: int = 5_000_000):
-    """lineitem ⋈ orders -> revenue per customer -> top k -> name lookup
-    restricted to the k keys.
+def _customer_revenue_partials(sf_dir: str,
+                               broadcast_max_rows: int = 5_000_000):
+    """(o_custkey, order_cents) partial-sum stream for lineitem ⋈ orders.
 
     TIERED join (same pattern as verify_jaccard / neardup keep-one): an
     orders side up to ``broadcast_max_rows`` (≈80 MB as two int64
     arrays) ships once as a sorted-array lookup and each lineitem batch
     resolves custkeys locally with ``np.searchsorted`` — no shuffle of
     either table. Above the bound (TPC-H sf≳30) the hash-partitioned
-    large-large ``cogroup_join`` takes over with identical results."""
+    large-large ``cogroup_join`` takes over with identical results.
+    Rows are PARTIALS (multiple per custkey); consumers sum them."""
     line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -274,6 +274,17 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
         joined_partials = joined.map_batches(
             cust_partial, batch_format="pyarrow"
         )
+    return joined_partials
+
+
+def top_customers_by_revenue(sf_dir: str, k: int = 10,
+                             broadcast_max_rows: int = 5_000_000):
+    """lineitem ⋈ orders -> revenue per customer -> top k -> name lookup
+    restricted to the k keys (tiered join: see
+    ``_customer_revenue_partials``)."""
+    joined_partials = _customer_revenue_partials(
+        sf_dir, broadcast_max_rows
+    )
 
     # ONE hash shuffle on custkey, then per-partition sum + top-k: a
     # global top-k never needs the all-to-all SORT of the full customer
@@ -639,3 +650,85 @@ def order_price_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.75)):
             "o_totalprice_quantile": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def customer_revenue_ntile(sf_dir: str, n_buckets: int = 4):
+    """EXACT global revenue rank + NTILE(n) for every customer — the
+    SQL window ``ROW_NUMBER()/NTILE() OVER (ORDER BY revenue DESC,
+    custkey)`` without a global sort or any driver-side row gather.
+
+    Two distributed steps: (1) the tiered lineitem ⋈ orders partials
+    (see ``_customer_revenue_partials``) are hash-combined to one row
+    per customer; (2) ``stages.ranking.exact_ntile`` range-buckets by
+    sampled splitters, rolls up per-bucket counts (B ints on the
+    driver), and each bucket emits offset+local-index as the exact
+    global rank. Scale shape: the only all-to-alls are one custkey hash
+    shuffle and one range shuffle of the (key, cents) pairs."""
+    from autoner_ray.stages.joins import _stable_part_col
+    from autoner_ray.stages.ranking import exact_ntile
+
+    partials = _customer_revenue_partials(sf_dir)
+    P = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "order_cents": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        return t.append_column(
+            "part", _stable_part_col(t, ("o_custkey",), P)
+        )
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        return (
+            df.groupby("o_custkey", sort=False)["order_cents"]
+            .sum()
+            .reset_index(name="cents")
+        )
+
+    rev = (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_group, batch_format="pandas")
+    )
+    ranked = exact_ntile(
+        rev,
+        key_col="o_custkey",
+        val_col="cents",
+        n_buckets=n_buckets,
+        descending=True,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "revenue_rank": pa.array([], pa.int64()),
+                    "revenue_ntile": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "revenue": pc.divide(
+                    pc.cast(t["cents"], pa.float64()), 100.0
+                ),
+                "revenue_rank": t["rank"],
+                "revenue_ntile": t["ntile"],
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

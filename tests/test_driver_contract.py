@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 88 and len(sqls) == 69
+    assert len(qs) == 89 and len(sqls) == 70
     import subprocess
     import sys
 
