@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": relational.top_order_per_customer,
         "order_price_quantiles": relational.order_price_quantiles,
         "customer_revenue_ntile": relational.customer_revenue_ntile,
+        "order_pareto_frontier": relational.order_pareto_frontier,
         # --- oracle-backed: event windows --------------------------------
         "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
         "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
@@ -857,6 +858,24 @@ def oracle_sql() -> dict[str, str]:
                    NTILE(4) OVER (ORDER BY cents DESC, o_custkey)
                        AS revenue_ntile
             FROM rev
+        """,
+        "order_pareto_frontier": """
+            WITH t AS (
+                SELECT o_orderkey,
+                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                           AS cents,
+                       o_orderdate
+                FROM orders
+            )
+            SELECT a.o_orderkey, a.cents / 100.0 AS o_totalprice,
+                   a.o_orderdate
+            FROM t a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t b
+                WHERE b.cents >= a.cents
+                  AND b.o_orderdate >= a.o_orderdate
+                  AND (b.cents > a.cents OR b.o_orderdate > a.o_orderdate)
+            )
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -732,3 +732,63 @@ def customer_revenue_ntile(sf_dir: str, n_buckets: int = 4):
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def order_pareto_frontier(sf_dir: str):
+    """2-D Pareto frontier of orders maximizing (o_totalprice,
+    o_orderdate): "no later order was also more expensive". Oracle is
+    the SQL ``NOT EXISTS`` domination query.
+
+    Scale shape (``stages.ranking.pareto_frontier``): one streaming
+    pass emits per-block frontier partials (frontiers compose under
+    union), and only the frontier-sized concatenation reaches the
+    driver — never the orders table."""
+    from autoner_ray.stages.ranking import pareto_frontier
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "date_us": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pa.array(
+                    np.floor(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "date_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": pc.divide(
+                    pc.cast(t["cents"], pa.float64()), 100.0
+                ),
+                "o_orderdate": pc.cast(
+                    t["date_us"], pa.timestamp("us")
+                ),
+            }
+        )
+
+    rows = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return pareto_frontier(
+        rows,
+        x_col="cents",
+        y_col="date_us",
+        out_cols=["o_orderkey", "cents", "date_us"],
+        final_batch=finish,
+    )

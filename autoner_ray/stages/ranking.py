@@ -172,3 +172,78 @@ def exact_ntile(
     return bucketed.groupby("__rb").map_groups(
         rank_range, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline), maximize-maximize
+# ---------------------------------------------------------------------------
+
+def skyline2d_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier of (x, y), both MAXIMIZED.
+
+    A row survives iff no other row is >= on both axes and > on at
+    least one (SQL ``NOT EXISTS`` domination). Exact duplicates never
+    dominate each other, so every copy of a frontier point is kept.
+    O(n log n): sort x desc / y desc; on distinct points a row is on
+    the frontier iff its y strictly exceeds the exclusive prefix max.
+    """
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    excl = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(ys)[:-1]]
+    )
+    first_keep = ys > excl
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = (xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1])
+    idx = np.arange(n)
+    head = np.maximum.accumulate(np.where(~dup, idx, 0))
+    keep_sorted = first_keep[head]
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_frontier(
+    rows_ds,
+    x_col: str,
+    y_col: str,
+    out_cols: list[str],
+    final_batch=None,
+):
+    """Distributed skyline: per-block frontier PARTIALS (the frontier
+    of a union equals the frontier of the union of per-block
+    frontiers — domination is witnessed inside some block of the
+    union of partials), then ONE driver-side pass over the
+    frontier-sized concatenation. Nothing corpus-sized ever gathers:
+    each block contributes only its own frontier (O(log n) points on
+    non-adversarial data).
+
+    ``x_col``/``y_col`` must be int64-comparable (cents/epoch tricks
+    for money/time). ``final_batch`` post-processes the final arrow
+    table (e.g. cents -> dollars)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in out_cols}
+            )
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = skyline2d_mask(x, y)
+        return t.select(out_cols).filter(pa.array(m))
+
+    parts = rows_ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    x = parts[x_col].to_numpy().astype(np.int64)
+    y = parts[y_col].to_numpy().astype(np.int64)
+    final = pa.Table.from_pandas(
+        parts[skyline2d_mask(x, y)].reset_index(drop=True),
+        preserve_index=False,
+    )
+    if final_batch is not None:
+        final = final_batch(final)
+    return final

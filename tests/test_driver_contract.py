@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 89 and len(sqls) == 70
+    assert len(qs) == 90 and len(sqls) == 71
     import subprocess
     import sys
 
