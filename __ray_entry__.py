@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # strict-order view -> click -> purchase completion funnel
         "events_funnel": lambda sf: windows.funnel_counts(_events(sf)),
+        "events_value_quantiles": lambda sf: windows.value_quantiles_by_type(
+            _events(sf)
+        ),
         # first-event-day cohorts x distinct active day offsets
         "events_retention": lambda sf: windows.retention_cohorts(
             _events(sf)
@@ -373,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "bm25_search": lambda sf: analysis.bm25_topk(
             _docs(sf, ["doc_id", "text"]), ["filter", "join", "spark"]
+        ),
+        "docs_boolean_search": lambda sf: analysis.boolean_and_search(
+            _docs(sf, ["doc_id", "text"])
         ),
         "simhash_docs": simhash_docs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
@@ -985,6 +991,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS total_occurrences,
                    MIN(doc_id) AS first_doc
             FROM words GROUP BY word
+        """,
+        "docs_boolean_search": f"""
+            WITH w AS (SELECT doc_id, {WORDS} AS w FROM documents)
+            SELECT doc_id,
+                   len(list_filter(w, x -> x = 'window'))
+                 + len(list_filter(w, x -> x = 'hash'))
+                 + len(list_filter(w, x -> x = 'merge')) AS tf
+            FROM w
+            WHERE list_contains(w, 'window')
+              AND list_contains(w, 'hash')
+              AND list_contains(w, 'merge')
+        """,
+        "events_value_quantiles": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type, 0.25 AS p,
+                   round(quantile_cont(cents, 0.25) / 100.0, 6)
+                       AS value_quantile
+            FROM c GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5,
+                   round(quantile_cont(cents, 0.5) / 100.0, 6)
+            FROM c GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.75,
+                   round(quantile_cont(cents, 0.75) / 100.0, 6)
+            FROM c GROUP BY event_type
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

@@ -1190,3 +1190,54 @@ def source_lang_pivot_oracle_sql(
                COUNT(*) AS n_total
         FROM documents GROUP BY source
     """
+
+
+def boolean_and_search(docs_ds, terms=("window", "hash", "merge")):
+    """Conjunctive (AND) term search: docs containing EVERY query term,
+    with the summed term frequency — the scan-side twin of an
+    inverted-index postings intersection.
+
+    Fully vectorized: one arrow ``split_pattern`` per batch, one
+    ``pc.equal`` + ``np.bincount`` per query term over the flattened
+    token array (no Python per-row loop). Embarrassingly parallel — a
+    pure filter-map with no shuffle; at scale the same predicate runs
+    against sharded postings instead of the raw scan, and this operator
+    is the oracle-checkable scan path."""
+    import numpy as np
+
+    terms = tuple(terms)
+
+    def probe(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        lists = pc.split_pattern(txt, pattern=" ")
+        offs = lists.offsets.to_numpy()
+        parents = np.repeat(
+            np.arange(len(t), dtype=np.int64), offs[1:] - offs[:-1]
+        )
+        flat = lists.flatten()
+        present = np.ones(len(t), dtype=bool)
+        tf = np.zeros(len(t), dtype=np.int64)
+        for term in terms:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            c = np.bincount(parents[m], minlength=len(t))
+            present &= c > 0
+            tf += c
+        if not present.any():
+            return empty
+        keep = pa.array(present)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(keep),
+                "tf": pa.array(tf[present], pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow")

@@ -414,3 +414,78 @@ def retention_cohorts_oracle_sql() -> str:
         FROM ud JOIN f USING (user_id)
         GROUP BY 1, 2
     """
+
+
+def value_quantiles_by_type(events_ds, ps=(0.25, 0.5, 0.75)):
+    """EXACT per-group quantiles of ``value`` per event_type — grouped
+    ``quantile_cont`` without shipping raw rows.
+
+    Scale shape: per-batch (event_type, cents) value-count partials are
+    the combiner — the one hash shuffle moves histogram rows (≤ distinct
+    cents per type per batch), never the event stream; each group then
+    merges its histogram and interpolates locally. Matches DuckDB
+    ``quantile_cont`` bit-for-bit (same int-cents interpolation as
+    ``relational.order_price_quantiles``). For unbounded-cardinality
+    value domains at 100 TB the mergeable KLL sketch
+    (``stages.sketches``) is the approximate alternative; this is the
+    exact, oracle-checkable operator."""
+    import numpy as np
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = _value_cents(t)
+        agg = (
+            t.select(["event_type", "value_cents"])
+            .group_by(["event_type", "value_cents"])
+            .aggregate([("value_cents", "count")])
+        )
+        return agg.rename_columns(["event_type", "cents", "n"])
+
+    def group_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "p": pd.Series(dtype="float64"),
+                    "value_quantile": pd.Series(dtype="float64"),
+                }
+            )
+        h = (
+            df.groupby("cents", sort=True)["n"].sum().reset_index()
+        )
+        vals = h["cents"].to_numpy()
+        cum = h["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+
+        def value_at(idx: int) -> int:
+            return int(vals[np.searchsorted(cum, idx + 1)])
+
+        out_p, out_v = [], []
+        for p in ps:
+            pos = (n - 1) * p
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            a, b = value_at(lo), value_at(hi)
+            out_p.append(p)
+            out_v.append(round((a + (b - a) * (pos - lo)) / 100.0, 6))
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[0],
+                "p": out_p,
+                "value_quantile": out_v,
+            }
+        )
+
+    return (
+        events_ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(group_quantiles, batch_format="pandas")
+    )
