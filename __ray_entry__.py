@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boolean_search": lambda sf: analysis.boolean_and_search(
             _docs(sf, ["doc_id", "text"])
         ),
+        "vocab_edit_pairs": lambda sf: analysis.vocab_edit_distance_pairs(
+            _docs(sf, ["text"])
+        ),
         "simhash_docs": simhash_docs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         # --- oracle-backed: embeddings / similarity ----------------------
@@ -1002,6 +1005,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(w, 'window')
               AND list_contains(w, 'hash')
               AND list_contains(w, 'merge')
+        """,
+        "vocab_edit_pairs": f"""
+            WITH words AS (
+                SELECT DISTINCT t.word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            )
+            SELECT a.word AS word_a, b.word AS word_b,
+                   CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+            FROM words a JOIN words b ON a.word < b.word
+            WHERE levenshtein(a.word, b.word) <= 2
         """,
         "events_value_quantiles": """
             WITH c AS (

@@ -1241,3 +1241,156 @@ def boolean_and_search(docs_ds, terms=("window", "hash", "merge")):
         )
 
     return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def _levenshtein_leq(a: str, b: str, d: int = 2) -> int:
+    """Banded Levenshtein: exact distance if <= d, else d+1. O(d*len)."""
+    if abs(len(a) - len(b)) > d:
+        return d + 1
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j] + [0] * len(a)
+        lo = max(1, j - d)
+        hi = min(len(a), j + d)
+        if lo > 1:
+            cur[lo - 1] = d + 1
+        # column 0 (cur[0] == j) is in-band while j <= d
+        best = j if j <= d else d + 1
+        for i in range(lo, hi + 1):
+            cur[i] = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (a[i - 1] != cb),
+            )
+            if cur[i] < best:
+                best = cur[i]
+        if hi < len(a):
+            cur[hi + 1 :] = [d + 1] * (len(a) - hi)
+        if best > d:
+            return d + 1
+        prev = cur
+    return prev[len(a)]
+
+
+def _deletion_variants(w: str, d: int = 2):
+    """All strings reachable from ``w`` by deleting up to ``d`` chars
+    (SymSpell signatures), including ``w`` itself."""
+    out = {w}
+    frontier = {w}
+    for _ in range(d):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def vocab_edit_distance_pairs(docs_ds, max_dist: int = 2):
+    """Surface-form variant mining: all DISTINCT corpus-word pairs
+    within Levenshtein distance ``max_dist`` — the canonicalization
+    primitive for typo/alias clustering in KG entity resolution.
+
+    SymSpell-style sub-quadratic shape (ed(a,b) <= d guarantees a
+    shared <=d-deletion signature): per-batch distinct-word partials ->
+    one bounded vocab combine -> signature explode -> hash-group by
+    signature -> in-group banded-DP verify -> pair dedup. Every stage
+    is vocab-sized, never corpus-sized; the quadratic is confined to
+    single signature buckets (hot buckets are short-prefix signatures —
+    cap/salt them at 10^8-word vocab)."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def words_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        flat = pc.split_pattern(txt, pattern=" ").flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        agg = (
+            pa.table({"word": flat})
+            .group_by("word")
+            .aggregate([("word", "count")])
+        )
+        return agg.rename_columns(["word", "n"])
+
+    vocab = bounded_key_sum(
+        docs_ds.map_batches(words_partial, batch_format="pyarrow"),
+        ["word"], ["n"],
+    )
+
+    def explode_sigs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "sig": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                }
+            )
+        sigs, words = [], []
+        for w in t["word"].to_pylist():
+            for s in _deletion_variants(w, max_dist):
+                sigs.append(s)
+                words.append(w)
+        return pa.table(
+            {
+                "sig": pa.array(sigs, pa.string()),
+                "word": pa.array(words, pa.string()),
+            }
+        )
+
+    def bucket_pairs(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "word_a": pd.Series(dtype="object"),
+                "word_b": pd.Series(dtype="object"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "word" not in df.columns:
+            return empty
+        ws = sorted(set(df["word"]))
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                dist = _levenshtein_leq(ws[i], ws[j], max_dist)
+                if 1 <= dist <= max_dist:
+                    out_a.append(ws[i])
+                    out_b.append(ws[j])
+                    out_d.append(dist)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"word_a": out_a, "word_b": out_b, "dist": out_d}
+        )
+
+    pairs = (
+        vocab.map_batches(explode_sigs, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # same pair reachable through many shared signatures -> dedup;
+    # dist is identical on every path so min == the exact distance
+    dedup = pairs.groupby(["word_a", "word_b"]).min("dist")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "word_a": pa.array([], pa.string()),
+                    "word_b": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return t.rename_columns(["word_a", "word_b", "dist"])
+
+    return dedup.map_batches(finish, batch_format="pyarrow")
