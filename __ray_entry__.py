@@ -383,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_edit_pairs": lambda sf: analysis.vocab_edit_distance_pairs(
             _docs(sf, ["text"])
         ),
+        "vocab_alias_clusters": lambda sf: analysis.vocab_alias_clusters(
+            _docs(sf, ["text"])
+        ),
         "simhash_docs": simhash_docs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         # --- oracle-backed: embeddings / similarity ----------------------
@@ -1016,6 +1019,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "vocab_alias_clusters": f"""
+            WITH RECURSIVE words AS (
+                SELECT DISTINCT t.word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            ), pairs AS (
+                SELECT a.word AS wa, b.word AS wb
+                FROM words a JOIN words b ON a.word < b.word
+                WHERE levenshtein(a.word, b.word) <= 2
+            ), edges AS (
+                SELECT wa, wb FROM pairs
+                UNION ALL
+                SELECT wb AS wa, wa AS wb FROM pairs
+            ), reach(word, r) AS (
+                SELECT wa, wa FROM edges
+                UNION
+                SELECT e.wa, reach.r
+                FROM edges e JOIN reach ON reach.word = e.wb
+            )
+            SELECT word, MIN(r) AS canonical FROM reach GROUP BY word
         """,
         "events_value_quantiles": """
             WITH c AS (

@@ -11,6 +11,7 @@ import ray
 from autoner_ray.stages.analysis import (
     _deletion_variants,
     _levenshtein_leq,
+    vocab_alias_clusters,
     vocab_edit_distance_pairs,
 )
 
@@ -99,3 +100,47 @@ def test_pipeline_matches_bruteforce():
             if 1 <= d <= 2:
                 want[(vocab[x], vocab[y])] = d
     assert got == want
+
+
+def test_alias_clusters_both_tiers_match_bruteforce():
+    rng = random.Random(5)
+    alphabet = "abc"
+    vocab = sorted(
+        {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(1, 5))
+            )
+            for _ in range(40)
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array([" ".join(vocab)], pa.string())})
+    ).repartition(3)
+
+    # brute-force: union-find over all ed<=2 pairs, canonical = min
+    parent = {w: w for w in vocab}
+
+    def find(w):
+        while parent[w] != w:
+            parent[w] = parent[parent[w]]
+            w = parent[w]
+        return w
+
+    touched = set()
+    for x in range(len(vocab)):
+        for y in range(x + 1, len(vocab)):
+            if 1 <= _lev_full(vocab[x], vocab[y]) <= 2:
+                touched |= {vocab[x], vocab[y]}
+                ra, rb = find(vocab[x]), find(vocab[y])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {w: find(w) for w in touched}
+
+    for uf_cap in (10**6, 0):  # driver union-find tier, distributed CC tier
+        got = {
+            r["word"]: r["canonical"]
+            for r in vocab_alias_clusters(
+                ds, max_dist=2, driver_uf_max_pairs=uf_cap
+            ).take_all()
+        }
+        assert got == want, uf_cap
