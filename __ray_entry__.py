@@ -102,6 +102,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _lineitem_discount_fit(sf_dir):
+        import ray.data as rd
+
+        from autoner_ray.stages.stats import grouped_linear_fit
+
+        return grouped_linear_fit(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_returnflag", "l_quantity", "l_discount"],
+            ),
+            key="l_returnflag", x_col="l_quantity", y_col="l_discount",
+        )
+
     def _query_vec(sf_dir):
         import pyarrow.parquet as pq
 
@@ -331,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": relational.order_price_quantiles,
         "customer_revenue_ntile": relational.customer_revenue_ntile,
         "order_pareto_frontier": relational.order_pareto_frontier,
+        "lineitem_discount_fit": _lineitem_discount_fit,
         # --- oracle-backed: event windows --------------------------------
         "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
         "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
@@ -800,6 +814,32 @@ def oracle_sql() -> dict[str, str]:
                 JOIN {dict_values} ON t.word = dict.word
             )
             SELECT entity, COUNT(*) AS doc_freq FROM words GROUP BY entity
+        """,
+        "lineitem_discount_fit": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS x,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+                FROM lineitem
+            ), m AS (
+                SELECT l_returnflag,
+                       COUNT(*) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+                FROM b GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST(n*sxy - sx*sy AS DOUBLE)
+                             / CAST(n*sxx - sx*sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr
+            FROM m
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 94 and len(sqls) == 75
+    assert len(qs) == 95 and len(sqls) == 76
     import subprocess
     import sys
 
