@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_alias_clusters": lambda sf: analysis.vocab_alias_clusters(
             _docs(sf, ["text"])
         ),
+        "docs_source_entropy": lambda sf: analysis.source_word_entropy(
+            _docs(sf, ["source", "text"])
+        ),
         "simhash_docs": simhash_docs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         # --- oracle-backed: embeddings / similarity ----------------------
@@ -1059,6 +1062,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "docs_source_entropy": f"""
+            WITH w AS (
+                SELECT source, t.word AS word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            ), c AS (
+                SELECT source, word, COUNT(*) AS c
+                FROM w GROUP BY source, word
+            ), s AS (
+                SELECT source, SUM(c) AS n, COUNT(*) AS v,
+                       SUM(CAST(floor(
+                           ln(CAST(c AS DOUBLE)) * c * 1000000 + 0.5
+                       ) AS BIGINT)) AS s_micro
+                FROM c GROUP BY source
+            )
+            SELECT source,
+                   CAST(n AS BIGINT) AS n_words,
+                   CAST(v AS BIGINT) AS distinct_words,
+                   round(ln(CAST(n AS DOUBLE))
+                         - CAST(s_micro AS DOUBLE) / 1000000
+                           / CAST(n AS DOUBLE), 6) AS entropy
+            FROM s
         """,
         "vocab_alias_clusters": f"""
             WITH RECURSIVE words AS (

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections import Counter
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -1394,6 +1395,108 @@ def vocab_edit_distance_pairs(docs_ds, max_dist: int = 2):
         return t.rename_columns(["word_a", "word_b", "dist"])
 
     return dedup.map_batches(finish, batch_format="pyarrow")
+
+
+def source_word_entropy(docs_ds):
+    """Per-source Shannon entropy (nats) of the word distribution — the
+    corpus-diversity signal curation dashboards track per site/crawl.
+
+    Scale shape: per-batch (source, word) count partials -> bounded
+    (source x vocab) combine -> per-block micro-nat partials -> tiny
+    per-source combine. The float term c*ln(c) is quantized to integer
+    MICRO-NATS before any summation (the ``lm_perplexity`` trick), so
+    the distributed sum is order-independent and exactly matches the
+    SQL twin; only the final ln(N) derivation touches floats, on
+    identical exact integers both sides.
+    """
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        words = pc.split_pattern(txt, pattern=" ")
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        src = pa.array(
+            np.repeat(t["source"].to_numpy(zero_copy_only=False), n_per)
+        )
+        flat = words.flatten()
+        keep = pc.not_equal(flat, "")
+        agg = (
+            pa.table({"source": src.filter(keep), "word": flat.filter(keep)})
+            .group_by(["source", "word"])
+            .aggregate([("word", "count")])
+        )
+        return agg.rename_columns(["source", "word", "c"])
+
+    counts = bounded_key_sum(
+        docs_ds.map_batches(word_partial, batch_format="pyarrow"),
+        ["source", "word"], ["c"],
+    )
+
+    def micro_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "s_micro": pa.array([], pa.int64()),
+                }
+            )
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # mirror the SQL term order: ln(c) * c * 1e6 + 0.5, floored
+        micro = np.floor(np.log(c) * c * 1e6 + 0.5).astype(np.int64)
+        part = pa.table(
+            {
+                "source": t["source"],
+                "n": t["c"],
+                "v": pa.array(np.ones(len(t), np.int64)),
+                "s_micro": pa.array(micro),
+            }
+        )
+        agg = part.group_by("source").aggregate(
+            [("n", "sum"), ("v", "sum"), ("s_micro", "sum")]
+        )
+        return agg.rename_columns(["source", "n", "v", "s_micro"])
+
+    per_source = bounded_key_sum(
+        counts.map_batches(micro_partial, batch_format="pyarrow"),
+        ["source"], ["n", "v", "s_micro"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                    "distinct_words": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        ent = [
+            round(math.log(float(n)) - s / 1e6 / float(n), 6)
+            for n, s in zip(t["n"].to_pylist(), t["s_micro"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_words": t["n"],
+                "distinct_words": t["v"],
+                "entropy": pa.array(ent, pa.float64()),
+            }
+        )
+
+    return per_source.map_batches(finish, batch_format="pyarrow")
 
 
 def vocab_alias_clusters(docs_ds, max_dist: int = 2,
