@@ -403,6 +403,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_entropy": lambda sf: analysis.source_word_entropy(
             _docs(sf, ["source", "text"])
         ),
+        "docs_source_lang_cube": lambda sf: analysis.source_lang_cube(
+            _docs(sf, ["source", "lang", "n_chars"])
+        ),
+        "events_value_outliers": lambda sf: __import__(
+            "autoner_ray.stages.stats", fromlist=["grouped_zscore_outliers"]
+        ).grouped_zscore_outliers(
+            _events(sf), key="event_type", value_col="value",
+            carry_cols=["event_id"],
+        ),
         "simhash_docs": simhash_docs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         # --- oracle-backed: embeddings / similarity ----------------------
@@ -1062,6 +1071,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "docs_source_lang_cube": """
+            SELECT source, lang,
+                   SUM(n_chars) AS total_chars,
+                   COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY CUBE(source, lang)
+        """,
+        "events_value_outliers": """
+            WITH b AS (
+                SELECT event_id, event_type, value,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            ), m AS (
+                SELECT event_type, COUNT(*) AS n,
+                       SUM(c) AS s, SUM(c*c) AS ss
+                FROM b GROUP BY event_type
+            )
+            SELECT event_id, event_type, value,
+                   round((CAST(c AS DOUBLE)
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt(CAST(n*ss - s*s AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+                         6) AS z
+            FROM b JOIN m USING (event_type)
+            WHERE n*ss - s*s > 0
+              AND abs((CAST(c AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt(CAST(n*ss - s*s AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                  > 3
         """,
         "docs_source_entropy": f"""
             WITH w AS (

@@ -1107,6 +1107,72 @@ def source_lang_rollup_oracle_sql() -> str:
     """
 
 
+def source_lang_cube(docs_ds):
+    """Full CUBE(source, lang) profile: all four grouping sets —
+    (source, lang), per-source, per-lang, grand total — with NULL
+    markers on the rolled-up axes (GROUP BY CUBE semantics).
+
+    Same scale shape as :func:`source_lang_rollup`: ONE corpus pass
+    into the bounded (source, lang) combine; every coarser grouping
+    set is derived from that tiny table in a single-block kernel —
+    a naive UNION of four GROUP BYs would scan the corpus four times
+    and shuffle each one.
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select(["source", "lang", "n_chars"])
+            .group_by(["source", "lang"])
+            .aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        )
+        return agg.rename_columns(
+            ["source", "lang", "total_chars", "n_docs"]
+        )
+
+    fine = bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        ["total_chars", "n_docs"],
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        cols = ["total_chars", "n_docs"]
+        per_source = df.groupby("source", as_index=False)[cols].sum()
+        per_source["lang"] = None
+        per_lang = df.groupby("lang", as_index=False)[cols].sum()
+        per_lang["source"] = None
+        grand = pd.DataFrame(
+            {
+                "source": [None],
+                "lang": [None],
+                "total_chars": [df["total_chars"].sum()],
+                "n_docs": [df["n_docs"].sum()],
+            }
+        )
+        out = pd.concat([df, per_source, per_lang, grand],
+                        ignore_index=True)
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "total_chars": pa.array(
+                    out["total_chars"].astype("int64"), pa.int64()
+                ),
+                "n_docs": pa.array(
+                    out["n_docs"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        cube, batch_format="pyarrow", batch_size=None
+    )
+
+
 _PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 
 

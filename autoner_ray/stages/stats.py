@@ -121,3 +121,103 @@ def grouped_linear_fit(ds, key: str, x_col: str, y_col: str,
         )
 
     return moments.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_zscore_outliers(ds, key: str, value_col: str,
+                            carry_cols: list[str],
+                            z_thresh: float = 3.0,
+                            value_scale: int = 100):
+    """Per-group anomaly flags: rows whose value deviates more than
+    ``z_thresh`` population standard deviations from their group mean.
+
+    Two corpus passes, zero shuffles of the corpus: (1) exact int64
+    moment partials (value snapped to ``1/value_scale`` units with the
+    cents trick) -> bounded per-key combine -> the tiny (key, n, s, ss)
+    table broadcast via ``ray.put``; (2) a streamed vectorized filter
+    computing z from the broadcast exact moments. Groups with zero
+    variance emit no rows (z undefined). The mean/std/z float
+    derivation mirrors the SQL twin operation-for-operation, so the
+    filter decisions and 6-dp rounded z values match exactly.
+    """
+    import numpy as np
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        c = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False) * value_scale + 0.5
+        ).astype(np.int64)
+        part = pa.table(
+            {
+                key: t[key],
+                "n": pa.array(np.ones(len(c), np.int64)),
+                "s": pa.array(c),
+                "ss": pa.array(c * c),
+            }
+        )
+        agg = part.group_by(key).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        )
+        return agg.rename_columns([key, "n", "s", "ss"])
+
+    moments = bounded_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key], ["n", "s", "ss"],
+    )
+    # |groups| rows (event-type taxonomy) — bounded, safe to collect
+    stats: dict[str, tuple[float, float]] = {}
+    for r in moments.take_all():
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        num = n * ss - s * s
+        if num <= 0:
+            continue  # zero variance: z undefined, no outliers
+        mean = float(s) / float(n)
+        std = math.sqrt(float(num) / (float(n) * float(n)))
+        stats[r[key]] = (mean, std)
+    stats_ref = ray.put(stats)
+
+    out_fields = carry_cols + [key, value_col, "z"]
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in carry_cols}
+                | {
+                    key: pa.array([], pa.string()),
+                    value_col: pa.array([], pa.float64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        import pandas as pd
+
+        c = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False) * value_scale + 0.5
+        )
+        kcol = pd.Series(t[key].to_pylist())
+        mean = kcol.map({k: v[0] for k, v in st.items()}).to_numpy(
+            np.float64
+        )
+        std = kcol.map({k: v[1] for k, v in st.items()}).to_numpy(
+            np.float64
+        )
+        with np.errstate(invalid="ignore"):
+            z = (c - mean) / std
+            keep = np.abs(z) > z_thresh
+        keep &= ~np.isnan(z)
+        out = t.select(carry_cols + [key, value_col]).filter(
+            pa.array(keep)
+        )
+        return out.append_column(
+            "z", pa.array(np.round(z[keep], 6), pa.float64())
+        ).select(out_fields)
+
+    return ds.map_batches(flag, batch_format="pyarrow")
