@@ -403,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_entropy": lambda sf: analysis.source_word_entropy(
             _docs(sf, ["source", "text"])
         ),
+        "source_vocab_jaccard": lambda sf: analysis.source_vocab_jaccard(
+            _docs(sf, ["source", "text"])
+        ),
         "docs_source_lang_cube": lambda sf: analysis.source_lang_cube(
             _docs(sf, ["source", "lang", "n_chars"])
         ),
@@ -1071,6 +1074,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "source_vocab_jaccard": f"""
+            WITH sw AS (
+                SELECT DISTINCT source, t.word AS word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            ), sz AS (
+                SELECT source, COUNT(*) AS n FROM sw GROUP BY source
+            ), inter AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       COUNT(*) AS i
+                FROM sw a JOIN sw b
+                  ON a.word = b.word AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT source_a, source_b,
+                   CAST(i AS BIGINT) AS intersection,
+                   CAST(sa.n + sb.n - i AS BIGINT) AS union_n,
+                   round(CAST(i AS DOUBLE)
+                         / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.source = inter.source_a
+            JOIN sz sb ON sb.source = inter.source_b
         """,
         "docs_source_lang_cube": """
             SELECT source, lang,

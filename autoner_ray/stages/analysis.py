@@ -1363,12 +1363,13 @@ def vocab_edit_distance_pairs(docs_ds, max_dist: int = 2):
 
     SymSpell-style sub-quadratic shape (ed(a,b) <= d guarantees a
     shared <=d-deletion signature): per-batch distinct-word partials ->
-    one bounded vocab combine -> signature explode -> hash-group by
-    signature -> in-group banded-DP verify -> pair dedup. Every stage
-    is vocab-sized, never corpus-sized; the quadratic is confined to
-    single signature buckets (hot buckets are short-prefix signatures —
-    cap/salt them at 10^8-word vocab)."""
-    from autoner_ray.stages.combine import bounded_key_sum
+    word-partitioned vocab combine (one row per word, spread across
+    blocks — the vocab never sits in one block) -> signature explode ->
+    hash-group by signature -> in-group banded-DP verify -> pair dedup.
+    Every stage is vocab-sized, never corpus-sized; the quadratic is
+    confined to single signature buckets (hot buckets are short-prefix
+    signatures — cap/salt them at 10^8-word vocab)."""
+    from autoner_ray.stages.combine import partitioned_key_sum
 
     def words_partial(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
@@ -1388,7 +1389,7 @@ def vocab_edit_distance_pairs(docs_ds, max_dist: int = 2):
         )
         return agg.rename_columns(["word", "n"])
 
-    vocab = bounded_key_sum(
+    vocab = partitioned_key_sum(
         docs_ds.map_batches(words_partial, batch_format="pyarrow"),
         ["word"], ["n"],
     )
@@ -1467,17 +1468,21 @@ def source_word_entropy(docs_ds):
     """Per-source Shannon entropy (nats) of the word distribution — the
     corpus-diversity signal curation dashboards track per site/crawl.
 
-    Scale shape: per-batch (source, word) count partials -> bounded
-    (source x vocab) combine -> per-block micro-nat partials -> tiny
-    per-source combine. The float term c*ln(c) is quantized to integer
-    MICRO-NATS before any summation (the ``lm_perplexity`` trick), so
-    the distributed sum is order-independent and exactly matches the
-    SQL twin; only the final ln(N) derivation touches floats, on
-    identical exact integers both sides.
+    Scale shape: per-batch (source, word) count partials -> word-
+    partitioned (source x vocab) combine (distributed across blocks)
+    -> per-block micro-nat partials -> tiny per-source combine. The
+    float term c*ln(c) is quantized to integer MICRO-NATS before any
+    summation (the ``lm_perplexity`` trick), so the distributed sum is
+    order-independent and exactly matches the SQL twin; only the final
+    ln(N) derivation touches floats, on identical exact integers both
+    sides.
     """
     import numpy as np
 
-    from autoner_ray.stages.combine import bounded_key_sum
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
 
     def word_partial(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
@@ -1503,9 +1508,9 @@ def source_word_entropy(docs_ds):
         )
         return agg.rename_columns(["source", "word", "c"])
 
-    counts = bounded_key_sum(
+    counts = partitioned_key_sum(
         docs_ds.map_batches(word_partial, batch_format="pyarrow"),
-        ["source", "word"], ["c"],
+        ["source", "word"], ["c"], part_on=("word",),
     )
 
     def micro_partial(t: pa.Table) -> pa.Table:
@@ -1563,6 +1568,146 @@ def source_word_entropy(docs_ds):
         )
 
     return per_source.map_batches(finish, batch_format="pyarrow")
+
+
+def source_vocab_jaccard(docs_ds):
+    """Source-similarity matrix: exact Jaccard overlap of the DISTINCT
+    vocabularies of every source pair — the crawl-redundancy signal
+    that decides which sources add new content vs mirror each other.
+
+    Scale shape: per-batch distinct (source, word) partials -> WORD-
+    partitioned distinct combine (|sources| x vocab rows spread across
+    blocks, same word always co-located) -> per-block local pair counts
+    (a word in k sources emits C(k,2) pairs, k <= |sources|) -> bounded
+    (a, b) combine. Source count is a bounded taxonomy, so the size
+    lookup is a tiny driver dict; zero-overlap pairs are omitted
+    (inner-join semantics, matching the SQL twin).
+    """
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    def sw_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        words = pc.split_pattern(txt, pattern=" ")
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        src = pa.array(
+            np.repeat(t["source"].to_numpy(zero_copy_only=False), n_per)
+        )
+        flat = words.flatten()
+        keep = pc.not_equal(flat, "")
+        agg = (
+            pa.table({"source": src.filter(keep), "word": flat.filter(keep)})
+            .group_by(["source", "word"])
+            .aggregate([])
+        )
+        return agg.append_column(
+            "one", pa.array(np.ones(len(agg), np.int64))
+        )
+
+    # "sum of ones" collapses per-batch duplicates into the distinct
+    # set; word-partitioned, so every block holds complete word groups
+    distinct = partitioned_key_sum(
+        docs_ds.map_batches(sw_partial, batch_format="pyarrow"),
+        ["source", "word"], ["one"], part_on=("word",),
+    )
+
+    def pair_counts(df):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "source_a": pd.Series(dtype="object"),
+                "source_b": pd.Series(dtype="object"),
+                "intersection": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "word" not in df.columns:
+            return empty
+        a_col, b_col = [], []
+        for _, grp in df.groupby("word"):
+            ss = sorted(grp["source"])
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    a_col.append(ss[i])
+                    b_col.append(ss[j])
+        if not a_col:
+            return empty
+        out = (
+            pd.DataFrame({"source_a": a_col, "source_b": b_col})
+            .groupby(["source_a", "source_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "intersection"})
+        )
+        return out
+
+    inter = bounded_key_sum(
+        # batch_size=None: one call per word-partitioned block; any
+        # bundling of blocks is safe (pair_counts groups by word itself)
+        distinct.map_batches(
+            pair_counts, batch_format="pandas", batch_size=None
+        ),
+        ["source_a", "source_b"], ["intersection"],
+    )
+
+    # per-source distinct-vocab sizes: one row per (source, word)
+    # globally, so per-batch row COUNTS sum to the distinct size
+    def size_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            t.group_by("source")
+            .aggregate([("one", "count")])
+            .rename_columns(["source", "n"])
+        )
+
+    sizes_t = bounded_key_sum(
+        distinct.map_batches(size_partial, batch_format="pyarrow"),
+        ["source"], ["n"],
+    )
+    sizes = {r["source"]: int(r["n"]) for r in sizes_t.take_all()}
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "intersection": pa.array([], pa.int64()),
+                    "union_n": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        av = t["source_a"].to_pylist()
+        bv = t["source_b"].to_pylist()
+        iv = t["intersection"].to_pylist()
+        un = [sizes[a] + sizes[b] - i for a, b, i in zip(av, bv, iv)]
+        jc = [round(float(i) / float(u), 6) for i, u in zip(iv, un)]
+        return pa.table(
+            {
+                "source_a": t["source_a"],
+                "source_b": t["source_b"],
+                "intersection": t["intersection"],
+                "union_n": pa.array(un, pa.int64()),
+                "jaccard": pa.array(jc, pa.float64()),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
 
 
 def vocab_alias_clusters(docs_ds, max_dist: int = 2,

@@ -61,3 +61,67 @@ def bounded_key_sum(ds, keys: list[str], sum_cols: list[str],
         # batch_size=None -> whole (single) block in one task
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
+
+
+def partitioned_key_sum(ds, keys: list[str], sum_cols: list[str],
+                        part_on: tuple[str, ...] | None = None,
+                        num_partitions: int | None = None,
+                        coalesce_rows: int = 65536):
+    """Key-distributed sibling of :func:`bounded_key_sum` for UNBOUNDED
+    key sets (vocab-sized): per-batch partial combine -> stable hash
+    partition on ``part_on`` (defaults to all keys; pass a single-column
+    subset like ``("word",)`` to hit the vectorized hash path — any
+    subset co-locates identical full keys) -> per-partition final
+    combine. Exactly one row per key globally, spread across
+    ``num_partitions`` blocks — nothing key-set-sized ever sits in one
+    block or on the driver. String keys / int64 sums assumed for the
+    empty-block schema synth (same contract as ``bounded_key_sum``).
+
+    Downstream stages that need same-key co-location (pair mining,
+    per-key verify) can rely on the output partitioning: all rows
+    sharing ``part_on`` land in the same block.
+    """
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = num_partitions or default_num_partitions()
+    part_on = tuple(part_on or keys)
+    out_names = list(keys) + list(sum_cols)
+    aggs = [(c, "sum") for c in sum_cols]
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {k: pa.array([], pa.string()) for k in keys}
+            | {c: pa.array([], pa.int64()) for c in sum_cols}
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            t = _empty()
+        agg = (
+            t.select(out_names)
+            .group_by(keys)
+            .aggregate(aggs)
+            .rename_columns(out_names)
+        )
+        return agg.append_column(
+            "__part", _stable_part_col(agg, part_on, P)
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _empty()
+        return (
+            t.select(out_names)
+            .group_by(keys)
+            .aggregate(aggs)
+            .rename_columns(out_names)
+        )
+
+    return (
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=coalesce_rows
+        )
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -133,6 +133,39 @@ def test_bounded_key_sum_multi_block_matches_groupby():
     assert list(out.columns) == ["k", "n"]
 
 
+def test_partitioned_key_sum_matches_bounded():
+    """partitioned_key_sum (key-distributed combine) produces the same
+    key->sum map as bounded_key_sum, one row per key globally, for
+    multi-key tables partitioned on a key subset."""
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    blocks = [
+        pa.table({"s": ["x", "y", "x"], "w": ["a", "a", "b"],
+                  "n": [1, 2, 3]}),
+        pa.table({"s": pa.array([], pa.string()),
+                  "w": pa.array([], pa.string()),
+                  "n": pa.array([], pa.int64())}),
+        pa.table({"s": ["x", "y"], "w": ["a", "c"], "n": [10, 5]}),
+    ]
+    want = {
+        (r["s"], r["w"]): r["n"]
+        for r in bounded_key_sum(
+            rd.from_arrow(blocks), ["s", "w"], ["n"]
+        ).take_all()
+    }
+    got_rows = partitioned_key_sum(
+        rd.from_arrow(blocks), ["s", "w"], ["n"],
+        part_on=("w",), num_partitions=3,
+    ).take_all()
+    got = {(r["s"], r["w"]): r["n"] for r in got_rows}
+    assert got == want and len(got_rows) == len(got)  # no dup keys
+
+
 def test_bounded_key_sum_property_matches_pandas(ray_session=None):
     """Property: for random multi-block partial streams (any key
     distribution, any block split, zero-row blocks), bounded_key_sum
