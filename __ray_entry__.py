@@ -406,6 +406,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": lambda sf: analysis.source_vocab_jaccard(
             _docs(sf, ["source", "text"])
         ),
+        "top_word_per_source": lambda sf: analysis.top_word_per_source(
+            _docs(sf, ["source", "text"])
+        ),
+        "events_value_deltas": lambda sf: windows.user_value_deltas(
+            _events(sf)
+        ),
         "docs_source_lang_cube": lambda sf: analysis.source_lang_cube(
             _docs(sf, ["source", "lang", "n_chars"])
         ),
@@ -1074,6 +1080,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "top_word_per_source": f"""
+            WITH w AS (
+                SELECT source, t.word AS word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            ), c AS (
+                SELECT source, word, COUNT(*) AS c
+                FROM w GROUP BY source, word
+            ), r AS (
+                SELECT source, word, c,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY c DESC, word
+                       ) AS rn
+                FROM c
+            )
+            SELECT source, word AS top_word, CAST(c AS BIGINT) AS n
+            FROM r WHERE rn = 1
+        """,
+        "events_value_deltas": """
+            SELECT user_id, event_id, ts, value, delta FROM (
+                SELECT user_id, event_id, ts, value,
+                       value - lag(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS delta
+                FROM events
+            ) WHERE delta IS NOT NULL
         """,
         "source_vocab_jaccard": f"""
             WITH sw AS (

@@ -1464,25 +1464,11 @@ def vocab_edit_distance_pairs(docs_ds, max_dist: int = 2):
     return dedup.map_batches(finish, batch_format="pyarrow")
 
 
-def source_word_entropy(docs_ds):
-    """Per-source Shannon entropy (nats) of the word distribution — the
-    corpus-diversity signal curation dashboards track per site/crawl.
-
-    Scale shape: per-batch (source, word) count partials -> word-
-    partitioned (source x vocab) combine (distributed across blocks)
-    -> per-block micro-nat partials -> tiny per-source combine. The
-    float term c*ln(c) is quantized to integer MICRO-NATS before any
-    summation (the ``lm_perplexity`` trick), so the distributed sum is
-    order-independent and exactly matches the SQL twin; only the final
-    ln(N) derivation touches floats, on identical exact integers both
-    sides.
-    """
-    import numpy as np
-
-    from autoner_ray.stages.combine import (
-        bounded_key_sum,
-        partitioned_key_sum,
-    )
+def _source_word_counts(docs_ds):
+    """(source, word) -> count over the corpus: vectorized per-batch
+    arrow partials, word-partitioned combine — one row per key spread
+    across blocks (vocab never in a single block or on the driver)."""
+    from autoner_ray.stages.combine import partitioned_key_sum
 
     def word_partial(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
@@ -1508,10 +1494,80 @@ def source_word_entropy(docs_ds):
         )
         return agg.rename_columns(["source", "word", "c"])
 
-    counts = partitioned_key_sum(
+    return partitioned_key_sum(
         docs_ds.map_batches(word_partial, batch_format="pyarrow"),
         ["source", "word"], ["c"], part_on=("word",),
     )
+
+
+def top_word_per_source(docs_ds):
+    """Per-source MODE: the most frequent word, ties broken by the
+    lexicographically smallest word (deterministic at any parallelism).
+
+    Mergeable-argmax shape: global (source, word) counts (word-
+    partitioned, so each word's total is complete within one block) ->
+    per-block argmax partial per source (<=|sources| rows each) ->
+    single-block idempotent re-argmax. The merge kernel is its own
+    combiner, so the tiny final step is the same function."""
+
+    counts = _source_word_counts(docs_ds)
+
+    def argmax_partial(df):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "top_word": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        cols = {"c", "word"} if "c" in df.columns else {"n", "top_word"}
+        if not cols <= set(df.columns):
+            return empty
+        cc, ww = ("c", "word") if "c" in df.columns else ("n", "top_word")
+        best = (
+            df.sort_values([cc, ww], ascending=[False, True],
+                           kind="mergesort")
+            .groupby("source", as_index=False)
+            .first()
+        )
+        return pd.DataFrame(
+            {
+                "source": best["source"],
+                "top_word": best[ww],
+                "n": best[cc].astype("int64"),
+            }
+        )
+
+    return (
+        counts.map_batches(
+            argmax_partial, batch_format="pandas", batch_size=None
+        )
+        .repartition(1)
+        .map_batches(argmax_partial, batch_format="pandas",
+                     batch_size=None)
+    )
+
+
+def source_word_entropy(docs_ds):
+    """Per-source Shannon entropy (nats) of the word distribution — the
+    corpus-diversity signal curation dashboards track per site/crawl.
+
+    Scale shape: per-batch (source, word) count partials -> word-
+    partitioned (source x vocab) combine (distributed across blocks)
+    -> per-block micro-nat partials -> tiny per-source combine. The
+    float term c*ln(c) is quantized to integer MICRO-NATS before any
+    summation (the ``lm_perplexity`` trick), so the distributed sum is
+    order-independent and exactly matches the SQL twin; only the final
+    ln(N) derivation touches floats, on identical exact integers both
+    sides.
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    counts = _source_word_counts(docs_ds)
 
     def micro_partial(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:

@@ -217,6 +217,33 @@ def user_running_totals(events_ds):
     )
 
 
+def user_value_deltas(events_ds):
+    """LAG-family window: per-user event-time value delta
+    ``value - LAG(value)`` with the deterministic (ts, event_id) order;
+    first event per user emits no row (no predecessor). Raw-double
+    subtraction of the same two parquet values both sides — IEEE-exact,
+    no rounding needed. Same hash-partition-by-user shape as
+    ``user_running_totals``; no global sort."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        v = df["value"].to_numpy(dtype=float)
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].values[1:],
+                "event_id": df["event_id"].values[1:],
+                "ts": df["ts"].values[1:],
+                "value": v[1:],
+                "delta": v[1:] - v[:-1],
+            }
+        )
+        return out
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
 def funnel_counts(
     events_ds,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 99 and len(sqls) == 80
+    assert len(qs) == 101 and len(sqls) == 82
     import subprocess
     import sys
 
