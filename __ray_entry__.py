@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
         ),
+        "kg_bfs_distances": lambda sf: kg.unigram_bfs_distances(sf),
         # --- oracle-backed: relational operator probes -------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
@@ -605,6 +606,25 @@ def _pagerank_sql(dict_values: str, damping=0.85, iters=20) -> str:
     """
 
 
+def _bfs_distances_sql(dict_values: str) -> str:
+    """Hop distance = MIN(d) over depth-capped recursive reachability;
+    UNION dedups (node, d) pairs and the d <= 32 cap bounds them, so it
+    terminates. Source = MIN(src), matching the engine default."""
+    return f"""
+        WITH RECURSIVE {_unigram_graph_ctes(dict_values)},
+        s AS (SELECT MIN(src) AS s FROM bidir),
+        bfs(node, d) AS (
+            SELECT s, 0 FROM s
+            UNION
+            SELECT e.dst, bfs.d + 1
+            FROM bfs JOIN bidir e ON e.src = bfs.node
+            WHERE bfs.d + 1 <= 32
+        )
+        SELECT node AS entity, CAST(MIN(d) AS BIGINT) AS dist
+        FROM bfs GROUP BY node
+    """
+
+
 def _connected_components_sql(dict_values: str) -> str:
     """Component = lexicographic min of the reachable set (recursive
     reachability closure; UNION dedups so it terminates)."""
@@ -687,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_rolling_fingerprint": _fingerprint_sql(),
         "kg_pagerank": _pagerank_sql(dict_values),
         "kg_connected_components": _connected_components_sql(dict_values),
+        "kg_bfs_distances": _bfs_distances_sql(dict_values),
         # pairs is subj<obj-unique, so each triangle appears exactly
         # once with a<b<c and credits all three corners
         "kg_triangle_count": f"""

@@ -444,6 +444,15 @@ def unigram_connected_components(sf_dir: str):
     return connected_components(unigram_triples(sf_dir))
 
 
+def unigram_bfs_distances(sf_dir: str):
+    """Single-source hop distances from the lexicographically smallest
+    entity over the unigram co-occurrence graph (oracle: depth-capped
+    recursive reachability CTE with MIN(d) per node)."""
+    from autoner_ray.stages.graph import bfs_distances
+
+    return bfs_distances(unigram_triples(sf_dir))
+
+
 def unigram_triangles(sf_dir: str):
     """Per-entity triangle counts over the unigram co-occurrence graph
     (oracle: three-way self-join on the subj<obj pair list; each

@@ -373,6 +373,124 @@ def connected_components_distributed(edges_ds,
     )
 
 
+def bfs_distances(edges_ds, source=None, max_depth: int = 32,
+                  num_partitions: int | None = None):
+    """Single-source shortest-path (hop) distances on the undirected
+    entity graph — min-DISTANCE propagation with the dist table as a
+    Dataset, the same join+groupby-min fixpoint loop as
+    :func:`connected_components_distributed` with ``label`` replaced by
+    ``dist`` and the neighbor update ``min(dist)+1``. Converges in
+    O(eccentricity) rounds; ``max_depth`` bounds both the iteration
+    count and the emitted distances (exact whenever the true distance
+    is <= max_depth — the same cap the recursive-CTE oracle applies).
+    Unreachable nodes emit no row.
+
+    ``source=None`` picks the minimum node id/string — deterministic
+    at any parallelism, no driver scan of the node set.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import cogroup_join
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions(multiplier=1)
+    schema = edges_ds.schema()
+    node_type = schema.types[schema.names.index("subj")]
+    if not isinstance(node_type, pa.DataType):
+        # pandas-backed blocks report numpy/object classes for strings
+        node_type = pa.string()
+    sentinel = max_depth + 1
+
+    def expand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.chunked_array(t["subj"].chunks + t["obj"].chunks),
+                "dst": pa.chunked_array(t["obj"].chunks + t["subj"].chunks),
+            }
+        )
+
+    bidir = edges_ds.map_batches(expand, batch_format="pyarrow").materialize()
+    if source is None:
+        source = bidir.min("src")
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        d = pc.if_else(
+            pc.equal(t["src"], source),
+            pa.scalar(0, pa.int64()),
+            pa.scalar(sentinel, pa.int64()),
+        )
+        return pa.table({"src": t["src"], "dist": d})
+
+    dist = (
+        bidir.groupby("src")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(init_dist, batch_format="pyarrow")
+        .materialize()
+    )
+    _nd_schema = pa.schema([("src", node_type), ("nd", pa.int64())])
+
+    def neighbor_dists(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _nd_schema.empty_table()
+        # neighbor's dist + 1, clipped at the sentinel so unreached
+        # frontiers don't overflow past it
+        nd = pc.min_element_wise(
+            pc.add(t["dist"], 1), pa.scalar(sentinel, pa.int64())
+        )
+        return pa.table({"src": t["dst"], "nd": nd})
+
+    _merged_schema = pa.schema(
+        [("src", node_type), ("dist", pa.int64()), ("changed", pa.int64())]
+    )
+
+    def merge_dists(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _merged_schema.empty_table()
+        return pa.table(
+            {
+                "src": t["src"],
+                "dist": pc.min_element_wise(t["dist"], t["nd"]),
+                "changed": pc.cast(pc.less(t["nd"], t["dist"]), pa.int64()),
+            }
+        )
+
+    for _ in range(max_depth):
+        neigh_min = (
+            cogroup_join(bidir, dist, on=("src",),
+                         num_partitions=num_partitions)
+            .map_batches(neighbor_dists, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Min("nd", alias_name="nd"))
+        )
+        merged = (
+            cogroup_join(dist, neigh_min, on=("src",),
+                         num_partitions=num_partitions)
+            .map_batches(merge_dists, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = merged.sum("changed")
+        dist = merged.select_columns(["src", "dist"]).materialize()
+        if not n_changed:
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("entity", node_type), ("dist", pa.int64())]
+            ).empty_table()
+        keep = pc.less_equal(t["dist"], max_depth)
+        return pa.table(
+            {
+                "entity": t["src"].filter(keep),
+                "dist": t["dist"].filter(keep),
+            }
+        )
+
+    return dist.map_batches(finish, batch_format="pyarrow")
+
+
 def connected_components(edges_ds):
     """Connected components of the entity graph.
 

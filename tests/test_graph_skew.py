@@ -232,3 +232,52 @@ def test_connected_components_distributed_matches_driver(ray_session):
     got = connected_components_distributed(ds)
     assert got["entity"].to_pylist() == want["entity"].to_pylist()
     assert got["component"].to_pylist() == want["component"].to_pylist()
+
+
+def test_bfs_distances_matches_bruteforce():
+    """bfs_distances == driver BFS on a random graph: chain (multi-round
+    frontier), cycle, and a disconnected island that must emit no rows
+    when unreachable from the min-node source."""
+    import random
+    from collections import deque
+
+    import ray.data as rd
+
+    from autoner_ray.stages.graph import bfs_distances
+
+    rng = random.Random(17)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    edges = {(nodes[i], nodes[i + 1]) for i in range(10)}  # chain from n00
+    edges |= {("n11", "n12"), ("n12", "n13"), ("n13", "n11")}  # island cycle
+    for _ in range(8):
+        a, b = rng.sample(nodes[:11], 2)
+        edges.add((min(a, b), max(a, b)))
+    subj, obj = zip(*sorted(edges))
+
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    want, q = {src: 0}, deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "subj": list(subj),
+                "pred": ["p"] * len(subj),
+                "obj": list(obj),
+                "weight": [1] * len(subj),
+            }
+        )
+    ).repartition(4)
+    got = {
+        r["entity"]: r["dist"] for r in bfs_distances(ds).take_all()
+    }
+    assert got == want  # island absent: unreachable emits nothing
