@@ -416,6 +416,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_lang_cube": lambda sf: analysis.source_lang_cube(
             _docs(sf, ["source", "lang", "n_chars"])
         ),
+        "events_props_stats": lambda sf: __import__(
+            "autoner_ray.stages.stats", fromlist=["json_int_field_stats"]
+        ).json_int_field_stats(
+            _events(sf), key="event_type", json_col="props", field="k"
+        ),
         "events_value_outliers": lambda sf: __import__(
             "autoner_ray.stages.stats", fromlist=["grouped_zscore_outliers"]
         ).grouped_zscore_outliers(
@@ -1158,6 +1163,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "events_props_stats": """
+            WITH j AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(k) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k,
+                   round(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE),
+                         6) AS avg_k
+            FROM j GROUP BY event_type
         """,
         "events_value_outliers": """
             WITH b AS (

@@ -123,6 +123,72 @@ def grouped_linear_fit(ds, key: str, x_col: str, y_col: str,
     return moments.map_batches(finish, batch_format="pyarrow")
 
 
+def json_int_field_stats(ds, key: str, json_col: str, field: str):
+    """Semi-structured probe: extract integer ``field`` from a JSON
+    string column with a vectorized RE2 kernel (``pc.extract_regex`` —
+    no per-row json.loads) and aggregate per ``key``: n / sum / min /
+    max / 6-dp avg. Rows whose JSON lacks the field are skipped (SQL
+    NULL-aggregate semantics).
+
+    Mergeable-partials shape: per-batch arrow group_by computes
+    (count, sum, min, max) partials; the bounded per-key merge re-sums
+    counts/sums and re-min/maxes extrema in one tiny single-block pass
+    (min/max are their own combiners, like the argmax merge)."""
+    import numpy as np
+
+    pattern = rf'"{field}":\s*(?P<v>-?\d+)'
+    part_names = [key, "n", "sum_k", "min_k", "max_k"]
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {key: pa.array([], pa.string())}
+            | {c: pa.array([], pa.int64()) for c in part_names[1:]}
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _empty()
+        ex = pc.extract_regex(
+            pc.fill_null(t[json_col], "").combine_chunks(), pattern
+        )
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        keep = pc.is_valid(k)
+        part = pa.table(
+            {key: t[key].combine_chunks().filter(keep), "k": k.filter(keep)}
+        )
+        agg = part.group_by(key).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return agg.rename_columns(part_names)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _empty()
+        agg = t.group_by(key).aggregate(
+            [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"),
+             ("max_k", "max")]
+        )
+        return agg.rename_columns(part_names)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _empty().append_column(
+                "avg_k", pa.array([], pa.float64())
+            )
+        avg = [
+            round(float(s) / float(n), 6)
+            for s, n in zip(t["sum_k"].to_pylist(), t["n"].to_pylist())
+        ]
+        return t.append_column("avg_k", pa.array(avg, pa.float64()))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def grouped_zscore_outliers(ds, key: str, value_col: str,
                             carry_cols: list[str],
                             z_thresh: float = 3.0,
