@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_word_per_source": lambda sf: analysis.top_word_per_source(
             _docs(sf, ["source", "text"])
         ),
+        "docs_source_share": lambda sf: analysis.source_share(
+            _docs(sf, ["source"])
+        ),
+        "events_hourly_distinct_users": lambda sf: (
+            windows.hourly_distinct_users(_events(sf))
+        ),
         "events_value_deltas": lambda sf: windows.user_value_deltas(
             _events(sf)
         ),
@@ -1106,6 +1112,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "docs_source_share": """
+            SELECT source, COUNT(*) AS n_docs,
+                   round(CAST(COUNT(*) AS DOUBLE)
+                         / CAST(SUM(COUNT(*)) OVER () AS DOUBLE),
+                         6) AS share
+            FROM documents GROUP BY source
+        """,
+        "events_hourly_distinct_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   COUNT(DISTINCT user_id) AS users
+            FROM events GROUP BY 1
         """,
         "top_word_per_source": f"""
             WITH w AS (

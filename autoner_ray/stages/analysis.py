@@ -1500,6 +1500,46 @@ def _source_word_counts(docs_ds):
     )
 
 
+def source_share(docs_ds):
+    """RATIO_TO_REPORT window: per-source doc count and its share of
+    the corpus total, 6-dp. One bounded combine; the share divides the
+    exact int64 counts inside the single final block (the grand total
+    is derivable there — no second pass, no window shuffle)."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by("source").aggregate([("source", "count")])
+        return agg.rename_columns(["source", "n_docs"])
+
+    counts = bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                }
+            )
+        ns = t["n_docs"].to_pylist()
+        total = sum(ns)
+        share = [round(float(n) / float(total), 6) for n in ns]
+        return t.append_column("share", pa.array(share, pa.float64()))
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 def top_word_per_source(docs_ds):
     """Per-source MODE: the most frequent word, ties broken by the
     lexicographically smallest word (deterministic at any parallelism).

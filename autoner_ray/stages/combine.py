@@ -109,7 +109,10 @@ def partitioned_key_sum(ds, keys: list[str], sum_cols: list[str],
         )
 
     def final(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
+        # only schema-LESS blocks need the synth; zero-row TYPED blocks
+        # must flow through the aggregate to keep non-string key dtypes
+        # (e.g. timestamp keys) instead of the string-keyed empty
+        if t.num_columns == 0:
             return _empty()
         return (
             t.select(out_names)

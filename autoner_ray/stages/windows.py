@@ -217,6 +217,67 @@ def user_running_totals(events_ds):
     )
 
 
+def hourly_distinct_users(events_ds):
+    """COUNT(DISTINCT user_id) per event-time hour.
+
+    Scale shape: per-batch distinct (hour, user) partials -> USER-
+    partitioned distinct combine (splitmix64 int path; an hour's user
+    set never lands in one block — hour-partitioning would hot-spot on
+    busy hours) -> per-batch hour count partials -> bounded hour
+    combine. Exact distinct without a corpus shuffle or per-hour sets.
+    """
+    import pyarrow.compute as pc
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    def hour_user_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "user_id": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        hour = pc.floor_temporal(
+            t["ts"].combine_chunks(), unit="hour"
+        )
+        agg = (
+            pa.table({"hour": hour, "user_id": t["user_id"]})
+            .group_by(["hour", "user_id"])
+            .aggregate([])
+        )
+        import numpy as np
+
+        return agg.append_column(
+            "one", pa.array(np.ones(len(agg), np.int64))
+        )
+
+    distinct = partitioned_key_sum(
+        events_ds.map_batches(hour_user_partial, batch_format="pyarrow"),
+        ["hour", "user_id"], ["one"], part_on=("user_id",),
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "users": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by("hour").aggregate([("one", "count")])
+        return agg.rename_columns(["hour", "users"])
+
+    return bounded_key_sum(
+        distinct.map_batches(count_partial, batch_format="pyarrow"),
+        ["hour"], ["users"],
+    )
+
+
 def user_value_deltas(events_ds):
     """LAG-family window: per-user event-time value delta
     ``value - LAG(value)`` with the deterministic (ts, event_id) order;
