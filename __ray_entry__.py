@@ -413,6 +413,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_share": lambda sf: analysis.source_share(
             _docs(sf, ["source"])
         ),
+        "docs_source_lang_chi2": lambda sf: analysis.source_lang_chi2(
+            _docs(sf, ["source", "lang"])
+        ),
+        "events_value_geomean": lambda sf: __import__(
+            "autoner_ray.stages.stats", fromlist=["grouped_geomean"]
+        ).grouped_geomean(_events(sf), key="event_type",
+                          value_col="value"),
         "events_hourly_distinct_users": lambda sf: (
             windows.hourly_distinct_users(_events(sf))
         ),
@@ -1112,6 +1119,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "docs_source_lang_chi2": """
+            WITH c AS (
+                SELECT source, lang, COUNT(*) AS n
+                FROM documents GROUP BY source, lang
+            ), w AS (
+                SELECT source, lang, n,
+                       SUM(n) OVER (PARTITION BY source) AS rs,
+                       SUM(n) OVER (PARTITION BY lang) AS cs,
+                       SUM(n) OVER () AS tot
+                FROM c
+            )
+            SELECT source, lang, CAST(n AS BIGINT) AS n,
+                   round(CAST(rs * cs AS DOUBLE) / CAST(tot AS DOUBLE),
+                         6) AS expected,
+                   round((CAST(n AS DOUBLE)
+                          - CAST(rs * cs AS DOUBLE) / CAST(tot AS DOUBLE))
+                         * (CAST(n AS DOUBLE)
+                            - CAST(rs * cs AS DOUBLE)
+                              / CAST(tot AS DOUBLE))
+                         / (CAST(rs * cs AS DOUBLE) / CAST(tot AS DOUBLE)),
+                         6) AS contrib
+            FROM w
+        """,
+        "events_value_geomean": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            ), m AS (
+                SELECT event_type, COUNT(*) AS n,
+                       SUM(CAST(floor(
+                           ln(CAST(c AS DOUBLE)) * 1000000 + 0.5
+                       ) AS BIGINT)) AS s
+                FROM b GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(exp(CAST(s AS DOUBLE) / 1000000
+                             / CAST(n AS DOUBLE)) / 100, 6) AS gmean
+            FROM m
         """,
         "docs_source_share": """
             SELECT source, COUNT(*) AS n_docs,

@@ -1500,6 +1500,78 @@ def _source_word_counts(docs_ds):
     )
 
 
+def source_lang_chi2(docs_ds):
+    """Chi-square independence cells for the (source, lang) crosstab:
+    observed count, expected count under independence, and the chi2
+    contribution per cell — the drift/association test a curation
+    dashboard runs on its mixing table.
+
+    One bounded combine; expected = row_total * col_total / N and the
+    contribution are derived inside the single final block from exact
+    int64 counts, converting to float64 in the same operation order as
+    the SQL window twin (6-dp round on both)."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            t.select(["source", "lang"])
+            .group_by(["source", "lang"])
+            .aggregate([("lang", "count")])
+        )
+        return agg.rename_columns(["source", "lang", "n"])
+
+    fine = bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"], ["n"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "expected": pa.array([], pa.float64()),
+                    "contrib": pa.array([], pa.float64()),
+                }
+            )
+        src = t["source"].to_pylist()
+        lng = t["lang"].to_pylist()
+        ns = t["n"].to_pylist()
+        total = sum(ns)
+        row_tot: dict[str, int] = {}
+        col_tot: dict[str, int] = {}
+        for s, lg, n in zip(src, lng, ns):
+            row_tot[s] = row_tot.get(s, 0) + n
+            col_tot[lg] = col_tot.get(lg, 0) + n
+        exp, contrib = [], []
+        for s, lg, n in zip(src, lng, ns):
+            e = float(row_tot[s] * col_tot[lg]) / float(total)
+            d = float(n) - e
+            exp.append(round(e, 6))
+            contrib.append(round(d * d / e, 6))
+        return pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "n": t["n"],
+                "expected": pa.array(exp, pa.float64()),
+                "contrib": pa.array(contrib, pa.float64()),
+            }
+        )
+
+    return fine.map_batches(finish, batch_format="pyarrow")
+
+
 def source_share(docs_ds):
     """RATIO_TO_REPORT window: per-source doc count and its share of
     the corpus total, 6-dp. One bounded combine; the share divides the

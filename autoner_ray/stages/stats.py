@@ -189,6 +189,70 @@ def json_int_field_stats(ds, key: str, json_col: str, field: str):
     )
 
 
+def grouped_geomean(ds, key: str, value_col: str, value_scale: int = 100):
+    """Per-group geometric mean of a positive value column.
+
+    Same order-independence discipline as the entropy/perplexity ops:
+    each row's ln(value_in_scaled_units) is quantized to integer
+    MICRO-NATS before summation, so partials merge associatively and
+    match the SQL twin exactly; only the final exp() touches floats,
+    on identical exact integers both sides. Result is in the original
+    value units (divided back by ``value_scale``), 6 dp."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        c = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False) * value_scale + 0.5
+        )
+        l_micro = np.floor(np.log(c) * 1e6 + 0.5).astype(np.int64)
+        part = pa.table(
+            {
+                key: t[key],
+                "n": pa.array(np.ones(len(c), np.int64)),
+                "s": pa.array(l_micro),
+            }
+        )
+        agg = part.group_by(key).aggregate([("n", "sum"), ("s", "sum")])
+        return agg.rename_columns([key, "n", "s"])
+
+    moments = bounded_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), [key], ["n", "s"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "gmean": pa.array([], pa.float64()),
+                }
+            )
+        gm = [
+            round(
+                math.exp(s / 1e6 / float(n)) / value_scale, 6
+            )
+            for n, s in zip(t["n"].to_pylist(), t["s"].to_pylist())
+        ]
+        return pa.table(
+            {
+                key: t[key],
+                "n": t["n"],
+                "gmean": pa.array(gm, pa.float64()),
+            }
+        )
+
+    return moments.map_batches(finish, batch_format="pyarrow")
+
+
 def grouped_zscore_outliers(ds, key: str, value_col: str,
                             carry_cols: list[str],
                             z_thresh: float = 3.0,
