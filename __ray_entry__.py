@@ -426,6 +426,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_deltas": lambda sf: windows.user_value_deltas(
             _events(sf)
         ),
+        "events_ohlc_hourly": lambda sf: windows.hourly_ohlc(_events(sf)),
+        "events_type_transitions": lambda sf: windows.type_transitions(
+            _events(sf)
+        ),
         "docs_source_lang_cube": lambda sf: analysis.source_lang_cube(
             _docs(sf, ["source", "lang", "n_chars"])
         ),
@@ -1738,6 +1742,10 @@ def oracle_sql() -> dict[str, str]:
             sketches_mod.doc_length_quantiles_oracle_sql(),
         "docs_source_lang_rollup": analysis_rollup_oracle(),
         "events_retention": windows_mod.retention_cohorts_oracle_sql(),
+        "events_ohlc_hourly": windows_mod.hourly_ohlc_oracle_sql(),
+        "events_type_transitions": (
+            windows_mod.type_transitions_oracle_sql()
+        ),
         "docs_source_lang_pivot": (
             analysis_mod.source_lang_pivot_oracle_sql()
         ),

@@ -577,3 +577,170 @@ def value_quantiles_by_type(events_ds, ps=(0.25, 0.5, 0.75)):
         .groupby("event_type")
         .map_groups(group_quantiles, batch_format="pandas")
     )
+
+
+def hourly_ohlc(events_ds):
+    """Per event-time hour OHLC: open/close are the values of the first/
+    last event in deterministic (ts, event_id) order; high/low are the
+    hour's max/min. The financial-bar aggregate the reference family
+    has no primitive for — expressed as a MERGEABLE partial: each
+    partial row carries the (ts, event_id, cents) witness triple for
+    its open and close candidates, so merging two partials is "keep the
+    witness with the smaller/larger (ts, event_id)" — associative and
+    commutative, no global sort. Hour cardinality is bounded (~10⁴–10⁵
+    for years of data), so the tail is the same shuffle-free two-level
+    combine as ``hourly_counts``.
+    """
+    import numpy as np
+
+    _EMPTY = {
+        "hour": pd.Series(dtype="datetime64[us]"),
+        "o_ts": pd.Series(dtype="datetime64[us]"),
+        "o_eid": pd.Series(dtype="int64"),
+        "o_cents": pd.Series(dtype="int64"),
+        "c_ts": pd.Series(dtype="datetime64[us]"),
+        "c_eid": pd.Series(dtype="int64"),
+        "c_cents": pd.Series(dtype="int64"),
+        "lo": pd.Series(dtype="int64"),
+        "hi": pd.Series(dtype="int64"),
+        "n": pd.Series(dtype="int64"),
+    }
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ts" not in df.columns:
+            return pd.DataFrame(_EMPTY)
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.floor(
+            df["value"].to_numpy(dtype=float) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "hour": df["ts"].dt.floor("h"),
+                "ts": df["ts"].values,
+                "event_id": df["event_id"].values,
+                "cents": cents,
+            }
+        )
+        g = df.groupby("hour", sort=False)
+        out = g.agg(
+            o_ts=("ts", "first"),
+            o_eid=("event_id", "first"),
+            o_cents=("cents", "first"),
+            c_ts=("ts", "last"),
+            c_eid=("event_id", "last"),
+            c_cents=("cents", "last"),
+            lo=("cents", "min"),
+            hi=("cents", "max"),
+            n=("cents", "size"),
+        ).reset_index()
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "hour" not in df.columns:
+            return pd.DataFrame(_EMPTY)
+        # open witness: min (o_ts, o_eid) per hour; close: max (c_ts, c_eid)
+        df = df.sort_values(["o_ts", "o_eid"], kind="mergesort")
+        opens = df.groupby("hour", sort=False)[
+            ["o_ts", "o_eid", "o_cents"]
+        ].first()
+        df = df.sort_values(["c_ts", "c_eid"], kind="mergesort")
+        g = df.groupby("hour", sort=False)
+        closes = g[["c_ts", "c_eid", "c_cents"]].last()
+        rest = g.agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+        return opens.join([closes, rest]).reset_index()
+
+    def finish(t: pa.Table) -> pa.Table:
+        def dollars(col):
+            return pc.divide(pc.cast(t[col], pa.float64()), pa.scalar(100.0))
+
+        return pa.table(
+            {
+                "hour": t["hour"],
+                "open_value": dollars("o_cents"),
+                "high_value": dollars("hi"),
+                "low_value": dollars("lo"),
+                "close_value": dollars("c_cents"),
+                "n": t["n"],
+            }
+        )
+
+    return (
+        events_ds.map_batches(pre, batch_format="pandas", batch_size=65536)
+        .map_batches(merge, batch_format="pandas", batch_size=65536)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def hourly_ohlc_oracle_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT date_trunc('hour', ts) AS hour, ts, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), r AS (
+            SELECT hour, cents,
+                   row_number() OVER (
+                       PARTITION BY hour ORDER BY ts, event_id
+                   ) AS ra,
+                   row_number() OVER (
+                       PARTITION BY hour ORDER BY ts DESC, event_id DESC
+                   ) AS rd
+            FROM e
+        )
+        SELECT hour,
+               MAX(CASE WHEN ra = 1 THEN cents END) / 100.0 AS open_value,
+               MAX(cents) / 100.0 AS high_value,
+               MIN(cents) / 100.0 AS low_value,
+               MAX(CASE WHEN rd = 1 THEN cents END) / 100.0 AS close_value,
+               COUNT(*) AS n
+        FROM r GROUP BY hour
+    """
+
+
+def type_transitions(events_ds):
+    """Per-user event-type Markov transitions: count of consecutive
+    (prev_type -> event_type) pairs in deterministic (ts, event_id)
+    order, summed over all users. LAG-family window over the
+    hash-partition-by-user shape (no global sort); the transition
+    matrix is |types|² — bounded — so the tail is the shuffle-free
+    two-level combine."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype="string"),
+                    "event_type": pd.Series(dtype="string"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        tt = df["event_type"].to_numpy()
+        out = pd.DataFrame({"prev_type": tt[:-1], "event_type": tt[1:]})
+        out = out.groupby(
+            ["prev_type", "event_type"], as_index=False, sort=False
+        ).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+    return bounded_key_sum(partials, ["prev_type", "event_type"], ["n"])
+
+
+def type_transitions_oracle_sql() -> str:
+    return """
+        WITH t AS (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 107 and len(sqls) == 88
+    assert len(qs) == 109 and len(sqls) == 90
     import subprocess
     import sys
 
