@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": relational.order_price_quantiles,
         "customer_revenue_ntile": relational.customer_revenue_ntile,
         "order_pareto_frontier": relational.order_pareto_frontier,
+        "orders_monthly_trend": relational.orders_monthly_trend,
+        "customer_order_recency": relational.customer_order_recency,
         "lineitem_discount_fit": _lineitem_discount_fit,
         # --- oracle-backed: event windows --------------------------------
         "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
@@ -992,6 +994,29 @@ def oracle_sql() -> dict[str, str]:
                   AND b.o_orderdate >= a.o_orderdate
                   AND (b.cents > a.cents OR b.o_orderdate > a.o_orderdate)
             )
+        """,
+        "orders_monthly_trend": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       COUNT(*) AS n_orders,
+                       SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            )
+            SELECT month, n_orders, cents / 100.0 AS revenue,
+                   (cents - lag(cents) OVER (ORDER BY month)) / 100.0
+                       AS mom_delta
+            FROM m
+        """,
+        "customer_order_recency": """
+            SELECT c.c_custkey, c.c_name,
+                   COALESCE(o.n, 0) AS n_orders,
+                   o.last_order_date
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS n,
+                       MAX(o_orderdate) AS last_order_date
+                FROM orders GROUP BY o_custkey
+            ) o ON o.o_custkey = c.c_custkey
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -792,3 +792,119 @@ def order_pareto_frontier(sf_dir: str):
         out_cols=["o_orderkey", "cents", "date_us"],
         final_batch=finish,
     )
+
+
+def orders_monthly_trend(sf_dir: str):
+    """Month-over-month revenue trend: per-month order count + revenue,
+    plus the delta vs the previous month (NULL for the first month) —
+    the aggregate->window composition (GROUP BY then LAG).
+
+    Scale shape: month cardinality is bounded (~10³ for decades), so
+    the per-batch cents partials take the shuffle-free two-level
+    combine; the LAG runs over the tiny combined table in one task.
+    Exact int-cents arithmetic end to end (oracle twin:
+    ``cents - lag(cents)``)."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(
+            t["o_orderdate"].combine_chunks(), unit="month"
+        )
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        agg = (
+            pa.table({"month": month, "cents": pa.array(cents, pa.int64())})
+            .group_by("month")
+            .aggregate([("cents", "count"), ("cents", "sum")])
+        )
+        return agg.rename_columns(["month", "n_orders", "cents"])
+
+    agg = bounded_key_sum(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            month_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["month"], ["n_orders", "cents"],
+    )
+
+    def lag_finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["month"])
+        t = t.take(order)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        delta = np.empty(len(cents), np.float64)
+        delta[1:] = (cents[1:] - cents[:-1]) / 100.0
+        delta[0] = 0.0  # masked below
+        mask = np.zeros(len(cents), bool)
+        if len(cents):
+            mask[0] = True
+        return pa.table(
+            {
+                "month": t["month"],
+                "n_orders": t["n_orders"],
+                "revenue": pc.divide(
+                    pc.cast(t["cents"], pa.float64()), pa.scalar(100.0)
+                ),
+                "mom_delta": pa.array(delta, pa.float64(), mask=mask),
+            }
+        )
+
+    # single block by construction after bounded_key_sum's final combine
+    return agg.map_batches(
+        lag_finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def customer_order_recency(sf_dir: str):
+    """LEFT OUTER join: every customer with order count and most recent
+    order date; customers with no orders keep ``n_orders = 0`` and a
+    NULL ``last_order_date`` (outer semantics the anti-join and inner
+    joins don't cover).
+
+    Scale shape: orders pre-combine per batch to ≤ |custkeys-in-batch|
+    (count, max-date) partials — count and max re-associate — then one
+    groupby over partials; the join is the hash-partitioned cogroup
+    with ``join_type="left outer"``, so neither full table broadcasts
+    and unmatched customers survive partition-locally."""
+    from ray.data.aggregate import Max, Sum
+
+    from autoner_ray.stages.joins import cogroup_join
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.group_by("o_custkey")
+            .aggregate([("o_orderkey", "count"), ("o_orderdate", "max")])
+        )
+        return agg.rename_columns(["c_custkey", "n_orders", "last_date"])
+
+    per_cust = (
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_orderdate"])
+        .map_batches(order_partial, batch_format="pyarrow",
+                     batch_size=65536)
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Max("last_date", alias_name="last_order_date"),
+        )
+    )
+
+    joined = cogroup_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        per_cust,
+        on=("c_custkey",),
+        join_type="left outer",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "n_orders": n,
+                "last_order_date": t["last_order_date"],
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -84,10 +84,15 @@ def _stable_part_col(t: pa.Table, on: tuple[str, ...], P: int) -> pa.Array:
 
 
 def cogroup_join(left, right, on: tuple[str, ...],
-                 num_partitions: int | None = None):
-    """INNER join of two Datasets on ``on`` (shared column names), safe
+                 num_partitions: int | None = None,
+                 join_type: str = "inner"):
+    """Join of two Datasets on ``on`` (shared column names), safe
     for sparse/empty key distributions. Non-key column names must be
-    disjoint between the two sides."""
+    disjoint between the two sides. ``join_type`` is ``"inner"``
+    (default) or ``"left outer"`` — left-outer preserves unmatched
+    LEFT rows with null right columns (both sides still hash-partition
+    on the key; a partition whose right side is empty emits the left
+    rows null-padded)."""
     from autoner_ray.cluster import default_num_partitions
 
     if num_partitions is None:
@@ -147,14 +152,14 @@ def cogroup_join(left, right, on: tuple[str, ...],
         lmask = pc.equal(t[_SIDE], 0)
         lt = t.filter(lmask).select(list(on) + lcols)
         rt = t.filter(pc.invert(lmask)).select(list(on) + rcols)
-        if len(lt) == 0 or len(rt) == 0:
+        if len(lt) == 0 or (len(rt) == 0 and join_type == "inner"):
             return out_schema.empty_table()
         # cast back to the declared schema: the null-padded union can
         # round-trip through PANDAS blocks inside the shuffle, where an
         # all-null-bearing int64 column silently becomes float64
         lt = lt.cast(lt_schema)
         rt = rt.cast(rt_schema)
-        return lt.join(rt, keys=list(on), join_type="inner").select(
+        return lt.join(rt, keys=list(on), join_type=join_type).select(
             out_schema.names
         ).cast(out_schema)
 

@@ -136,3 +136,32 @@ def test_stable_part_col_type_only_branch():
     sc = _stable_part_col(s_clean, ("k",), 64).to_pylist()
     sd = _stable_part_col(s_dirty, ("k",), 64).to_pylist()
     assert [sd[0], sd[2]] == sc
+
+
+def test_cogroup_join_left_outer(ray_session):
+    """Left-outer: unmatched left rows survive with null right columns,
+    including partitions whose right side is entirely empty."""
+    import ray.data as rd
+
+    from autoner_ray.stages.joins import cogroup_join
+
+    left = pa.table({"k": list(range(20)), "a": [i * 2 for i in range(20)]})
+    right = pa.table({"k": [3, 7], "b": [30, 70]})
+    got = cogroup_join(
+        rd.from_arrow(left), rd.from_arrow(right), on=("k",),
+        join_type="left outer", num_partitions=16,
+    )
+    want = left.join(right, keys=["k"], join_type="left outer")
+
+    def norm(pairs):
+        # NaN != NaN breaks tuple equality — null right columns compare
+        # as None
+        return [
+            tuple((k, None if v != v else v) for k, v in row)
+            for row in pairs
+        ]
+
+    assert norm(_pairs(got)) == norm(_pairs(want))
+    # all 20 left rows present, 18 with null b
+    df = got.to_pandas()
+    assert len(df) == 20 and int(df["b"].isna().sum()) == 18
