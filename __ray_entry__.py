@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph path is pinned by tests/test_graph_skew.py and exercised
         # by kg_graph_adjacency below)
         "kg_pagerank": lambda sf: kg.unigram_pagerank(sf),
+        "kg_degree_distribution": lambda sf: (
+            kg.unigram_degree_distribution(sf)
+        ),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
@@ -396,6 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_boolean_search": lambda sf: analysis.boolean_and_search(
             _docs(sf, ["doc_id", "text"])
+        ),
+        "vocab_degree_distribution": lambda sf: (
+            analysis.vocab_degree_distribution(_docs(sf, ["text"]))
         ),
         "vocab_edit_pairs": lambda sf: analysis.vocab_edit_distance_pairs(
             _docs(sf, ["text"])
@@ -730,6 +736,12 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "docs_rolling_fingerprint": _fingerprint_sql(),
         "kg_pagerank": _pagerank_sql(dict_values),
+        "kg_degree_distribution": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            deg AS (SELECT src, COUNT(*) AS degree FROM bidir GROUP BY src)
+            SELECT degree, COUNT(*) AS n_entities
+            FROM deg GROUP BY degree
+        """,
         "kg_connected_components": _connected_components_sql(dict_values),
         "kg_bfs_distances": _bfs_distances_sql(dict_values),
         # pairs is subj<obj-unique, so each triangle appears exactly
@@ -1148,6 +1160,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
             FROM words a JOIN words b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2
+        """,
+        "vocab_degree_distribution": f"""
+            WITH words AS (
+                SELECT DISTINCT t.word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            ), ep AS (
+                SELECT a.word AS wa, b.word AS wb
+                FROM words a JOIN words b ON a.word < b.word
+                WHERE levenshtein(a.word, b.word) <= 2
+            ), b AS (
+                SELECT wa AS w FROM ep UNION ALL SELECT wb FROM ep
+            ), d AS (
+                SELECT w, COUNT(*) AS degree FROM b GROUP BY w
+            )
+            SELECT degree, COUNT(*) AS n_entities
+            FROM d GROUP BY degree
         """,
         "docs_source_lang_chi2": """
             WITH c AS (

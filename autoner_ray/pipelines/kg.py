@@ -453,6 +453,15 @@ def unigram_bfs_distances(sf_dir: str):
     return bfs_distances(unigram_triples(sf_dir))
 
 
+def unigram_degree_distribution(sf_dir: str):
+    """Degree histogram of the unigram co-occurrence graph (oracle:
+    GROUP BY degree over per-src counts of the unique bidirectional
+    edge list)."""
+    from autoner_ray.stages.graph import degree_distribution
+
+    return degree_distribution(unigram_triples(sf_dir))
+
+
 def unigram_triangles(sf_dir: str):
     """Per-entity triangle counts over the unigram co-occurrence graph
     (oracle: three-way self-join on the subj<obj pair list; each

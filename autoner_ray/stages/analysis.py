@@ -1946,3 +1946,30 @@ def vocab_alias_clusters(docs_ds, max_dist: int = 2,
         return t.rename_columns(["word", "canonical"])
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def vocab_degree_distribution(docs_ds, max_dist: int = 2):
+    """Degree histogram of the vocab edit-distance graph (how many
+    words have k near-spelling variants) — the alias-cluster shape
+    profile. Reuses the SymSpell pair miner and the generic
+    ``graph.degree_distribution`` combine."""
+    import pyarrow as pa
+
+    from autoner_ray.stages.graph import degree_distribution
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                }
+            )
+        return t.select(["word_a", "word_b"]).rename_columns(
+            ["subj", "obj"]
+        )
+
+    pairs = vocab_edit_distance_pairs(docs_ds, max_dist=max_dist)
+    return degree_distribution(
+        pairs.map_batches(rename, batch_format="pyarrow")
+    )

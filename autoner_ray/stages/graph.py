@@ -693,3 +693,68 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
         close_in_partition, batch_format="pandas"
     )
     return bounded_key_sum(partials, ["entity"], ["triangles"])
+
+
+def degree_distribution(edges_ds):
+    """Degree histogram of the undirected entity graph: for each degree
+    value, how many entities have it. Edge rows are unique (subj, obj)
+    pairs with subj < obj (``aggregate_edges`` output), so an entity's
+    degree is its row count across both endpoint positions.
+
+    Scale shape: endpoints explode per batch (2 rows per edge) with a
+    per-batch count partial, then a KEY-DISTRIBUTED combine over the
+    unbounded entity keyset (nothing vocab-sized in one block); degree
+    values are bounded (≤ max degree ≪ |V|), so the histogram tail is
+    the shuffle-free two-level combine."""
+    from autoner_ray.stages.combine import bounded_key_sum, partitioned_key_sum
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "entity": pa.array([], pa.string()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        ents = pa.concat_arrays(
+            [
+                t["subj"].combine_chunks().cast(pa.string()),
+                t["obj"].combine_chunks().cast(pa.string()),
+            ]
+        )
+        agg = (
+            pa.table({"entity": ents})
+            .group_by("entity")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["entity", "one"])
+
+    deg = partitioned_key_sum(
+        edges_ds.map_batches(
+            expand, batch_format="pyarrow", batch_size=65536
+        ),
+        ["entity"], ["one"], part_on=("entity",),
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "degree": pa.array([], pa.int64()),
+                    "n_entities": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            t.select(["one"])
+            .rename_columns(["degree"])
+            .group_by("degree")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["degree", "n_entities"])
+
+    return bounded_key_sum(
+        deg.map_batches(hist_partial, batch_format="pyarrow"),
+        ["degree"], ["n_entities"],
+    )
