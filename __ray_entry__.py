@@ -421,6 +421,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_share": lambda sf: analysis.source_share(
             _docs(sf, ["source"])
         ),
+        "docs_source_kl": lambda sf: analysis.source_kl_divergence(
+            _docs(sf, ["source", "text"])
+        ),
+        "docs_source_dup_stats": lambda sf: analysis.source_dup_stats(
+            _docs(sf, ["source", "text"])
+        ),
         "docs_source_lang_chi2": lambda sf: analysis.source_lang_chi2(
             _docs(sf, ["source", "lang"])
         ),
@@ -1347,6 +1353,49 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(CAST(n AS DOUBLE))
                          - CAST(s_micro AS DOUBLE) / 1000000
                            / CAST(n AS DOUBLE), 6) AS entropy
+            FROM s
+        """,
+        "docs_source_kl": f"""
+            WITH w AS (
+                SELECT source, t.word AS word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            ), c AS (
+                SELECT source, word, COUNT(*) AS c
+                FROM w GROUP BY source, word
+            ), g AS (
+                SELECT word, SUM(c) AS cw FROM c GROUP BY word
+            ), s AS (
+                SELECT source, SUM(c.c) AS n,
+                       SUM(CAST(floor(
+                           (ln(CAST(c.c AS DOUBLE))
+                            - ln(CAST(g.cw AS DOUBLE)))
+                           * c.c * 1000000 + 0.5
+                       ) AS BIGINT)) AS m
+                FROM c JOIN g USING (word) GROUP BY source
+            ), tot AS (SELECT SUM(n) AS big_n FROM s)
+            SELECT source,
+                   CAST(n AS BIGINT) AS n_words,
+                   round(CAST(m AS DOUBLE) / 1000000
+                             / CAST(n AS DOUBLE)
+                         - ln(CAST(n AS DOUBLE))
+                         + ln(CAST(big_n AS DOUBLE)), 6) AS kl_nats
+            FROM s, tot
+        """,
+        "docs_source_dup_stats": """
+            WITH h AS (
+                SELECT source, md5(text) AS h, COUNT(*) AS n
+                FROM documents GROUP BY 1, 2
+            ), s AS (
+                SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique
+                FROM h GROUP BY source
+            )
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_unique AS BIGINT) AS n_unique,
+                   CAST(n_docs - n_unique AS BIGINT) AS dup_docs,
+                   CAST((n_docs - n_unique) * 1000000 // n_docs
+                        AS BIGINT) AS dup_ppm
             FROM s
         """,
         "vocab_alias_clusters": f"""

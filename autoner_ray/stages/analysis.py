@@ -1973,3 +1973,165 @@ def vocab_degree_distribution(docs_ds, max_dist: int = 2):
     return degree_distribution(
         pairs.map_batches(rename, batch_format="pyarrow")
     )
+
+
+def source_kl_divergence(docs_ds):
+    """Per-source KL divergence (nats) of the source's word distribution
+    from the whole-corpus distribution — the distribution-shift signal
+    curation uses to spot outlier crawls/sites.
+
+    KL(P_s || P) decomposes as
+    ``(1/n_s) * SUM_w c_sw*(ln c_sw - ln c_w) - ln n_s + ln N``,
+    so the only cross-source term is the global word count ``c_w``.
+    ``_source_word_counts`` word-partitions its output (all sources of
+    a word co-located per block), so each block computes its words'
+    ``c_w`` locally — no second shuffle or join. The float term is
+    quantized to integer MICRO-NATS before any summation (the
+    ``source_word_entropy`` trick), making the distributed sum
+    order-independent and exactly matched by the SQL twin.
+    """
+    import math
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    counts = _source_word_counts(docs_ds)
+
+    def kl_partial(df):
+        import pandas as pd
+
+        if len(df) == 0 or "word" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="string"),
+                    "n": pd.Series(dtype="int64"),
+                    "m": pd.Series(dtype="int64"),
+                }
+            )
+        c = df["c"].to_numpy(np.float64)
+        cw = df.groupby("word")["c"].transform("sum").to_numpy(np.float64)
+        # mirror the SQL term order: (ln(c) - ln(cw)) * c * 1e6 + 0.5
+        micro = np.floor((np.log(c) - np.log(cw)) * c * 1e6 + 0.5).astype(
+            np.int64
+        )
+        out = pd.DataFrame(
+            {"source": df["source"].values, "n": df["c"].values,
+             "m": micro}
+        )
+        return out.groupby("source", as_index=False, sort=False).sum()
+
+    # batch_size=None: one batch per word-partition block, so every
+    # word's full (source, c) group is visible for the local c_w
+    per_source = bounded_key_sum(
+        counts.map_batches(
+            kl_partial, batch_format="pandas", batch_size=None
+        ),
+        ["source"], ["n", "m"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                    "kl_nats": pa.array([], pa.float64()),
+                }
+            )
+        ns = t["n"].to_pylist()
+        ms = t["m"].to_pylist()
+        big_n = float(sum(ns))
+        kl = [
+            round(m / 1e6 / n - math.log(n) + math.log(big_n), 6)
+            for n, m in zip(ns, ms)
+        ]
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_words": t["n"],
+                "kl_nats": pa.array(kl, pa.float64()),
+            }
+        )
+
+    return per_source.map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def source_dup_stats(docs_ds):
+    """Per-source exact-duplicate report: total docs, distinct contents
+    (by md5), duplicate count and duplicate parts-per-million — the
+    dedup dashboard row a curation pipeline tracks per site/crawl.
+
+    Scale shape: per-batch (source, md5) count partials -> HASH-
+    partitioned distinct combine (a source's content-hash set never
+    sits in one block; partitioning on the md5 avoids hot-source skew)
+    -> per-block source partials -> tiny bounded combine. All-integer
+    arithmetic (ppm via integer division), hash-exact vs the SQL twin.
+    """
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "h": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        hashes = [
+            hashlib.md5((x or "").encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        agg = (
+            pa.table({"source": t["source"], "h": pa.array(hashes)})
+            .group_by(["source", "h"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["source", "h", "n"])
+
+    uniq = partitioned_key_sum(
+        docs_ds.map_batches(hash_partial, batch_format="pyarrow"),
+        ["source", "h"], ["n"], part_on=("h",),
+    )
+
+    def per_source(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_unique": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            t.select(["source", "n"])
+            .group_by("source")
+            .aggregate([("n", "sum"), ([], "count_all")])
+        )
+        return agg.rename_columns(["source", "n_docs", "n_unique"])
+
+    stats = bounded_key_sum(
+        uniq.map_batches(per_source, batch_format="pyarrow"),
+        ["source"], ["n_docs", "n_unique"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        nu = t["n_unique"].to_numpy(zero_copy_only=False)
+        dup = nd - nu
+        ppm = np.where(nd > 0, dup * 1_000_000 // np.maximum(nd, 1), 0)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"],
+                "n_unique": t["n_unique"],
+                "dup_docs": pa.array(dup, pa.int64()),
+                "dup_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 113 and len(sqls) == 94
+    assert len(qs) == 115 and len(sqls) == 96
     import subprocess
     import sys
 
