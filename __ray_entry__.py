@@ -421,6 +421,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_share": lambda sf: analysis.source_share(
             _docs(sf, ["source"])
         ),
+        "docs_weighted_sample": lambda sf: analysis.weighted_sample(
+            _docs(sf, ["doc_id", "n_chars"])
+        ),
+        "vocab_zipf_fit": lambda sf: analysis.zipf_fit(
+            _docs(sf, ["text"])
+        ),
         "docs_source_kl": lambda sf: analysis.source_kl_divergence(
             _docs(sf, ["source", "text"])
         ),
@@ -1353,6 +1359,36 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(CAST(n AS DOUBLE))
                          - CAST(s_micro AS DOUBLE) / 1000000
                            / CAST(n AS DOUBLE), 6) AS entropy
+            FROM s
+        """,
+        "docs_weighted_sample": analysis_mod.weighted_sample_oracle_sql(),
+        "vocab_zipf_fit": f"""
+            WITH w AS (
+                SELECT t.word AS word, COUNT(*) AS c
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+                GROUP BY t.word
+            ), r AS (
+                SELECT c, row_number() OVER (
+                           ORDER BY c DESC, word
+                       ) AS rank
+                FROM w QUALIFY rank <= 1000
+            ), q AS (
+                SELECT CAST(floor(
+                           ln(CAST(rank AS DOUBLE)) * 1000 + 0.5
+                       ) AS BIGINT) AS x,
+                       CAST(floor(
+                           ln(CAST(c AS DOUBLE)) * 1000 + 0.5
+                       ) AS BIGINT) AS y
+                FROM r
+            ), s AS (
+                SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*y) AS sxy, SUM(x*x) AS sxx
+                FROM q
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope
             FROM s
         """,
         "docs_source_kl": f"""

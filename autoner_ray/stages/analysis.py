@@ -2135,3 +2135,128 @@ def source_dup_stats(docs_ds):
         )
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_sample(docs_ds, k: int = 64):
+    """Weight-proportional systematic sample of documents (weight =
+    ``n_chars``): exactly ``k`` docs, each selected with probability
+    proportional to its length — the standard PPS design for building
+    eval/inspection subsets that reflect token mass rather than doc
+    count. Deterministic (pure function of the corpus), resume-stable,
+    and exactly matched by the window-function SQL twin. Distributed
+    via :func:`ranking.weighted_systematic_select` (range-bucketed
+    exact prefix sums; nothing corpus-sized on the driver)."""
+    from autoner_ray.stages.ranking import weighted_systematic_select
+
+    return weighted_systematic_select(
+        docs_ds, key_col="doc_id", weight_col="n_chars", k=k
+    )
+
+
+def weighted_sample_oracle_sql(k: int = 64) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   SUM(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM documents
+        ), tot AS (SELECT SUM(n_chars) AS w FROM documents)
+        SELECT doc_id, n_chars
+        FROM t, tot
+        WHERE (cum * {k}) // w > ((cum - n_chars) * {k}) // w
+    """
+
+
+def zipf_fit(docs_ds, top_n: int = 1000):
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) over the ``top_n`` most frequent words (rank order:
+    freq desc, word asc). The corpus-health scalar curation tracks —
+    natural text sits near -1.
+
+    Determinism: ln(rank)/ln(freq) are quantized to integer
+    MILLI-NATS, all OLS moments are exact int64 sums of those (the
+    quantization scale cancels in the slope), and only the final
+    division touches floats — identical on both sides. milli (not
+    micro) keeps ``n*sum(x*y)`` < 2^63 for top_n <= 10^4.
+
+    Scale shape: word counts via the key-distributed combine; top-n by
+    per-block partial top-n -> single tiny final block (top_n rows).
+    """
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        flat = pc.split_pattern(txt, pattern=" ").flatten()
+        keep = pc.not_equal(flat, "")
+        agg = (
+            pa.table({"word": flat.filter(keep)})
+            .group_by("word")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["word", "c"])
+
+    counts = partitioned_key_sum(
+        docs_ds.map_batches(word_partial, batch_format="pyarrow"),
+        ["word"], ["c"], part_on=("word",),
+    )
+
+    def topn_partial(df):
+        import pandas as pd
+
+        if len(df) == 0 or "word" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series(dtype="string"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["c", "word"], ascending=[False, True], kind="mergesort"
+        )
+        return df.head(top_n)
+
+    def fit(df):
+        import math
+
+        import pandas as pd
+
+        if len(df) == 0 or "word" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "n_terms": pd.Series(dtype="int64"),
+                    "zipf_slope": pd.Series(dtype="float64"),
+                }
+            )
+        df = df.sort_values(
+            ["c", "word"], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+        rank = np.arange(1, len(df) + 1, dtype=np.float64)
+        c = df["c"].to_numpy(np.float64)
+        x = np.floor(np.log(rank) * 1000 + 0.5).astype(np.int64)
+        y = np.floor(np.log(c) * 1000 + 0.5).astype(np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = round(float(num) / float(den), 6) if den else 0.0
+        return pd.DataFrame(
+            {"n_terms": [n], "zipf_slope": [slope]}
+        )
+
+    return (
+        counts.map_batches(
+            topn_partial, batch_format="pandas", batch_size=None
+        )
+        .repartition(1)
+        .map_batches(fit, batch_format="pandas", batch_size=None)
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _ntile_of_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -247,3 +248,136 @@ def pareto_frontier(
     if final_batch is not None:
         final = final_batch(final)
     return final
+
+
+def weighted_systematic_select(
+    rows_ds,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    samples_per_block: int = 64,
+    num_ranges: int | None = None,
+):
+    """EXACT distributed weighted systematic sampling: lay the rows on
+    the integer weight line in ``key_col`` order and keep the row
+    covering each of the ``k`` evenly spaced boundaries — row i is
+    selected iff ``floor(cum_i*k/W) > floor((cum_i-w_i)*k/W)`` with
+    ``cum`` the inclusive prefix sum and ``W`` the total. Pure integer
+    arithmetic (exactly k rows out for positive weights, k <= n),
+    deterministic and resume-stable; selection probability is
+    proportional to weight, the classic PPS-systematic design.
+
+    Same three-pass shape as :func:`exact_ntile`: sampled key-range
+    splitters -> per-range EXACT weight sums roll up to the driver (B
+    ints) whose cumsums are each range's global weight offset -> each
+    range selects its boundary-crossers locally. Rows never gather on
+    the driver. ``key`` must be unique int64, ``weight`` positive
+    int64; int64 ``cum*k`` bounds this at W*k < 2^63 (use k <= 10^4 at
+    10^14 total weight; split the key space beyond that).
+    """
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+
+    B = num_ranges or default_num_partitions()
+
+    def sample(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"v": pa.array([], pa.int64())})
+        v = np.sort(t[key_col].to_numpy(zero_copy_only=False))
+        step = max(1, len(v) // samples_per_block)
+        return pa.table({"v": pa.array(v[::step], pa.int64())})
+
+    samp = np.sort(
+        rows_ds.map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["v"]
+        .to_numpy()
+    )
+    empty_out = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            weight_col: pa.array([], pa.int64()),
+        }
+    )
+    if len(samp) == 0:
+        return rows_ds.map_batches(
+            lambda t: empty_out, batch_format="pyarrow"
+        )
+    cuts = np.unique(
+        samp[np.linspace(0, len(samp) - 1, B + 1, dtype=np.int64)][1:-1]
+    )
+    cuts_ref = ray.put(cuts)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    weight_col: pa.array([], pa.int64()),
+                    "__rb": pa.array([], pa.int32()),
+                }
+            )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        rb = np.searchsorted(
+            ray.get(cuts_ref), keys, side="right"
+        ).astype(np.int32)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                weight_col: pc.cast(t[weight_col], pa.int64()),
+                "__rb": pa.array(rb, pa.int32()),
+            }
+        )
+
+    bucketed = rows_ds.map_batches(
+        assign, batch_format="pyarrow"
+    ).materialize()
+
+    def wsum_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"rb": pa.array([], pa.int32()),
+                             "w": pa.array([], pa.int64())})
+        agg = t.select(["__rb", weight_col]).group_by("__rb").aggregate(
+            [(weight_col, "sum")]
+        )
+        return agg.rename_columns(["rb", "w"])
+
+    wsums = (
+        bucketed.map_batches(wsum_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rb")["w"]
+        .sum()
+    )
+    W = int(wsums.sum())
+    full = np.zeros(len(cuts) + 1, dtype=np.int64)
+    full[wsums.index.to_numpy()] = wsums.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    def select_range(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                weight_col: pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "__rb" not in df.columns or W <= 0:
+            return empty
+        import ray as _ray
+
+        off = _ray.get(offsets_ref)[int(df["__rb"].iloc[0])]
+        df = df.sort_values(key_col, kind="mergesort")
+        w = df[weight_col].to_numpy(np.int64)
+        cum = off + np.cumsum(w)
+        keep = (cum * k) // W > ((cum - w) * k) // W
+        df = df[keep]
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(np.int64),
+                weight_col: df[weight_col].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed.groupby("__rb").map_groups(
+        select_range, batch_format="pandas"
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 115 and len(sqls) == 96
+    assert len(qs) == 117 and len(sqls) == 98
     import subprocess
     import sys
 
