@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_distribution": lambda sf: (
             kg.unigram_degree_distribution(sf)
         ),
+        "kg_adamic_adar": lambda sf: kg.unigram_adamic_adar(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
@@ -753,6 +754,24 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT src, COUNT(*) AS degree FROM bidir GROUP BY src)
             SELECT degree, COUNT(*) AS n_entities
             FROM deg GROUP BY degree
+        """,
+        "kg_adamic_adar": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            deg AS (SELECT src, COUNT(*) AS d FROM bidir GROUP BY src),
+            wdg AS (
+                SELECT e1.src AS z, e1.dst AS a, e2.dst AS b
+                FROM bidir e1 JOIN bidir e2
+                  ON e1.src = e2.src AND e1.dst < e2.dst
+            ), t AS (
+                SELECT a, b,
+                       CAST(floor(
+                           1000000 / ln(CAST(d.d AS DOUBLE)) + 0.5
+                       ) AS BIGINT) AS m
+                FROM wdg JOIN deg d ON d.src = wdg.z
+            )
+            SELECT a, b, COUNT(*) AS n_common,
+                   CAST(SUM(m) AS BIGINT) AS aa_micro
+            FROM t GROUP BY a, b
         """,
         "kg_connected_components": _connected_components_sql(dict_values),
         "kg_bfs_distances": _bfs_distances_sql(dict_values),

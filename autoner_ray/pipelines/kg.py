@@ -462,6 +462,15 @@ def unigram_degree_distribution(sf_dir: str):
     return degree_distribution(unigram_triples(sf_dir))
 
 
+def unigram_adamic_adar(sf_dir: str):
+    """Adamic-Adar link-prediction scores over the unigram
+    co-occurrence graph (oracle: wedge self-join + degree join with
+    integer micro-quantized 1/ln(deg) terms)."""
+    from autoner_ray.stages.graph import adamic_adar
+
+    return adamic_adar(unigram_triples(sf_dir))
+
+
 def unigram_triangles(sf_dir: str):
     """Per-entity triangle counts over the unigram co-occurrence graph
     (oracle: three-way self-join on the subj<obj pair list; each

@@ -758,3 +758,110 @@ def degree_distribution(edges_ds):
         deg.map_batches(hist_partial, batch_format="pyarrow"),
         ["degree"], ["n_entities"],
     )
+
+
+def adamic_adar(edges_ds):
+    """Adamic–Adar link-prediction scores for every co-wedge entity
+    pair: ``AA(a,b) = SUM over common neighbors z of 1/ln(deg(z))`` —
+    the classic KG-completion candidate scorer (high AA between
+    non-adjacent entities suggests a missing edge).
+
+    Determinism: each wedge contributes the integer micro-score
+    ``floor(1e6/ln(deg z) + 0.5)``, so the distributed sum is
+    order-independent and hash-exact vs the SQL twin (a wedge center
+    has deg >= 2, so ln > 0).
+
+    Scale shape: degrees via the key-distributed combine, joined back
+    to the bidirectional edge list partition-locally (edges and
+    degrees both partition on the center ``src``); each center emits
+    its neighbor pairs (quadratic in deg — cap/salt hub entities at
+    web scale, same policy as the LSH hot buckets); pair scores then
+    combine key-distributed on (a, b). Nothing vocab- or edge-sized on
+    the driver."""
+    from autoner_ray.stages.combine import partitioned_key_sum
+    from autoner_ray.stages.joins import _stable_part_col
+    from autoner_ray.cluster import default_num_partitions
+
+    P = default_num_partitions()
+
+    def expand_bidir(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty.append_column(
+                "__part", pa.array([], pa.int32())
+            )
+        src = pa.concat_arrays(
+            [
+                t["subj"].combine_chunks().cast(pa.string()),
+                t["obj"].combine_chunks().cast(pa.string()),
+            ]
+        )
+        dst = pa.concat_arrays(
+            [
+                t["obj"].combine_chunks().cast(pa.string()),
+                t["subj"].combine_chunks().cast(pa.string()),
+            ]
+        )
+        out = pa.table({"src": src, "dst": dst})
+        return out.append_column(
+            "__part", _stable_part_col(out, ("src",), P)
+        )
+
+    bidir = edges_ds.map_batches(expand_bidir, batch_format="pyarrow")
+
+    def wedge_scores(df):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if len(df) == 0 or "src" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="string"),
+                    "b": pd.Series(dtype="string"),
+                    "n_common": pd.Series(dtype="int64"),
+                    "aa_micro": pd.Series(dtype="int64"),
+                }
+            )
+        outs = []
+        for _, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())
+            d = len(nb)
+            if d < 2:
+                continue
+            m = int(math.floor(1e6 / math.log(d) + 0.5))
+            ii, jj = np.triu_indices(d, k=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a": nb[ii],
+                        "b": nb[jj],
+                        "n_common": np.ones(len(ii), np.int64),
+                        "aa_micro": np.full(len(ii), m, np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="string"),
+                    "b": pd.Series(dtype="string"),
+                    "n_common": pd.Series(dtype="int64"),
+                    "aa_micro": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out.groupby(["a", "b"], as_index=False, sort=False).sum()
+
+    partials = bidir.groupby("__part").map_groups(
+        wedge_scores, batch_format="pandas"
+    )
+    return partitioned_key_sum(
+        partials, ["a", "b"], ["n_common", "aa_micro"], part_on=("a",)
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 117 and len(sqls) == 98
+    assert len(qs) == 118 and len(sqls) == 99
     import subprocess
     import sys
 
