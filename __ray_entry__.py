@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kg.unigram_degree_distribution(sf)
         ),
         "kg_adamic_adar": lambda sf: kg.unigram_adamic_adar(sf),
+        "kg_entity_jaccard": lambda sf: kg.unigram_entity_jaccard(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
@@ -754,6 +755,30 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT src, COUNT(*) AS degree FROM bidir GROUP BY src)
             SELECT degree, COUNT(*) AS n_entities
             FROM deg GROUP BY degree
+        """,
+        "kg_entity_jaccard": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ), pairs AS (
+                SELECT a.entity AS subj, b.entity AS obj,
+                       COUNT(*) AS weight
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2
+            ), freq AS (
+                SELECT entity, COUNT(*) AS df FROM words GROUP BY entity
+            )
+            SELECT p.subj, p.obj,
+                   CAST(p.weight AS BIGINT) AS co_docs,
+                   CAST(fa.df + fb.df - p.weight AS BIGINT) AS union_docs,
+                   round(CAST(p.weight AS DOUBLE)
+                         / CAST(fa.df + fb.df - p.weight AS DOUBLE),
+                         6) AS jaccard
+            FROM pairs p
+            JOIN freq fa ON p.subj = fa.entity
+            JOIN freq fb ON p.obj = fb.entity
         """,
         "kg_adamic_adar": f"""
             WITH {_unigram_graph_ctes(dict_values)},

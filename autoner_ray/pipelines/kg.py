@@ -340,6 +340,56 @@ def unigram_edge_pmi(sf_dir: str):
     )
 
 
+def unigram_entity_jaccard(sf_dir: str):
+    """Entity-pair document-set Jaccard: ``|docs(a) & docs(b)| /
+    |docs(a) | docs(b)|`` for every co-occurring pair — the
+    set-overlap sibling of PMI (entity-resolution / relatedness
+    signal). Intersection IS the aggregated edge weight (doc-scoped
+    co-occurrence count) and the union derives from the broadcast
+    doc-freq table, so the whole score is one streaming map over the
+    edge table — same broadcast shape as ``unigram_edge_pmi``; exact
+    integer intersection/union columns plus a 6-dp ratio."""
+    import numpy as np
+    import ray
+
+    freqs = {
+        r["entity"]: int(r["doc_freq"])
+        for r in unigram_entity_doc_freq(sf_dir).take_all()
+    }
+    freq_ref = ray.put(freqs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = ray.get(freq_ref)
+        dfs = pd.Series(batch["subj"].to_pylist()).map(df).to_numpy(
+            np.int64
+        )
+        dfo = pd.Series(batch["obj"].to_pylist()).map(df).to_numpy(
+            np.int64
+        )
+        w = batch["weight"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        union = dfs + dfo - w
+        jac = np.round(
+            w.astype(np.float64) / union.astype(np.float64), 6
+        )
+        return pa.table(
+            {
+                "subj": batch["subj"],
+                "obj": batch["obj"],
+                "co_docs": pa.array(w, pa.int64()),
+                "union_docs": pa.array(union, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return unigram_triples(sf_dir).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def unigram_cooccur_topk(sf_dir: str, k: int = 3,
                          num_partitions: int | None = None):
     """Per-entity top-k co-occurring neighbors over the unigram graph:
