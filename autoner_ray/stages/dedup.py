@@ -762,3 +762,129 @@ def neardup_keep_one(
     return docs_ds.select_columns(["doc_id"]).map_batches(
         SurvivorFilter, batch_format="pyarrow", concurrency=2
     )
+
+
+def neardup_cluster_sizes(
+    docs_ds,
+    threshold: float = 0.6,
+    k: int = 3,
+    num_partitions: int | None = None,
+    driver_cc_max_pairs: int = 2_000_000,
+    pair_source: str = "exact",
+):
+    """Near-duplicate CLUSTER SIZE histogram: (cluster_size,
+    n_clusters) over the connected components of the near-dup pair
+    graph — the dedup-report companion to ``neardup_keep_one`` (how
+    much mass sits in big boilerplate clusters vs scattered pairs).
+
+    Same tiered component labeling as ``neardup_keep_one`` (driver
+    union-find under ``driver_cc_max_pairs``, distributed min-label
+    propagation above); cluster sizes come from a label count and the
+    size histogram from the bounded combine. Only docs that appear in
+    a qualifying pair belong to a cluster (sizes >= 2 by
+    construction)."""
+    import ray
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    if pair_source == "exact":
+        pairs = ngram_jaccard_exact_pairs(
+            docs_ds, threshold=threshold, k=k,
+            num_partitions=num_partitions,
+        ).materialize()
+    elif pair_source == "lsh":
+        pairs = ngram_jaccard_pairs(
+            docs_ds, threshold=threshold
+        ).materialize()
+    else:
+        raise ValueError(f"unknown pair_source: {pair_source!r}")
+
+    if pairs.count() <= driver_cc_max_pairs:
+        from collections import Counter
+
+        pdf = pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        sizes = Counter(find(n) for n in parent)
+        hist = Counter(sizes.values())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "cluster_size": pa.array(
+                        sorted(hist.keys()), pa.int64()
+                    ),
+                    "n_clusters": pa.array(
+                        [hist[s] for s in sorted(hist.keys())],
+                        pa.int64(),
+                    ),
+                }
+            )
+        )
+
+    from autoner_ray.stages.graph import connected_components_distributed
+
+    _edge_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+
+    def pairs_to_edges(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _edge_schema.empty_table()
+        return pa.table({"subj": t["doc_a"], "obj": t["doc_b"]})
+
+    labels = connected_components_distributed(
+        pairs.map_batches(pairs_to_edges, batch_format="pyarrow"),
+        num_partitions=num_partitions, as_dataset=True,
+    )
+
+    def label_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.select(["label"]).group_by("label").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["label", "n"])
+
+    # label keyset = number of clusters (duplicate fraction of the
+    # corpus) — key-distributed; int64 labels partition vectorized
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    per_cluster = partitioned_key_sum(
+        labels.map_batches(label_partial, batch_format="pyarrow"),
+        ["label"], ["n"], part_on=("label",),
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], pa.int64()),
+                    "n_clusters": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            t.select(["n"])
+            .rename_columns(["cluster_size"])
+            .group_by("cluster_size")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["cluster_size", "n_clusters"])
+
+    return bounded_key_sum(
+        per_cluster.map_batches(hist_partial, batch_format="pyarrow"),
+        ["cluster_size"], ["n_clusters"],
+    )

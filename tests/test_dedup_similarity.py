@@ -253,3 +253,25 @@ def test_neardup_keep_one_lsh_source(ray_session):
         for r in neardup_keep_one(docs, pair_source="lsh").take_all()
     )
     assert exact == lsh
+
+
+def test_neardup_cluster_sizes_tiers_agree(ray_session):
+    """Cluster-size histogram: driver union-find tier == distributed
+    min-label CC tier, and sizes are all >= 2."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import neardup_cluster_sizes
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def rows(ds):
+        return sorted(
+            (r["cluster_size"], r["n_clusters"]) for r in ds.take_all()
+        )
+
+    got = rows(neardup_cluster_sizes(docs))
+    got_dist = rows(neardup_cluster_sizes(docs, driver_cc_max_pairs=0))
+    assert got == got_dist
+    assert got and all(s >= 2 for s, _ in got)

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 119 and len(sqls) == 100
+    assert len(qs) == 120 and len(sqls) == 101
     import subprocess
     import sys
 
