@@ -449,6 +449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf)
         ),
         "events_ohlc_hourly": lambda sf: windows.hourly_ohlc(_events(sf)),
+        "events_user_streaks": lambda sf: windows.user_streaks(
+            _events(sf)
+        ),
+        "nation_revenue": relational.nation_revenue,
         "events_type_transitions": lambda sf: windows.type_transitions(
             _events(sf)
         ),
@@ -1978,6 +1982,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_lang_rollup": analysis_rollup_oracle(),
         "events_retention": windows_mod.retention_cohorts_oracle_sql(),
         "events_ohlc_hourly": windows_mod.hourly_ohlc_oracle_sql(),
+        "events_user_streaks": windows_mod.user_streaks_oracle_sql(),
+        "nation_revenue": f"""
+            SELECT n.n_name, SUM({_REV_CENTS}) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
         "events_type_transitions": (
             windows_mod.type_transitions_oracle_sql()
         ),

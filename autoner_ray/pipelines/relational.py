@@ -908,3 +908,86 @@ def customer_order_recency(sf_dir: str):
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def nation_revenue(sf_dir: str):
+    """Revenue per customer nation (TPC-H Q5-shaped rollup without the
+    supplier co-location predicate): lineitem ⋈ orders ⋈ customer ⋈
+    nation, grouped by nation name.
+
+    Scale shape: the heavy lineitem ⋈ orders leg reuses the TIERED
+    ``_customer_revenue_partials`` (broadcast searchsorted under 5M
+    orders, large-large cogroup above); the custkey → nationkey map is
+    a sorted-array broadcast (two int64 arrays, ~16 bytes/customer —
+    beyond ~10⁹ customers swap it for one more cogroup hop) and
+    nation itself is a 25-row dim; the tail is a shuffle-free bounded
+    combine over ≤ 25 nation keys. Exact int-cents end to end."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    ct = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ckeys = ct["c_custkey"].to_numpy()
+    cix = np.argsort(ckeys, kind="stable")
+    cust_ref = ray.put((ckeys[cix], ct["c_nationkey"].to_numpy()[cix]))
+    nt = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist())
+    )
+    names_ref = ray.put(names)
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_nationkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        keys, nats = ray.get(cust_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return empty
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        hit = keys[pos] == ck  # inner-join semantics on missing custkey
+        cents = t["order_cents"]
+        if not hit.all():
+            pos = pos[hit]
+            cents = cents.filter(pa.array(hit))
+        agg = pa.table(
+            {
+                "n_nationkey": pa.array(nats[pos], pa.int64()),
+                "cents": cents,
+            }
+        ).group_by("n_nationkey").aggregate([("cents", "sum")])
+        return agg.rename_columns(["n_nationkey", "cents"])
+
+    agg = bounded_key_sum(
+        _customer_revenue_partials(sf_dir).map_batches(
+            to_nation, batch_format="pyarrow", batch_size=65536
+        ),
+        ["n_nationkey"], ["cents"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nm[k] for k in t["n_nationkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "revenue": pc.divide(
+                    pc.cast(t["cents"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -744,3 +744,63 @@ def type_transitions_oracle_sql() -> str:
         FROM t WHERE prev_type IS NOT NULL
         GROUP BY prev_type, event_type
     """
+
+
+def user_streaks(events_ds):
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    calendar days with at least one event, plus the total count of
+    active days — the classic engagement-streak window composition
+    (DISTINCT day -> row_number -> day-minus-rank island -> max run).
+    Same hash-partition-by-user shape as ``sessionize``; days per user
+    are bounded (≤ corpus span), so groups stay small."""
+    import numpy as np
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ts" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "longest_streak": pd.Series(dtype="int64"),
+                    "n_active_days": pd.Series(dtype="int64"),
+                }
+            )
+        days = np.unique(
+            df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        # island id: day - rank is constant within a consecutive run
+        island = days - np.arange(len(days), dtype=np.int64)
+        _, counts = np.unique(island, return_counts=True)
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "longest_streak": [int(counts.max())],
+                "n_active_days": [int(len(days))],
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
+def user_streaks_oracle_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ), r AS (
+            SELECT user_id, day,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS rn
+            FROM d
+        ), g AS (
+            SELECT user_id, COUNT(*) AS len
+            FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(SUM(len) AS BIGINT) AS n_active_days
+        FROM g GROUP BY user_id
+    """
