@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_adamic_adar": lambda sf: kg.unigram_adamic_adar(sf),
         "kg_entity_jaccard": lambda sf: kg.unigram_entity_jaccard(sf),
+        "kg_assoc_rules": lambda sf: kg.unigram_assoc_rules(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
@@ -464,6 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).json_int_field_stats(
             _events(sf), key="event_type", json_col="props", field="k"
         ),
+        "events_value_mad": lambda sf: __import__(
+            "autoner_ray.stages.stats", fromlist=["grouped_mad"]
+        ).grouped_mad(_events(sf), key="event_type", value_col="value"),
         "events_value_outliers": lambda sf: __import__(
             "autoner_ray.stages.stats", fromlist=["grouped_zscore_outliers"]
         ).grouped_zscore_outliers(
@@ -762,6 +766,41 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT src, COUNT(*) AS degree FROM bidir GROUP BY src)
             SELECT degree, COUNT(*) AS n_entities
             FROM deg GROUP BY degree
+        """,
+        "kg_assoc_rules": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ), pairs AS (
+                SELECT a.entity AS subj, b.entity AS obj,
+                       COUNT(*) AS weight
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2
+            ), freq AS (
+                SELECT entity, COUNT(*) AS df FROM words GROUP BY entity
+            ), nd AS (SELECT COUNT(*) AS n FROM documents),
+            dirs AS (
+                SELECT p.subj AS antecedent, p.obj AS consequent,
+                       p.weight, fa.df AS df_a, fb.df AS df_b
+                FROM pairs p
+                JOIN freq fa ON p.subj = fa.entity
+                JOIN freq fb ON p.obj = fb.entity
+                UNION ALL
+                SELECT p.obj, p.subj, p.weight,
+                       fb.df, fa.df
+                FROM pairs p
+                JOIN freq fa ON p.subj = fa.entity
+                JOIN freq fb ON p.obj = fb.entity
+            )
+            SELECT antecedent, consequent,
+                   CAST(weight AS BIGINT) AS co_docs,
+                   CAST(weight * 1000000 // df_a AS BIGINT)
+                       AS confidence_ppm,
+                   CAST(weight * nd.n * 1000000 // (df_a * df_b)
+                        AS BIGINT) AS lift_ppm
+            FROM dirs, nd
         """,
         "kg_entity_jaccard": f"""
             WITH words AS (
@@ -1983,6 +2022,26 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": windows_mod.retention_cohorts_oracle_sql(),
         "events_ohlc_hourly": windows_mod.hourly_ohlc_oracle_sql(),
         "events_user_streaks": windows_mod.user_streaks_oracle_sql(),
+        "events_value_mad": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value*100 + 0.5) AS BIGINT) * 2 AS v2
+                FROM events
+            ), m AS (
+                SELECT event_type, quantile_cont(v2, 0.5) AS med2
+                FROM b GROUP BY 1
+            ), d AS (
+                SELECT b.event_type, abs(b.v2 - m.med2) AS d2
+                FROM b JOIN m USING (event_type)
+            ), s AS (
+                SELECT event_type, quantile_cont(d2, 0.5) AS mad2
+                FROM d GROUP BY 1
+            )
+            SELECT m.event_type,
+                   m.med2 / 200.0 AS median_value,
+                   s.mad2 / 200.0 AS mad_value
+            FROM m JOIN s USING (event_type)
+        """,
         "nation_revenue": f"""
             SELECT n.n_name, SUM({_REV_CENTS}) / 100.0 AS revenue
             FROM lineitem l

@@ -390,6 +390,67 @@ def unigram_entity_jaccard(sf_dir: str):
     )
 
 
+def unigram_assoc_rules(sf_dir: str):
+    """Association-rule scores per DIRECTED co-occurring entity pair:
+    confidence(a=>b) = co_docs/df(a) and lift = N*co_docs/(df(a)*df(b))
+    — the market-basket mining face of edge scoring (PMI's ratio
+    without the log, plus the directional conditional). Same broadcast
+    doc-freq + streaming edge map as ``unigram_edge_pmi``; each
+    undirected edge emits both directions."""
+    import numpy as np
+    import ray
+
+    n_docs = int(
+        __import__("pyarrow.parquet", fromlist=["read_metadata"])
+        .read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+    freqs = {
+        r["entity"]: int(r["doc_freq"])
+        for r in unigram_entity_doc_freq(sf_dir).take_all()
+    }
+    freq_ref = ray.put(freqs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = ray.get(freq_ref)
+        subj = batch["subj"].to_pylist()
+        obj = batch["obj"].to_pylist()
+        wi = batch["weight"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dfi_s = pd.Series(subj).map(df).to_numpy(np.int64)
+        dfi_o = pd.Series(obj).map(df).to_numpy(np.int64)
+        # exact integer ppm (no float rounding-mode hazards); the
+        # int64 bound w*N*1e6 < 2^63 holds to ~10^6-doc oracles —
+        # at web scale report lift in micro units from a float path
+        lift_ppm = wi * n_docs * 1_000_000 // (dfi_s * dfi_o)
+        conf_ab = wi * 1_000_000 // dfi_s
+        conf_ba = wi * 1_000_000 // dfi_o
+        return pa.table(
+            {
+                "antecedent": pa.array(subj + obj, pa.string()),
+                "consequent": pa.array(obj + subj, pa.string()),
+                "co_docs": pa.concat_arrays(
+                    [
+                        batch["weight"].combine_chunks().cast(pa.int64()),
+                        batch["weight"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "confidence_ppm": pa.array(
+                    np.concatenate([conf_ab, conf_ba]), pa.int64()
+                ),
+                "lift_ppm": pa.array(
+                    np.concatenate([lift_ppm, lift_ppm]), pa.int64()
+                ),
+            }
+        )
+
+    return unigram_triples(sf_dir).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def unigram_cooccur_topk(sf_dir: str, k: int = 3,
                          num_partitions: int | None = None):
     """Per-entity top-k co-occurring neighbors over the unigram graph:

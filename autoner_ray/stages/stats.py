@@ -351,3 +351,147 @@ def grouped_zscore_outliers(ds, key: str, value_col: str,
         ).select(out_fields)
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_mad(ds, key: str, value_col: str, value_scale: int = 100):
+    """Per-group EXACT median and median-absolute-deviation — the
+    robust-statistics pair (outlier-resistant location/spread) that
+    complements the moment-based z-score op.
+
+    Exactness without a corpus sort: values snap to DOUBLED integer
+    units (``2 * cents``), where the p=0.5 ``quantile_cont``
+    interpolation midpoint of two even integers is itself an exact
+    integer — so the broadcast per-group median is integer-exact, the
+    second-pass absolute deviations are again integers, and the final
+    MAD interpolation produces exact dyadic halves. Both passes move
+    only per-batch (key, unit, n) histogram partials (<= distinct
+    values per key per batch), never rows; the per-group histogram
+    merge + interpolation mirrors DuckDB ``quantile_cont`` exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def _hist_partial(unit_col_name):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {
+                        key: pa.array([], pa.string()),
+                        "u": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            u = t[unit_col_name]
+            agg = (
+                pa.table({key: t[key], "u": u})
+                .group_by([key, "u"])
+                .aggregate([([], "count_all")])
+            )
+            return agg.rename_columns([key, "u", "n"])
+
+        return fn
+
+    def _median_of_hist(df: pd.DataFrame) -> float:
+        h = df.groupby("u", sort=True)["n"].sum().reset_index()
+        vals = h["u"].to_numpy()
+        cum = h["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        pos = (n - 1) * 0.5
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        a = float(vals[np.searchsorted(cum, lo + 1)])
+        b = float(vals[np.searchsorted(cum, hi + 1)])
+        return a + (b - a) * (pos - lo)
+
+    def add_units(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "v2": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        c = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False) * value_scale + 0.5
+        ).astype(np.int64)
+        return pa.table({key: t[key], "v2": pa.array(2 * c, pa.int64())})
+
+    units = ds.map_batches(add_units, batch_format="pyarrow")
+
+    # pass 1: per-group exact median in doubled units (integer-valued)
+    def med_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or key not in df.columns:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype="string"),
+                    "med2": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.rename(columns={"u": "u"})
+        return pd.DataFrame(
+            {
+                key: [df[key].iloc[0]],
+                "med2": [int(_median_of_hist(df))],
+            }
+        )
+
+    meds = (
+        units.map_batches(
+            _hist_partial("v2"), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby(key)
+        .map_groups(med_group, batch_format="pandas")
+        .to_pandas()
+    )
+    med_ref = ray.put(dict(zip(meds[key], meds["med2"].astype(np.int64))))
+
+    # pass 2: integer absolute deviations from the broadcast medians
+    def dev_units(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "d2": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+        import pandas as pd
+
+        med = ray.get(med_ref)
+        v2 = t["v2"].to_numpy(zero_copy_only=False)
+        m = pd.Series(t[key].to_pylist()).map(med).to_numpy(np.int64)
+        return pa.table(
+            {key: t[key], "d2": pa.array(np.abs(v2 - m), pa.int64())}
+        )
+
+    def mad_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or key not in df.columns:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype="string"),
+                    "median_value": pd.Series(dtype="float64"),
+                    "mad_value": pd.Series(dtype="float64"),
+                }
+            )
+        med = ray.get(med_ref)
+        mad2 = _median_of_hist(df)
+        k = df[key].iloc[0]
+        scale = 2.0 * value_scale
+        return pd.DataFrame(
+            {
+                key: [k],
+                "median_value": [float(med[k]) / scale],
+                "mad_value": [mad2 / scale],
+            }
+        )
+
+    return (
+        units.map_batches(dev_units, batch_format="pyarrow")
+        .map_batches(
+            _hist_partial("d2"), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby(key)
+        .map_groups(mad_group, batch_format="pandas")
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 122 and len(sqls) == 103
+    assert len(qs) == 124 and len(sqls) == 105
     import subprocess
     import sys
 
