@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar": lambda sf: kg.unigram_adamic_adar(sf),
         "kg_entity_jaccard": lambda sf: kg.unigram_entity_jaccard(sf),
         "kg_assoc_rules": lambda sf: kg.unigram_assoc_rules(sf),
+        "kg_proximity_edges": lambda sf: kg.unigram_proximity_edges(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
@@ -556,6 +557,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_words_hll": lambda sf: sketches.distinct_words_hll(
             _docs(sf, ["doc_id", "text"])
         ),
+        "docs_source_distinct_words_hll": lambda sf: (
+            sketches.source_distinct_words_hll(
+                _docs(sf, ["source", "text"])
+            )
+        ),
         "docs_heavy_hitters_cm": lambda sf: sketches.cm_heavy_hitters(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -766,6 +772,30 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT src, COUNT(*) AS degree FROM bidir GROUP BY src)
             SELECT degree, COUNT(*) AS n_entities
             FROM deg GROUP BY degree
+        """,
+        "kg_proximity_edges": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, {WORDS} AS w FROM documents
+            ), pos_words AS (
+                SELECT doc_id, w[i] AS word, i AS pos
+                FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), m AS MATERIALIZED (
+                SELECT doc_id, dict.entity, pos
+                FROM pos_words
+                JOIN {dict_values} ON pos_words.word = dict.word
+            ), pr AS (
+                SELECT least(a.entity, b.entity) AS subj,
+                       greatest(a.entity, b.entity) AS obj,
+                       CAST(floor(
+                           1000000 / CAST(b.pos - a.pos AS DOUBLE) + 0.5
+                       ) AS BIGINT) AS m
+                FROM m a JOIN m b
+                  ON a.doc_id = b.doc_id AND a.pos < b.pos
+                 AND a.entity <> b.entity
+            )
+            SELECT subj, obj, COUNT(*) AS n_pairs,
+                   CAST(SUM(m) AS BIGINT) AS prox_micro
+            FROM pr GROUP BY subj, obj
         """,
         "kg_assoc_rules": f"""
             WITH words AS (
@@ -1450,6 +1480,22 @@ def oracle_sql() -> dict[str, str]:
                          - CAST(s_micro AS DOUBLE) / 1000000
                            / CAST(n AS DOUBLE), 6) AS entropy
             FROM s
+        """,
+        # HLL twins are the EXACT distincts: at oracle scales the p=14
+        # sketch sits in its linear-counting regime with zero register
+        # collisions (probed: estimate == exact at sf0.001/sf0.01 both
+        # globally and per source), so the estimate is exact; at web
+        # scale the same code carries the usual ~0.8 % HLL error.
+        "docs_distinct_words_hll": f"""
+            SELECT COUNT(DISTINCT t.word) AS n_distinct_est,
+                   CAST(16384 AS BIGINT) AS n_registers
+            FROM documents d, UNNEST({WORDS}) AS t(word)
+        """,
+        "docs_source_distinct_words_hll": f"""
+            SELECT source,
+                   COUNT(DISTINCT t.word) AS distinct_words_est
+            FROM documents d, UNNEST({WORDS}) AS t(word)
+            GROUP BY source
         """,
         "docs_weighted_sample": analysis_mod.weighted_sample_oracle_sql(),
         "vocab_zipf_fit": f"""

@@ -438,3 +438,88 @@ def doc_length_quantiles_oracle_sql(ps=(0.1, 0.5, 0.9, 0.99)) -> str:
         for p in ps
     ]
     return " UNION ALL ".join(parts)
+
+
+def source_distinct_words_hll(docs_ds):
+    """GROUPED HLL: approximate distinct word tokens per source — the
+    mergeable-sketch sibling of the exact per-source distinct ops
+    (16 KiB per (source, batch) instead of a vocab shuffle per group).
+
+    Same register-max merge as ``distinct_words_hll``, keyed by
+    source; source cardinality is bounded, so the final merge is one
+    tiny block. The SQL twin is the EXACT per-source distinct: at the
+    oracle scales the estimator sits in its linear-counting regime
+    with zero register collisions, so estimate == exact (same
+    justification as the global sketch row); at web scale the estimate
+    carries the usual ~0.8 % HLL error."""
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        by_src: dict[str, np.ndarray] = {}
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split(" ")
+            if not toks:
+                continue
+            regs = by_src.get(src)
+            if regs is None:
+                regs = by_src[src] = np.zeros(1 << HLL_P, dtype=np.uint8)
+            _hll_update(regs, md5_64_array(toks))
+        return pa.table(
+            {
+                "source": pa.array(list(by_src.keys()), pa.string()),
+                "regs": pa.array(
+                    [r.tobytes() for r in by_src.values()], pa.binary()
+                ),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "regs": pa.array([], pa.binary()),
+                }
+            )
+        by_src: dict[str, np.ndarray] = {}
+        for src, blob in zip(
+            batch["source"].to_pylist(), batch["regs"].to_pylist()
+        ):
+            regs = by_src.get(src)
+            if regs is None:
+                by_src[src] = np.frombuffer(
+                    blob, dtype=np.uint8
+                ).copy()
+            else:
+                np.maximum(
+                    regs, np.frombuffer(blob, dtype=np.uint8), out=regs
+                )
+        return pa.table(
+            {
+                "source": pa.array(list(by_src.keys()), pa.string()),
+                "regs": pa.array(
+                    [r.tobytes() for r in by_src.values()], pa.binary()
+                ),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        merged = merge(batch)
+        ests = [
+            int(round(hll_estimate(np.frombuffer(b, dtype=np.uint8))))
+            for b in merged["regs"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "source": merged["source"],
+                "distinct_words_est": pa.array(ests, pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(batch_sketch, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=4096)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
