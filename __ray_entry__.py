@@ -454,6 +454,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": lambda sf: windows.user_streaks(
             _events(sf)
         ),
+        "events_seasonality": lambda sf: windows.seasonality_profile(
+            _events(sf)
+        ),
+        "docs_rare_word_ratio": lambda sf: analysis.rare_word_ratio(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "nation_revenue": relational.nation_revenue,
         "events_type_transitions": lambda sf: windows.type_transitions(
             _events(sf)
@@ -2068,6 +2074,25 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": windows_mod.retention_cohorts_oracle_sql(),
         "events_ohlc_hourly": windows_mod.hourly_ohlc_oracle_sql(),
         "events_user_streaks": windows_mod.user_streaks_oracle_sql(),
+        "events_seasonality": (
+            windows_mod.seasonality_profile_oracle_sql()
+        ),
+        "docs_rare_word_ratio": f"""
+            WITH w AS (
+                SELECT doc_id, t.word AS word
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                WHERE t.word <> ''
+            ), g AS (
+                SELECT word, COUNT(*) AS c FROM w GROUP BY word
+            ), p AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       SUM(CASE WHEN g.c <= 2 THEN 1 ELSE 0 END) AS r
+                FROM w JOIN g USING (word) GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   CAST(r * 1000000 // n AS BIGINT) AS rare_ppm
+            FROM p
+        """,
         "events_value_mad": """
             WITH b AS (
                 SELECT event_type,

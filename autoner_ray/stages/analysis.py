@@ -2260,3 +2260,101 @@ def zipf_fit(docs_ds, top_n: int = 1000):
         .repartition(1)
         .map_batches(fit, batch_format="pandas", batch_size=None)
     )
+
+
+def rare_word_ratio(docs_ds, max_count: int = 2):
+    """Per-document RARE-token ratio (ppm of tokens whose corpus
+    frequency is <= ``max_count``) — the OOV/noise curation signal
+    (high ratio flags gibberish, boilerplate hashes, OCR junk).
+
+    Two passes: (1) corpus word counts via the key-distributed
+    combine, filtered to the rare tail and broadcast once via
+    ``ray.put`` (the rare SET is vocab-scale — at 10^8+ vocab swap the
+    broadcast for a Bloom prefilter + cogroup join, same policy as the
+    semi-join op); (2) a streamed vectorized ``is_in`` per doc.
+    All-integer output (ppm by integer division), hash-exact."""
+    import ray
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        flat = pc.split_pattern(txt, pattern=" ").flatten()
+        keep = pc.not_equal(flat, "")
+        agg = (
+            pa.table({"word": flat.filter(keep)})
+            .group_by("word")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["word", "c"])
+
+    counts = partitioned_key_sum(
+        docs_ds.map_batches(word_partial, batch_format="pyarrow"),
+        ["word"], ["c"], part_on=("word",),
+    )
+
+    def rare_only(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"word": pa.array([], pa.string())})
+        return t.filter(
+            pc.less_equal(t["c"], pa.scalar(max_count))
+        ).select(["word"])
+
+    rare_words = pa.concat_tables(
+        ray.get(
+            counts.map_batches(
+                rare_only, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+    )["word"].combine_chunks()
+    rare_ref = ray.put(rare_words)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "rare_ppm": pa.array([], pa.int64()),
+                }
+            )
+        rare = ray.get(rare_ref)
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        words = pc.split_pattern(txt, pattern=" ")
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        nonempty = pc.not_equal(flat, "")
+        is_rare = pc.and_(pc.is_in(flat, value_set=rare), nonempty)
+        doc_ix = np.repeat(np.arange(len(t)), n_per)
+        n_words = np.bincount(
+            doc_ix,
+            weights=nonempty.to_numpy(zero_copy_only=False),
+            minlength=len(t),
+        ).astype(np.int64)
+        n_rare = np.bincount(
+            doc_ix,
+            weights=is_rare.to_numpy(zero_copy_only=False),
+            minlength=len(t),
+        ).astype(np.int64)
+        ppm = np.where(
+            n_words > 0, n_rare * 1_000_000 // np.maximum(n_words, 1), 0
+        ).astype(np.int64)
+        keep = n_words > 0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_words": pa.array(n_words[keep], pa.int64()),
+                "rare_ppm": pa.array(ppm[keep], pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(per_doc, batch_format="pyarrow")

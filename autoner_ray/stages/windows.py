@@ -804,3 +804,62 @@ def user_streaks_oracle_sql() -> str:
                CAST(SUM(len) AS BIGINT) AS n_active_days
         FROM g GROUP BY user_id
     """
+
+
+def seasonality_profile(events_ds):
+    """Seasonality: (day-of-week, hour-of-day) event count and value
+    sum across the whole span — the load/traffic heatmap profile.
+    168 keys, so the tail is the shuffle-free two-level combine; dow
+    follows DuckDB's Sunday=0 convention."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "dow": pa.array([], pa.int64()),
+                    "hour_of_day": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        ts = t["ts"].combine_chunks()
+        # arrow day_of_week: Monday=0 -> DuckDB dayofweek: Sunday=0
+        dow_np = (
+            pc.day_of_week(ts).to_numpy(zero_copy_only=False) + 1
+        ) % 7
+        dow = pa.array(dow_np, pa.int64())
+        hod = pc.hour(ts)
+        tt = _value_cents(t)
+        agg = (
+            pa.table(
+                {
+                    "dow": dow,
+                    "hour_of_day": pc.cast(hod, pa.int64()),
+                    "value_cents": tt["value_cents"],
+                }
+            )
+            .group_by(["dow", "hour_of_day"])
+            .aggregate([("value_cents", "count"), ("value_cents", "sum")])
+        )
+        return agg.rename_columns(["dow", "hour_of_day", "n", "cents"])
+
+    agg = bounded_key_sum(
+        events_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["dow", "hour_of_day"], ["n", "cents"],
+    )
+    return agg.map_batches(_cents_col_to_value, batch_format="pyarrow")
+
+
+def seasonality_profile_oracle_sql() -> str:
+    return """
+        SELECT dayofweek(ts) AS dow, hour(ts) AS hour_of_day,
+               COUNT(*) AS n,
+               SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) / 100.0
+                   AS sum_value
+        FROM events GROUP BY 1, 2
+    """
