@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])
         ),
         "nation_revenue": relational.nation_revenue,
+        "order_ship_delay_hist": relational.order_ship_delay_hist,
         "events_type_transitions": lambda sf: windows.type_transitions(
             _events(sf)
         ),
@@ -2112,6 +2113,13 @@ def oracle_sql() -> dict[str, str]:
                    m.med2 / 200.0 AS median_value,
                    s.mad2 / 200.0 AS mad_value
             FROM m JOIN s USING (event_type)
+        """,
+        "order_ship_delay_hist": """
+            SELECT date_diff('day', o.o_orderdate, l.l_shipdate)
+                       AS delay_days,
+                   COUNT(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
         """,
         "nation_revenue": f"""
             SELECT n.n_name, SUM({_REV_CENTS}) / 100.0 AS revenue

@@ -991,3 +991,103 @@ def nation_revenue(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def order_ship_delay_hist(sf_dir: str, broadcast_max_rows: int = 5_000_000):
+    """Histogram of shipping delay in calendar days (l_shipdate vs the
+    order's o_orderdate) — the fulfillment-latency distribution, a
+    date-arithmetic join profile.
+
+    Scale shape: same TIERED orderkey resolution as
+    ``_customer_revenue_partials`` — a sorted (orderkey -> orderdate)
+    broadcast under ``broadcast_max_rows``, the large-large cogroup
+    join above; delays are bounded small integers, so the tail is the
+    shuffle-free bounded combine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    US_PER_DAY = 86_400_000_000
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= broadcast_max_rows:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        okeys = ot["o_orderkey"].to_numpy()
+        ix = np.argsort(okeys, kind="stable")
+        odays = (
+            ot["o_orderdate"].cast(pa.int64()).to_numpy() // US_PER_DAY
+        )
+        lookup_ref = ray.put((okeys[ix], odays[ix]))
+
+        def delay_partial(t: pa.Table) -> pa.Table:
+            keys, days = ray.get(lookup_ref)
+            lkeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return pa.table(
+                    {
+                        "delay_days": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            pos = np.clip(np.searchsorted(keys, lkeys), 0, len(keys) - 1)
+            hit = keys[pos] == lkeys  # inner-join semantics
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64())
+                .to_numpy() // US_PER_DAY
+            )
+            delay = (ship - days[pos])[hit]
+            agg = (
+                pa.table({"delay_days": pa.array(delay, pa.int64())})
+                .group_by("delay_days")
+                .aggregate([([], "count_all")])
+            )
+            return agg.rename_columns(["delay_days", "n"])
+
+        partials = line.map_batches(
+            delay_partial, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        from autoner_ray.stages.joins import cogroup_join
+
+        orders = _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+        ).map_batches(
+            lambda t: pa.table(
+                {"l_orderkey": t["o_orderkey"],
+                 "o_orderdate": t["o_orderdate"]}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = cogroup_join(line, orders, on=("l_orderkey",))
+
+        def delay_partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {
+                        "delay_days": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64())
+                .to_numpy() // US_PER_DAY
+            )
+            od = (
+                t["o_orderdate"].combine_chunks().cast(pa.int64())
+                .to_numpy() // US_PER_DAY
+            )
+            agg = (
+                pa.table({"delay_days": pa.array(ship - od, pa.int64())})
+                .group_by("delay_days")
+                .aggregate([([], "count_all")])
+            )
+            return agg.rename_columns(["delay_days", "n"])
+
+        partials = joined.map_batches(delay_partial, batch_format="pyarrow")
+
+    return bounded_key_sum(partials, ["delay_days"], ["n"])

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 128 and len(sqls) == 110
+    assert len(qs) == 129 and len(sqls) == 111
     import subprocess
     import sys
 
