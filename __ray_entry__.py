@@ -486,6 +486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         # --- oracle-backed: embeddings / similarity ----------------------
         "embeddings_label_counts": embeddings_label_counts,
+        "embedding_label_centroids": lambda sf: (
+            similarity.label_centroids(_emb(sf))
+        ),
         "knn_cosine": knn_cosine,
         "embedding_neardup": lambda sf: similarity.embedding_neardup(
             _emb(sf), threshold=0.4
@@ -1747,6 +1750,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embeddings_label_counts": """
             SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        """,
+        "embedding_label_centroids": """
+            WITH e AS (
+                SELECT label, t.i AS dim,
+                       CAST(floor(
+                           CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5
+                       ) AS BIGINT) AS q
+                FROM embeddings,
+                     UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            )
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_micro
+            FROM e GROUP BY label, dim
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -323,3 +323,70 @@ def pca_project(emb_ds, n_components: int = 8):
         )
 
     return emb_ds.map_batches(project, batch_format="pyarrow")
+
+
+def label_centroids(emb_ds):
+    """Per-label centroid of the embedding column — the vector-column
+    aggregate (class prototypes for nearest-centroid classification /
+    cluster-balanced sampling). Output: one row per (label, dim) with
+    the exact count and 6-dp mean component.
+
+    Determinism: each float32 component widens exactly to float64 and
+    quantizes to integer MICRO units before any summation, so the
+    distributed sum is order-independent and hash-exact vs the SQL
+    twin (labels × dims is bounded, so the tail is the shuffle-free
+    two-level combine)."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int32()),
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        emb = t["embedding"].combine_chunks()
+        mat = np.asarray(emb.to_pylist(), dtype=np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        n_rows, d = q.shape
+        labels = np.repeat(
+            t["label"].to_numpy(zero_copy_only=False), d
+        )
+        dims = np.tile(np.arange(1, d + 1, dtype=np.int64), n_rows)
+        part = pa.table(
+            {
+                "label": pa.array(labels, pa.int32()),
+                "dim": pa.array(dims, pa.int64()),
+                "n": pa.array(np.ones(n_rows * d, np.int64)),
+                "q": pa.array(q.ravel(), pa.int64()),
+            }
+        )
+        agg = part.group_by(["label", "dim"]).aggregate(
+            [("n", "sum"), ("q", "sum")]
+        )
+        return agg.rename_columns(["label", "dim", "n", "q"])
+
+    agg = bounded_key_sum(
+        emb_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=4096
+        ),
+        ["label", "dim"], ["n", "q"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # exact integer micro-sum (no float rounding-mode hazards —
+        # mean rationals land exactly on round-half boundaries);
+        # mean = sum_micro / 1e6 / n, derived by the consumer
+        return pa.table(
+            {
+                "label": t["label"],
+                "dim": t["dim"],
+                "n": t["n"],
+                "sum_micro": t["q"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
