@@ -1,0 +1,142 @@
+"""Brute-force equivalence tests for the round-4 late window/stat
+kernels: OHLC witness merge, PPS weighted systematic selection,
+grouped median-absolute-deviation, day-streak islands."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events_table(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        rng.integers(0, 96 * 3600, n), unit="s"
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, 9, n).astype(np.int64)),
+            "event_type": pa.array(
+                [f"t{i}" for i in rng.integers(0, 3, n)], pa.string()
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(-50, 50, n), 2), pa.float64()
+            ),
+        }
+    )
+
+
+def test_hourly_ohlc_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from autoner_ray.stages.windows import hourly_ohlc
+
+    t = _events_table()
+    # many small blocks so the mergeable witness path actually merges
+    got = (
+        hourly_ohlc(rd.from_arrow(t).repartition(13))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+
+    df = t.to_pandas().sort_values(["ts", "event_id"])
+    df["hour"] = df["ts"].dt.floor("h")
+    df["cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    g = df.groupby("hour")
+    want = pd.DataFrame(
+        {
+            "hour": pd.Series(
+                list(g.groups.keys()), dtype="datetime64[us]"
+            ),
+            "open_value": g["cents"].first().values / 100.0,
+            "high_value": g["cents"].max().values / 100.0,
+            "low_value": g["cents"].min().values / 100.0,
+            "close_value": g["cents"].last().values / 100.0,
+            "n": g.size().values.astype(np.int64),
+        }
+    ).sort_values("hour").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_weighted_systematic_select_matches_sequential(ray_session):
+    import ray.data as rd
+
+    from autoner_ray.stages.ranking import weighted_systematic_select
+
+    rng = np.random.default_rng(3)
+    n, k = 1000, 37
+    keys = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 50, n).astype(np.int64)
+    t = pa.table({"doc_id": keys, "n_chars": w})
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_systematic_select(
+            rd.from_arrow(t).repartition(11),
+            key_col="doc_id", weight_col="n_chars", k=k,
+        ).take_all()
+    )
+    cum = np.cumsum(w)
+    W = int(cum[-1])
+    keep = (cum * k) // W > ((cum - w) * k) // W
+    want = sorted(keys[keep].tolist())
+    assert got == want and len(got) == k
+
+
+def test_grouped_mad_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from autoner_ray.stages.stats import grouped_mad
+
+    t = _events_table(n=801, seed=11)
+    got = {
+        r["event_type"]: (r["median_value"], r["mad_value"])
+        for r in grouped_mad(
+            rd.from_arrow(t).repartition(7),
+            key="event_type", value_col="value",
+        ).take_all()
+    }
+    df = t.to_pandas()
+    df["v2"] = 2 * np.floor(df["value"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    for et, g in df.groupby("event_type"):
+        med2 = np.quantile(g["v2"].to_numpy(), 0.5, method="linear")
+        mad2 = np.quantile(
+            np.abs(g["v2"].to_numpy() - med2), 0.5, method="linear"
+        )
+        gm, gd = got[et]
+        assert gm == med2 / 200.0
+        assert gd == mad2 / 200.0
+
+
+def test_user_streaks_islands(ray_session):
+    import ray.data as rd
+
+    from autoner_ray.stages.windows import user_streaks
+
+    # user 1: days 0,1,2, 5,6 -> longest 3 of 5; user 2: day 10 only
+    days = [0, 1, 1, 2, 5, 6, 10]
+    users = [1, 1, 1, 1, 1, 1, 2]
+    ts = pd.Timestamp("2026-03-01") + pd.to_timedelta(days, unit="D")
+    t = pa.table(
+        {
+            "event_id": pa.array(
+                np.arange(len(days), dtype=np.int64)
+            ),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(np.array(users, np.int64)),
+            "event_type": pa.array(["x"] * len(days), pa.string()),
+            "value": pa.array([1.0] * len(days), pa.float64()),
+        }
+    )
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_active_days"])
+        for r in user_streaks(rd.from_arrow(t)).take_all()
+    }
+    assert got == {1: (3, 5), 2: (1, 1)}
