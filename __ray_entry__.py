@@ -614,6 +614,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_lang_rollup": lambda sf: analysis.source_lang_rollup(
             _docs(sf, ["source", "lang", "n_chars"])
         ),
+        "events_new_users_daily": lambda sf: windows.new_users_daily(
+            _events(sf)
+        ),
+        "embedding_grid_histogram": lambda sf: similarity.grid_histogram(
+            _emb(sf)
+        ),
+        "docs_lang_hot_ngrams": lambda sf: webtext.lang_hot_ngrams(
+            _docs(sf, ["doc_id", "lang", "text"])
+        ),
+        "q3_shipping_priority": relational.q3_shipping_priority,
     }
 
 
@@ -769,8 +779,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from autoner_ray.stages import analysis as analysis_mod
     from autoner_ray.stages import asof as asof_mod
+    from autoner_ray.stages import similarity as similarity_mod
     from autoner_ray.stages import sketches as sketches_mod
     from autoner_ray.stages import webtext
+    from autoner_ray.stages import webtext as webtext_mod
     from autoner_ray.stages import windows as windows_mod
 
     dict_values = unigram_dict_sql_values()
@@ -2152,6 +2164,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_lang_pivot": (
             analysis_mod.source_lang_pivot_oracle_sql()
         ),
+        "events_new_users_daily": (
+            windows_mod.new_users_daily_oracle_sql()
+        ),
+        "embedding_grid_histogram": (
+            similarity_mod.grid_histogram_oracle_sql()
+        ),
+        "docs_lang_hot_ngrams": (
+            webtext_mod.lang_hot_ngrams_oracle_sql()
+        ),
+        "q3_shipping_priority": f"""
+            SELECT l.l_orderkey,
+                   SUM({_REV_CENTS}) / 100.0 AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -1091,3 +1091,245 @@ def order_ship_delay_hist(sf_dir: str, broadcast_max_rows: int = 5_000_000):
         partials = joined.map_batches(delay_partial, batch_format="pyarrow")
 
     return bounded_key_sum(partials, ["delay_days"], ["n"])
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10,
+                         broadcast_max_rows: int = 5_000_000):
+    """TPC-H Q3 shape (ref semantics: the classic 3-way
+    customer⋈orders⋈lineitem date-split join): top-``k`` unshipped
+    orders by revenue among ``segment`` customers — orders placed
+    before ``cutoff`` with lineitems shipping after it.
+
+    Scale shape: the customer segment filter broadcasts as a sorted
+    custkey array (|customers|·1/5, always the small side); surviving
+    orders take the same TIERED resolution as
+    ``_customer_revenue_partials`` — a sorted orderkey->attrs broadcast
+    under ``broadcast_max_rows`` (date filter applied BEFORE the
+    broadcast, so the shipped side shrinks first), a large-large
+    cogroup join above. Revenue partials combine per batch in exact
+    int cents, hash-partition on orderkey, then partition-local top-k
+    and one tiny merge block — the order table never sorts globally.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    cutoff_us = (
+        np.datetime64(cutoff, "us").astype(np.int64)
+    )
+
+    ct = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = np.sort(
+        ct["c_custkey"].to_numpy()[
+            np.asarray(ct["c_mktsegment"].to_numpy(zero_copy_only=False))
+            == segment
+        ]
+    )
+    seg_ref = ray.put(seg_keys)
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def ship_filter(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy()
+        return t.filter(pa.array(ship > cutoff_us))
+
+    line = line.map_batches(
+        ship_filter, batch_format="pyarrow", batch_size=65536
+    )
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= broadcast_max_rows:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"],
+        )
+        odate = ot["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy()
+        okeys = ot["o_orderkey"].to_numpy()
+        seg = seg_keys[
+            np.clip(
+                np.searchsorted(seg_keys, ot["o_custkey"].to_numpy()),
+                0, max(len(seg_keys) - 1, 0),
+            )
+        ] == ot["o_custkey"].to_numpy() if len(seg_keys) else (
+            np.zeros(len(okeys), bool)
+        )
+        keep = (odate < cutoff_us) & seg
+        ix = np.argsort(okeys[keep], kind="stable")
+        lookup_ref = ray.put(
+            (
+                okeys[keep][ix],
+                odate[keep][ix],
+                np.asarray(
+                    ot["o_orderpriority"].to_numpy(zero_copy_only=False)
+                )[keep][ix],
+            )
+        )
+
+        def rev_partial(t: pa.Table) -> pa.Table:
+            keys, dates, pris = ray.get(lookup_ref)
+            empty = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate_us": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_columns == 0 or len(t) == 0 or len(keys) == 0:
+                return empty
+            lkeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, lkeys), 0, len(keys) - 1)
+            hit = keys[pos] == lkeys  # inner-join semantics
+            cents = _rev_cents(
+                t["l_extendedprice"].combine_chunks(),
+                t["l_discount"].combine_chunks(),
+            ).to_numpy()[hit]
+            agg = (
+                pa.table(
+                    {
+                        "l_orderkey": pa.array(lkeys[hit], pa.int64()),
+                        "o_orderdate_us": pa.array(
+                            dates[pos][hit], pa.int64()
+                        ),
+                        "o_orderpriority": pa.array(
+                            pris[pos][hit], pa.string()
+                        ),
+                        "cents": pa.array(cents, pa.int64()),
+                    }
+                )
+                .group_by(
+                    ["l_orderkey", "o_orderdate_us", "o_orderpriority"]
+                )
+                .aggregate([("cents", "sum")])
+            )
+            return agg.rename_columns(
+                ["l_orderkey", "o_orderdate_us", "o_orderpriority",
+                 "cents"]
+            )
+
+        partials = line.map_batches(
+            rev_partial, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        from autoner_ray.stages.joins import cogroup_join
+
+        def order_filter(t: pa.Table) -> pa.Table:
+            keys = ray.get(seg_ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            odate = t["o_orderdate"].combine_chunks().cast(
+                pa.timestamp("us")
+            ).cast(pa.int64()).to_numpy()
+            if len(keys):
+                pos = np.clip(
+                    np.searchsorted(keys, ck), 0, len(keys) - 1
+                )
+                seg = keys[pos] == ck
+            else:
+                seg = np.zeros(len(ck), bool)
+            keep = pa.array(seg & (odate < cutoff_us))
+            t = t.filter(keep)
+            return pa.table(
+                {
+                    "l_orderkey": t["o_orderkey"],
+                    "o_orderdate_us": t["o_orderdate"].combine_chunks()
+                    .cast(pa.timestamp("us")).cast(pa.int64()),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            )
+
+        orders = _read(
+            sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(order_filter, batch_format="pyarrow")
+        joined = cogroup_join(line, orders, on=("l_orderkey",))
+
+        def rev_partial(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate_us": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_columns == 0 or len(t) == 0:
+                return empty
+            cents = _rev_cents(
+                t["l_extendedprice"].combine_chunks(),
+                t["l_discount"].combine_chunks(),
+            )
+            agg = (
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "o_orderdate_us": t["o_orderdate_us"],
+                        "o_orderpriority": t["o_orderpriority"],
+                        "cents": cents,
+                    }
+                )
+                .group_by(
+                    ["l_orderkey", "o_orderdate_us", "o_orderpriority"]
+                )
+                .aggregate([("cents", "sum")])
+            )
+            return agg.rename_columns(
+                ["l_orderkey", "o_orderdate_us", "o_orderpriority",
+                 "cents"]
+            )
+
+        partials = joined.map_batches(rev_partial, batch_format="pyarrow")
+
+    per_order = partitioned_key_sum(
+        partials,
+        ["l_orderkey", "o_orderdate_us", "o_orderpriority"], ["cents"],
+        part_on=("l_orderkey",),
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        if "cents" in t.column_names:  # first (per-partition) pass
+            t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "revenue": pc.divide(
+                        pc.cast(t["cents"], pa.float64()),
+                        pa.scalar(100.0),
+                    ),
+                    "o_orderdate": t["o_orderdate_us"].combine_chunks()
+                    .cast(pa.timestamp("us")),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("revenue", "descending"),
+                       ("l_orderkey", "ascending")],
+        )
+        return t.take(order[:k])
+
+    return (
+        per_order.map_batches(topk, batch_format="pyarrow",
+                              batch_size=None)
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )

@@ -128,3 +128,61 @@ def partitioned_key_sum(ds, keys: list[str], sum_cols: list[str],
         .groupby("__part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def partitioned_key_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
+                        part_on: tuple[str, ...] | None = None,
+                        num_partitions: int | None = None,
+                        coalesce_rows: int = 65536):
+    """Generalization of :func:`partitioned_key_sum` to any
+    RE-ASSOCIATIVE arrow hash aggregate — ``aggs`` is
+    ``[(col, "min"|"max"|"sum"), ...]`` (fns where agg(agg(a), agg(b))
+    == agg(a ∪ b); "count"/"mean" are NOT — pre-reduce those to sum
+    partials first). Same two-level shape: per-batch partial combine ->
+    stable hash partition on ``part_on`` -> per-partition final
+    combine; exactly one row per key globally, never key-set-sized on
+    the driver. Input blocks must carry the real schema when empty
+    (zero-COLUMN blocks get a string-key/int64-value synth, the
+    ``bounded_key_sum`` contract)."""
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = num_partitions or default_num_partitions()
+    part_on = tuple(part_on or keys)
+    val_cols = [c for c, _ in aggs]
+    out_names = list(keys) + val_cols
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {k: pa.array([], pa.string()) for k in keys}
+            | {c: pa.array([], pa.int64()) for c in val_cols}
+        )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        return (
+            t.select(out_names)
+            .group_by(keys)
+            .aggregate(aggs)
+            .rename_columns(out_names)
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            t = _empty()
+        agg = _combine(t)
+        return agg.append_column(
+            "__part", _stable_part_col(agg, part_on, P)
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _empty()
+        return _combine(t)
+
+    return (
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=coalesce_rows
+        )
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -390,3 +390,70 @@ def label_centroids(emb_ds):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grid_histogram(emb_ds, cell: float = 0.25):
+    """2-D spatial histogram over the first two embedding dimensions:
+    (floor(x/cell), floor(y/cell)) -> count — the density-grid /
+    hexbin-style profile used to eyeball an embedding space before
+    clustering, and the bucketing primitive behind grid-blocked
+    similarity search.
+
+    ``cell`` must be a power of two (0.25 -> multiply by 4.0): scaling
+    by a power of two only shifts the FP exponent, so numpy and the SQL
+    twin bin identically at cell boundaries even for float32 inputs.
+
+    Scale shape: per-batch vectorized bin + count partials (zero-copy
+    flatten of the list column, no per-row Python) -> shuffle-free
+    bounded combine (grid cells are data-bounded, ~|range/cell|²).
+    """
+    inv = 1.0 / cell
+    assert inv == int(inv) and (int(inv) & (int(inv) - 1)) == 0, cell
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "gx": pa.array([], pa.int64()),
+                    "gy": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        col = t["embedding"].combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        dim = len(flat) // len(t)
+        mat = flat.reshape(len(t), dim)
+        gx = np.floor(mat[:, 0] * inv).astype(np.int64)
+        gy = np.floor(mat[:, 1] * inv).astype(np.int64)
+        agg = (
+            pa.table(
+                {
+                    "gx": pa.array(gx, pa.int64()),
+                    "gy": pa.array(gy, pa.int64()),
+                }
+            )
+            .group_by(["gx", "gy"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["gx", "gy", "n"])
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    return bounded_key_sum(
+        emb_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=8192
+        ),
+        ["gx", "gy"], ["n"],
+    )
+
+
+def grid_histogram_oracle_sql(cell: float = 0.25) -> str:
+    inv = int(1.0 / cell)
+    return f"""
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * {inv}) AS BIGINT)
+                   AS gx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * {inv}) AS BIGINT)
+                   AS gy,
+               COUNT(*) AS n
+        FROM embeddings GROUP BY 1, 2
+    """

@@ -279,3 +279,108 @@ def pii_scrub_batch(
     cols = {c: batch[c] for c in batch.column_names}
     cols["text"] = text
     return pa.table(cols)
+
+
+def lang_hot_ngrams(docs_ds, n: int = 3, min_df: int = 2, k: int = 10):
+    """Per-LANGUAGE boilerplate profile: for each language, the top-``k``
+    word ``n``-grams by total occurrences among grams in ≥ ``min_df``
+    docs of that language (ties lexicographic) — the grouped variant of
+    :func:`hot_ngrams`, i.e. grouped top-k over an unbounded key space
+    (the CCNet per-language boilerplate pass).
+
+    Scale shape: per-batch (lang, gram) partials -> GRAM-partitioned
+    combine (partitioning on the gram subset co-locates the full key
+    while spreading each language's vocab across all partitions — a
+    dominant language can't hot-spot) -> per-block per-language top-k
+    (≤ |langs|·k rows per block) -> one tiny merge block.
+    """
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "gram": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+                "docs": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        grams = _gram_frame(_exploded(batch["text"].to_pylist()), n)
+        if grams.empty:
+            return empty
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        grams["lang"] = langs[grams["i"].to_numpy()]
+        agg = grams.groupby(["lang", "g"], sort=False)["i"].agg(
+            ["size", "nunique"]
+        )
+        ix = agg.index
+        return pa.table(
+            {
+                "lang": pa.array(ix.get_level_values(0), pa.string()),
+                "gram": pa.array(ix.get_level_values(1), pa.string()),
+                "occ": pa.array(agg["size"].to_numpy(), pa.int64()),
+                "docs": pa.array(agg["nunique"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = partitioned_key_sum(
+        docs_ds.map_batches(gram_partial, batch_format="pyarrow"),
+        ["lang", "gram"], ["occ", "docs"], part_on=("gram",),
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "gram": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        df.columns = ["lang", "gram", "n_occurrences", "n_docs"]
+        df = df[df["n_docs"] >= min_df]
+        df = df.sort_values(
+            ["lang", "n_occurrences", "gram"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        agg.map_batches(topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def lang_hot_ngrams_oracle_sql(n: int = 3, min_df: int = 2,
+                               k: int = 10) -> str:
+    return f"""
+        WITH ws AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang,
+                   array_to_string(ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+{n - 1}], ' ') AS gram
+            FROM ws, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+        ),
+        agg AS (
+            SELECT lang, gram, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM g GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY n_occurrences DESC, gram
+            ) AS rn
+            FROM agg WHERE n_docs >= {min_df}
+        )
+        SELECT lang, gram, n_occurrences, n_docs FROM r WHERE rn <= {k}
+    """

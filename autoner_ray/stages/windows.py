@@ -863,3 +863,103 @@ def seasonality_profile_oracle_sql() -> str:
                    AS sum_value
         FROM events GROUP BY 1, 2
     """
+
+
+def new_users_daily(events_ds):
+    """Daily new-user counts plus the cumulative adoption curve: each
+    user's FIRST event day -> per-day counts -> running total (the
+    GROUP BY -> window SUM composition over a first-seen reduce).
+
+    Scale shape: per-batch (user, min-ts) partials -> USER-partitioned
+    min combine (first-seen is re-associative; partitioning by user
+    rather than day means a launch-day user spike can't hot-spot one
+    partition) -> shuffle-free bounded day combine -> one tiny
+    day-cardinality block for the running sum.
+    """
+    import numpy as np
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_us": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "first_us": pc.cast(
+                        t["ts"].combine_chunks(), pa.int64()
+                    ),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("first_us", "min")])
+        )
+        return agg.rename_columns(["user_id", "first_us"])
+
+    first_seen = partitioned_key_agg(
+        events_ds.map_batches(
+            first_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["user_id"], [("first_us", "min")], part_on=("user_id",),
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "new_users": pa.array([], pa.int64()),
+                }
+            )
+        day = pc.floor_temporal(
+            pc.cast(t["first_us"].combine_chunks(), pa.timestamp("us")),
+            unit="day",
+        )
+        agg = (
+            pa.table({"day": day})
+            .group_by("day")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["day", "new_users"])
+
+    daily = bounded_key_sum(
+        first_seen.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], ["new_users"],
+    )
+
+    def running(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t["day"]))
+        cum = np.cumsum(t["new_users"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "cum_users", pa.array(cum, pa.int64())
+        )
+
+    # single block by construction after bounded_key_sum
+    return daily.map_batches(
+        running, batch_format="pyarrow", batch_size=None
+    )
+
+
+def new_users_daily_oracle_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+        ), c AS (
+            SELECT date_trunc('day', first_ts) AS day,
+                   COUNT(*) AS new_users
+            FROM f GROUP BY 1
+        )
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_users
+        FROM c
+    """

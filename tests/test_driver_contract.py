@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 130 and len(sqls) == 112
+    assert len(qs) == 134 and len(sqls) == 116
     import subprocess
     import sys
 
