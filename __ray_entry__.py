@@ -624,6 +624,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "lang", "text"])
         ),
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "kg_clustering_coeff": lambda sf: kg.unigram_clustering_coeff(
+            sf
+        ),
     }
 
 
@@ -2173,6 +2176,32 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_hot_ngrams": (
             webtext_mod.lang_hot_ngrams_oracle_sql()
         ),
+        "kg_clustering_coeff": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            tri AS (
+                SELECT p1.subj AS a, p1.obj AS b, p2.obj AS c
+                FROM pairs p1
+                JOIN pairs p2 ON p2.subj = p1.obj
+                JOIN pairs p3 ON p3.subj = p1.subj AND p3.obj = p2.obj
+            ),
+            tcnt AS (
+                SELECT entity, COUNT(*) AS triangles FROM (
+                    SELECT a AS entity FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY entity
+            ),
+            deg AS (
+                SELECT src AS entity, COUNT(*) AS deg
+                FROM bidir GROUP BY 1
+            )
+            SELECT d.entity, d.deg,
+                   COALESCE(t.triangles, 0) AS triangles,
+                   CAST(COALESCE(t.triangles, 0) * 2000000
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+            FROM deg d LEFT JOIN tcnt t USING (entity)
+            WHERE d.deg >= 2
+        """,
         "q3_shipping_priority": f"""
             SELECT l.l_orderkey,
                    SUM({_REV_CENTS}) / 100.0 AS revenue,

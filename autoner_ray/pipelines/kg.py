@@ -789,3 +789,13 @@ def unigram_typed_edge_filter(sf_dir: str, subj_type="Operator",
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return unigram_triples(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def unigram_clustering_coeff(sf_dir: str):
+    """Per-entity local clustering coefficient (integer ppm) over the
+    unigram co-occurrence graph — the triangle/wedge ratio that ranks
+    how clique-like each entity's neighborhood is (oracle: the
+    triangle three-way self-join left-joined onto degrees)."""
+    from autoner_ray.stages.graph import clustering_coeff
+
+    return clustering_coeff(unigram_triples(sf_dir))

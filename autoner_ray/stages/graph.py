@@ -865,3 +865,65 @@ def adamic_adar(edges_ds):
     return partitioned_key_sum(
         partials, ["a", "b"], ["n_common", "aa_micro"], part_on=("a",)
     )
+
+
+def clustering_coeff(edges_ds, num_partitions: int | None = None):
+    """Per-entity LOCAL CLUSTERING COEFFICIENT over the undirected
+    unique-pair edge list: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for
+    deg ≥ 2, reported as integer ppm (floor) so the engine and the SQL
+    twin agree bit-for-bit — no float division on either side.
+
+    Scale shape: triangles come from :func:`triangle_counts` (degree-
+    oriented wedge semi-join, O(m^1.5) wedges); degrees are one more
+    bounded-key combine over the same edge stream. Both tails are
+    entity-vocabulary-bounded (SURVEY §9), so the final left-merge and
+    ppm arithmetic run in a single small block.
+    """
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    tri = triangle_counts(edges_ds, num_partitions=num_partitions)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64())})
+        ents = pa.concat_arrays(
+            [pc.cast(t["subj"], pa.string()).combine_chunks(),
+             pc.cast(t["obj"], pa.string()).combine_chunks()]
+        )
+        vc = ents.value_counts()
+        return pa.table({"entity": vc.field("values"),
+                         "deg": pc.cast(vc.field("counts"), pa.int64())})
+
+    deg = bounded_key_sum(
+        edges_ds.select_columns(["subj", "obj"]).map_batches(
+            deg_partial, batch_format="pyarrow"
+        ),
+        ["entity"], ["deg"],
+    )
+
+    # works for both the Dataset and the empty-graph pa.Table return
+    tri_df = tri.to_pandas()  # vocab-bounded collect (pagerank contract)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["deg"] >= 2]
+        merged = df.merge(tri_df, on="entity", how="left")
+        T = merged["triangles"].fillna(0).to_numpy(np.int64)
+        d = merged["deg"].to_numpy(np.int64)
+        ppm = (T * 2_000_000) // (d * (d - 1))
+        return pa.table(
+            {
+                "entity": pa.array(merged["entity"], pa.string()),
+                "deg": pa.array(d, pa.int64()),
+                "triangles": pa.array(T, pa.int64()),
+                "cc_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    # deg is a single block after bounded_key_sum's final combine;
+    # tri_df is vocab-bounded (the pagerank-tail collect contract)
+    return deg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 134 and len(sqls) == 116
+    assert len(qs) == 135 and len(sqls) == 117
     import subprocess
     import sys
 
