@@ -1,0 +1,184 @@
+"""Brute-force equivalence pins for the late round-4 operators:
+partitioned_key_agg (re-associative min across split batches),
+new_users_daily, lang_hot_ngrams, grid_histogram, clustering_coeff."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_key_agg_min_across_blocks(ray_session):
+    """Min combine must be exact when one key's rows are split across
+    many input blocks (the re-association contract)."""
+    import ray
+
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50, size=2000)
+    vals = rng.integers(-10**9, 10**9, size=2000)
+    tables = [
+        pa.table(
+            {
+                "k": pa.array(keys[i:i + 100], pa.int64()),
+                "v": pa.array(vals[i:i + 100], pa.int64()),
+            }
+        )
+        for i in range(0, 2000, 100)
+    ]
+    ds = ray.data.from_arrow(tables)
+    got = (
+        partitioned_key_agg(ds, ["k"], [("v", "min")], part_on=("k",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k", as_index=False)["v"]
+        .min()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_new_users_daily_bruteforce(ray_session):
+    import ray
+
+    from autoner_ray.stages.windows import new_users_daily
+
+    events = pd.read_parquet(f"{SF}/events.parquet")
+    got = new_users_daily(
+        ray.data.read_parquet(f"{SF}/events.parquet")
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+
+    first = events.groupby("user_id")["ts"].min().dt.floor("D")
+    want = (
+        first.value_counts().sort_index().rename("new_users").to_frame()
+    )
+    want["cum_users"] = want["new_users"].cumsum()
+    want = want.reset_index(names="day")
+    pd.testing.assert_frame_equal(
+        got, want.astype({"new_users": "int64", "cum_users": "int64"})
+    )
+
+
+def test_lang_hot_ngrams_bruteforce(ray_session):
+    import ray
+
+    from autoner_ray.stages.webtext import lang_hot_ngrams
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    n, min_df, k = 3, 2, 10
+    got = lang_hot_ngrams(
+        ray.data.read_parquet(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "lang", "text"],
+        ),
+        n=n, min_df=min_df, k=k,
+    ).to_pandas()
+
+    rows = []
+    for _, r in docs.iterrows():
+        ws = (r["text"] or "").split(" ")
+        for i in range(len(ws) - n + 1):
+            rows.append((r["lang"], " ".join(ws[i:i + n]), r["doc_id"]))
+    df = pd.DataFrame(rows, columns=["lang", "gram", "doc_id"])
+    agg = (
+        df.groupby(["lang", "gram"])
+        .agg(n_occurrences=("doc_id", "size"), n_docs=("doc_id", "nunique"))
+        .reset_index()
+    )
+    agg = agg[agg["n_docs"] >= min_df]
+    agg = agg.sort_values(
+        ["lang", "n_occurrences", "gram"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    want = agg.groupby("lang", sort=False).head(k).reset_index(drop=True)
+
+    key = ["lang", "gram", "n_occurrences", "n_docs"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_occurrences": "int64", "n_docs": "int64"}), want
+    )
+
+
+def test_grid_histogram_bruteforce(ray_session):
+    import ray
+
+    from autoner_ray.stages.similarity import grid_histogram
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    got = (
+        grid_histogram(ray.data.read_parquet(f"{SF}/embeddings.parquet"))
+        .to_pandas()
+        .sort_values(["gx", "gy"])
+        .reset_index(drop=True)
+    )
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    want = (
+        pd.DataFrame(
+            {
+                "gx": np.floor(mat[:, 0] * 4).astype(np.int64),
+                "gy": np.floor(mat[:, 1] * 4).astype(np.int64),
+            }
+        )
+        .value_counts()
+        .rename("n")
+        .reset_index()
+        .sort_values(["gx", "gy"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"n": "int64"}))
+
+
+def test_clustering_coeff_bruteforce(ray_session):
+    """cc_ppm against a dense-adjacency numpy reference on a small
+    random graph."""
+    import ray
+
+    from autoner_ray.stages.graph import clustering_coeff
+
+    rng = np.random.default_rng(11)
+    n_nodes = 30
+    adj = np.triu(rng.random((n_nodes, n_nodes)) < 0.25, k=1)
+    subj, obj = np.nonzero(adj)
+    names = np.array([f"e{i:02d}" for i in range(n_nodes)])
+    edges = pa.table(
+        {
+            "subj": pa.array(names[subj]),
+            "obj": pa.array(names[obj]),
+        }
+    )
+    got = (
+        clustering_coeff(ray.data.from_arrow(edges))
+        .to_pandas()
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+
+    A = (adj | adj.T).astype(np.int64)
+    deg = A.sum(axis=1)
+    tri = np.diag(A @ A @ A) // 2
+    keep = deg >= 2
+    want = pd.DataFrame(
+        {
+            "entity": names[keep],
+            "deg": deg[keep],
+            "triangles": tri[keep],
+            "cc_ppm": (tri[keep] * 2_000_000) // (deg[keep] * (deg[keep] - 1)),
+        }
+    ).sort_values("entity").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in ["deg", "triangles", "cc_ppm"]}),
+        want,
+    )

@@ -35,3 +35,11 @@ def test_customer_revenue_partials_tiers_agree(ray_session):
 
     a, b = summed(5_000_000), summed(0)
     pd.testing.assert_series_equal(a, b)
+
+
+def test_q3_shipping_priority_tiers_agree(ray_session):
+    from autoner_ray.pipelines.relational import q3_shipping_priority
+
+    a = _rows(q3_shipping_priority(SF))
+    b = _rows(q3_shipping_priority(SF, broadcast_max_rows=0))
+    assert a == b and len(a) == 10
