@@ -627,6 +627,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering_coeff": lambda sf: kg.unigram_clustering_coeff(
             sf
         ),
+        "q4_order_priority": relational.q4_order_priority,
+        "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
+            _events(sf)
+        ),
     }
 
 
@@ -2170,6 +2174,19 @@ def oracle_sql() -> dict[str, str]:
         "events_new_users_daily": (
             windows_mod.new_users_daily_oracle_sql()
         ),
+        "events_time_weighted_avg": (
+            windows_mod.time_weighted_avg_oracle_sql()
+        ),
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            )
+            GROUP BY 1
+        """,
         "embedding_grid_histogram": (
             similarity_mod.grid_histogram_oracle_sql()
         ),

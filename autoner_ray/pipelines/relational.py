@@ -1333,3 +1333,153 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def q4_order_priority(sf_dir: str, late_days: int = 90,
+                      broadcast_max_rows: int = 5_000_000):
+    """TPC-H Q4 shape: orders per priority class that have AT LEAST ONE
+    late lineitem (l_shipdate > o_orderdate + ``late_days``) — the
+    distributed EXISTS semi-join aggregated to a bounded histogram.
+
+    Scale shape: the late predicate needs o_orderdate per lineitem, so
+    orderkey resolution is TIERED like ``order_ship_delay_hist``
+    (sorted orderkey->(date, priority) broadcast under
+    ``broadcast_max_rows``, large-large cogroup join above). EXISTS
+    collapses per batch to distinct hit orderkeys, then an
+    orderkey-PARTITIONED distinct (a priority class never lands in one
+    block — the 5-value priority key would hot-spot; the orderkey
+    spread can't), then a shuffle-free bounded priority combine.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    US_PER_DAY = 86_400_000_000
+    late_us = late_days * US_PER_DAY
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= broadcast_max_rows:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        okeys = ot["o_orderkey"].to_numpy()
+        ix = np.argsort(okeys, kind="stable")
+        odate = ot["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy()
+        pris = np.asarray(
+            ot["o_orderpriority"].to_numpy(zero_copy_only=False)
+        )
+        lookup_ref = ray.put((okeys[ix], odate[ix], pris[ix]))
+
+        def late_partial(t: pa.Table) -> pa.Table:
+            keys, dates, pri = ray.get(lookup_ref)
+            empty = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_columns == 0 or len(t) == 0 or len(keys) == 0:
+                return empty
+            lkeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, lkeys), 0, len(keys) - 1)
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy()
+            )
+            hit = (keys[pos] == lkeys) & (ship > dates[pos] + late_us)
+            agg = (
+                pa.table(
+                    {
+                        "l_orderkey": pa.array(lkeys[hit], pa.int64()),
+                        "o_orderpriority": pa.array(
+                            pri[pos][hit], pa.string()
+                        ),
+                    }
+                )
+                .group_by(["l_orderkey", "o_orderpriority"])
+                .aggregate([])
+            )
+            return agg.append_column(
+                "one", pa.array(np.ones(len(agg), np.int64))
+            )
+
+        partials = line.map_batches(
+            late_partial, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        from autoner_ray.stages.joins import cogroup_join
+
+        orders = _read(
+            sf_dir, "orders",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["o_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = cogroup_join(line, orders, on=("l_orderkey",))
+
+        def late_partial(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_columns == 0 or len(t) == 0:
+                return empty
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy()
+            )
+            od = (
+                t["o_orderdate"].combine_chunks()
+                .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            )
+            hit = pa.array(ship > od + late_us)
+            agg = (
+                t.filter(hit)
+                .select(["l_orderkey", "o_orderpriority"])
+                .group_by(["l_orderkey", "o_orderpriority"])
+                .aggregate([])
+            )
+            return agg.append_column(
+                "one", pa.array(np.ones(len(agg), np.int64))
+            )
+
+        partials = joined.map_batches(late_partial, batch_format="pyarrow")
+
+    distinct = partitioned_key_sum(
+        partials, ["l_orderkey", "o_orderpriority"], ["one"],
+        part_on=("l_orderkey",),
+    )
+
+    def pri_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return agg.rename_columns(["o_orderpriority", "n_orders"])
+
+    return bounded_key_sum(
+        distinct.map_batches(pri_partial, batch_format="pyarrow"),
+        ["o_orderpriority"], ["n_orders"],
+    )

@@ -963,3 +963,73 @@ def new_users_daily_oracle_sql() -> str:
                    AS cum_users
         FROM c
     """
+
+
+def time_weighted_avg(events_ds):
+    """Per-user TIME-WEIGHTED average value (trapezoidal integral over
+    the user's event timeline), reported as an exact integer
+    numerator/denominator pair: ``twa_num = Σ (c_i + c_{i+1})·Δt_us``
+    (cents·µs, = 2× the trapezoid integral) and ``twa_den = 2·Σ Δt_us``
+    — the consumer derives avg = num/den; keeping both integer makes
+    the value-hash exact (no float summation-order hazard). Users with
+    a single event have no interval and emit no row (LEAD-IS-NULL
+    semantics, matching the SQL twin).
+
+    Scale shape: same hash-partition-by-user shape as
+    ``user_running_totals`` — per-user mergesort inside the partition,
+    no global sort; int64 bounds hold to ~10⁶-cent values × multi-year
+    spans (2.6·10¹² µs · 10⁵ ≈ 10¹⁷ « 2⁶³).
+    """
+    import numpy as np
+
+    _schema = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "twa_num": pd.Series([], dtype="int64"),
+            "twa_den": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or "ts" not in df.columns:
+            return _schema
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        c = np.floor(
+            df["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        dt = t[1:] - t[:-1]
+        num = int(((c[1:] + c[:-1]) * dt).sum())
+        den = int(2 * dt.sum())
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].values[:1],
+                "twa_num": np.array([num], np.int64),
+                "twa_den": np.array([den], np.int64),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
+def time_weighted_avg_oracle_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+                   LEAD(ts) OVER w AS nts,
+                   LEAD(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w
+                       AS nc
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM((c + nc)
+                    * date_diff('microsecond', ts, nts)) AS BIGINT)
+                   AS twa_num,
+               CAST(2 * SUM(date_diff('microsecond', ts, nts)) AS BIGINT)
+                   AS twa_den
+        FROM e WHERE nts IS NOT NULL GROUP BY 1
+    """

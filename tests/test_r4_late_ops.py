@@ -182,3 +182,37 @@ def test_clustering_coeff_bruteforce(ray_session):
         got.astype({c: "int64" for c in ["deg", "triangles", "cc_ppm"]}),
         want,
     )
+
+
+def test_time_weighted_avg_bruteforce(ray_session):
+    import ray
+
+    from autoner_ray.stages.windows import time_weighted_avg
+
+    events = pd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        time_weighted_avg(ray.data.read_parquet(f"{SF}/events.parquet"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for uid, g in events.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            continue
+        c = np.floor(g["value"].to_numpy(float) * 100 + 0.5).astype(
+            np.int64
+        )
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        dt = t[1:] - t[:-1]
+        rows.append(
+            (uid, int(((c[1:] + c[:-1]) * dt).sum()), int(2 * dt.sum()))
+        )
+    want = pd.DataFrame(
+        rows, columns=["user_id", "twa_num", "twa_den"]
+    ).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )

@@ -43,3 +43,11 @@ def test_q3_shipping_priority_tiers_agree(ray_session):
     a = _rows(q3_shipping_priority(SF))
     b = _rows(q3_shipping_priority(SF, broadcast_max_rows=0))
     assert a == b and len(a) == 10
+
+
+def test_q4_order_priority_tiers_agree(ray_session):
+    from autoner_ray.pipelines.relational import q4_order_priority
+
+    a = _rows(q4_order_priority(SF))
+    b = _rows(q4_order_priority(SF, broadcast_max_rows=0))
+    assert a == b and len(a) > 0
