@@ -631,6 +631,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
+        "docs_bigram_pmi": lambda sf: webtext.bigram_collocations(
+            _docs(sf, ["doc_id", "text"])
+        ),
     }
 
 
@@ -2192,6 +2195,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_lang_hot_ngrams": (
             webtext_mod.lang_hot_ngrams_oracle_sql()
+        ),
+        "docs_bigram_pmi": (
+            webtext_mod.bigram_collocations_oracle_sql()
         ),
         "kg_clustering_coeff": f"""
             WITH {_unigram_graph_ctes(dict_values)},

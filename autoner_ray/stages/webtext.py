@@ -384,3 +384,226 @@ def lang_hot_ngrams_oracle_sql(n: int = 3, min_df: int = 2,
         )
         SELECT lang, gram, n_occurrences, n_docs FROM r WHERE rn <= {k}
     """
+
+
+def bigram_collocations(docs_ds, min_count: int = 5, k: int = 20,
+                        broadcast_max_vocab: int = 2_000_000):
+    """Collocation mining (the AutoPhrase-lineage phrase-quality
+    signal, cf. reference README.md's AutoPhrase dictionary input):
+    top-``k`` word bigrams by pointwise mutual information among
+    bigrams occurring ≥ ``min_count`` times. PMI is quantized to
+    integer micro-nats with the SAME double expression on both sides
+    (``ln((c_xy/N_b) / ((c_x/N_w)·(c_y/N_w)))``, each op IEEE-ordered),
+    so the value-hash is exact.
+
+    Scale shape: word counts and bigram counts are both key-partitioned
+    combines (nothing vocab-sized in one block). Under
+    ``broadcast_max_vocab`` distinct words the unigram table broadcasts
+    once via ``ray.put`` and PMI is a vectorized map over the
+    gram-partitioned bigram blocks; above it, two string-key cogroup
+    joins (left word, then right word) attach the unigram counts —
+    identical output, pytest-pinned tier equality. The bigram table
+    materializes once (vocab²-bounded, NOT corpus-sized) because its
+    total count N_b must be known before the per-row PMI pass.
+    """
+    import ray
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"word": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        ex = _exploded(batch["text"].to_pylist())
+        vc = ex["w"].value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.astype(str), pa.string()),
+                "c": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    wc = partitioned_key_sum(
+        docs_ds.map_batches(word_partial, batch_format="pyarrow"),
+        ["word"], ["c"], part_on=("word",),
+    )
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "lw": pa.array([], pa.string()),
+                "rw": pa.array([], pa.string()),
+                "c_xy": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        grams = _gram_frame(_exploded(batch["text"].to_pylist()), 2)
+        if grams.empty:
+            return empty
+        agg = grams.groupby("g", sort=False).size()
+        lr = agg.index.to_series().str.split(" ", n=1, expand=True)
+        return pa.table(
+            {
+                "gram": pa.array(agg.index, pa.string()),
+                "lw": pa.array(lr[0].to_numpy(), pa.string()),
+                "rw": pa.array(lr[1].to_numpy(), pa.string()),
+                "c_xy": pa.array(agg.to_numpy(), pa.int64()),
+            }
+        )
+
+    bc = partitioned_key_sum(
+        docs_ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["gram", "lw", "rw"], ["c_xy"], part_on=("gram",),
+    ).materialize()  # vocab²-bounded; N_b needed before the PMI pass
+
+    n_b = int(bc.sum("c_xy") or 0)
+    n_words = wc.count()
+
+    _out_schema = pa.schema(
+        [("gram", pa.string()), ("c_xy", pa.int64()),
+         ("c_left", pa.int64()), ("c_right", pa.int64()),
+         ("pmi_micro", pa.int64())]
+    )
+
+    def _pmi_micro(cxy, cl, cr, NB, NW):
+        r = (cxy / NB) / ((cl / NW) * (cr / NW))
+        return np.floor(np.log(r) * 1e6 + 0.5).astype(np.int64)
+
+    if n_words <= broadcast_max_vocab:
+        wc_df = wc.to_pandas()
+        NW = float(wc_df["c"].sum())
+        lut_ref = ray.put(dict(zip(wc_df["word"], wc_df["c"])))
+
+        def pmi_batch(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _out_schema.empty_table()
+            lut = ray.get(lut_ref)
+            df = t.to_pandas()
+            df = df[df["c_xy"] >= min_count]
+            if df.empty:
+                return _out_schema.empty_table()
+            cl = df["lw"].map(lut).to_numpy(np.int64)
+            cr = df["rw"].map(lut).to_numpy(np.int64)
+            cxy = df["c_xy"].to_numpy(np.int64)
+            return pa.table(
+                {
+                    "gram": pa.array(df["gram"], pa.string()),
+                    "c_xy": pa.array(cxy, pa.int64()),
+                    "c_left": pa.array(cl, pa.int64()),
+                    "c_right": pa.array(cr, pa.int64()),
+                    "pmi_micro": pa.array(
+                        _pmi_micro(
+                            cxy.astype(np.float64), cl.astype(np.float64),
+                            cr.astype(np.float64), float(n_b), NW,
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        scored = bc.map_batches(pmi_batch, batch_format="pyarrow")
+    else:
+        from autoner_ray.stages.joins import cogroup_join
+
+        NW_ref = [None]  # resolved below without a driver-side vocab
+
+        def _rename(ds, key, cname):
+            return ds.map_batches(
+                lambda t, key=key, cname=cname: pa.table(
+                    {key: t["word"], cname: t["c"]}
+                )
+                if t.num_columns else pa.table(
+                    {key: pa.array([], pa.string()),
+                     cname: pa.array([], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+
+        wc_mat = wc.materialize()
+        NW = float(wc_mat.sum("c") or 0)
+        j1 = cogroup_join(bc, _rename(wc_mat, "lw", "c_left"),
+                          on=("lw",))
+        j2 = cogroup_join(j1, _rename(wc_mat, "rw", "c_right"),
+                          on=("rw",))
+
+        def pmi_batch(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _out_schema.empty_table()
+            df = t.to_pandas()
+            df = df[df["c_xy"] >= min_count]
+            if df.empty:
+                return _out_schema.empty_table()
+            cl = df["c_left"].to_numpy(np.int64)
+            cr = df["c_right"].to_numpy(np.int64)
+            cxy = df["c_xy"].to_numpy(np.int64)
+            return pa.table(
+                {
+                    "gram": pa.array(df["gram"], pa.string()),
+                    "c_xy": pa.array(cxy, pa.int64()),
+                    "c_left": pa.array(cl, pa.int64()),
+                    "c_right": pa.array(cr, pa.int64()),
+                    "pmi_micro": pa.array(
+                        _pmi_micro(
+                            cxy.astype(np.float64), cl.astype(np.float64),
+                            cr.astype(np.float64), float(n_b), NW,
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        scored = j2.map_batches(pmi_batch, batch_format="pyarrow")
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _out_schema.empty_table()
+        df = t.to_pandas().sort_values(
+            ["pmi_micro", "gram"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        scored.map_batches(topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def bigram_collocations_oracle_sql(min_count: int = 5, k: int = 20) -> str:
+    return f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        w AS (SELECT unnest(ws) AS word FROM ws),
+        wc AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+        nw AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wc),
+        g AS (
+            SELECT ws[CAST(i AS BIGINT)] AS lw,
+                   ws[CAST(i AS BIGINT) + 1] AS rw
+            FROM ws, unnest(range(1, len(ws))) AS t(i)
+        ),
+        bc AS (
+            SELECT lw, rw, COUNT(*) AS c_xy FROM g GROUP BY 1, 2
+        ),
+        nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM bc)
+        SELECT bc.lw || ' ' || bc.rw AS gram, bc.c_xy,
+               l.c AS c_left, r.c AS c_right,
+               CAST(floor(ln(
+                   (CAST(bc.c_xy AS DOUBLE) / nb.n)
+                   / ((CAST(l.c AS DOUBLE) / nw.n)
+                      * (CAST(r.c AS DOUBLE) / nw.n))
+               ) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+        FROM bc
+        JOIN wc l ON bc.lw = l.word
+        JOIN wc r ON bc.rw = r.word
+        CROSS JOIN nb CROSS JOIN nw
+        WHERE bc.c_xy >= {min_count}
+        ORDER BY pmi_micro DESC, gram
+        LIMIT {k}
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 137 and len(sqls) == 119
+    assert len(qs) == 138 and len(sqls) == 120
     import subprocess
     import sys
 

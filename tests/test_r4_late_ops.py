@@ -216,3 +216,24 @@ def test_time_weighted_avg_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64")
     )
+
+
+def test_bigram_collocations_tiers_agree(ray_session):
+    """Broadcast-vocab and cogroup-join tiers produce identical
+    collocation tables."""
+    import ray
+
+    from autoner_ray.stages.webtext import bigram_collocations
+
+    def rows(broadcast_max_vocab):
+        ds = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        df = bigram_collocations(
+            ds, broadcast_max_vocab=broadcast_max_vocab
+        ).to_pandas()
+        return df.sort_values("gram").reset_index(drop=True)
+
+    a, b = rows(2_000_000), rows(0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 20
