@@ -634,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_pmi": lambda sf: webtext.bigram_collocations(
             _docs(sf, ["doc_id", "text"])
         ),
+        "kg_pagerank_personalized": lambda sf: (
+            kg.unigram_pagerank_personalized(sf)
+        ),
     }
 
 
@@ -658,6 +661,45 @@ def _unigram_graph_ctes(dict_values: str) -> str:
             UNION ALL
             SELECT obj, subj, CAST(weight AS DOUBLE) FROM pairs
         )
+    """
+
+
+def _ppr_sql(dict_values: str, damping=0.85, iters=20) -> str:
+    """Personalized PageRank twin: 20 unrolled seeded power iterations —
+    teleport mass returns to the lexicographically smallest entity
+    (``MIN(src)``), rank starts as the seed indicator vector. Same
+    full-float-repr literal discipline as ``_pagerank_sql``."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        pr{k} AS MATERIALIZED (
+            SELECT t.dst AS entity,
+                   {base} * (CASE WHEN t.dst = s.s
+                             THEN 1.0 ELSE 0.0 END)
+                   + {d} * SUM(pr.rank * t.p) AS rank
+            FROM trans t JOIN pr{k - 1} pr ON pr.entity = t.src, s
+            GROUP BY t.dst, s.s
+        )""")
+    return f"""
+        WITH {_unigram_graph_ctes(dict_values)},
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS entity FROM bidir),
+        s AS MATERIALIZED (SELECT MIN(src) AS s FROM bidir),
+        outw AS MATERIALIZED (
+            SELECT src, SUM(w) AS ow FROM bidir GROUP BY src
+        ),
+        trans AS MATERIALIZED (
+            SELECT b.src, b.dst, b.w / o.ow AS p
+            FROM bidir b JOIN outw o ON b.src = o.src
+        ),
+        pr0 AS MATERIALIZED (
+            SELECT entity,
+                   CASE WHEN entity = s.s THEN 1.0 ELSE 0.0 END AS rank
+            FROM nodes, s
+        ),
+        {", ".join(steps)}
+        SELECT entity, round(rank, 6) AS rank FROM pr{iters}
     """
 
 
@@ -799,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "docs_rolling_fingerprint": _fingerprint_sql(),
         "kg_pagerank": _pagerank_sql(dict_values),
+        "kg_pagerank_personalized": _ppr_sql(dict_values),
         "kg_degree_distribution": f"""
             WITH {_unigram_graph_ctes(dict_values)},
             deg AS (SELECT src, COUNT(*) AS degree FROM bidir GROUP BY src)

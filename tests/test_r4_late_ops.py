@@ -237,3 +237,45 @@ def test_bigram_collocations_tiers_agree(ray_session):
     a, b = rows(2_000_000), rows(0)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 20
+
+
+def test_pagerank_personalized_bruteforce(ray_session):
+    """Seeded power iteration against a dense numpy reference."""
+    import ray
+
+    from autoner_ray.stages.graph import pagerank_personalized
+
+    rng = np.random.default_rng(3)
+    n_nodes = 12
+    adj = np.triu(rng.random((n_nodes, n_nodes)) < 0.4, k=1)
+    subj, obj = np.nonzero(adj)
+    w = rng.integers(1, 5, size=len(subj))
+    names = np.array([f"e{i:02d}" for i in range(n_nodes)])
+    edges = pa.table(
+        {
+            "subj": pa.array(names[subj]),
+            "obj": pa.array(names[obj]),
+            "weight": pa.array(w, pa.int64()),
+        }
+    )
+    got = pagerank_personalized(
+        ray.data.from_arrow(edges)
+    ).to_pandas().set_index("entity")["rank"]
+
+    W = np.zeros((n_nodes, n_nodes))
+    W[subj, obj] = w
+    W = W + W.T
+    deg = W.sum(axis=1)
+    keep = deg > 0
+    M = np.zeros_like(W)
+    M[keep] = (W[keep].T / deg[keep]).T  # row-stochastic
+    kept_names = names[keep]
+    e_s = np.zeros(n_nodes)
+    e_s[np.argmax(keep)] = 1.0  # lexicographic min = first kept node
+    r = e_s.copy()
+    for _ in range(20):
+        r = 0.15 * e_s + 0.85 * (M.T @ r)
+    for i, name in enumerate(names):
+        if keep[i]:
+            assert abs(got[name] - round(float(r[i]), 6)) < 2e-6, name
+    assert abs(got.sum() - 1.0) < 1e-4  # probability mass conserved
