@@ -73,6 +73,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from autoner_ray.cluster import tune_data_context
     from autoner_ray.pipelines import kg, relational
+    from autoner_ray.sources import text_formats
 
     tune_data_context()
     from autoner_ray.stages import (
@@ -636,6 +637,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_pagerank_personalized": lambda sf: (
             kg.unigram_pagerank_personalized(sf)
+        ),
+        "docs_jsonl_roundtrip": lambda sf: (
+            text_formats.roundtrip_source_stats(sf, fmt="jsonl")
+        ),
+        "docs_csv_roundtrip": lambda sf: (
+            text_formats.roundtrip_source_stats(sf, fmt="csv")
         ),
     }
 
@@ -2242,6 +2249,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_pmi": (
             webtext_mod.bigram_collocations_oracle_sql()
         ),
+        # the Ray side computes these THROUGH a JSONL/CSV write-read
+        # roundtrip; the twin reads the original parquet — any
+        # interchange corruption breaks the hash
+        "docs_jsonl_roundtrip": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
+        "docs_csv_roundtrip": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
         "kg_clustering_coeff": f"""
             WITH {_unigram_graph_ctes(dict_values)},
             tri AS (

@@ -1,0 +1,103 @@
+"""JSONL / CSV source-sink plumbing (interchange formats).
+
+The engine's native interchange is Parquet (TESTDATA.md tables), but a
+drop-in replacement for the reference toolchain must also speak the
+line-oriented interchange formats its corpora arrive in (newline-
+delimited JSON dumps, CSV exports — reference corpora ship as raw text
+files read line-by-line, ``main.py:24-38``). These wrappers keep the
+Ray-Data-native shape: ``write_*`` emits ONE FILE PER BLOCK into a
+directory (the partitioned, resumable layout — a failed run re-writes
+only missing files), ``read_*`` restores a streaming Dataset with
+file-driven parallelism.
+
+Determinism contract for driver queries: ``fresh_dir`` clears the
+target first, so a re-run never appends to a previous run's files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def fresh_dir(path: str) -> str:
+    """Delete-and-recreate ``path`` (idempotent re-runs; /tmp scratch)."""
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def write_jsonl(ds, out_dir: str) -> str:
+    """Dataset -> newline-delimited JSON, one file per block."""
+    ds.write_json(fresh_dir(out_dir))
+    return out_dir
+
+
+def read_jsonl(path: str, **kwargs):
+    import ray.data as rd
+
+    return rd.read_json(path, **kwargs)
+
+
+def write_csv(ds, out_dir: str) -> str:
+    """Dataset -> CSV, one file per block (header per file)."""
+    ds.write_csv(fresh_dir(out_dir))
+    return out_dir
+
+
+def read_csv(path: str, **kwargs):
+    import ray.data as rd
+
+    return rd.read_csv(path, **kwargs)
+
+
+def roundtrip_source_stats(sf_dir: str, fmt: str = "jsonl"):
+    """Per-source doc count + total chars computed THROUGH a
+    JSONL/CSV write-read roundtrip of the documents table — proves the
+    interchange sink+source end to end (schema, typing, row fidelity);
+    the SQL twin reads the original parquet directly, so any roundtrip
+    corruption breaks the value hash.
+
+    Scale shape: the roundtrip is block-parallel file IO (no shuffle);
+    the stats tail is the shuffle-free bounded combine.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/autoner_ray_io/{fmt}_docs_{tag}"
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "n_chars"],
+    )
+    if fmt == "jsonl":
+        write_jsonl(ds, out)
+        back = read_jsonl(out)
+    elif fmt == "csv":
+        write_csv(ds, out)
+        back = read_csv(out)
+    else:  # pragma: no cover - caller bug
+        raise ValueError(fmt)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_chars": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            t.select(["source", "n_chars"])
+            .group_by("source")
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return agg.rename_columns(["source", "n_docs", "sum_chars"])
+
+    return bounded_key_sum(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "sum_chars"],
+    )
