@@ -644,6 +644,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": lambda sf: (
             text_formats.roundtrip_source_stats(sf, fmt="csv")
         ),
+        "events_gap_histogram": lambda sf: windows.gap_histogram(
+            _events(sf)
+        ),
+        "docs_ngram_containment": lambda sf: (
+            dedup.ngram_jaccard_exact_pairs(
+                _docs(sf, ["doc_id", "text"]),
+                threshold=0.8, score_mode="containment",
+            )
+        ),
     }
 
 
@@ -2261,6 +2270,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
+        """,
+        "events_gap_histogram": windows_mod.gap_histogram_oracle_sql(),
+        "docs_ngram_containment": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, {WORDS} AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END AS shingles
+                FROM toks
+            ), ds AS MATERIALIZED (
+                SELECT DISTINCT doc_id, t.s
+                FROM sh, UNNEST(shingles) AS t(s)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS c
+                FROM ds a JOIN ds b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(c AS DOUBLE)
+                       / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+                       AS containment
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE)
+                      / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.8
         """,
         "kg_clustering_coeff": f"""
             WITH {_unigram_graph_ctes(dict_values)},

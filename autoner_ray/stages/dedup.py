@@ -527,6 +527,7 @@ def ngram_jaccard_exact_pairs(
     k: int = 3,
     num_partitions: int | None = None,
     max_df: int | None = None,
+    score_mode: str = "jaccard",
 ):
     """EXACT n-gram Jaccard near-duplicate pairs via a shared-shingle
     join — the deterministic twin of :func:`ngram_jaccard_pairs` (which
@@ -634,13 +635,22 @@ def ngram_jaccard_exact_pairs(
         c = g["common"].to_numpy().astype(np.float64)
         sa = g["size_a"].to_numpy().astype(np.float64)
         sb = g["size_b"].to_numpy().astype(np.float64)
-        jac = c / (sa + sb - c)
-        keep = jac >= threshold
+        if score_mode == "containment":
+            # symmetric max-containment c/min(|A|,|B|): 1.0 whenever one
+            # doc's shingle set is a subset of the other's — the
+            # quote/boilerplate-inclusion detector Jaccard misses when
+            # the containing doc is much larger
+            scr = c / np.minimum(sa, sb)
+            col = "containment"
+        else:
+            scr = c / (sa + sb - c)
+            col = "jaccard"
+        keep = scr >= threshold
         return pd.DataFrame(
             {
                 "doc_a": g["doc_a"].to_numpy()[keep],
                 "doc_b": g["doc_b"].to_numpy()[keep],
-                "jaccard": jac[keep],
+                col: scr[keep],
             }
         )
 

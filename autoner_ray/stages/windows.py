@@ -1033,3 +1033,59 @@ def time_weighted_avg_oracle_sql() -> str:
                    AS twa_den
         FROM e WHERE nts IS NOT NULL GROUP BY 1
     """
+
+
+def gap_histogram(events_ds):
+    """Histogram of per-user inter-event gaps in whole minutes (floor of
+    the µs difference — NOT calendar-boundary counting) — the
+    inter-arrival distribution that motivates the sessionize gap
+    parameter. LEAD-IS-NULL semantics: a user's last event opens no gap.
+
+    Scale shape: per-user-group gap extraction emits pre-aggregated
+    (gap_minutes, n) partials; distinct gap values are span-bounded
+    (≤ minutes in the corpus time span), so the tail is the shuffle-free
+    bounded combine.
+    """
+    import numpy as np
+
+    _schema = pd.DataFrame(
+        {
+            "gap_minutes": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or "ts" not in df.columns:
+            return _schema
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gaps = (t[1:] - t[:-1]) // 60_000_000
+        uniq, cnt = np.unique(gaps, return_counts=True)
+        return pd.DataFrame(
+            {
+                "gap_minutes": uniq.astype(np.int64),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    partials = events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+    return bounded_key_sum(partials, ["gap_minutes"], ["n"])
+
+
+def gap_histogram_oracle_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id, ts, LEAD(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS nts
+            FROM events
+        )
+        SELECT (epoch_us(nts) - epoch_us(ts)) // 60000000 AS gap_minutes,
+               COUNT(*) AS n
+        FROM e WHERE nts IS NOT NULL GROUP BY 1
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 141 and len(sqls) == 123
+    assert len(qs) == 143 and len(sqls) == 125
     import subprocess
     import sys
 
