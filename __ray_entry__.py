@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         decontam,
         dedup,
         multimodal,
+        ranking,
         similarity,
         sketches,
         webtext,
@@ -652,6 +653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _docs(sf, ["doc_id", "text"]),
                 threshold=0.8, score_mode="containment",
             )
+        ),
+        "docs_length_gini": lambda sf: ranking.gini_inequality(
+            _docs(sf, ["doc_id", "n_chars"]), "doc_id", "n_chars"
         ),
     }
 
@@ -2272,6 +2276,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "events_gap_histogram": windows_mod.gap_histogram_oracle_sql(),
+        "docs_length_gini": """
+            WITH r AS (
+                SELECT n_chars, ROW_NUMBER() OVER (
+                    ORDER BY n_chars, doc_id
+                ) AS rank
+                FROM documents
+            ), s AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS total,
+                       CAST(SUM(rank * n_chars) AS BIGINT)
+                           AS rank_val_sum
+                FROM r
+            )
+            SELECT n_docs, total, rank_val_sum,
+                   CAST((2 * rank_val_sum - (n_docs + 1) * total)
+                        * 1000000 // (n_docs * total) AS BIGINT)
+                       AS gini_ppm
+            FROM s
+        """,
         "docs_ngram_containment": f"""
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, {WORDS} AS w FROM documents

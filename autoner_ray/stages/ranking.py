@@ -381,3 +381,76 @@ def weighted_systematic_select(
     return bucketed.groupby("__rb").map_groups(
         select_range, batch_format="pandas"
     )
+
+
+def gini_inequality(rows_ds, key_col: str, val_col: str):
+    """Corpus-inequality (Gini/Lorenz) diagnostic over an int64 value
+    column: one row ``(n_docs, total, rank_val_sum, gini_ppm)`` with
+    ``gini_ppm = floor((2·Σrank·x − (n+1)·Σx)·10⁶ / (n·Σx))`` under the
+    exact ascending (value, key) rank — the "how much of the corpus do
+    the biggest documents hold" profile that motivates length-capping
+    and sampling policy.
+
+    Scale shape: global ranks come from :func:`exact_ntile`'s two-pass
+    range ranking (nothing corpus-sized on the driver); the tail is a
+    three-integer scalar combine. Integer-exactness bound: per-row
+    ``rank·x`` and the block partials must fit int64 (~9.2·10¹⁸ —
+    holds to ~10⁸ docs × 10⁶-char values; beyond that, switch the
+    partial to per-block python ints or a two-level scaled sum).
+    """
+    import pyarrow as pa
+
+    ranked = exact_ntile(
+        rows_ds, key_col, val_col, n_buckets=1, descending=False
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "n_docs": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "rank_val_sum": pa.array([], pa.int64()),
+                }
+            )
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(v)], pa.int64()),
+                "total": pa.array([int(v.sum())], pa.int64()),
+                "rank_val_sum": pa.array([int((r * v).sum())], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "n_docs": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "rank_val_sum": pa.array([], pa.int64()),
+                    "gini_ppm": pa.array([], pa.int64()),
+                }
+            )
+        n = int(pa.compute.sum(t["n_docs"]).as_py() or 0)
+        tot = int(pa.compute.sum(t["total"]).as_py() or 0)
+        s = int(pa.compute.sum(t["rank_val_sum"]).as_py() or 0)
+        gini = (
+            ((2 * s - (n + 1) * tot) * 1_000_000) // (n * tot)
+            if n and tot else 0
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "total": pa.array([tot], pa.int64()),
+                "rank_val_sum": pa.array([s], pa.int64()),
+                "gini_ppm": pa.array([gini], pa.int64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

@@ -323,3 +323,28 @@ def test_text_format_roundtrip_fidelity(ray_session, tmp_path):
     # CSV lossiness; everything else must round-trip exactly
     got_c["text"] = got_c["text"].fillna("")
     pd.testing.assert_frame_equal(got_c, want)
+
+
+def test_length_gini_bruteforce(ray_session):
+    import ray
+
+    from autoner_ray.stages.ranking import gini_inequality
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    got = gini_inequality(
+        ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        "doc_id", "n_chars",
+    ).to_pandas()
+
+    d = docs.sort_values(["n_chars", "doc_id"], kind="mergesort")
+    v = d["n_chars"].to_numpy(np.int64)
+    n = len(v)
+    tot = int(v.sum())
+    s = int((np.arange(1, n + 1, dtype=np.int64) * v).sum())
+    gini = ((2 * s - (n + 1) * tot) * 1_000_000) // (n * tot)
+    assert got.iloc[0].tolist() == [n, tot, s, gini]
+    assert 0 <= gini < 1_000_000
