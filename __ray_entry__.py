@@ -657,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_gini": lambda sf: ranking.gini_inequality(
             _docs(sf, ["doc_id", "n_chars"]), "doc_id", "n_chars"
         ),
+        "supplier_part_fanout": relational.supplier_part_fanout,
     }
 
 
@@ -2276,6 +2277,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "events_gap_histogram": windows_mod.gap_histogram_oracle_sql(),
+        "supplier_part_fanout": """
+            WITH d AS (
+                SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+            ), s AS (
+                SELECT l_suppkey, COUNT(*) AS n_parts FROM d GROUP BY 1
+            )
+            SELECT n_parts, COUNT(*) AS n_suppliers FROM s GROUP BY 1
+        """,
         "docs_length_gini": """
             WITH r AS (
                 SELECT n_chars, ROW_NUMBER() OVER (

@@ -1483,3 +1483,72 @@ def q4_order_priority(sf_dir: str, late_days: int = 90,
         distinct.map_batches(pri_partial, batch_format="pyarrow"),
         ["o_orderpriority"], ["n_orders"],
     )
+
+
+def supplier_part_fanout(sf_dir: str):
+    """Bipartite fan-out profile of the supplier—part relation: for
+    each distinct-part count, how many suppliers ship exactly that many
+    distinct parts — the degree histogram of a large-fact bipartite
+    graph (the relational cousin of the entity-graph degree profile).
+
+    Scale shape: per-batch distinct (supp, part) partials -> SUPPLIER-
+    partitioned exact distinct (all of a supplier's parts co-locate, so
+    the in-partition count is the global count) -> per-partition
+    supplier fan-out counts -> shuffle-free bounded histogram combine.
+    No corpus shuffle, nothing supplier-set-sized in one block.
+    """
+    import numpy as np
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "l_partkey": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            t.select(["l_suppkey", "l_partkey"])
+            .group_by(["l_suppkey", "l_partkey"])
+            .aggregate([])
+        )
+        return agg.append_column(
+            "one", pa.array(np.ones(len(agg), np.int64))
+        )
+
+    distinct = partitioned_key_sum(
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+            pair_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["l_suppkey", "l_partkey"], ["one"], part_on=("l_suppkey",),
+    )
+
+    def fanout_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "n_parts": pa.array([], pa.int64()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                }
+            )
+        per_supp = (
+            t.group_by("l_suppkey").aggregate([("one", "count")])
+        )
+        hist = (
+            per_supp.rename_columns(["l_suppkey", "n_parts"])
+            .group_by("n_parts")
+            .aggregate([([], "count_all")])
+        )
+        return hist.rename_columns(["n_parts", "n_suppliers"])
+
+    return bounded_key_sum(
+        distinct.map_batches(fanout_partial, batch_format="pyarrow",
+                             batch_size=None),
+        ["n_parts"], ["n_suppliers"],
+    )
