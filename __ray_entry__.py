@@ -630,6 +630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf
         ),
         "q4_order_priority": relational.q4_order_priority,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2253,6 +2255,51 @@ def oracle_sql() -> dict[str, str]:
                   AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
             )
             GROUP BY 1
+        """,
+        "q6_forecast_revenue": """
+            WITH p AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                           AS disc_h
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_quantity < 24
+            ), s AS (
+                SELECT CAST(COALESCE(SUM(cents * disc_h), 0) AS BIGINT)
+                           AS revenue_c4
+                FROM p WHERE disc_h BETWEEN 5 AND 7
+            )
+            SELECT revenue_c4,
+                   CAST(revenue_c4 AS DOUBLE) / 10000.0 AS revenue
+            FROM s
+        """,
+        "q14_promo_revenue": """
+            WITH p AS (
+                SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT)) AS c4,
+                       pt.p_type = 'PROMO' AS is_promo
+                FROM lineitem l
+                JOIN part pt ON l.l_partkey = pt.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            ), s AS (
+                SELECT
+                    CAST(COALESCE(
+                        SUM(CASE WHEN is_promo THEN c4 END), 0
+                    ) AS BIGINT) AS promo_revenue_c4,
+                    CAST(COALESCE(SUM(c4), 0) AS BIGINT)
+                        AS total_revenue_c4
+                FROM p
+            )
+            SELECT promo_revenue_c4, total_revenue_c4,
+                   CAST(CASE WHEN total_revenue_c4 = 0 THEN 0
+                        ELSE (CAST(promo_revenue_c4 AS HUGEINT) * 1000000)
+                             // total_revenue_c4 END AS BIGINT)
+                       AS promo_ppm
+            FROM s
         """,
         "embedding_grid_histogram": (
             similarity_mod.grid_histogram_oracle_sql()

@@ -1552,3 +1552,170 @@ def supplier_part_fanout(sf_dir: str):
                              batch_size=None),
         ["n_parts"], ["n_suppliers"],
     )
+
+
+def q6_forecast_revenue(sf_dir: str, year: int = 1996,
+                        disc_lo: int = 5, disc_hi: int = 7,
+                        qty_max: int = 24):
+    """TPC-H Q6-shaped forecast-revenue: sum(l_extendedprice *
+    l_discount) over one ship year, a discount band and a quantity cap
+    — the canonical predicate-pushdown + scalar-aggregate probe
+    (reference analogue: none; this is the engine-capability family of
+    ``q1_pricing_summary``).
+
+    Exactness: revenue is accumulated as INTEGER 1e-4-dollar units
+    (``cents x discount-hundredths``), so the sum is associative and
+    order-independent; the dollar column is derived from the integer.
+
+    Scale shape: column-pruned read -> stateless vectorized per-batch
+    partial (one row out per batch) -> shuffle-free bounded combine on
+    a constant key. No join, no sort; at 10^12 rows the int64 partial
+    sum would need a two-word (hi/lo) split, noted here rather than
+    engineered around for this corpus.
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo = pa.scalar(f"{year}-01-01").cast(pa.timestamp("us"))
+    hi = pa.scalar(f"{year + 1}-01-01").cast(pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi),
+            ),
+            pc.less(t["l_quantity"], pa.scalar(float(qty_max))),
+        )
+        t = t.filter(mask)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        disc_h = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        keep = (disc_h >= disc_lo) & (disc_h <= disc_hi)
+        cents = np.floor(p[keep] * 100.0 + 0.5).astype(np.int64)
+        c4 = int((cents * disc_h[keep]).sum())
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "revenue_c4": pa.array([c4], pa.int64()),
+            }
+        )
+
+    agg = bounded_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["k"], ["revenue_c4"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c4 = t["revenue_c4"]
+        return pa.table(
+            {
+                "revenue_c4": c4,
+                "revenue": pc.divide(
+                    pc.cast(c4, pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q14_promo_revenue(sf_dir: str, year: int = 1996,
+                      broadcast_max_rows: int = 50_000_000):
+    """TPC-H Q14-shaped promotion-revenue share: the ppm fraction of
+    one ship-year's discounted revenue that comes from parts with
+    ``p_type = 'PROMO'`` — a fact ⋈ dim membership join reduced to a
+    two-scalar aggregate.
+
+    Exactness: both numerator and denominator are INTEGER
+    1e-4-dollar units (cents x (100 - discount-hundredths)); the share
+    is Python-int ``num * 10^6 // den`` on the driver's 1-row result,
+    twinned by HUGEINT arithmetic in the oracle.
+
+    Scale shape: part is broadcast ONCE as a sorted int64 partkey
+    array + promo bool array via ``ray.put`` (8+1 bytes/part; TPC-H
+    part is 0.2M/SF so sf100 ~ 180 MB — beyond ``broadcast_max_rows``
+    swap the membership probe for a cogroup join, same tiering as
+    ``top_customers_by_revenue``); lineitem streams through a
+    searchsorted membership probe with a miss mask (inner-join
+    semantics), one partial row per batch, shuffle-free tail.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    if len(pt) > broadcast_max_rows:
+        raise NotImplementedError(
+            "q14_promo_revenue: part exceeds the broadcast tier; "
+            "use the cogroup-join tier (top_customers_by_revenue shape)"
+        )
+    pk = pt["p_partkey"].to_numpy()
+    order = np.argsort(pk, kind="stable")
+    promo = pc.equal(pt["p_type"], pa.scalar("PROMO")).to_numpy(
+        zero_copy_only=False
+    )
+    part_ref = ray.put((pk[order], promo[order]))
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = pa.scalar(f"{year}-01-01").cast(pa.timestamp("us"))
+    hi = pa.scalar(f"{year + 1}-01-01").cast(pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, is_promo = ray.get(part_ref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi),
+            )
+        )
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        disc_h = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        c4 = cents * (100 - disc_h)
+        pos = (
+            np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            if len(keys)
+            else np.zeros(len(lp), np.int64)
+        )
+        hit = keys[pos] == lp if len(keys) else np.zeros(len(lp), bool)
+        c4 = c4[hit]
+        promo_mask = is_promo[pos[hit]]
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "promo_c4": pa.array([int(c4[promo_mask].sum())],
+                                     pa.int64()),
+                "total_c4": pa.array([int(c4.sum())], pa.int64()),
+            }
+        )
+
+    agg = bounded_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["k"], ["promo_c4", "total_c4"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t["promo_c4"][0].as_py()
+        den = t["total_c4"][0].as_py()
+        ppm = (num * 1_000_000) // den if den else 0
+        return pa.table(
+            {
+                "promo_revenue_c4": pa.array([num], pa.int64()),
+                "total_revenue_c4": pa.array([den], pa.int64()),
+                "promo_ppm": pa.array([ppm], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 145 and len(sqls) == 127
+    assert len(qs) == 147 and len(sqls) == 129
     import subprocess
     import sys
 
