@@ -632,6 +632,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relational.q4_order_priority,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        # bucket_docs=1 (per-doc curve) because the synthetic corpus
+        # vocab saturates within the first few docs; at real web scale
+        # raise bucket_docs so the bucket table stays bounded
+        "docs_heaps_vocab_growth": lambda sf: webtext.heaps_vocab_growth(
+            _docs(sf, ["doc_id", "text"]), bucket_docs=1
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2256,6 +2262,9 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY 1
         """,
+        "docs_heaps_vocab_growth": (
+            webtext_mod.heaps_vocab_growth_oracle_sql(bucket_docs=1)
+        ),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -607,3 +607,114 @@ def bigram_collocations_oracle_sql(min_count: int = 5, k: int = 20) -> str:
         ORDER BY pmi_micro DESC, gram
         LIMIT {k}
     """
+
+
+def heaps_vocab_growth(docs_ds, bucket_docs: int = 100):
+    """Heaps-law vocabulary-growth curve: for each bucket of
+    ``bucket_docs`` consecutive ``doc_id``s, how many NEW word types
+    first appear there, plus the running vocabulary size — the
+    diagnostic a corpus builder reads to decide whether more crawl
+    keeps buying vocabulary (sub-linear growth ⇒ Heaps exponent < 1).
+
+    Semantics: a word's first appearance is the MINIMUM doc_id that
+    contains it (ingestion order = doc_id order), so the curve is
+    exact and deterministic, not a streaming approximation.
+
+    Scale shape: per-batch (word -> min doc_id) partials (pandas hash
+    combine over the exploded words; the exploded stream never
+    shuffles) -> one word-partitioned min-combine
+    (``partitioned_key_agg``, vocab never on the driver) -> per-batch
+    bucket counts -> shuffle-free bounded combine over buckets -> one
+    tiny sorted cumsum block. Bucket count is corpus_docs /
+    ``bucket_docs``; at 10^12 docs raise ``bucket_docs`` so the final
+    block stays bounded (or swap the cumsum for the exact distributed
+    ranking pass used by ``docs_length_gini``).
+    """
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    def first_seen_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "first_doc": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        df = _exploded(t["text"].to_pylist())
+        if df.empty:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df["doc"] = ids[df["i"].to_numpy()]
+        agg = df.groupby("w", sort=False)["doc"].min()
+        return pa.table(
+            {
+                "word": pa.array(agg.index.to_numpy(), pa.string()),
+                "first_doc": pa.array(agg.to_numpy(), pa.int64()),
+            }
+        )
+
+    first = partitioned_key_agg(
+        docs_ds.map_batches(first_seen_partial, batch_format="pyarrow"),
+        ["word"], [("first_doc", "min")], part_on=("word",),
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "first_doc" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "new_words": pa.array([], pa.int64()),
+                }
+            )
+        b = t["first_doc"].to_numpy(zero_copy_only=False) // bucket_docs
+        vals, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.int64()),
+                "new_words": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = bounded_key_sum(
+        first.map_batches(bucket_partial, batch_format="pyarrow",
+                          batch_size=None),
+        ["bucket"], ["new_words"],
+    )
+
+    def cumsum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("bucket", kind="mergesort")
+        df["vocab_size"] = df["new_words"].cumsum().astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return agg.repartition(1).map_batches(
+        cumsum, batch_format="pyarrow", batch_size=None
+    )
+
+
+def heaps_vocab_growth_oracle_sql(bucket_docs: int = 100) -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        f AS (
+            SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word
+        ),
+        b AS (
+            SELECT first_doc // {bucket_docs} AS bucket,
+                   COUNT(*) AS new_words
+            FROM f GROUP BY 1
+        )
+        SELECT bucket, CAST(new_words AS BIGINT) AS new_words,
+               CAST(SUM(new_words) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS vocab_size
+        FROM b ORDER BY bucket
+    """
