@@ -638,6 +638,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heaps_vocab_growth": lambda sf: webtext.heaps_vocab_growth(
             _docs(sf, ["doc_id", "text"]), bucket_docs=1
         ),
+        "docs_winnowing_fingerprints": lambda sf: (
+            analysis.winnowing_fingerprints(_docs(sf, ["doc_id", "text"]))
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2264,6 +2267,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_heaps_vocab_growth": (
             webtext_mod.heaps_vocab_growth_oracle_sql(bucket_docs=1)
+        ),
+        "docs_winnowing_fingerprints": (
+            analysis_mod.winnowing_oracle_sql()
         ),
         "q6_forecast_revenue": """
             WITH p AS (

@@ -2358,3 +2358,159 @@ def rare_word_ratio(docs_ds, max_count: int = 2):
         )
 
     return docs_ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+# -- winnowing fingerprint selection ----------------------------------------
+
+
+def _winnow_positions(grams: np.ndarray, w: int) -> np.ndarray:
+    """0-based selected positions: rightmost minimum of every length-``w``
+    window over the gram-hash sequence (the winnowing guarantee of
+    Schleimer/Wilkerson/Aiken 2003, SIGMOD — one fingerprint per window,
+    shared fingerprints align across documents). Single window over all
+    grams when fewer than ``w`` exist."""
+    n = len(grams)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if n <= w:
+        return np.array([n - 1 - int(np.argmin(grams[::-1]))], np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(grams, w)
+    rightmost = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    return np.unique(np.arange(n - w + 1, dtype=np.int64) + rightmost)
+
+
+def _poly_gram_hashes(toks: list[str], k: int) -> list[int]:
+    """All k-gram rolling polynomial hashes (base ``_B`` mod 2^61-1) over
+    md5_64 token hashes; the whole-doc hash as a single entry when the
+    doc is shorter than ``k`` tokens. Python-int accumulators because the
+    61-bit modmul overflows int64; O(tokens) per doc with the memoized
+    md5 cache, same cost class as :func:`rolling_fingerprint`."""
+    from autoner_ray.functions.hashing import md5_64
+
+    hs = [md5_64(t) for t in toks]
+    n = len(hs)
+    if n < k:
+        acc = 0
+        for h in hs:
+            acc = (acc * _B + h) % _MOD
+        return [acc]
+    out = []
+    pw = pow(_B, k - 1, _MOD)
+    acc = 0
+    for i, h in enumerate(hs):
+        if i < k:
+            acc = (acc * _B + h) % _MOD
+            if i == k - 1:
+                out.append(acc)
+        else:
+            acc = ((acc - hs[i - k] * pw) * _B + h) % _MOD
+            out.append(acc)
+    return out
+
+
+def winnowing_fingerprints(docs_ds, k: int = 8, w: int = 4):
+    """Winnowed document fingerprints: (doc_id, pos, fp) for every
+    k-gram selected by rightmost-min winnowing with window ``w`` — the
+    MOSS / The-Stack-style robust fingerprint set that powers
+    substring-level near-dup detection (two docs sharing any length-
+    ``k+w-1`` token run are guaranteed a common fp).
+
+    Scale shape: a single stateless vectorized map over docs (no
+    shuffle at all; ~(tokens/w)·2 fingerprints per doc stream straight
+    to the sink); downstream pair-finding is a fp-partitioned
+    self-join, the ``ngram_jaccard_exact`` shape. ``pos`` is the
+    1-based k-gram start index, so matching fps also align offsets."""
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.string()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ids: list[int] = []
+        poss: list[int] = []
+        fps: list[str] = []
+        doc_ids = t["doc_id"].to_pylist()
+        for doc_id, text in zip(doc_ids, t["text"].to_pylist()):
+            grams = _poly_gram_hashes((text or "").split(" "), k)
+            arr = np.array(grams, np.uint64)
+            for p in _winnow_positions(arr, w):
+                ids.append(doc_id)
+                poss.append(int(p) + 1)
+                fps.append(f"{grams[p]:016x}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(fp_batch, batch_format="pyarrow")
+
+
+def winnowing_oracle_sql(k: int = 8, w: int = 4) -> str:
+    pws = ", ".join(
+        f"({e}, {pow(_B, e, _MOD)})" for e in range(k)
+    )
+    return f"""
+        WITH hs AS MATERIALIZED (
+            SELECT d.doc_id, g.i AS idx,
+                   CAST(('0x' || substring(
+                       md5(string_split(d.text, ' ')[g.i]), 1, 16))
+                        AS UBIGINT) AS h
+            FROM documents d,
+                 UNNEST(generate_series(1,
+                     len(string_split(d.text, ' ')))) AS g(i)
+        ), nn AS MATERIALIZED (
+            SELECT doc_id, MAX(idx) AS n FROM hs GROUP BY doc_id
+        ), o(e, pw) AS (VALUES {pws}),
+        gram AS MATERIALIZED (
+            SELECT h1.doc_id, h1.idx,
+                   SUM(CAST(h2.h AS HUGEINT) * o.pw) % {_MOD} AS whash
+            FROM hs h1
+            JOIN hs h2 ON h2.doc_id = h1.doc_id
+                      AND h2.idx BETWEEN h1.idx AND h1.idx + {k - 1}
+            JOIN o ON o.e = h1.idx + {k - 1} - h2.idx
+            JOIN nn ON nn.doc_id = h1.doc_id
+            WHERE h1.idx + {k - 1} <= nn.n AND nn.n >= {k}
+            GROUP BY h1.doc_id, h1.idx
+        ), ng AS (
+            SELECT doc_id, COUNT(*) AS g FROM gram GROUP BY doc_id
+        ), starts AS (
+            SELECT ng.doc_id, s.i AS st
+            FROM ng, UNNEST(generate_series(
+                1, GREATEST(1, ng.g - {w} + 1))) AS s(i)
+        ), winmin AS (
+            SELECT st.doc_id, st.st, MIN(gr.whash) AS mn
+            FROM starts st JOIN gram gr ON gr.doc_id = st.doc_id
+               AND gr.idx BETWEEN st.st AND st.st + {w} - 1
+            GROUP BY st.doc_id, st.st
+        ), sel AS (
+            SELECT wm.doc_id, MAX(gr.idx) AS pos
+            FROM winmin wm JOIN gram gr ON gr.doc_id = wm.doc_id
+               AND gr.idx BETWEEN wm.st AND wm.st + {w} - 1
+               AND gr.whash = wm.mn
+            GROUP BY wm.doc_id, wm.st
+        ), selected AS (
+            SELECT DISTINCT s.doc_id, s.pos, gr.whash
+            FROM sel s JOIN gram gr
+              ON gr.doc_id = s.doc_id AND gr.idx = s.pos
+        ), short_w AS (
+            SELECT hs.doc_id, 1 AS pos,
+                   SUM(CAST(hs.h AS HUGEINT) * o.pw) % {_MOD} AS whash
+            FROM hs JOIN nn ON nn.doc_id = hs.doc_id
+            JOIN o ON o.e = nn.n - hs.idx
+            WHERE nn.n < {k}
+            GROUP BY hs.doc_id
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               lower(lpad(to_hex(CAST(whash AS UBIGINT)), 16, '0')) AS fp
+        FROM (SELECT * FROM selected UNION ALL SELECT * FROM short_w)
+    """

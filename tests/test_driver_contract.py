@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 148 and len(sqls) == 130
+    assert len(qs) == 149 and len(sqls) == 131
     import subprocess
     import sys
 

@@ -348,3 +348,55 @@ def test_length_gini_bruteforce(ray_session):
     gini = ((2 * s - (n + 1) * tot) * 1_000_000) // (n * tot)
     assert got.iloc[0].tolist() == [n, tot, s, gini]
     assert 0 <= gini < 1_000_000
+
+
+def test_winnowing_guarantee_and_tiebreak():
+    """Every length-w window of gram hashes contains a selected position
+    (the winnowing coverage guarantee) and ties pick the RIGHTMOST min."""
+    from autoner_ray.stages.analysis import _winnow_positions
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 6))
+        # small value range to force ties
+        grams = rng.integers(0, 5, size=n).astype(np.uint64)
+        sel = _winnow_positions(grams, w)
+        assert len(np.unique(sel)) == len(sel)
+        if n <= w:
+            mn = grams.min()
+            assert len(sel) == 1
+            # rightmost occurrence of the min
+            assert sel[0] == np.flatnonzero(grams == mn).max()
+        else:
+            for start in range(n - w + 1):
+                window = np.arange(start, start + w)
+                hit = np.intersect1d(sel, window)
+                assert len(hit) > 0, (trial, start)
+            # each selected pos is the rightmost min of SOME window
+            for p in sel:
+                ok = False
+                for start in range(max(0, p - w + 1),
+                                   min(p, n - w) + 1):
+                    win = grams[start:start + w]
+                    mn = win.min()
+                    if grams[p] == mn and (
+                        p - start == np.flatnonzero(win == mn).max()
+                    ):
+                        ok = True
+                        break
+                assert ok, (trial, p)
+
+
+def test_poly_gram_hash_matches_rolling_short_doc():
+    """Short-doc (< k tokens) winnowing hash equals rolling_fingerprint's
+    whole-doc hash — the two fingerprint families agree on the base case."""
+    from autoner_ray.stages.analysis import (
+        _poly_gram_hashes,
+        rolling_fingerprint,
+    )
+
+    text = "alpha beta gamma"
+    hs = _poly_gram_hashes(text.split(" "), k=8)
+    assert len(hs) == 1
+    assert f"{hs[0]:016x}" == rolling_fingerprint(text, window=8)
