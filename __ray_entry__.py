@@ -641,6 +641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnowing_fingerprints": lambda sf: (
             analysis.winnowing_fingerprints(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_bigram_kcore": lambda sf: webtext.bigram_kcore(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2271,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnowing_fingerprints": (
             analysis_mod.winnowing_oracle_sql()
         ),
+        "docs_bigram_kcore": webtext_mod.bigram_kcore_oracle_sql(),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

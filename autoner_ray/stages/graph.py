@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1119,5 +1120,163 @@ def pagerank_personalized_distributed(edges_ds, seed: str | None = None,
                 [round(float(r), round_dp) for r in out["rank"]],
                 pa.float64(),
             ),
+        }
+    )
+
+
+def kcore_distributed(edges_ds, k: int = 2, max_iters: int = 50,
+                      num_partitions: int | None = None):
+    """Exact k-core: iteratively peel nodes of degree < ``k`` until a
+    fixpoint, returning (entity, degree) for the surviving core with
+    core-internal degrees — the standard cohesion filter a KG pipeline
+    applies before community/embedding stages (peeling converges in
+    O(peel depth) rounds, each round one degree count + one
+    endpoint-survival semi-join).
+
+    Scale shape: the edge list and degree table stay DATASETS
+    end-to-end (unbounded vocab safe); each round is a bounded-key
+    groupby-count plus two hash-partitioned cogroup semi-joins (src
+    side, then dst side), and the edge list only shrinks. Fixpoint is
+    detected with a distributed count. Same iteration discipline as
+    :func:`connected_components_distributed`; the unavoidable
+    per-round materialize is of the CURRENT edge list only.
+    """
+    from ray.data.aggregate import Count
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import cogroup_join
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions(multiplier=1)
+    schema = edges_ds.schema()
+    node_type = schema.types[schema.names.index("subj")]
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("src", node_type), ("dst", node_type)]
+            ).empty_table()
+        return pa.table(
+            {
+                "src": pa.chunked_array(t["subj"].chunks + t["obj"].chunks),
+                "dst": pa.chunked_array(t["obj"].chunks + t["subj"].chunks),
+            }
+        )
+
+    bidir = edges_ds.map_batches(expand, batch_format="pyarrow").materialize()
+    n_edges = bidir.count()
+    _deg_schema = pa.schema([("src", node_type), ("deg", pa.int64())])
+    _keep_schema = pa.schema([("src", node_type), ("dst", node_type)])
+
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = bidir.groupby("src").aggregate(Count(alias_name="deg"))
+
+        def survivors(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _deg_schema.empty_table()
+            return t.filter(
+                pc.greater_equal(t["deg"], pa.scalar(k))
+            ).select(["src", "deg"])
+
+        surv = deg.map_batches(survivors, batch_format="pyarrow")
+
+        def keep_src(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "deg" not in (
+                t.column_names
+            ):
+                return _keep_schema.empty_table()
+            return t.select(["src", "dst"])
+
+        # semi-join on src survival, then flip roles for the dst side:
+        # cogroup_join is inner, so a missing (peeled) endpoint drops
+        # the edge — exactly the peel semantics
+        src_kept = cogroup_join(
+            bidir, surv, on=("src",), num_partitions=num_partitions
+        ).map_batches(keep_src, batch_format="pyarrow")
+
+        def flip(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _keep_schema.empty_table()
+            return pa.table({"src": t["dst"], "dst": t["src"]})
+
+        bidir = (
+            cogroup_join(
+                src_kept.map_batches(flip, batch_format="pyarrow"),
+                surv, on=("src",), num_partitions=num_partitions,
+            )
+            .map_batches(keep_src, batch_format="pyarrow")
+            .materialize()
+        )
+        remaining = bidir.count()
+        if remaining == n_edges:
+            break
+        n_edges = remaining
+
+    final = bidir.groupby("src").aggregate(Count(alias_name="degree"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("entity", node_type), ("degree", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "entity": t["src"],
+                "degree": pc.cast(t["degree"], pa.int64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore(edges_ds, k: int = 2, driver_max_edges: int = 2_000_000,
+          num_partitions: int | None = None):
+    """Tiered k-core front door: the THRESHOLDED collocation/similarity
+    graphs this feeds on are vocab-bounded, so when the edge list fits
+    under ``driver_max_edges`` peel it in one process (exact, ~µs per
+    edge-round); beyond the cap fall through to the Dataset-resident
+    :func:`kcore_distributed` (tier equality pinned by
+    tests/test_r4_late_ops.py). Same output schema either way:
+    (entity, degree) with core-internal degrees."""
+    n = edges_ds.count()
+    if n > driver_max_edges:
+        return kcore_distributed(
+            edges_ds, k=k, num_partitions=num_partitions
+        )
+    import pandas as pd
+
+    df = edges_ds.to_pandas()
+    node_type = (
+        edges_ds.schema().types[edges_ds.schema().names.index("subj")]
+    )
+    if len(df) == 0:
+        return pa.schema(
+            [("entity", node_type), ("degree", pa.int64())]
+        ).empty_table()
+    subj = df["subj"].to_numpy()
+    obj = df["obj"].to_numpy()
+    while True:
+        deg = pd.concat(
+            [pd.Series(subj), pd.Series(obj)], ignore_index=True
+        ).value_counts()
+        alive = set(deg[deg >= k].index)
+        keep = np.fromiter(
+            (s in alive and o in alive for s, o in zip(subj, obj)),
+            bool, len(subj),
+        )
+        if keep.all():
+            break
+        subj, obj = subj[keep], obj[keep]
+        if len(subj) == 0:
+            break
+    deg = pd.concat(
+        [pd.Series(subj), pd.Series(obj)], ignore_index=True
+    ).value_counts().sort_index()
+    return pa.table(
+        {
+            "entity": pa.array(deg.index.to_numpy(), node_type),
+            "degree": pa.array(deg.to_numpy(), pa.int64()),
         }
     )

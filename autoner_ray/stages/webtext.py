@@ -718,3 +718,123 @@ def heaps_vocab_growth_oracle_sql(bucket_docs: int = 100) -> str:
                ) AS BIGINT) AS vocab_size
         FROM b ORDER BY bucket
     """
+
+
+def bigram_graph(docs_ds, min_count: int = 75):
+    """Undirected adjacent-word co-occurrence graph: edge (subj, obj)
+    for each unordered pair of DISTINCT adjacent words occurring at
+    least ``min_count`` times corpus-wide (subj < obj lexicographic) —
+    the thresholded collocation graph that feeds cohesion passes.
+
+    Scale shape: vectorized shift-based bigram explode per batch ->
+    per-batch pair-count partials -> ONE pair-partitioned sum combine
+    (vocab² never on the driver) -> stateless threshold filter.
+    """
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "weight": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        df = _exploded(t["text"].to_pylist())
+        if df.empty:
+            return empty
+        w = df["w"].astype(str)
+        nxt = w.shift(-1)
+        same_doc = df["i"].to_numpy() == np.roll(df["i"].to_numpy(), -1)
+        same_doc[-1] = False
+        valid = same_doc & (w.to_numpy() != nxt.to_numpy())
+        a = np.minimum(w.to_numpy()[valid], nxt.to_numpy()[valid])
+        b = np.maximum(w.to_numpy()[valid], nxt.to_numpy()[valid])
+        pairs = pd.DataFrame({"subj": a, "obj": b})
+        agg = pairs.groupby(["subj", "obj"], sort=False).size()
+        idx = agg.index
+        return pa.table(
+            {
+                "subj": pa.array(idx.get_level_values(0), pa.string()),
+                "obj": pa.array(idx.get_level_values(1), pa.string()),
+                "weight": pa.array(agg.to_numpy(), pa.int64()),
+            }
+        )
+
+    summed = partitioned_key_sum(
+        docs_ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["subj", "obj"], ["weight"], part_on=("subj",),
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        return t.filter(
+            pc.greater_equal(t["weight"], pa.scalar(min_count))
+        ).select(["subj", "obj", "weight"])
+
+    return summed.map_batches(threshold, batch_format="pyarrow")
+
+
+def bigram_kcore(docs_ds, min_count: int = 75, k: int = 2):
+    """Exact k-core of the thresholded bigram collocation graph —
+    (entity, degree) for the cohesive collocation backbone. Oracle:
+    unrolled peel rounds in SQL (:func:`bigram_kcore_oracle_sql`)."""
+    from autoner_ray.stages.graph import kcore
+
+    return kcore(bigram_graph(docs_ds, min_count), k=k)
+
+
+def bigram_kcore_oracle_sql(min_count: int = 75, k: int = 2,
+                            rounds: int = 8) -> str:
+    """Peel unrolled ``rounds`` times (the engine iterates to fixpoint;
+    the corpus peels in <= 3 rounds, so 8 is a 2.5x safety margin —
+    if a future corpus needs more the row-count check fails loudly
+    rather than silently)."""
+    steps = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: an inlined 8-round CTE chain
+        # explodes the DuckDB planner (same note as _unigram_graph_ctes)
+        steps.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT src, COUNT(*) AS deg FROM (
+                SELECT subj AS src FROM {prev}
+                UNION ALL SELECT obj FROM {prev}
+            ) GROUP BY src HAVING COUNT(*) >= {k}
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.subj, e.obj FROM {prev} e
+            JOIN d{r} a ON e.subj = a.src
+            JOIN d{r} b ON e.obj = b.src
+        )""")
+        prev = f"e{r}"
+    chain = ",".join(steps)
+    return f"""
+        WITH ws AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        bg AS (
+            SELECT least(ws[i], ws[i + 1]) AS a,
+                   greatest(ws[i], ws[i + 1]) AS b
+            FROM ws, unnest(range(1, len(ws))) AS t(i)
+            WHERE ws[i] <> ws[i + 1]
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a AS subj, b AS obj FROM bg
+            GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+        ),
+        {chain}
+        SELECT src AS entity, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT subj AS src FROM {prev}
+            UNION ALL SELECT obj FROM {prev}
+        ) GROUP BY src
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 149 and len(sqls) == 131
+    assert len(qs) == 150 and len(sqls) == 132
     import subprocess
     import sys
 

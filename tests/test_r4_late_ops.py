@@ -400,3 +400,27 @@ def test_poly_gram_hash_matches_rolling_short_doc():
     hs = _poly_gram_hashes(text.split(" "), k=8)
     assert len(hs) == 1
     assert f"{hs[0]:016x}" == rolling_fingerprint(text, window=8)
+
+
+def test_kcore_tier_equality():
+    """Driver-peel and Dataset-resident k-core agree on the thresholded
+    bigram graph (the distributed tier is the at-scale default path)."""
+    import ray
+
+    from autoner_ray.stages.graph import kcore, kcore_distributed
+    from autoner_ray.stages.webtext import bigram_graph
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    edges = bigram_graph(docs, min_count=75).materialize()
+    drv = (
+        kcore(edges, k=2).to_pandas()
+        .sort_values("entity").reset_index(drop=True)
+    )
+    dist = (
+        kcore_distributed(edges, k=2).to_pandas()
+        .sort_values("entity").reset_index(drop=True)
+    )
+    assert len(drv) > 0  # the fixture graph has a non-empty 2-core
+    pd.testing.assert_frame_equal(drv, dist)
