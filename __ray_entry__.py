@@ -644,6 +644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_kcore": lambda sf: webtext.bigram_kcore(
             _docs(sf, ["doc_id", "text"])
         ),
+        "docs_length_outliers": lambda sf: analysis.length_outliers(
+            _docs(sf, ["doc_id", "source", "n_chars"])
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2275,6 +2278,9 @@ def oracle_sql() -> dict[str, str]:
             analysis_mod.winnowing_oracle_sql()
         ),
         "docs_bigram_kcore": webtext_mod.bigram_kcore_oracle_sql(),
+        "docs_length_outliers": (
+            analysis_mod.length_outliers_oracle_sql()
+        ),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -2514,3 +2514,142 @@ def winnowing_oracle_sql(k: int = 8, w: int = 4) -> str:
                lower(lpad(to_hex(CAST(whash AS UBIGINT)), 16, '0')) AS fp
         FROM (SELECT * FROM selected UNION ALL SELECT * FROM short_w)
     """
+
+
+# -- per-source length outliers (exact integer z-score) ---------------------
+
+
+def length_outliers(docs_ds, k_num: int = 3, k_den: int = 2):
+    """Docs whose length deviates more than (k_num/k_den)·σ from their
+    source's mean — the per-domain anomaly cut (truncated pages, pasted
+    binaries) a curation pipeline applies before quality scoring.
+
+    EXACT integer semantics (no float flakiness in the driver hash):
+    flag iff ``k_den²·(n·len − s)² > k_num²·(n·ssq − s²)`` over int
+    moments n, s=Σlen, ssq=Σlen² per source. The vectorized path
+    compares against a float sqrt threshold with a ±2 guard band;
+    rows inside the band are re-checked with arbitrary-precision
+    Python ints, so the result is exact even where (n·len − s)²
+    exceeds int64 (10¹²-doc sources).
+
+    Scale shape: pass 1 is a shuffle-free bounded combine of per-source
+    moments (sources are a bounded dimension, the ``docs_source_stats``
+    assumption); the moment dict broadcasts via ``ray.put`` and pass 2
+    is a stateless vectorized filter map.
+    """
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ssq": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        import pandas as pd
+
+        ln = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "n": 1,
+                "s": ln,
+                "ssq": ln * ln,
+            }
+        )
+        agg = df.groupby("source", sort=False).sum()
+        return pa.table(
+            {
+                "source": pa.array(agg.index.to_numpy(), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+                "s": pa.array(agg["s"].to_numpy(), pa.int64()),
+                "ssq": pa.array(agg["ssq"].to_numpy(), pa.int64()),
+            }
+        )
+
+    moments = bounded_key_sum(
+        docs_ds.map_batches(moment_partial, batch_format="pyarrow"),
+        ["source"], ["n", "s", "ssq"],
+    ).to_pandas()
+    # python ints: n*ssq - s*s can pass int64 at 10^12-doc sources
+    stats = {
+        r.source: (int(r.n), int(r.s), int(r.ssq))
+        for r in moments.itertuples()
+    }
+    stats_ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        st = ray.get(stats_ref)
+        srcs = t["source"].to_pylist()
+        ln = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.array([st[s][0] for s in srcs], np.int64)
+        s = np.array([st[s][1] for s in srcs], np.int64)
+        rhs = np.array(
+            [
+                float(k_num * k_num * (nn * ssq - ss * ss))
+                for nn, ss, ssq in (st[sc] for sc in srcs)
+            ],
+            np.float64,
+        )
+        # d is EXACT in int64 (n·len <= ~9e18 covers 10^12 docs of 10^6
+        # chars); only the squaring and the rhs conversion round, so the
+        # 4-ulp band below bounds the total comparison error
+        d = (n * ln - s).astype(np.float64)
+        lhs = (k_den * d) ** 2
+        # guard band: float error of the comparison is << 4 ulps; rows
+        # within the band get the exact arbitrary-precision check
+        band = np.abs(lhs - rhs) <= 4.0 * np.finfo(np.float64).eps * (
+            np.abs(lhs) + np.abs(rhs)
+        )
+        keep = lhs > rhs
+        if band.any():
+            for i in np.flatnonzero(band):
+                nn, ss, ssq = st[srcs[i]]
+                di = nn * int(ln[i]) - ss
+                keep[i] = (
+                    k_den * k_den * di * di
+                    > k_num * k_num * (nn * ssq - ss * ss)
+                )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "source": t["source"].filter(pa.array(keep)),
+                "n_chars": t["n_chars"].filter(pa.array(keep)),
+            }
+        )
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def length_outliers_oracle_sql(k_num: int = 3, k_den: int = 2) -> str:
+    return f"""
+        WITH s AS (
+            SELECT source, COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS s,
+                   CAST(SUM(n_chars * n_chars) AS BIGINT) AS ssq
+            FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN s USING (source)
+        WHERE {k_den * k_den}
+              * CAST(s.n * d.n_chars - s.s AS HUGEINT)
+              * CAST(s.n * d.n_chars - s.s AS HUGEINT)
+              > {k_num * k_num}
+              * (CAST(s.n AS HUGEINT) * s.ssq
+                 - CAST(s.s AS HUGEINT) * s.s)
+    """
