@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relational.q4_order_priority,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "customer_rfm_segments": relational.customer_rfm_segments,
         # bucket_docs=1 (per-doc curve) because the synthetic corpus
         # vocab saturates within the first few docs; at real web scale
         # raise bucket_docs so the bucket table stays bounded
@@ -646,6 +647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_length_outliers": lambda sf: analysis.length_outliers(
             _docs(sf, ["doc_id", "source", "n_chars"])
+        ),
+        "docs_winnowing_neardup": lambda sf: (
+            dedup.winnowing_neardup_pairs(_docs(sf, ["doc_id", "text"]))
         ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
@@ -867,8 +871,10 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_oracle_sql,
         temperature_sample_oracle_sql,
     )
+    from autoner_ray.pipelines import relational as relational_mod
     from autoner_ray.stages import analysis as analysis_mod
     from autoner_ray.stages import asof as asof_mod
+    from autoner_ray.stages import dedup as dedup_mod
     from autoner_ray.stages import similarity as similarity_mod
     from autoner_ray.stages import sketches as sketches_mod
     from autoner_ray.stages import webtext
@@ -2280,6 +2286,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_kcore": webtext_mod.bigram_kcore_oracle_sql(),
         "docs_length_outliers": (
             analysis_mod.length_outliers_oracle_sql()
+        ),
+        "docs_winnowing_neardup": (
+            dedup_mod.winnowing_neardup_oracle_sql()
+        ),
+        "customer_rfm_segments": (
+            relational_mod.customer_rfm_oracle_sql()
         ),
         "q6_forecast_revenue": """
             WITH p AS (

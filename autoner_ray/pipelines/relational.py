@@ -1719,3 +1719,182 @@ def q14_promo_revenue(sf_dir: str, year: int = 1996,
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_rfm_segments(sf_dir: str, n_buckets: int = 4):
+    """RFM (Recency / Frequency / Monetary) quartile segmentation of
+    customers from the orders table alone — the classic
+    marketing-analytics cut, here as a three-window exact-rank probe:
+    each dimension is an independent global NTILE with deterministic
+    (value desc, custkey asc) tie-break.
+
+    Scale shape: ONE column-pruned scan of orders -> per-batch
+    (custkey -> max date, n, cents) partials -> one custkey hash
+    combine; then three :func:`~autoner_ray.stages.ranking.exact_ntile`
+    range-bucket passes (no global sort, B range counts on the driver
+    each) and two custkey cogroup joins to stitch the quartiles. The
+    segment label is a vectorized string concat.
+    """
+    from autoner_ray.stages.joins import _stable_part_col, cogroup_join
+    from autoner_ray.stages.ranking import exact_ntile
+
+    P = default_num_partitions()
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "last_us": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "last_us": pc.cast(
+                    t["o_orderdate"], pa.int64()
+                ).to_numpy(zero_copy_only=False),
+                "n_orders": 1,
+                "cents": cents,
+            }
+        )
+        agg = df.groupby("o_custkey", sort=False).agg(
+            last_us=("last_us", "max"),
+            n_orders=("n_orders", "sum"),
+            cents=("cents", "sum"),
+        ).reset_index()
+        out = pa.Table.from_pandas(agg, preserve_index=False)
+        return out.append_column(
+            "part", _stable_part_col(out, ("o_custkey",), P)
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "last_us": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        return (
+            df.groupby("o_custkey", sort=False)
+            .agg(
+                last_us=("last_us", "max"),
+                n_orders=("n_orders", "sum"),
+                cents=("cents", "sum"),
+            )
+            .reset_index()
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()  # feeds three ntile passes; avoid re-reading orders
+    )
+
+    def keep(name):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {
+                        "o_custkey": pa.array([], pa.int64()),
+                        name: pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table({"o_custkey": t["o_custkey"], name: t["ntile"]})
+        return fn
+
+    r = exact_ntile(
+        per_cust.select_columns(["o_custkey", "last_us"]),
+        key_col="o_custkey", val_col="last_us",
+        n_buckets=n_buckets, descending=True,
+    ).map_batches(keep("r_quartile"), batch_format="pyarrow")
+    f = exact_ntile(
+        per_cust.select_columns(["o_custkey", "n_orders"]),
+        key_col="o_custkey", val_col="n_orders",
+        n_buckets=n_buckets, descending=True,
+    ).map_batches(keep("f_quartile"), batch_format="pyarrow")
+    m = exact_ntile(
+        per_cust.select_columns(["o_custkey", "cents"]),
+        key_col="o_custkey", val_col="cents",
+        n_buckets=n_buckets, descending=True,
+    ).map_batches(keep("m_quartile"), batch_format="pyarrow")
+
+    joined = cogroup_join(
+        cogroup_join(r, f, on=("o_custkey",), num_partitions=P),
+        m, on=("o_custkey",), num_partitions=P,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "r_quartile": pa.array([], pa.int64()),
+                    "f_quartile": pa.array([], pa.int64()),
+                    "m_quartile": pa.array([], pa.int64()),
+                    "rfm_segment": pa.array([], pa.string()),
+                }
+            )
+        seg = pc.binary_join_element_wise(
+            "R", pc.cast(t["r_quartile"], pa.string()),
+            "F", pc.cast(t["f_quartile"], pa.string()),
+            "M", pc.cast(t["m_quartile"], pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "r_quartile": t["r_quartile"],
+                "f_quartile": t["f_quartile"],
+                "m_quartile": t["m_quartile"],
+                "rfm_segment": seg,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_rfm_oracle_sql(n_buckets: int = 4) -> str:
+    return f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_date,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), q AS (
+            SELECT o_custkey,
+                   NTILE({n_buckets}) OVER (
+                       ORDER BY last_date DESC, o_custkey
+                   ) AS r_quartile,
+                   NTILE({n_buckets}) OVER (
+                       ORDER BY n_orders DESC, o_custkey
+                   ) AS f_quartile,
+                   NTILE({n_buckets}) OVER (
+                       ORDER BY cents DESC, o_custkey
+                   ) AS m_quartile
+            FROM per_cust
+        )
+        SELECT o_custkey,
+               CAST(r_quartile AS BIGINT) AS r_quartile,
+               CAST(f_quartile AS BIGINT) AS f_quartile,
+               CAST(m_quartile AS BIGINT) AS m_quartile,
+               'R' || r_quartile || 'F' || f_quartile || 'M' || m_quartile
+                   AS rfm_segment
+        FROM q
+    """

@@ -2455,12 +2455,15 @@ def winnowing_fingerprints(docs_ds, k: int = 8, w: int = 4):
     return docs_ds.map_batches(fp_batch, batch_format="pyarrow")
 
 
-def winnowing_oracle_sql(k: int = 8, w: int = 4) -> str:
+def _winnow_ctes(k: int = 8, w: int = 4) -> str:
+    """Shared CTE chain ending in ``fpset(doc_id, pos, whash)`` — the
+    pre-hex winnowed fingerprint set; reused by the per-doc oracle and
+    the shared-fp near-dup pair oracle."""
     pws = ", ".join(
         f"({e}, {pow(_B, e, _MOD)})" for e in range(k)
     )
     return f"""
-        WITH hs AS MATERIALIZED (
+        hs AS MATERIALIZED (
             SELECT d.doc_id, g.i AS idx,
                    CAST(('0x' || substring(
                        md5(string_split(d.text, ' ')[g.i]), 1, 16))
@@ -2509,13 +2512,19 @@ def winnowing_oracle_sql(k: int = 8, w: int = 4) -> str:
             JOIN o ON o.e = nn.n - hs.idx
             WHERE nn.n < {k}
             GROUP BY hs.doc_id
+        ), fpset AS MATERIALIZED (
+            SELECT * FROM selected UNION ALL SELECT * FROM short_w
         )
-        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-               lower(lpad(to_hex(CAST(whash AS UBIGINT)), 16, '0')) AS fp
-        FROM (SELECT * FROM selected UNION ALL SELECT * FROM short_w)
     """
 
 
+def winnowing_oracle_sql(k: int = 8, w: int = 4) -> str:
+    return f"""
+        WITH {_winnow_ctes(k, w)}
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               lower(lpad(to_hex(CAST(whash AS UBIGINT)), 16, '0')) AS fp
+        FROM fpset
+    """
 # -- per-source length outliers (exact integer z-score) ---------------------
 
 

@@ -898,3 +898,153 @@ def neardup_cluster_sizes(
         per_cluster.map_batches(hist_partial, batch_format="pyarrow"),
         ["cluster_size"], ["n_clusters"],
     )
+
+
+def winnowing_neardup_pairs(
+    docs_ds,
+    min_shared: int = 5,
+    k: int = 8,
+    w: int = 4,
+    num_partitions: int | None = None,
+    max_df: int | None = None,
+):
+    """Substring-level near-duplicate pairs via shared WINNOWED
+    fingerprints: docs whose winnow-selected k-gram fingerprint sets
+    intersect in at least ``min_shared`` entries — the MOSS-style
+    detector that catches long verbatim passages (each shared fp
+    certifies a shared k-token run) where whole-set Jaccard dilutes.
+
+    Same partitioned shape as :func:`ngram_jaccard_exact_pairs`: one
+    map explodes each doc to its DISTINCT winnowed fps (fp count is
+    ~2·tokens/w, so this stream is ~8x smaller than the shingle
+    explode), one content-hash shuffle co-locates each fp, an
+    in-partition vectorized self-join counts shared fps per pair, and
+    a pair-partitioned combine sums partials. ``max_df`` prunes
+    boilerplate fps locally (df is exact per partition) for web-scale
+    corpora; None keeps oracle exactness.
+
+    Output: (doc_a, doc_b, n_shared, size_a, size_b) — all exact
+    int64, no float in the hash.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.analysis import (
+        _poly_gram_hashes,
+        _winnow_positions,
+    )
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, fps, sizes, parts = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            grams = _poly_gram_hashes((text or "").split(" "), k)
+            arr = np.array(grams, np.uint64)
+            sel = np.unique(arr[_winnow_positions(arr, w)])
+            n = len(sel)
+            if n == 0:
+                continue
+            doc_ids.extend([did] * n)
+            fps.extend(sel.view(np.int64).tolist())
+            sizes.extend([n] * n)
+            parts.extend(
+                (sel % np.uint64(num_partitions)).astype(np.int32).tolist()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
+                "size": pa.array(sizes, pa.int64()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    _empty_partials = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "n_shared": pd.Series([], dtype="int64"),
+            "size_a": pd.Series([], dtype="int64"),
+            "size_b": pd.Series([], dtype="int64"),
+            "pair_part": pd.Series([], dtype="int32"),
+        }
+    )
+
+    def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            df = df[df.groupby("fp")["fp"].transform("size") <= max_df]
+        lt = pa.table(
+            {
+                "fp": pa.array(df["fp"], pa.int64()),
+                "doc_a": pa.array(df["doc_id"], pa.int64()),
+                "size_a": pa.array(df["size"], pa.int64()),
+            }
+        )
+        rt = lt.rename_columns(["fp", "doc_b", "size_b"])
+        j = lt.join(rt, keys=["fp"], join_type="inner")
+        j = j.filter(pc.less(j["doc_a"], j["doc_b"]))
+        if j.num_rows == 0:
+            return _empty_partials
+        g = (
+            j.select(["doc_a", "doc_b", "size_a", "size_b"])
+            .to_pandas()
+            .groupby(["doc_a", "doc_b"], as_index=False)
+            .agg(n_shared=("size_a", "size"), size_a=("size_a", "first"),
+                 size_b=("size_b", "first"))
+        )
+        g["pair_part"] = _pair_part(
+            g["doc_a"].to_numpy(), g["doc_b"].to_numpy(), num_partitions
+        )
+        return g[
+            ["doc_a", "doc_b", "n_shared", "size_a", "size_b", "pair_part"]
+        ]
+
+    def combine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_shared=("n_shared", "sum"), size_a=("size_a", "first"),
+            size_b=("size_b", "first"),
+        )
+        g = g[g["n_shared"] >= min_shared]
+        return g[["doc_a", "doc_b", "n_shared", "size_a", "size_b"]]
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+        .groupby("pair_part")
+        .map_groups(combine_pairs, batch_format="pandas")
+    )
+
+
+def winnowing_neardup_oracle_sql(min_shared: int = 5, k: int = 8,
+                                 w: int = 4) -> str:
+    from autoner_ray.stages.analysis import _winnow_ctes
+
+    return f"""
+        WITH {_winnow_ctes(k, w)},
+        u AS MATERIALIZED (
+            SELECT DISTINCT doc_id, whash FROM fpset
+        ),
+        sz AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS size FROM u GROUP BY doc_id
+        ),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared
+            FROM u a JOIN u b
+              ON a.whash = b.whash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(sa.size AS BIGINT) AS size_a,
+               CAST(sb.size AS BIGINT) AS size_b
+        FROM p
+        JOIN sz sa ON sa.doc_id = p.doc_a
+        JOIN sz sb ON sb.doc_id = p.doc_b
+        WHERE n_shared >= {min_shared}
+    """
