@@ -651,6 +651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnowing_neardup": lambda sf: (
             dedup.winnowing_neardup_pairs(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_minhash_signatures": lambda sf: (
+            dedup.minhash_signatures(_docs(sf, ["doc_id", "text"]))
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2292,6 +2295,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "customer_rfm_segments": (
             relational_mod.customer_rfm_oracle_sql()
+        ),
+        "docs_minhash_signatures": (
+            dedup_mod.minhash_signatures_oracle_sql()
         ),
         "q6_forecast_revenue": """
             WITH p AS (

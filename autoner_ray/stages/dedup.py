@@ -1048,3 +1048,94 @@ def winnowing_neardup_oracle_sql(min_shared: int = 5, k: int = 8,
         JOIN sz sb ON sb.doc_id = p.doc_b
         WHERE n_shared >= {min_shared}
     """
+
+
+def minhash_signatures(docs_ds, num_hashes: int = 64):
+    """The raw MinHash signature table (doc_id, perm, sig) — the exact
+    kernel :func:`minhash_lsh_candidates` bands over, exposed as a
+    driver-checkable query so the LSH path's core arithmetic carries a
+    SQL oracle (the banding itself stays pinned by the brute-force
+    recall test).
+
+    sig = min over the doc's DISTINCT 3-token shingles of
+    ``(a_k·h + b_k) mod 2^64 mod (2^61-1)`` with h the little-endian
+    md5-prefix shingle hash — bit-identical to the numpy uint64
+    wraparound in :func:`minhash_signature`, mirrored in HUGEINT by the
+    oracle. Stateless vectorized map; ~``num_hashes`` rows out per doc.
+    """
+
+    def sign(batch: pa.Table) -> pa.Table:
+        a, b = _cached_minhash_params(num_hashes)
+        n = len(batch)
+        if batch.num_columns == 0 or n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "perm": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), num_hashes
+        )
+        perms = np.tile(np.arange(num_hashes, dtype=np.int64), n)
+        sigs = np.concatenate(
+            [
+                minhash_signature(t or "", a, b)
+                for t in batch["text"].to_pylist()
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "perm": pa.array(perms, pa.int64()),
+                # sig < 2^61 so the int64 view is value-preserving
+                "sig": pa.array(sigs.view(np.int64), pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(sign, batch_format="pyarrow")
+
+
+def minhash_signatures_oracle_sql(num_hashes: int = 64, k: int = 3) -> str:
+    a, b = _minhash_params(num_hashes)
+    params = ", ".join(
+        f"({i}, {int(ai)}, {int(bi)})"
+        for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    # little-endian uint64 of the md5 prefix: byte-reversed hex chunks
+    le = " || ".join(
+        f"substring(md5(sh), {2 * j + 1}, 2)" for j in reversed(range(8))
+    )
+    return f"""
+        WITH ws AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        sh AS MATERIALIZED (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       array_to_string(
+                           ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+{k - 1}],
+                           ' ') AS sh
+                FROM ws, unnest(range(1, len(ws) - {k - 2})) AS t(i)
+                WHERE len(ws) >= {k}
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ')
+                FROM ws WHERE len(ws) < {k}
+            )
+        ),
+        h AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(('0x' || {le}) AS UBIGINT) AS h
+            FROM sh
+        ),
+        p(perm, a, b) AS (VALUES {params})
+        SELECT doc_id, CAST(p.perm AS BIGINT) AS perm,
+               CAST(MIN(
+                   ((CAST(p.a AS HUGEINT) * h.h)
+                    % 18446744073709551616 + p.b)
+                   % 18446744073709551616 % 2305843009213693951
+               ) AS BIGINT) AS sig
+        FROM h CROSS JOIN p
+        GROUP BY doc_id, p.perm
+    """
