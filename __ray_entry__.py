@@ -654,6 +654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_signatures": lambda sf: (
             dedup.minhash_signatures(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_minhash_bucket_histogram": lambda sf: (
+            dedup.minhash_bucket_histogram(_docs(sf, ["doc_id", "text"]))
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2298,6 +2301,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_minhash_signatures": (
             dedup_mod.minhash_signatures_oracle_sql()
+        ),
+        "docs_minhash_bucket_histogram": (
+            dedup_mod.minhash_bucket_histogram_oracle_sql()
         ),
         "q6_forecast_revenue": """
             WITH p AS (

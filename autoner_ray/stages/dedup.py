@@ -1097,7 +1097,10 @@ def minhash_signatures(docs_ds, num_hashes: int = 64):
     return docs_ds.map_batches(sign, batch_format="pyarrow")
 
 
-def minhash_signatures_oracle_sql(num_hashes: int = 64, k: int = 3) -> str:
+def _minhash_sig_ctes(num_hashes: int = 64, k: int = 3) -> str:
+    """CTE chain ending in ``sig(doc_id, perm, sig)`` — the exact
+    signature table; shared by the signature oracle and the LSH
+    bucket-size histogram oracle."""
     a, b = _minhash_params(num_hashes)
     params = ", ".join(
         f"({i}, {int(ai)}, {int(bi)})"
@@ -1108,7 +1111,7 @@ def minhash_signatures_oracle_sql(num_hashes: int = 64, k: int = 3) -> str:
         f"substring(md5(sh), {2 * j + 1}, 2)" for j in reversed(range(8))
     )
     return f"""
-        WITH ws AS MATERIALIZED (
+        ws AS MATERIALIZED (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ),
         sh AS MATERIALIZED (
@@ -1129,13 +1132,122 @@ def minhash_signatures_oracle_sql(num_hashes: int = 64, k: int = 3) -> str:
                    CAST(('0x' || {le}) AS UBIGINT) AS h
             FROM sh
         ),
-        p(perm, a, b) AS (VALUES {params})
-        SELECT doc_id, CAST(p.perm AS BIGINT) AS perm,
-               CAST(MIN(
-                   ((CAST(p.a AS HUGEINT) * h.h)
-                    % 18446744073709551616 + p.b)
-                   % 18446744073709551616 % 2305843009213693951
-               ) AS BIGINT) AS sig
-        FROM h CROSS JOIN p
-        GROUP BY doc_id, p.perm
+        p(perm, a, b) AS (VALUES {params}),
+        sig AS MATERIALIZED (
+            SELECT doc_id, CAST(p.perm AS BIGINT) AS perm,
+                   CAST(MIN(
+                       ((CAST(p.a AS HUGEINT) * h.h)
+                        % 18446744073709551616 + p.b)
+                       % 18446744073709551616 % 2305843009213693951
+                   ) AS BIGINT) AS sig
+            FROM h CROSS JOIN p
+            GROUP BY doc_id, p.perm
+        )
+    """
+
+
+def minhash_signatures_oracle_sql(num_hashes: int = 64, k: int = 3) -> str:
+    return f"""
+        WITH {_minhash_sig_ctes(num_hashes, k)}
+        SELECT doc_id, perm, sig FROM sig
+    """
+
+
+def minhash_bucket_histogram(docs_ds, num_hashes: int = 64,
+                             bands: int = 16,
+                             num_partitions: int | None = None):
+    """LSH band-bucket size histogram: (bucket_size, n_buckets) over
+    all (band, band-signature) buckets — THE tuning diagnostic for
+    :func:`minhash_lsh_candidates`' hot-bucket cap (``max_bucket``):
+    the histogram's tail says exactly how many candidate-pair
+    explosions the cap will clip and how much recall that costs.
+
+    Shape: the signature map emits one (band, band_hash) row per doc
+    per band with the same content-derived partition as the LSH stage
+    (a bucket never splits), so per-partition bucket sizes are exact;
+    a bounded combine sums the (size -> count) partials. The oracle
+    groups by the raw 4-sig tuple instead of the md5 band key — the
+    size distribution is identical absent an md5 collision WITHIN a
+    band (2^-64-scale; none possible on test corpora).
+    """
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    def sign(batch: pa.Table) -> pa.Table:
+        a, b = _cached_minhash_params(num_hashes)
+        band_ids, band_hashes, parts = [], [], []
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.string()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        for text in batch["text"].to_pylist():
+            sig = minhash_signature(text or "", a, b)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                band_ids.append(bi)
+                band_hashes.append(bh)
+                parts.append(int(bh[:8], 16) % num_partitions)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def local_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "band" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "bucket_size": pd.Series(dtype="int64"),
+                    "n_buckets": pd.Series(dtype="int64"),
+                }
+            )
+        sizes = df.groupby(["band", "band_hash"], sort=False).size()
+        hist = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "bucket_size": hist.index.to_numpy(np.int64),
+                "n_buckets": hist.to_numpy(np.int64),
+            }
+        )
+
+    return bounded_key_sum(
+        docs_ds.map_batches(sign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(local_hist, batch_format="pandas"),
+        ["bucket_size"], ["n_buckets"],
+    )
+
+
+def minhash_bucket_histogram_oracle_sql(num_hashes: int = 64,
+                                        bands: int = 16,
+                                        k: int = 3) -> str:
+    rpb = num_hashes // bands
+    return f"""
+        WITH {_minhash_sig_ctes(num_hashes, k)},
+        bucket AS (
+            SELECT doc_id, perm // {rpb} AS band,
+                   list(sig ORDER BY perm) AS key
+            FROM sig GROUP BY doc_id, perm // {rpb}
+        ),
+        sizes AS (
+            SELECT band, key, COUNT(*) AS bucket_size
+            FROM bucket GROUP BY band, key
+        )
+        SELECT CAST(bucket_size AS BIGINT) AS bucket_size,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM sizes GROUP BY bucket_size
     """
