@@ -657,6 +657,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_bucket_histogram": lambda sf: (
             dedup.minhash_bucket_histogram(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_shingle_df_histogram": lambda sf: (
+            dedup.shingle_df_histogram(_docs(sf, ["doc_id", "text"]))
+        ),
+        "events_hourly_anomalies": lambda sf: windows.hourly_anomalies(
+            _events(sf)
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2304,6 +2310,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_minhash_bucket_histogram": (
             dedup_mod.minhash_bucket_histogram_oracle_sql()
+        ),
+        "docs_shingle_df_histogram": (
+            dedup_mod.shingle_df_histogram_oracle_sql()
+        ),
+        "events_hourly_anomalies": (
+            windows_mod.hourly_anomalies_oracle_sql()
         ),
         "q6_forecast_revenue": """
             WITH p AS (

@@ -1251,3 +1251,102 @@ def minhash_bucket_histogram_oracle_sql(num_hashes: int = 64,
                CAST(COUNT(*) AS BIGINT) AS n_buckets
         FROM sizes GROUP BY bucket_size
     """
+
+
+def shingle_df_histogram(docs_ds, k: int = 3,
+                         num_partitions: int | None = None):
+    """Document-frequency histogram of k-token shingles:
+    (df, n_shingles) — the companion diagnostic to
+    :func:`minhash_bucket_histogram` that tunes
+    ``ngram_jaccard_exact_pairs``' ``max_df`` hot-shingle cap: the
+    histogram tail is exactly the set of promiscuous (boilerplate)
+    shingles whose m² join fan-out the cap must clip.
+
+    Shape: per-batch DISTINCT-shingles-per-doc explode (each row a
+    shingle string) -> one shingle-partitioned count combine (the
+    shingle vocab never lands on the driver) -> per-partition
+    histogram partials -> shuffle-free bounded combine over df values
+    (df is bounded by corpus doc count, and in practice by the cap
+    region of interest)."""
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sh": pa.array([], pa.string()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        out: list[str] = []
+        for text in batch["text"].to_pylist():
+            out.extend(
+                s.decode() for s in _shingles(text or "", k)
+            )
+        return pa.table(
+            {
+                "sh": pa.array(out, pa.string()),
+                "one": pa.array(np.ones(len(out), np.int64)),
+            }
+        )
+
+    df_counts = partitioned_key_sum(
+        docs_ds.map_batches(explode, batch_format="pyarrow"),
+        ["sh"], ["one"], part_on=("sh",),
+        num_partitions=num_partitions,
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "one" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "df": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                }
+            )
+        vals, counts = np.unique(
+            t["one"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "df": pa.array(vals, pa.int64()),
+                "n_shingles": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return bounded_key_sum(
+        df_counts.map_batches(hist_partial, batch_format="pyarrow",
+                              batch_size=None),
+        ["df"], ["n_shingles"],
+    )
+
+
+def shingle_df_histogram_oracle_sql(k: int = 3) -> str:
+    return f"""
+        WITH ws AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        sh AS MATERIALIZED (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       array_to_string(
+                           ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+{k - 1}],
+                           ' ') AS sh
+                FROM ws, unnest(range(1, len(ws) - {k - 2})) AS t(i)
+                WHERE len(ws) >= {k}
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ')
+                FROM ws WHERE len(ws) < {k}
+            )
+        ),
+        df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        SELECT CAST(df AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM df GROUP BY df
+    """

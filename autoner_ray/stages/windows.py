@@ -1089,3 +1089,104 @@ def gap_histogram_oracle_sql() -> str:
                COUNT(*) AS n
         FROM e WHERE nts IS NOT NULL GROUP BY 1
     """
+
+
+def hourly_anomalies(events_ds, k_num: int = 3, k_den: int = 2):
+    """Hours whose event count deviates more than (k_num/k_den)·σ from
+    their HOUR-OF-WEEK baseline — the seasonality-aware traffic-anomaly
+    monitor (a Monday-9am spike is judged against other Monday-9ams,
+    not the global mean).
+
+    Hour-of-week is the calendar-free ``(epoch_hours mod 168)`` so the
+    engine and the SQL twin can never disagree on week conventions.
+    EXACT integer semantics (the ``length_outliers`` inequality):
+    flag iff ``k_den²·(cnt·n − s)² > k_num²·(cnt·ssq − s²)`` over the
+    per-hour-of-week count moments.
+
+    Scale shape: one shuffle-free bounded combine of (hour -> n)
+    partials — hour cardinality is corpus-span-bounded (~10⁵ for a
+    decade), so the flagging pass runs on the driver's tiny hour
+    table with arbitrary-precision ints; nothing event-sized moves.
+    """
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        agg = (
+            pa.table({"hour": hour})
+            .group_by("hour")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["hour", "n_events"])
+
+    hours = bounded_key_sum(
+        events_ds.map_batches(
+            hour_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["hour"], ["n_events"],
+    ).to_pandas()
+
+    if len(hours) == 0:
+        return pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    us = hours["hour"].astype("int64").to_numpy()
+    hw = (us // 3_600_000_000) % 168
+    n = hours["n_events"].to_numpy(np.int64)
+    flagged = np.zeros(len(hours), bool)
+    for key in np.unique(hw):
+        idx = np.flatnonzero(hw == key)
+        cnt = len(idx)
+        s = int(n[idx].sum())
+        ssq = int((n[idx].astype(object) * n[idx].astype(object)).sum())
+        rhs = k_num * k_num * (cnt * ssq - s * s)
+        for i in idx:
+            d = cnt * int(n[i]) - s
+            flagged[i] = k_den * k_den * d * d > rhs
+    out = hours[flagged].sort_values("hour", kind="mergesort")
+    return pa.table(
+        {
+            "hour": pa.array(out["hour"], pa.timestamp("us")),
+            "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def hourly_anomalies_oracle_sql(k_num: int = 3, k_den: int = 2) -> str:
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        ),
+        hw AS (
+            SELECT hour, n_events,
+                   (CAST(epoch(hour) AS BIGINT) // 3600) % 168 AS hw
+            FROM h
+        ),
+        m AS (
+            SELECT hw, COUNT(*) AS cnt,
+                   CAST(SUM(n_events) AS BIGINT) AS s,
+                   CAST(SUM(n_events * n_events) AS BIGINT) AS ssq
+            FROM hw GROUP BY hw
+        )
+        SELECT hw.hour, CAST(hw.n_events AS BIGINT) AS n_events
+        FROM hw JOIN m USING (hw)
+        WHERE {k_den * k_den}
+              * CAST(m.cnt * hw.n_events - m.s AS HUGEINT)
+              * CAST(m.cnt * hw.n_events - m.s AS HUGEINT)
+              > {k_num * k_num}
+              * (CAST(m.cnt AS HUGEINT) * m.ssq
+                 - CAST(m.s AS HUGEINT) * m.s)
+    """

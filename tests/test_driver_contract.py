@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 155 and len(sqls) == 137
+    assert len(qs) == 157 and len(sqls) == 139
     import subprocess
     import sys
 
