@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomalies": lambda sf: windows.hourly_anomalies(
             _events(sf)
         ),
+        "pages_crawl_rate": webtext.crawl_rate,
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2317,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_anomalies": (
             windows_mod.hourly_anomalies_oracle_sql()
         ),
+        "pages_crawl_rate": webtext_mod.crawl_rate_oracle_sql(),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

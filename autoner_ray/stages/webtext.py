@@ -838,3 +838,71 @@ def bigram_kcore_oracle_sql(min_count: int = 75, k: int = 2,
             UNION ALL SELECT obj FROM {prev}
         ) GROUP BY src
     """
+
+
+def crawl_rate(sf_dir: str):
+    """Crawl-throughput monitor over the Common-Crawl-style ``pages``
+    table: (hour of ``warc_ts``, lang) -> pages fetched and bytes of
+    raw html — the per-ingest-hour observability rollup a trillion-page
+    crawl pipeline tails during a run. Goes THROUGH the pages
+    derivation (url/warc_ts/html columns), so the oracle — written
+    against the documents table plus the deterministic ts/html rules —
+    re-proves the source's timestamp and payload synthesis.
+
+    Scale shape: stateless map over the streamed pages source
+    (html length via zero-copy arrow ``binary_length``) -> per-batch
+    (hour, lang) partials -> shuffle-free bounded combine (hour x lang
+    is corpus-span-bounded)."""
+    from autoner_ray.sources.pages import read_pages
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "lang": pa.array([], pa.string()),
+                    "n_pages": pa.array([], pa.int64()),
+                    "html_bytes": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            pa.table(
+                {
+                    "hour": pc.floor_temporal(t["warc_ts"], unit="hour"),
+                    "lang": t["lang"],
+                    "html_bytes": pc.cast(
+                        pc.binary_length(t["html"]), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["hour", "lang"])
+            .aggregate([("html_bytes", "count"), ("html_bytes", "sum")])
+        )
+        return agg.rename_columns(["hour", "lang", "n_pages", "html_bytes"])
+
+    return bounded_key_sum(
+        read_pages(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["hour", "lang"], ["n_pages", "html_bytes"],
+    )
+
+
+def crawl_rate_oracle_sql() -> str:
+    # mirrors sources/pages.py: warc_ts = 2020-01-01T00:00Z + doc_id s;
+    # html = fixed wrapper + title doc_id + entity-escaped text (the
+    # escape only rewrites & < > — the corpus contains none, enforced
+    # by the length identity hashing here)
+    return """
+        WITH p AS (
+            SELECT TIMESTAMP '2020-01-01 00:00:00'
+                       + to_seconds(doc_id) AS warc_ts,
+                   lang,
+                   117 + length(CAST(doc_id AS VARCHAR)) + length(text)
+                       AS html_len
+            FROM documents
+        )
+        SELECT date_trunc('hour', warc_ts) AS hour, lang,
+               COUNT(*) AS n_pages,
+               CAST(SUM(html_len) AS BIGINT) AS html_bytes
+        FROM p GROUP BY 1, 2
+    """
