@@ -70,6 +70,24 @@ def entry() -> Any:
     return triples_dataset("/root/testdata/sf0.001")
 
 
+_DECONTAM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        FROM toks,
+             unnest(generate_series(1, greatest(len(w) - 7, 0)))
+             AS t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id AS doc_id, count(*) AS n_hits
+    FROM corpus c JOIN bench b USING (g)
+    GROUP BY c.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from autoner_ray.cluster import tune_data_context
     from autoner_ray.pipelines import kg, relational
@@ -596,6 +614,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch_format="pyarrow",
             ),
             n=8,
+        ),
+        # the at-scale bloom tier, oversized (2^22 bits for ~10^4 bench
+        # grams) so FP = 0 on this corpus and the exact-join oracle
+        # hash-matches — proving the fixed-memory broadcast path, the
+        # neardup_keep_one_lsh precedent (undersized-FP behavior is
+        # pinned by tests/test_decontam.py)
+        "docs_decontaminate_bloom": lambda sf: (
+            decontam.bloom_contamination_flags(
+                _docs(sf, ["doc_id", "text"]).map_batches(
+                    lambda t: t.filter(_mod10_mask(t, invert=True)),
+                    batch_format="pyarrow",
+                ),
+                _docs(sf, ["doc_id", "text"]).map_batches(
+                    lambda t: t.filter(_mod10_mask(t)),
+                    batch_format="pyarrow",
+                ),
+                n=8, m_bits=1 << 22,
+            )
         ),
         "docs_lm_perplexity": lambda sf: analysis.lm_perplexity(
             _docs(sf, ["doc_id", "text"])
@@ -2172,22 +2208,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_temperature_sample": temperature_sample_oracle_sql(),
         # single-space split + DISTINCT 8-token windows on both sides;
         # DuckDB list slices are 1-based INCLUSIVE so w[i:i+7] is 8 toks
-        "docs_decontaminate": """
-            WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            ),
-            grams AS (
-                SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
-                FROM toks,
-                     unnest(generate_series(1, greatest(len(w) - 7, 0)))
-                     AS t(i)
-            ),
-            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
-            corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
-            SELECT c.doc_id AS doc_id, count(*) AS n_hits
-            FROM corpus c JOIN bench b USING (g)
-            GROUP BY c.doc_id
-        """,
+        # identical exact-join oracle for BOTH tiers: the bloom query
+        # runs oversized (FP=0 here), so its hash must equal the join's
+        "docs_decontaminate_bloom": _DECONTAM_SQL,
+        "docs_decontaminate": _DECONTAM_SQL,
         "docs_lm_perplexity": lm_perplexity_oracle_sql(),
         # same gram CTE as docs_decontaminate; a gram row set is
         # DISTINCT per doc, so count(*)>=2 means >=2 docs share it

@@ -317,3 +317,109 @@ def crossdoc_dup_windows(
         ),
         batch_format="pyarrow",
     )
+
+
+def bloom_build(bench_ds, n: int = 8, m_bits: int = 1 << 20,
+                k_hashes: int = 7) -> np.ndarray:
+    """Bloom filter (uint8 bit array) over the benchmark side's distinct
+    n-gram 128-bit hashes. Deterministic double hashing: probe i uses
+    ``(hi + i·lo) mod m`` — the standard Kirsch–Mitzenmacher scheme, so
+    any two processes building from the same benchmark agree bit-for-bit.
+    """
+    bits = np.zeros(m_bits // 8 + 1, np.uint8)
+    m = np.uint64(m_bits)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for text in batch["text"].to_pylist():
+            out.update(_doc_grams(text, n))
+        g = sorted(out)
+        hi, lo = _gram_hash128(g)
+        return pa.table(
+            {
+                "hi": pa.array(hi.view(np.int64), pa.int64()),
+                "lo": pa.array(lo.view(np.int64), pa.int64()),
+            }
+        )
+
+    for b in bench_ds.select_columns(["text"]).map_batches(
+        bench_grams, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        hi = b["hi"].to_numpy(zero_copy_only=False).view(np.uint64)
+        lo = b["lo"].to_numpy(zero_copy_only=False).view(np.uint64)
+        for i in range(k_hashes):
+            pos = (hi + np.uint64(i) * lo) % m
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+    return bits
+
+
+def bloom_contamination_flags(docs_ds, bench_ds, n: int = 8,
+                              m_bits: int = 1 << 20, k_hashes: int = 7):
+    """The WEB-SCALE decontamination tier: instead of broadcasting the
+    benchmark gram SET (``contamination_hits`` broadcast tier, ~60 B per
+    gram) or shuffling the corpus (join tier), broadcast a fixed-size
+    Bloom filter (``m_bits/8`` bytes TOTAL — 128 MB covers ~10⁸ bench
+    grams at <1% FP with k=7) and flag corpus docs whose distinct grams
+    hit it. One ``ray.put``, zero shuffle, one stateless corpus map.
+
+    Guarantee: NO false negatives (every truly contaminated doc is
+    flagged); false positives are deterministic and bounded by the
+    (m, k, |grams|) FP rate — acceptable for decontamination, where a
+    flag means "drop the doc" and over-dropping ppm-level counts is
+    harmless. Pinned by tests/test_decontam.py: superset-of-exact plus
+    an FP budget, and exact equality at fixture scale where the filter
+    is oversized."""
+    import ray
+
+    bits_ref = ray.put(bloom_build(bench_ds, n, m_bits, k_hashes))
+    m = np.uint64(m_bits)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        bits = ray.get(bits_ref)
+        ids, hits = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            grams = _doc_grams(text, n)
+            if not grams:
+                continue
+            hi, lo = _gram_hash128(grams)
+            member = np.ones(len(grams), bool)
+            for i in range(k_hashes):
+                pos = (hi + np.uint64(i) * lo) % m
+                byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+                member &= (
+                    byte
+                    & np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    )
+                ) != 0
+                if not member.any():
+                    break
+            h = int(member.sum())
+            if h:
+                ids.append(did)
+                hits.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow"
+    )

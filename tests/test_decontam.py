@@ -110,3 +110,28 @@ def test_crossdoc_dup_windows_matches_bruteforce(ray_session):
     got = dict(zip(df["doc_id"].astype(int), df["dup_grams"].astype(int)))
     assert got == brute
     assert got, "fixture must contain cross-doc duplicated windows"
+
+
+def test_bloom_tier_superset_and_exact_when_oversized(ray_session):
+    """Bloom tier: never misses a contaminated doc; with an oversized
+    filter it is EXACTLY the broadcast tier's answer on the fixture."""
+    from autoner_ray.stages.decontam import bloom_contamination_flags
+
+    corpus, bench = _split(ray_session)
+    exact = _brute_hits()
+
+    # oversized: 2^22 bits for a few thousand grams -> FP ~ 0
+    got = _as_dict(
+        bloom_contamination_flags(corpus, bench, n=N, m_bits=1 << 22)
+    )
+    assert got == exact
+
+    # deliberately undersized: deterministic FPs allowed, no FNs, and
+    # every true doc's hit count can only grow (FP grams add hits)
+    tiny = _as_dict(
+        bloom_contamination_flags(
+            corpus, bench, n=N, m_bits=1 << 10, k_hashes=2
+        )
+    )
+    for did, h in exact.items():
+        assert did in tiny and tiny[did] >= h

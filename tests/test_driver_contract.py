@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 158 and len(sqls) == 140
+    assert len(qs) == 159 and len(sqls) == 141
     import subprocess
     import sys
 
