@@ -700,6 +700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf)
         ),
         "pages_crawl_rate": webtext.crawl_rate,
+        "docs_dup_gram_coverage": lambda sf: dedup.dup_gram_coverage(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2343,6 +2346,9 @@ def oracle_sql() -> dict[str, str]:
             windows_mod.hourly_anomalies_oracle_sql()
         ),
         "pages_crawl_rate": webtext_mod.crawl_rate_oracle_sql(),
+        "docs_dup_gram_coverage": (
+            dedup_mod.dup_gram_coverage_oracle_sql()
+        ),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -1350,3 +1350,141 @@ def shingle_df_histogram_oracle_sql(k: int = 3) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_shingles
         FROM df GROUP BY df
     """
+
+
+def dup_gram_coverage(docs_ds, n: int = 7,
+                      num_partitions: int | None = None):
+    """Per-doc duplicated-n-gram coverage (RefinedWeb/Gopher-family
+    CROSS-doc repetition signal): of a doc's DISTINCT n-token grams,
+    how many occur in at least one OTHER doc — (doc_id, n_grams,
+    n_dup, dup_ppm). Complements ``repetition_batch`` (within-doc) and
+    ``crossdoc_dup_windows`` (corpus-level window list) with the
+    per-doc quality-cut number.
+
+    Shape: per-batch explode to DISTINCT (gram-hash128, doc_id) rows;
+    ONE gram-partitioned pass where local df IS global df (each gram
+    lives in exactly one partition) flags dup grams; one doc-partitioned
+    sum combine rolls up per-doc counts. ppm via integer floor-div on
+    both sides — no float in the hash."""
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "hi": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        his, los, ids, parts = [], [], [], []
+        from autoner_ray.stages.decontam import (
+            _doc_grams,
+            _gram_hash128,
+        )
+
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            grams = _doc_grams(text or "", n)
+            if not grams:
+                continue
+            hi, lo = _gram_hash128(grams)
+            his.extend(hi.view(np.int64).tolist())
+            los.extend(lo.view(np.int64).tolist())
+            ids.extend([did] * len(grams))
+            parts.extend(
+                (hi % np.uint64(num_partitions)).astype(np.int32).tolist()
+            )
+        return pa.table(
+            {
+                "hi": pa.array(his, pa.int64()),
+                "lo": pa.array(los, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def flag_dups(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_grams": pd.Series(dtype="int64"),
+                    "n_dup": pd.Series(dtype="int64"),
+                }
+            )
+        # partitioning is by gram hash -> local df IS global df
+        dup = df.groupby(["hi", "lo"])["doc_id"].transform("size") >= 2
+        agg = (
+            pd.DataFrame({"doc_id": df["doc_id"], "dup": dup.astype(np.int64)})
+            .groupby("doc_id", sort=False)
+            .agg(n_grams=("dup", "size"), n_dup=("dup", "sum"))
+            .reset_index()
+        )
+        return agg
+
+    per_doc = partitioned_key_sum(
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flag_dups, batch_format="pandas"),
+        ["doc_id"], ["n_grams", "n_dup"], part_on=("doc_id",),
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "n_grams" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                    "dup_ppm": pa.array([], pa.int64()),
+                }
+            )
+        g = t["n_grams"].to_numpy(zero_copy_only=False)
+        d = t["n_dup"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": t["n_grams"],
+                "n_dup": t["n_dup"],
+                "dup_ppm": pa.array(d * 1_000_000 // g, pa.int64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_gram_coverage_oracle_sql(n: int = 7) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i:i+{n - 1}], ' ') AS g
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(w) - {n - 1}, 0)))
+                 AS t(i)
+        ),
+        df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM grams JOIN df USING (g)
+        GROUP BY doc_id
+    """
