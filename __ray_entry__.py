@@ -703,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_gram_coverage": lambda sf: dedup.dup_gram_coverage(
             _docs(sf, ["doc_id", "text"])
         ),
+        "events_dau_wau": lambda sf: windows.dau_wau_stickiness(
+            _events(sf)
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2349,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_gram_coverage": (
             dedup_mod.dup_gram_coverage_oracle_sql()
         ),
+        "events_dau_wau": windows_mod.dau_wau_oracle_sql(),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -1190,3 +1190,171 @@ def hourly_anomalies_oracle_sql(k_num: int = 3, k_den: int = 2) -> str:
               * (CAST(m.cnt AS HUGEINT) * m.ssq
                  - CAST(m.s AS HUGEINT) * m.s)
     """
+
+
+def dau_wau_stickiness(events_ds, window_days: int = 7,
+                       num_partitions: int | None = None):
+    """Per-day DAU, trailing-``window_days`` WAU and the DAU/WAU
+    stickiness ratio in integer ppm — the product-analytics windowed
+    DISTINCT that daily distinct counts can NOT be merged into (a user
+    active twice in the window must count once), so it needs its own
+    distributed shape.
+
+    Shape: (day, user) DISTINCT pairs via a user-partitioned combine
+    (the pair stream is DAU-sized, not event-sized); DAU is a bounded
+    day combine over pair partials; WAU expands each pair to its
+    ``window_days`` target days (pure int32 date arithmetic) and
+    re-distincts (target_day, user) user-partitioned — the expansion is
+    x7 the PAIR table, never the event stream — then a bounded day
+    combine. Stickiness is integer floor-div ppm on the tiny day table.
+    """
+    import numpy as np
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def day_user_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int32()),
+                    "user_id": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                    pa.date32()),
+            pa.int32(),
+        )
+        agg = (
+            pa.table({"day": day, "user_id": batch["user_id"]})
+            .group_by(["day", "user_id"])
+            .aggregate([])
+        )
+        return agg.append_column(
+            "one", pa.array(np.ones(len(agg), np.int64))
+        )
+
+    pairs = partitioned_key_agg(
+        events_ds.map_batches(
+            day_user_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["day", "user_id"], [("one", "max")], part_on=("user_id",),
+        num_partitions=num_partitions,
+    ).materialize()  # feeds both the DAU and WAU passes
+
+    def dau_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "day" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int32()),
+                    "dau": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.select(["day"]).group_by("day").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["day", "dau"])
+
+    dau = bounded_key_sum(
+        pairs.map_batches(dau_partial, batch_format="pyarrow",
+                          batch_size=None),
+        ["day"], ["dau"],
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "day" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int32()),
+                    "user_id": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.int32)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tgt = (
+            np.repeat(d, window_days)
+            + np.tile(np.arange(window_days, dtype=np.int32), len(d))
+        )
+        agg = (
+            pa.table(
+                {
+                    "day": pa.array(tgt, pa.int32()),
+                    "user_id": pa.array(np.repeat(u, window_days)),
+                }
+            )
+            .group_by(["day", "user_id"])
+            .aggregate([])
+        )
+        return agg.append_column(
+            "one", pa.array(np.ones(len(agg), np.int64))
+        )
+
+    wau_pairs = partitioned_key_agg(
+        pairs.map_batches(expand, batch_format="pyarrow"),
+        ["day", "user_id"], [("one", "max")], part_on=("user_id",),
+        num_partitions=num_partitions,
+    )
+
+    wau = bounded_key_sum(
+        wau_pairs.map_batches(
+            lambda t: dau_partial(t).rename_columns(["day", "wau"]),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["day"], ["wau"],
+    )
+
+    d = dau.to_pandas()
+    w = wau.to_pandas()
+    out = d.merge(w, on="day", how="inner").sort_values(
+        "day", kind="mergesort"
+    )
+    dau_v = out["dau"].to_numpy(np.int64)
+    wau_v = out["wau"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "day": pc.cast(
+                pa.array(out["day"].to_numpy(np.int32), pa.int32()),
+                pa.date32(),
+            ),
+            "dau": pa.array(dau_v, pa.int64()),
+            "wau": pa.array(wau_v, pa.int64()),
+            "stickiness_ppm": pa.array(
+                dau_v * 1_000_000 // wau_v, pa.int64()
+            ),
+        }
+    )
+
+
+def dau_wau_oracle_sql(window_days: int = 7) -> str:
+    return f"""
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   user_id
+            FROM events
+        ),
+        dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+        wau AS (
+            SELECT a.d, COUNT(DISTINCT b.user_id) AS wau
+            FROM dau a JOIN du b
+              ON b.d BETWEEN a.d - {window_days - 1} AND a.d
+            GROUP BY a.d
+        )
+        SELECT a.d AS day, CAST(a.dau AS BIGINT) AS dau,
+               CAST(w.wau AS BIGINT) AS wau,
+               CAST(a.dau * 1000000 // w.wau AS BIGINT)
+                   AS stickiness_ppm
+        FROM dau a JOIN wau w USING (d)
+    """
