@@ -272,6 +272,41 @@ def run_scaling(
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int, name: str) -> None:
+    """Execute ONE query and dump its Ray Data per-operator stats
+    (wall time, blocks, rows, memory per stage) to stderr — the
+    ``ds.stats()`` tuning loop: find the stage that dominates wall
+    time, fix it, re-run. The JSON line on stdout stays contract-clean.
+    """
+    import ray
+
+    from autoner_ray.cluster import tune_data_context
+
+    ray.init(address="local", num_cpus=num_cpus,
+             include_dashboard=False, logging_level="ERROR",
+             log_to_driver=False)
+    tune_data_context()
+    try:
+        result = _load_entry().queries()[name](sf_dir)
+        t0 = time.perf_counter()
+        n = _consume(result)
+        wall = round(time.perf_counter() - t0, 3)
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            sys.stderr.write(result.stats() + "\n")
+        else:
+            sys.stderr.write(
+                f"(driver-materialized result — no Dataset stats; "
+                f"type={type(result).__name__})\n"
+            )
+        print(json.dumps({"metric": "single_query_sec", "query": name,
+                          "value": wall, "unit": "sec", "rows": n,
+                          "num_cpus": num_cpus}))
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -285,8 +320,14 @@ def main() -> None:
                          "flagship pipeline")
     ap.add_argument("--warmup", action="store_true",
                     help="run a small flagship pass before timing")
+    ap.add_argument("--stats", default=None, metavar="QUERY",
+                    help="run one query and dump its Ray Data "
+                         "per-operator stats to stderr")
     args = ap.parse_args()
 
+    if args.stats:
+        run_stats(args.sf_dir, args.cpus, args.stats)
+        return
     if args.scaling:
         out = run_scaling(args.sf_dir, repeat=max(args.repeat, 1024))
     else:
