@@ -669,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "customer_rfm_segments": relational.customer_rfm_segments,
+        "customer_revenue_gini": relational.customer_revenue_gini,
         # bucket_docs=1 (per-doc curve) because the synthetic corpus
         # vocab saturates within the first few docs; at real web scale
         # raise bucket_docs so the bucket table stays bounded
@@ -2353,6 +2354,9 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.dup_gram_coverage_oracle_sql()
         ),
         "events_dau_wau": windows_mod.dau_wau_oracle_sql(),
+        "customer_revenue_gini": (
+            relational_mod.customer_revenue_gini_oracle_sql()
+        ),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -2443,8 +2447,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM r
             )
             SELECT n_docs, total, rank_val_sum,
-                   CAST((2 * rank_val_sum - (n_docs + 1) * total)
-                        * 1000000 // (n_docs * total) AS BIGINT)
+                   CAST((2 * CAST(rank_val_sum AS HUGEINT)
+                         - (n_docs + 1) * CAST(total AS HUGEINT))
+                        * 1000000
+                        // (CAST(n_docs AS HUGEINT) * total) AS BIGINT)
                        AS gini_ppm
             FROM s
         """,

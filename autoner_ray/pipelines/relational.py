@@ -1898,3 +1898,85 @@ def customer_rfm_oracle_sql(n_buckets: int = 4) -> str:
                    AS rfm_segment
         FROM q
     """
+
+
+def customer_revenue_gini(sf_dir: str):
+    """Revenue-concentration Gini over per-customer lifetime revenue —
+    "how much of the book do the biggest accounts hold", the
+    skew-planning diagnostic for the customer dimension (the docs
+    analogue is ``docs_length_gini``). Exact integer gini_ppm via the
+    same distributed ranking pass; output columns keep the
+    ``gini_inequality`` contract names (n_docs = ranked rows =
+    customers with >=1 order).
+
+    Scale shape: tiered lineitem ⋈ orders partials -> one custkey hash
+    combine -> :func:`~autoner_ray.stages.ranking.gini_inequality`
+    (range-bucketed exact ranks, three-integer scalar tail)."""
+    from autoner_ray.stages.joins import _stable_part_col
+    from autoner_ray.stages.ranking import gini_inequality
+
+    P = default_num_partitions()
+    partials = _customer_revenue_partials(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "order_cents": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        return t.append_column(
+            "part", _stable_part_col(t, ("o_custkey",), P)
+        )
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        return (
+            df.groupby("o_custkey", sort=False)["order_cents"]
+            .sum()
+            .reset_index(name="cents")
+        )
+
+    rev = (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_group, batch_format="pandas")
+    )
+    return gini_inequality(rev, key_col="o_custkey", val_col="cents")
+
+
+def customer_revenue_gini_oracle_sql() -> str:
+    return """
+        WITH rev AS (
+            SELECT o.o_custkey,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT)) AS cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
+        ), r AS (
+            SELECT cents, ROW_NUMBER() OVER (
+                ORDER BY cents, o_custkey
+            ) AS rank
+            FROM rev
+        ), s AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(cents) AS BIGINT) AS total,
+                   CAST(SUM(rank * cents) AS BIGINT) AS rank_val_sum
+            FROM r
+        )
+        SELECT n_docs, total, rank_val_sum,
+               CAST((2 * CAST(rank_val_sum AS HUGEINT)
+                     - (n_docs + 1) * CAST(total AS HUGEINT))
+                    * 1000000
+                    // (CAST(n_docs AS HUGEINT) * total)
+                    AS BIGINT) AS gini_ppm
+        FROM s
+    """

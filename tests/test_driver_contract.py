@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 161 and len(sqls) == 143
+    assert len(qs) == 162 and len(sqls) == 144
     import subprocess
     import sys
 
