@@ -424,3 +424,104 @@ def test_kcore_tier_equality():
     )
     assert len(drv) > 0  # the fixture graph has a non-empty 2-core
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_dau_wau_bruteforce(ray_session):
+    """Windowed distinct: DAU/WAU/stickiness vs a pandas brute force
+    (a user active twice in the window must count once)."""
+    import ray
+
+    from autoner_ray.stages.windows import dau_wau_stickiness
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    got = dau_wau_stickiness(
+        ray.data.read_parquet(f"{SF}/events.parquet")
+    ).to_pandas()
+
+    days = ev["ts"].dt.floor("D").dt.date
+    du = pd.DataFrame({"d": days, "u": ev["user_id"]}).drop_duplicates()
+    dau = du.groupby("d").size()
+    rows = []
+    for d, n in dau.items():
+        lo = d - pd.Timedelta(days=6).to_pytimedelta()
+        wau = du[(du["d"] >= lo) & (du["d"] <= d)]["u"].nunique()
+        rows.append((d, int(n), int(wau), int(n) * 1_000_000 // wau))
+    exp = pd.DataFrame(
+        rows, columns=["day", "dau", "wau", "stickiness_ppm"]
+    ).sort_values("day").reset_index(drop=True)
+    got = got.sort_values("day").reset_index(drop=True)
+    assert got["day"].tolist() == exp["day"].tolist()
+    for c in ["dau", "wau", "stickiness_ppm"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_rfm_ntile_tiebreak(ray_session):
+    """RFM quartiles: deterministic NTILE tie-break (value desc,
+    custkey asc) against a numpy reimplementation."""
+    from autoner_ray.pipelines.relational import customer_rfm_segments
+
+    got = (
+        customer_rfm_segments(SF).to_pandas()
+        .sort_values("o_custkey").reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    per = (
+        pd.DataFrame(
+            {
+                "o_custkey": o["o_custkey"],
+                "last": o["o_orderdate"],
+                "cents": cents,
+                "n": 1,
+            }
+        )
+        .groupby("o_custkey")
+        .agg(last=("last", "max"), n=("n", "sum"), cents=("cents", "sum"))
+        .reset_index()
+    )
+
+    def ntile(vals, keys, n=4):
+        order = np.lexsort((keys, -vals))  # vals desc, then key asc
+        m = len(vals)
+        out = np.empty(m, np.int64)
+        base, rem = divmod(m, n)
+        sizes = [base + (1 if i < rem else 0) for i in range(n)]
+        pos = 0
+        for b, sz in enumerate(sizes, 1):
+            out[order[pos:pos + sz]] = b
+            pos += sz
+        return out
+
+    exp = (
+        pd.DataFrame(
+            {
+                "o_custkey": per["o_custkey"],
+                "r_quartile": ntile(
+                    per["last"].astype("int64").to_numpy(),
+                    per["o_custkey"].to_numpy(),
+                ),
+                "f_quartile": ntile(
+                    per["n"].to_numpy(), per["o_custkey"].to_numpy()
+                ),
+                "m_quartile": ntile(
+                    per["cents"].to_numpy(), per["o_custkey"].to_numpy()
+                ),
+            }
+        )
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    assert got["o_custkey"].tolist() == exp["o_custkey"].tolist()
+    for c in ["r_quartile", "f_quartile", "m_quartile"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert (
+        got["rfm_segment"]
+        == "R" + got["r_quartile"].astype(str)
+        + "F" + got["f_quartile"].astype(str)
+        + "M" + got["m_quartile"].astype(str)
+    ).all()
