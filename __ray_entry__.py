@@ -707,6 +707,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau": lambda sf: windows.dau_wau_stickiness(
             _events(sf)
         ),
+        "docs_train_val_test": lambda sf: analysis.train_val_test_split(
+            _docs(sf, ["doc_id", "source"])
+        ),
+        "docs_snapshot_diff": lambda sf: analysis.snapshot_diff(
+            _docs(sf, ["doc_id", "text"]),
+            analysis.synthetic_snapshot(_docs(sf, ["doc_id", "text"])),
+        ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
             _events(sf)
         ),
@@ -2357,6 +2364,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_revenue_gini": (
             relational_mod.customer_revenue_gini_oracle_sql()
         ),
+        "docs_train_val_test": (
+            analysis_mod.train_val_test_oracle_sql()
+        ),
+        "docs_snapshot_diff": analysis_mod.snapshot_diff_oracle_sql(),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

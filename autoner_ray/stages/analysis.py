@@ -2662,3 +2662,243 @@ def length_outliers_oracle_sql(k_num: int = 3, k_den: int = 2) -> str:
               * (CAST(s.n AS HUGEINT) * s.ssq
                  - CAST(s.s AS HUGEINT) * s.s)
     """
+
+
+# -- deterministic train/val/test splitter -----------------------------------
+
+
+def train_val_test_split(docs_ds, val_ppm: int = 100_000,
+                         test_ppm: int = 100_000, seed: int = 20260819):
+    """One-pass deterministic corpus splitter: every doc gets a split
+    label from the md5 of (doc_id, seed) — ``test`` below ``test_ppm``
+    of hash space, ``val`` in the next ``val_ppm``, ``train``
+    otherwise — plus the per-(source, split) count report. The decision
+    is a pure content-key function, so it is reproducible across runs,
+    cluster widths and block layouts, resumable mid-corpus, and a doc
+    can never migrate between splits when the corpus grows (the
+    property random_split lacks).
+
+    Scale shape: stateless vectorized map (the split column streams to
+    the sink in a real run) -> shuffle-free bounded combine over the
+    (source, split) dimension for the report this query returns.
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    t_cut = int(test_ppm / 1_000_000 * (1 << 32))
+    v_cut = t_cut + int(val_ppm / 1_000_000 * (1 << 32))
+
+    def label(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "split": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        hs = np.array(
+            [
+                int(
+                    hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8],
+                    16,
+                )
+                for i in batch["doc_id"].to_pylist()
+            ],
+            np.int64,
+        )
+        split = np.where(
+            hs < t_cut, "test", np.where(hs < v_cut, "val", "train")
+        )
+        agg = (
+            pa.table(
+                {
+                    "source": batch["source"],
+                    "split": pa.array(split, pa.string()),
+                }
+            )
+            .group_by(["source", "split"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["source", "split", "n_docs"])
+
+    return bounded_key_sum(
+        docs_ds.map_batches(label, batch_format="pyarrow"),
+        ["source", "split"], ["n_docs"],
+    )
+
+
+def train_val_test_oracle_sql(val_ppm: int = 100_000,
+                              test_ppm: int = 100_000,
+                              seed: int = 20260819) -> str:
+    t_cut = int(test_ppm / 1_000_000 * (1 << 32))
+    v_cut = t_cut + int(val_ppm / 1_000_000 * (1 << 32))
+    return f"""
+        WITH h AS (
+            SELECT source,
+                   CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8))
+                   AS UBIGINT) AS h
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN h < {t_cut} THEN 'test'
+                    WHEN h < {v_cut} THEN 'val'
+                    ELSE 'train' END AS split,
+               COUNT(*) AS n_docs
+        FROM h GROUP BY 1, 2
+    """
+
+
+# -- snapshot diff (incremental crawl) --------------------------------------
+
+
+def snapshot_diff(docs_ds, new_ds, num_partitions: int | None = None):
+    """Corpus snapshot diff: classify every doc_id across two corpus
+    versions as added / removed / changed / unchanged (by text md5) and
+    report counts per status — the incremental-crawl planning pass that
+    decides how much of a re-crawl actually needs reprocessing.
+
+    Scale shape: each side streams to (doc_id, md5, side) rows — the
+    md5 is the only payload that travels — then ONE doc_id-partitioned
+    ``map_groups`` classifies (a doc_id's two rows always co-locate)
+    and a shuffle-free bounded combine sums the four status counts.
+    """
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import bounded_key_sum
+    from autoner_ray.stages.joins import _stable_part_col
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def keyed(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "md5": pa.array([], pa.string()),
+                    "side": pa.array([], pa.int32()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+            if batch.num_columns == 0 or len(batch) == 0:
+                return empty
+            hs = [
+                hashlib.md5((t or "").encode()).hexdigest()
+                for t in batch["text"].to_pylist()
+            ]
+            t = pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "md5": pa.array(hs, pa.string()),
+                    "side": pa.array(
+                        np.full(len(batch), side, np.int32)
+                    ),
+                }
+            )
+            return t.append_column(
+                "part", _stable_part_col(t, ("doc_id",), num_partitions)
+            )
+        return fn
+
+    both = docs_ds.map_batches(
+        keyed(0), batch_format="pyarrow"
+    ).union(new_ds.map_batches(keyed(1), batch_format="pyarrow"))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "status": pd.Series(dtype="object"),
+                    "n_docs": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby("doc_id").agg(
+            sides=("side", "sum"),
+            n=("side", "size"),
+            nuniq=("md5", "nunique"),
+        )
+        status = np.where(
+            g["n"] == 2,
+            np.where(g["nuniq"] == 1, "unchanged", "changed"),
+            np.where(g["sides"] == 0, "removed", "added"),
+        )
+        vals, counts = np.unique(status, return_counts=True)
+        return pd.DataFrame(
+            {"status": vals, "n_docs": counts.astype(np.int64)}
+        )
+
+    return bounded_key_sum(
+        both.groupby("part").map_groups(classify, batch_format="pandas"),
+        ["status"], ["n_docs"],
+    )
+
+
+def synthetic_snapshot(docs_ds):
+    """Deterministic 'next crawl' of the documents corpus (the fixture
+    for :func:`snapshot_diff`; mirrored exactly in SQL):
+    - doc_id % 15 == 0  -> dropped (dead page)
+    - doc_id % 5 == 0   -> text + ' updated' (re-crawled, changed)
+    - doc_id % 7 == 0   -> ALSO re-emitted under doc_id + 1,000,000
+                           (new page discovered)
+    """
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        ids = np.asarray(batch["doc_id"].to_pylist(), np.int64)
+        texts = batch["text"].to_pylist()
+        out_ids, out_texts = [], []
+        for i, t in zip(ids, texts):
+            if i % 15 == 0:
+                pass  # dead page
+            elif i % 5 == 0:
+                out_ids.append(int(i))
+                out_texts.append((t or "") + " updated")
+            else:
+                out_ids.append(int(i))
+                out_texts.append(t)
+            if i % 7 == 0:
+                out_ids.append(int(i) + 1_000_000)
+                out_texts.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(mutate, batch_format="pyarrow")
+
+
+def snapshot_diff_oracle_sql() -> str:
+    return """
+        WITH new_snap AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 15 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, text
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        a AS (SELECT doc_id, md5(text) AS m FROM documents),
+        b AS (SELECT doc_id, md5(text) AS m FROM new_snap),
+        j AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   a.m AS ma, b.m AS mb
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        )
+        SELECT CASE WHEN ma IS NULL THEN 'added'
+                    WHEN mb IS NULL THEN 'removed'
+                    WHEN ma = mb THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COUNT(*) AS n_docs
+        FROM j GROUP BY 1
+    """
