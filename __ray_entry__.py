@@ -513,6 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": lambda sf: similarity.embedding_neardup(
             _emb(sf), threshold=0.4
         ),
+        "embedding_neardup_keep_one": lambda sf: (
+            similarity.embedding_neardup_keep_one(_emb(sf), threshold=0.4)
+        ),
         # --- oracle-backed: near-dup pairs -------------------------------
         "ngram_jaccard_exact": lambda sf: dedup.ngram_jaccard_exact_pairs(
             _docs(sf, ["doc_id", "text"])
@@ -2368,6 +2371,9 @@ def oracle_sql() -> dict[str, str]:
             analysis_mod.train_val_test_oracle_sql()
         ),
         "docs_snapshot_diff": analysis_mod.snapshot_diff_oracle_sql(),
+        "embedding_neardup_keep_one": (
+            similarity_mod.embedding_keep_one_oracle_sql()
+        ),
         "q6_forecast_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -17,6 +17,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -456,4 +457,107 @@ def grid_histogram_oracle_sql(cell: float = 0.25) -> str:
                    AS gy,
                COUNT(*) AS n
         FROM embeddings GROUP BY 1, 2
+    """
+
+
+def embedding_neardup_keep_one(emb_ds, threshold: float = 0.4,
+                               driver_cc_max_pairs: int = 2_000_000,
+                               num_partitions: int | None = None):
+    """Embedding-space near-duplicate REMOVAL: exact cosine pair graph
+    (:func:`embedding_neardup`) → tiered connected components → each
+    cluster keeps its smallest ``vec_id`` — the semantic-dedup pipeline
+    (SemDeDup-style, with the exact grid join standing in for the
+    k-means-bucketed variant at fixture scale).
+
+    Same tier discipline as ``dedup.neardup_keep_one``: union-find on
+    the driver while the pair set fits ``driver_cc_max_pairs`` (the
+    pair graph holds only near-duplicates, not the table), distributed
+    min-label propagation above it; losers broadcast once and the
+    vec_id stream anti-filters vectorized. Returns surviving ``vec_id``
+    rows."""
+    import ray
+
+    pairs = embedding_neardup(
+        emb_ds, threshold=threshold
+    ).materialize()
+
+    if pairs.count() <= driver_cc_max_pairs:
+        pdf = pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["vec_a"], pdf["vec_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        loser_ids = [n for n in parent if find(n) != n]
+    else:
+        from autoner_ray.stages.graph import (
+            connected_components_distributed,
+        )
+
+        _edge_schema = pa.schema(
+            [("subj", pa.int64()), ("obj", pa.int64())]
+        )
+
+        def pairs_to_edges(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _edge_schema.empty_table()
+            return pa.table({"subj": t["vec_a"], "obj": t["vec_b"]})
+
+        labels = connected_components_distributed(
+            pairs.map_batches(pairs_to_edges, batch_format="pyarrow"),
+            num_partitions=num_partitions, as_dataset=True,
+        )
+        _loser_schema = pa.schema([("vec_id", pa.int64())])
+
+        def losers_batch(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _loser_schema.empty_table()
+            keep = pc.less(t["label"], t["src"])
+            return pa.table({"vec_id": t["src"].filter(keep)})
+
+        loser_ids = labels.map_batches(
+            losers_batch, batch_format="pyarrow"
+        ).to_pandas()["vec_id"]
+    losers_ref = ray.put(pa.array(loser_ids, pa.int64()))
+
+    class SurvivorFilter:
+        def __init__(self) -> None:
+            self.losers = ray.get(losers_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t["vec_id"], value_set=self.losers))
+            return pa.table({"vec_id": t["vec_id"].filter(mask)})
+
+    return emb_ds.select_columns(["vec_id"]).map_batches(
+        SurvivorFilter, batch_format="pyarrow", concurrency=2
+    )
+
+
+def embedding_keep_one_oracle_sql(threshold: float = 0.4) -> str:
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= {threshold}
+        ), bidir AS (
+            SELECT va AS u, vb AS v FROM pairs
+            UNION ALL SELECT vb, va FROM pairs
+        ), reach(a, b) AS (
+            SELECT u, u FROM bidir
+            UNION
+            SELECT r.a, e.v FROM reach r JOIN bidir e ON e.u = r.b
+        ), losers AS (
+            SELECT a AS vec_id FROM reach GROUP BY a HAVING MIN(b) < a
+        )
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
     """
