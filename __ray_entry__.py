@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "customer_revenue_gini": relational.customer_revenue_gini,
+        "top_suppliers_per_nation": relational.top_suppliers_per_nation,
         # bucket_docs=1 (per-doc curve) because the synthetic corpus
         # vocab saturates within the first few docs; at real web scale
         # raise bucket_docs so the bucket table stays bounded
@@ -712,6 +713,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_train_val_test": lambda sf: analysis.train_val_test_split(
             _docs(sf, ["doc_id", "source"])
+        ),
+        "docs_char_class_profile": lambda sf: (
+            analysis.char_class_profile(_docs(sf, ["source", "text"]))
         ),
         "docs_snapshot_diff": lambda sf: analysis.snapshot_diff(
             _docs(sf, ["doc_id", "text"]),
@@ -2371,6 +2375,12 @@ def oracle_sql() -> dict[str, str]:
             analysis_mod.train_val_test_oracle_sql()
         ),
         "docs_snapshot_diff": analysis_mod.snapshot_diff_oracle_sql(),
+        "docs_char_class_profile": (
+            analysis_mod.char_class_profile_oracle_sql()
+        ),
+        "top_suppliers_per_nation": (
+            relational_mod.top_suppliers_per_nation_oracle_sql()
+        ),
         "embedding_neardup_keep_one": (
             similarity_mod.embedding_keep_one_oracle_sql()
         ),

@@ -1980,3 +1980,169 @@ def customer_revenue_gini_oracle_sql() -> str:
                     AS BIGINT) AS gini_ppm
         FROM s
     """
+
+
+def top_suppliers_per_nation(sf_dir: str, k: int = 3):
+    """Top-``k`` suppliers by lifetime discounted revenue within each
+    nation — the grouped-top-k-through-a-dim-chain probe (lineitem ->
+    supplier -> nation), with deterministic (revenue desc, suppkey asc)
+    ranking.
+
+    Scale shape: one column-pruned lineitem scan -> per-batch suppkey
+    cents partials -> one suppkey hash combine; supplier -> nationkey
+    is a sorted-array broadcast (TPC-H supplier is 10k/SF — ~1 GB of
+    int64 pairs at sf10k; beyond that swap for a cogroup hop) and
+    nation is a 25-row dim; per-nation top-k is a partition-local
+    top-k then one tiny single-block merge (nations bounded)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = default_num_partitions()
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = st["s_suppkey"].to_numpy()
+    order = np.argsort(sk, kind="stable")
+    supp_ref = ray.put(
+        (sk[order], st["s_nationkey"].to_numpy()[order])
+    )
+    nt = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names_ref = ray.put(
+        dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+    )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_suppkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        tbl = pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "cents": _rev_cents(
+                    t["l_extendedprice"].combine_chunks(),
+                    t["l_discount"].combine_chunks(),
+                ),
+            }
+        )
+        agg = tbl.group_by("l_suppkey").aggregate([("cents", "sum")])
+        agg = agg.rename_columns(["l_suppkey", "cents"])
+        return agg.append_column(
+            "part", _stable_part_col(agg, ("l_suppkey",), P)
+        )
+
+    def topk_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_suppkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "n_nationkey": pd.Series(dtype="int64"),
+                    "s_suppkey": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        import ray as _ray
+
+        agg = (
+            df.groupby("l_suppkey", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        keys, nats = _ray.get(supp_ref)
+        skv = agg["l_suppkey"].to_numpy()
+        pos = (
+            np.clip(np.searchsorted(keys, skv), 0, max(len(keys) - 1, 0))
+            if len(keys)
+            else np.zeros(len(skv), np.int64)
+        )
+        hit = keys[pos] == skv if len(keys) else np.zeros(len(skv), bool)
+        out = pd.DataFrame(
+            {
+                "n_nationkey": nats[pos[hit]],
+                "s_suppkey": skv[hit],
+                "cents": agg["cents"].to_numpy()[hit],
+            }
+        )
+        # partition-local per-nation top-k: <= 25*k rows leave each task
+        out = out.sort_values(
+            ["n_nationkey", "cents", "s_suppkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return out.groupby("n_nationkey", sort=False).head(k)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas().sort_values(
+            ["n_nationkey", "cents", "s_suppkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df = df.groupby("n_nationkey", sort=False).head(k).copy()
+        df["rank"] = df.groupby("n_nationkey", sort=False).cumcount() + 1
+        nm = _ray.get(names_ref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nm[int(x)] for x in df["n_nationkey"]], pa.string()
+                ),
+                "s_suppkey": pa.array(
+                    df["s_suppkey"].to_numpy(), pa.int64()
+                ),
+                "revenue": pa.array(
+                    df["cents"].to_numpy() / 100.0, pa.float64()
+                ),
+                "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(topk_group, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def top_suppliers_per_nation_oracle_sql(k: int = 3) -> str:
+    return f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY l_suppkey
+        ), ranked AS (
+            SELECT n.n_name, s.s_suppkey, rev.cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY rev.cents DESC, s.s_suppkey
+                   ) AS rank
+            FROM rev
+            JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT n_name, s_suppkey, cents / 100.0 AS revenue,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """

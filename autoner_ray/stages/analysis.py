@@ -2902,3 +2902,130 @@ def snapshot_diff_oracle_sql() -> str:
                COUNT(*) AS n_docs
         FROM j GROUP BY 1
     """
+
+
+# -- character-class profile -------------------------------------------------
+
+
+def char_class_profile(docs_ds):
+    """Per-source character-class composition in integer ppm: the share
+    of alphabetic / digit / space / other characters — the cheap
+    encoding-health probe that catches binary-paste and
+    wrong-charset sources before tokenization ever runs.
+
+    Fully vectorized on both sides: Arrow's RE2
+    ``count_substring_regex`` per class here, DuckDB
+    ``len(regexp_replace(...))`` arithmetic in the twin; per-batch
+    (source, counts) partials -> shuffle-free bounded combine -> ppm by
+    integer floor-div."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "n_alpha": pa.array([], pa.int64()),
+                    "n_digit": pa.array([], pa.int64()),
+                    "n_space": pa.array([], pa.int64()),
+                }
+            )
+        text = t["text"]
+        agg = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "n_chars": pc.cast(
+                        pc.utf8_length(text), pa.int64()
+                    ),
+                    "n_alpha": pc.cast(
+                        pc.count_substring_regex(text, r"[A-Za-z]"),
+                        pa.int64(),
+                    ),
+                    "n_digit": pc.cast(
+                        pc.count_substring_regex(text, r"[0-9]"),
+                        pa.int64(),
+                    ),
+                    "n_space": pc.cast(
+                        pc.count_substring_regex(text, r" "), pa.int64()
+                    ),
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [
+                    ("n_chars", "sum"),
+                    ("n_alpha", "sum"),
+                    ("n_digit", "sum"),
+                    ("n_space", "sum"),
+                ]
+            )
+        )
+        return agg.rename_columns(
+            ["source", "n_chars", "n_alpha", "n_digit", "n_space"]
+        )
+
+    agg = bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_chars", "n_alpha", "n_digit", "n_space"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "alpha_ppm": pa.array([], pa.int64()),
+                    "digit_ppm": pa.array([], pa.int64()),
+                    "space_ppm": pa.array([], pa.int64()),
+                    "other_ppm": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        a = t["n_alpha"].to_numpy(zero_copy_only=False)
+        d = t["n_digit"].to_numpy(zero_copy_only=False)
+        s = t["n_space"].to_numpy(zero_copy_only=False)
+        o = n - a - d - s
+        safe = np.maximum(n, 1)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+                "alpha_ppm": pa.array(a * 1_000_000 // safe, pa.int64()),
+                "digit_ppm": pa.array(d * 1_000_000 // safe, pa.int64()),
+                "space_ppm": pa.array(s * 1_000_000 // safe, pa.int64()),
+                "other_ppm": pa.array(o * 1_000_000 // safe, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def char_class_profile_oracle_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT source,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST(SUM(length(text)
+                        - length(regexp_replace(text, '[A-Za-z]', '',
+                                                'g'))) AS BIGINT)
+                       AS n_alpha,
+                   CAST(SUM(length(text)
+                        - length(regexp_replace(text, '[0-9]', '',
+                                                'g'))) AS BIGINT)
+                       AS n_digit,
+                   CAST(SUM(length(text)
+                        - length(replace(text, ' ', ''))) AS BIGINT)
+                       AS n_space
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_chars,
+               n_alpha * 1000000 // GREATEST(n_chars, 1) AS alpha_ppm,
+               n_digit * 1000000 // GREATEST(n_chars, 1) AS digit_ppm,
+               n_space * 1000000 // GREATEST(n_chars, 1) AS space_ppm,
+               (n_chars - n_alpha - n_digit - n_space) * 1000000
+                   // GREATEST(n_chars, 1) AS other_ppm
+        FROM c
+    """
