@@ -686,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_kcore": lambda sf: webtext.bigram_kcore(
             _docs(sf, ["doc_id", "text"])
         ),
+        "docs_bigram_bfs_multi": lambda sf: webtext.bigram_bfs_multi(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "docs_length_outliers": lambda sf: analysis.length_outliers(
             _docs(sf, ["doc_id", "source", "n_chars"])
         ),
@@ -2342,6 +2345,9 @@ def oracle_sql() -> dict[str, str]:
             analysis_mod.winnowing_oracle_sql()
         ),
         "docs_bigram_kcore": webtext_mod.bigram_kcore_oracle_sql(),
+        "docs_bigram_bfs_multi": (
+            webtext_mod.bigram_bfs_multi_oracle_sql()
+        ),
         "docs_length_outliers": (
             analysis_mod.length_outliers_oracle_sql()
         ),

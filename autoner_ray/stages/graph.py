@@ -375,7 +375,8 @@ def connected_components_distributed(edges_ds,
 
 
 def bfs_distances(edges_ds, source=None, max_depth: int = 32,
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  sources: list | None = None):
     """Single-source shortest-path (hop) distances on the undirected
     entity graph — min-DISTANCE propagation with the dist table as a
     Dataset, the same join+groupby-min fixpoint loop as
@@ -413,12 +414,18 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
         )
 
     bidir = edges_ds.map_batches(expand, batch_format="pyarrow").materialize()
-    if source is None:
-        source = bidir.min("src")
+    if sources is None:
+        if source is None:
+            source = bidir.min("src")
+        sources = [source]
+    # multi-source frontier (``sources``): min-hop distance to the
+    # NEAREST seed — same fixpoint loop, seed set broadcast in the
+    # closure (seed lists are small by construction)
+    seed_arr = pa.array(list(sources), node_type)
 
     def init_dist(t: pa.Table) -> pa.Table:
         d = pc.if_else(
-            pc.equal(t["src"], source),
+            pc.is_in(t["src"], value_set=seed_arr),
             pa.scalar(0, pa.int64()),
             pa.scalar(sentinel, pa.int64()),
         )

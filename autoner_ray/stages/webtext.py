@@ -906,3 +906,113 @@ def crawl_rate_oracle_sql() -> str:
                CAST(SUM(html_len) AS BIGINT) AS html_bytes
         FROM p GROUP BY 1, 2
     """
+
+
+def bigram_bfs_multi(docs_ds, min_count: int = 75, n_seeds: int = 3,
+                     max_depth: int = 32,
+                     driver_max_edges: int = 2_000_000):
+    """Multi-source hop distances over the thresholded bigram
+    collocation graph: distance to the NEAREST of the ``n_seeds``
+    lexicographically smallest nodes — the seeded-reachability pass
+    (e.g. propagating curated "anchor" vocabulary labels outward).
+
+    Seeds come from a sort+limit over the DISTINCT node table — the
+    thresholded graph is vocab-bounded, so this is a tiny shuffle;
+    distances run in :func:`~autoner_ray.stages.graph.bfs_distances`'
+    Dataset-resident fixpoint loop (multi-seed frontier)."""
+    from autoner_ray.stages.graph import bfs_distances
+
+    edges = bigram_graph(docs_ds, min_count).materialize()
+    if edges.count() <= driver_max_edges:
+        # vocab-bounded tier: one-process BFS over the tiny thresholded
+        # graph (tier equality vs the Dataset loop pinned by
+        # tests/test_r4_late_ops.py)
+        import collections
+
+        df = edges.to_pandas()
+        adj: dict[str, set[str]] = collections.defaultdict(set)
+        for a, b in zip(df["subj"], df["obj"]):
+            adj[a].add(b)
+            adj[b].add(a)
+        seeds = sorted(adj)[:n_seeds]
+        dist = {s: 0 for s in seeds}
+        frontier = list(seeds)
+        d = 0
+        while frontier and d < max_depth:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        items = sorted(dist.items())
+        return pa.table(
+            {
+                "entity": pa.array([k for k, _ in items], pa.string()),
+                "dist": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    def nodes(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"node": pa.array([], pa.string())})
+        return (
+            pa.table(
+                {
+                    "node": pa.chunked_array(
+                        t["subj"].chunks + t["obj"].chunks
+                    )
+                }
+            )
+            .group_by("node")
+            .aggregate([])
+        )
+
+    seeds = (
+        edges.map_batches(nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .sort("node")
+        .limit(n_seeds)
+        .to_pandas()["node"]
+        .tolist()
+    )
+    return bfs_distances(edges, sources=seeds, max_depth=max_depth)
+
+
+def bigram_bfs_multi_oracle_sql(min_count: int = 75, n_seeds: int = 3,
+                                max_depth: int = 32) -> str:
+    return f"""
+        WITH RECURSIVE ws AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        bg AS (
+            SELECT least(ws[i], ws[i + 1]) AS a,
+                   greatest(ws[i], ws[i + 1]) AS b
+            FROM ws, unnest(range(1, len(ws))) AS t(i)
+            WHERE ws[i] <> ws[i + 1]
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a AS subj, b AS obj FROM bg
+            GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+        ),
+        bidir AS MATERIALIZED (
+            SELECT subj AS src, obj AS dst FROM e0
+            UNION ALL SELECT obj, subj FROM e0
+        ),
+        seeds AS (
+            SELECT src FROM (SELECT DISTINCT src FROM bidir)
+            ORDER BY src LIMIT {n_seeds}
+        ),
+        bfs(node, d) AS (
+            SELECT src, 0 FROM seeds
+            UNION
+            SELECT e.dst, bfs.d + 1
+            FROM bfs JOIN bidir e ON e.src = bfs.node
+            WHERE bfs.d + 1 <= {max_depth}
+        )
+        SELECT node AS entity, CAST(MIN(d) AS BIGINT) AS dist
+        FROM bfs GROUP BY node
+    """

@@ -525,3 +525,28 @@ def test_rfm_ntile_tiebreak(ray_session):
         + "F" + got["f_quartile"].astype(str)
         + "M" + got["m_quartile"].astype(str)
     ).all()
+
+
+def test_bigram_bfs_tier_equality(ray_session):
+    """Driver BFS and the Dataset-resident multi-seed loop agree on the
+    thresholded bigram graph."""
+    import ray
+
+    from autoner_ray.stages.webtext import bigram_bfs_multi
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    drv = (
+        bigram_bfs_multi(docs).to_pandas()
+        .sort_values("entity").reset_index(drop=True)
+    )
+    docs2 = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    dist = (
+        bigram_bfs_multi(docs2, driver_max_edges=0).to_pandas()
+        .sort_values("entity").reset_index(drop=True)
+    )
+    assert len(drv) > 0
+    pd.testing.assert_frame_equal(drv, dist)
