@@ -708,6 +708,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf)
         ),
         "pages_crawl_rate": webtext.crawl_rate,
+        "docs_curation_pipeline": lambda sf: __import__(
+            "autoner_ray.pipelines.curation",
+            fromlist=["curation_pipeline"],
+        ).curation_pipeline(sf),
         "docs_dup_gram_coverage": lambda sf: dedup.dup_gram_coverage(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -2370,6 +2374,10 @@ def oracle_sql() -> dict[str, str]:
             windows_mod.hourly_anomalies_oracle_sql()
         ),
         "pages_crawl_rate": webtext_mod.crawl_rate_oracle_sql(),
+        "docs_curation_pipeline": __import__(
+            "autoner_ray.pipelines.curation",
+            fromlist=["curation_pipeline_oracle_sql"],
+        ).curation_pipeline_oracle_sql(),
         "docs_dup_gram_coverage": (
             dedup_mod.dup_gram_coverage_oracle_sql()
         ),
