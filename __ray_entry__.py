@@ -718,6 +718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau": lambda sf: windows.dau_wau_stickiness(
             _events(sf)
         ),
+        "events_session_length_hist": lambda sf: (
+            windows.session_length_histogram(_events(sf))
+        ),
         "docs_train_val_test": lambda sf: analysis.train_val_test_split(
             _docs(sf, ["doc_id", "source"])
         ),
@@ -2382,6 +2385,9 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.dup_gram_coverage_oracle_sql()
         ),
         "events_dau_wau": windows_mod.dau_wau_oracle_sql(),
+        "events_session_length_hist": (
+            windows_mod.session_length_histogram_oracle_sql()
+        ),
         "customer_revenue_gini": (
             relational_mod.customer_revenue_gini_oracle_sql()
         ),

@@ -1358,3 +1358,94 @@ def dau_wau_oracle_sql(window_days: int = 7) -> str:
                    AS stickiness_ppm
         FROM dau a JOIN wau w USING (d)
     """
+
+
+def session_length_histogram(events_ds, gap_minutes: int = 30):
+    """Histogram of session sizes: (n_events_per_session, n_sessions)
+    plus the total session minutes bucket — the composition query over
+    :func:`sessionize` that product analytics actually charts (are
+    users one-and-done or long-session?).
+
+    Scale shape: sessionize's user-partitioned per-group pass (no
+    global sort) -> per-batch histogram partials over its session rows
+    -> shuffle-free bounded combine (session sizes are small
+    integers)."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    sessions = sessionize(events_ds, gap_minutes=gap_minutes)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "n_events" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "total_minutes": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = pc.cast(t["start_ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        end = pc.cast(t["end_ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        mins = (end - start) // 60_000_000
+        import pandas as pd
+
+        agg = (
+            pd.DataFrame({"n_events": n, "one": 1, "mins": mins})
+            .groupby("n_events", sort=False)
+            .agg(n_sessions=("one", "sum"), total_minutes=("mins", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "n_events": pa.array(agg["n_events"].to_numpy(), pa.int64()),
+                "n_sessions": pa.array(
+                    agg["n_sessions"].to_numpy(), pa.int64()
+                ),
+                "total_minutes": pa.array(
+                    agg["total_minutes"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return bounded_key_sum(
+        sessions.map_batches(hist_partial, batch_format="pyarrow"),
+        ["n_events"], ["n_sessions", "total_minutes"],
+    )
+
+
+def session_length_histogram_oracle_sql(gap_minutes: int = 30) -> str:
+    return f"""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER w
+                            <= INTERVAL {gap_minutes} MINUTE
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM gaps
+        ), per AS (
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   -- floored elapsed minutes (NOT date_diff, which
+                   -- counts minute-boundary crossings)
+                   CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                        // 60000000 AS BIGINT) AS mins
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT CAST(n_events AS BIGINT) AS n_events,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(mins) AS BIGINT) AS total_minutes
+        FROM per GROUP BY n_events
+    """
