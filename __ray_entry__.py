@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_extract_text": pages_extract_text,
         "dict_mention_counts_unigram": kg.unigram_mention_type_counts,
         "triples_unigram": kg.unigram_triples,
+        "kg_adjacency_unigram": lambda sf: kg.unigram_adjacency(sf),
         "entity_doc_freq_unigram": kg.unigram_entity_doc_freq,
         "entity_canonical_table": kg.unigram_canonical_entities,
         "entity_type_profile_unigram": kg.unigram_entity_type_profile,
@@ -1140,6 +1141,24 @@ def oracle_sql() -> dict[str, str]:
             FROM words a JOIN words b
               ON a.doc_id = b.doc_id AND a.entity < b.entity
             GROUP BY 1, 2, 3
+        """,
+        "kg_adjacency_unigram": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ), tr AS (
+                SELECT a.entity AS subj, 'cooccurs_with' AS pred,
+                       b.entity AS obj, COUNT(*) AS weight
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2, 3
+            )
+            SELECT subj AS src,
+                   string_agg(pred || ':' || obj || ':' || weight, ';'
+                              ORDER BY pred, obj) AS adjacency,
+                   COUNT(*) AS degree
+            FROM tr GROUP BY subj
         """,
         "entity_canonical_table": f"""
             WITH m AS (

@@ -809,3 +809,43 @@ def unigram_pagerank_personalized(sf_dir: str):
     from autoner_ray.stages.graph import pagerank_personalized
 
     return pagerank_personalized(unigram_triples(sf_dir))
+
+
+def unigram_adjacency(sf_dir: str):
+    """Adjacency-shard view of the unigram co-occurrence triple graph:
+    one row per subject with its edge list serialized
+    ``pred:obj:weight;...`` in (pred, obj) order plus the out-degree —
+    the SQL-checkable face of :func:`~autoner_ray.stages.graph.
+    adjacency_lists` / ``materialize_graph`` (same sort order the
+    Parquet shards use, so the oracle certifies the shard layout
+    contract, oracle: ``string_agg`` with the same ORDER BY)."""
+
+    def to_adj(df):
+        import pandas as pd
+
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="object"),
+                    "adjacency": pd.Series(dtype="object"),
+                    "degree": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["pred", "obj"], kind="mergesort")
+        adj = ";".join(
+            f"{p}:{o}:{int(w)}"
+            for p, o, w in zip(df["pred"], df["obj"], df["weight"])
+        )
+        return pd.DataFrame(
+            {
+                "src": [df["subj"].iloc[0]],
+                "adjacency": [adj],
+                "degree": [len(df)],
+            }
+        )
+
+    return (
+        unigram_triples(sf_dir)
+        .groupby("subj")
+        .map_groups(to_adj, batch_format="pandas")
+    )
