@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "customer_revenue_gini": relational.customer_revenue_gini,
         "top_suppliers_per_nation": relational.top_suppliers_per_nation,
+        "order_price_bands": relational.order_price_bands,
         # bucket_docs=1 (per-doc curve) because the synthetic corpus
         # vocab saturates within the first few docs; at real web scale
         # raise bucket_docs so the bucket table stays bounded
@@ -2419,6 +2420,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_suppliers_per_nation": (
             relational_mod.top_suppliers_per_nation_oracle_sql()
+        ),
+        "order_price_bands": (
+            relational_mod.order_price_bands_oracle_sql()
         ),
         "embedding_neardup_keep_one": (
             similarity_mod.embedding_keep_one_oracle_sql()

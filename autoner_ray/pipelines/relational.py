@@ -2146,3 +2146,80 @@ def top_suppliers_per_nation_oracle_sql(k: int = 3) -> str:
                CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+_PRICE_BANDS = [
+    ("budget", 0, 50_000),
+    ("mid", 50_000, 150_000),
+    ("premium", 150_000, 300_000),
+    ("luxury", 300_000, 1 << 60),
+]
+
+
+def order_price_bands(sf_dir: str):
+    """Range-join probe: orders binned into static price bands (a
+    banded dimension join ``ON price >= lo AND price < hi``) with
+    count + exact cents revenue per band — the pattern behind SLA
+    tiers, price buckets and latency bands.
+
+    Scale shape: the band table is tiny and STATIC, so the range join
+    is a broadcast ``searchsorted`` against the sorted bound array
+    inside a stateless map (never a shuffle); the tail is the bounded
+    combine over 4 bands. Bands are in integer cents on both sides.
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    names = [b[0] for b in _PRICE_BANDS]
+    los = np.array([b[1] for b in _PRICE_BANDS], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        bin_ix = np.searchsorted(los, cents, side="right") - 1
+        df = pd.DataFrame({"b": bin_ix, "c": cents, "n": 1})
+        agg = df.groupby("b", sort=False).agg(
+            n=("n", "sum"), c=("c", "sum")
+        )
+        return pa.table(
+            {
+                "band": pa.array(
+                    [names[int(i)] for i in agg.index], pa.string()
+                ),
+                "n_orders": pa.array(agg["n"].to_numpy(), pa.int64()),
+                "revenue_cents": pa.array(agg["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return bounded_key_sum(
+        _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["band"], ["n_orders", "revenue_cents"],
+    )
+
+
+def order_price_bands_oracle_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS
+    )
+    return f"""
+        WITH bands(band, lo, hi) AS (VALUES {rows}),
+        o AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+        )
+        SELECT b.band, COUNT(*) AS n_orders,
+               CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+        FROM o JOIN bands b ON o.cents >= b.lo AND o.cents < b.hi
+        GROUP BY b.band
+    """
