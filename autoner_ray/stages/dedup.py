@@ -1488,3 +1488,125 @@ def dup_gram_coverage_oracle_sql(n: int = 7) -> str:
         FROM grams JOIN df USING (g)
         GROUP BY doc_id
     """
+
+
+def minhash_lsh_eval(docs_ds, threshold: float = 0.6,
+                     num_hashes: int = 64, bands: int = 16,
+                     num_partitions: int | None = None):
+    """LSH quality report, fully SQL-certified: one row with the exact
+    near-dup pair count (n-gram Jaccard >= ``threshold``), the LSH
+    band-candidate count, their intersection, and integer-ppm
+    recall/precision — the evaluation that decides a (bands x rows)
+    configuration before a web-scale run. Now that the signature
+    arithmetic has a bit-identical SQL twin, the BANDING stage itself
+    is oracle-checked here (previously pytest-only).
+
+    Scale shape: both pair generators keep their own partitioned
+    shapes; the intersection is one cogroup join on the (doc_a, doc_b)
+    pair key (pair tables are duplicate-fraction-sized, not
+    corpus-sized); the report is three distributed counts + driver ppm
+    division on a 1-row result. The hot-bucket cap is NOT applied here
+    (fixture buckets max out at 4 members; at scale pass the capped
+    candidates and mirror the cap in the twin with a windowed count).
+    """
+    from autoner_ray.stages.joins import cogroup_join
+
+    true_pairs = ngram_jaccard_exact_pairs(
+        docs_ds, threshold=threshold, num_partitions=num_partitions
+    ).materialize()
+    cands = minhash_lsh_candidates(
+        docs_ds, num_hashes=num_hashes, bands=bands,
+        max_bucket=None, num_partitions=num_partitions,
+    ).materialize()
+
+    def keyed(extra=None):
+        def fn(t: pa.Table) -> pa.Table:
+            fields = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            if extra:
+                fields.append((extra, pa.int64()))
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(fields).empty_table()
+            out = {
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            }
+            if extra:
+                out[extra] = pc.cast(t[extra], pa.int64())
+            return pa.table(out)
+        return fn
+
+    import pyarrow.compute as pc
+
+    hits = cogroup_join(
+        true_pairs.map_batches(keyed(), batch_format="pyarrow"),
+        cands.map_batches(keyed("n_bands"), batch_format="pyarrow"),
+        on=("doc_a", "doc_b"),
+        num_partitions=num_partitions or 8,
+    )
+    n_true = true_pairs.count()
+    n_cand = cands.count()
+    n_hit = hits.count()
+    recall_ppm = (n_hit * 1_000_000) // n_true if n_true else 0
+    precision_ppm = (n_hit * 1_000_000) // n_cand if n_cand else 0
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([n_true], pa.int64()),
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "n_hits": pa.array([n_hit], pa.int64()),
+            "recall_ppm": pa.array([recall_ppm], pa.int64()),
+            "precision_ppm": pa.array([precision_ppm], pa.int64()),
+        }
+    )
+
+
+def minhash_lsh_eval_oracle_sql(threshold: float = 0.6,
+                                num_hashes: int = 64,
+                                bands: int = 16, k: int = 3) -> str:
+    rpb = num_hashes // bands
+    return f"""
+        WITH {_minhash_sig_ctes(num_hashes, k)},
+        bucket AS MATERIALIZED (
+            SELECT doc_id, perm // {rpb} AS band,
+                   list(sig ORDER BY perm) AS key
+            FROM sig GROUP BY doc_id, perm // {rpb}
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bucket a JOIN bucket b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE)
+                  >= {threshold}
+        ),
+        agg AS (
+            SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+                   (SELECT COUNT(*) FROM cand) AS n_candidates,
+                   (SELECT COUNT(*) FROM truth t JOIN cand c
+                     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                       AS n_hits
+        )
+        SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(CASE WHEN n_true_pairs = 0 THEN 0
+                    ELSE n_hits * 1000000 // n_true_pairs END AS BIGINT)
+                   AS recall_ppm,
+               CAST(CASE WHEN n_candidates = 0 THEN 0
+                    ELSE n_hits * 1000000 // n_candidates END AS BIGINT)
+                   AS precision_ppm
+        FROM agg
+    """
