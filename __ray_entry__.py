@@ -732,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_char_class_profile": lambda sf: (
             analysis.char_class_profile(_docs(sf, ["source", "text"]))
         ),
+        "docs_filtered_read": lambda sf: analysis.filtered_read_stats(sf),
         "docs_snapshot_diff": lambda sf: analysis.snapshot_diff(
             _docs(sf, ["doc_id", "text"]),
             analysis.synthetic_snapshot(_docs(sf, ["doc_id", "text"])),
@@ -2424,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_char_class_profile": (
             analysis_mod.char_class_profile_oracle_sql()
         ),
+        "docs_filtered_read": analysis_mod.filtered_read_oracle_sql(),
         "top_suppliers_per_nation": (
             relational_mod.top_suppliers_per_nation_oracle_sql()
         ),

@@ -3029,3 +3029,62 @@ def char_class_profile_oracle_sql() -> str:
                    // GREATEST(n_chars, 1) AS other_ppm
         FROM c
     """
+
+
+# -- pushdown-filtered read --------------------------------------------------
+
+
+def filtered_read_stats(sf_dir: str, min_chars: int = 280,
+                        max_chars: int = 320):
+    """Per-source stats over a length band, with the predicate PUSHED
+    INTO the Parquet read (``read_parquet(filter=...)`` — row groups
+    outside the band never leave storage, and only the needed columns
+    are read). The explicit witness for the "prune at the read"
+    rule: the filter runs in the scan, not in a downstream map.
+
+    Scale shape: pushdown scan -> per-batch (source, n, sum) partials
+    -> shuffle-free bounded combine."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    expr = (pads.field("n_chars") >= min_chars) & (
+        pads.field("n_chars") <= max_chars
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "n_chars"],
+        filter=expr,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_chars": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            t.group_by("source")
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return agg.rename_columns(["source", "n_docs", "sum_chars"])
+
+    return bounded_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "sum_chars"],
+    )
+
+
+def filtered_read_oracle_sql(min_chars: int = 280,
+                             max_chars: int = 320) -> str:
+    return f"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE n_chars BETWEEN {min_chars} AND {max_chars}
+        GROUP BY source
+    """
