@@ -2603,18 +2603,29 @@ def length_outliers(docs_ds, k_num: int = 3, k_den: int = 2):
         )
         if t.num_columns == 0 or len(t) == 0:
             return empty
+        import pandas as pd
+
         st = ray.get(stats_ref)
         srcs = t["source"].to_pylist()
         ln = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = np.array([st[s][0] for s in srcs], np.int64)
-        s = np.array([st[s][1] for s in srcs], np.int64)
-        rhs = np.array(
+        # per-UNIQUE-source python work only (sources are a bounded
+        # dimension); the per-row gather is a numpy fancy-index
+        codes, uniques = pd.factorize(np.asarray(srcs, dtype=object))
+        n_u = np.array([st[u][0] for u in uniques], np.int64)
+        s_u = np.array([st[u][1] for u in uniques], np.int64)
+        rhs_u = np.array(
             [
-                float(k_num * k_num * (nn * ssq - ss * ss))
-                for nn, ss, ssq in (st[sc] for sc in srcs)
+                float(
+                    k_num * k_num
+                    * (st[u][0] * st[u][2] - st[u][1] * st[u][1])
+                )
+                for u in uniques
             ],
             np.float64,
         )
+        n = n_u[codes]
+        s = s_u[codes]
+        rhs = rhs_u[codes]
         # d is EXACT in int64 (n·len <= ~9e18 covers 10^12 docs of 10^6
         # chars); only the squaring and the rhs conversion round, so the
         # 4-ulp band below bounds the total comparison error
@@ -2840,8 +2851,10 @@ def synthetic_snapshot(docs_ds):
     for :func:`snapshot_diff`; mirrored exactly in SQL):
     - doc_id % 15 == 0  -> dropped (dead page)
     - doc_id % 5 == 0   -> text + ' updated' (re-crawled, changed)
-    - doc_id % 7 == 0   -> ALSO re-emitted under doc_id + 1,000,000
-                           (new page discovered)
+    - doc_id % 7 == 0   -> ALSO re-emitted under doc_id + 2^40
+                           (new page discovered; the offset sits far
+                           above any real doc_id so re-emits can never
+                           collide with an existing id — 10^12-doc safe)
     """
 
     def mutate(batch: pa.Table) -> pa.Table:
@@ -2865,7 +2878,7 @@ def synthetic_snapshot(docs_ds):
                 out_ids.append(int(i))
                 out_texts.append(t)
             if i % 7 == 0:
-                out_ids.append(int(i) + 1_000_000)
+                out_ids.append(int(i) + (1 << 40))
                 out_texts.append(t)
         return pa.table(
             {
@@ -2885,7 +2898,7 @@ def snapshot_diff_oracle_sql() -> str:
                         ELSE text END AS text
             FROM documents WHERE doc_id % 15 <> 0
             UNION ALL
-            SELECT doc_id + 1000000, text
+            SELECT doc_id + 1099511627776, text
             FROM documents WHERE doc_id % 7 = 0
         ),
         a AS (SELECT doc_id, md5(text) AS m FROM documents),

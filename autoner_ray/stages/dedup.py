@@ -92,6 +92,21 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return prod.min(axis=1)
 
 
+def _band_rows(text: str, a, b, bands: int, rows_per_band: int,
+               num_partitions: int):
+    """(band_id, band_hash, part) triples for one doc — THE banding
+    kernel, shared by :func:`minhash_lsh_candidates` and
+    :func:`minhash_bucket_histogram` so the tuning diagnostic can never
+    desynchronize from the stage it tunes."""
+    sig = minhash_signature(text, a, b)
+    out = []
+    for bi in range(bands):
+        chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+        bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+        out.append((bi, bh, int(bh[:8], 16) % num_partitions))
+    return out
+
+
 def minhash_lsh_candidates(
     docs_ds,
     num_hashes: int = 64,
@@ -140,15 +155,14 @@ def minhash_lsh_candidates(
         for did, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            sig = minhash_signature(text or "", a, b)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            # content-derived partition: bucket members always meet
+            for bi, bh, part in _band_rows(
+                text or "", a, b, bands, rows_per_band, num_partitions
+            ):
                 doc_ids.append(did)
                 band_ids.append(bi)
                 band_hashes.append(bh)
-                # content-derived partition: bucket members always meet
-                parts.append(int(bh[:8], 16) % num_partitions)
+                parts.append(part)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -976,6 +990,10 @@ def winnowing_neardup_pairs(
     )
 
     def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-column groups reach UDFs after sparse shuffles (the
+        # Ray 2.49 RefBundle pathology every sibling callable guards)
+        if len(df) == 0 or "fp" not in df.columns:
+            return _empty_partials
         if max_df is not None:
             df = df[df.groupby("fp")["fp"].transform("size") <= max_df]
         lt = pa.table(
@@ -1005,6 +1023,8 @@ def winnowing_neardup_pairs(
         ]
 
     def combine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_a" not in df.columns:
+            return _empty_partials.drop(columns=["pair_part"])
         g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
             n_shared=("n_shared", "sum"), size_a=("size_a", "first"),
             size_b=("size_b", "first"),
@@ -1192,13 +1212,12 @@ def minhash_bucket_histogram(docs_ds, num_hashes: int = 64,
                 }
             )
         for text in batch["text"].to_pylist():
-            sig = minhash_signature(text or "", a, b)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            for bi, bh, part in _band_rows(
+                text or "", a, b, bands, rows_per_band, num_partitions
+            ):
                 band_ids.append(bi)
                 band_hashes.append(bh)
-                parts.append(int(bh[:8], 16) % num_partitions)
+                parts.append(part)
         return pa.table(
             {
                 "band": pa.array(band_ids, pa.int32()),

@@ -1187,7 +1187,11 @@ def kcore_distributed(edges_ds, k: int = 2, max_iters: int = 50,
                 pc.greater_equal(t["deg"], pa.scalar(k))
             ).select(["src", "deg"])
 
-        surv = deg.map_batches(survivors, batch_format="pyarrow")
+        # surv feeds TWO cogroup joins this round; materialize so the
+        # degree aggregation runs once, not per consumer
+        surv = deg.map_batches(
+            survivors, batch_format="pyarrow"
+        ).materialize()
 
         def keep_src(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or len(t) == 0 or "deg" not in (
@@ -1247,6 +1251,9 @@ def kcore(edges_ds, k: int = 2, driver_max_edges: int = 2_000_000,
     :func:`kcore_distributed` (tier equality pinned by
     tests/test_r4_late_ops.py). Same output schema either way:
     (entity, degree) with core-internal degrees."""
+    # pin the upstream pipeline ONCE: count() for the tier decision and
+    # the chosen tier's consumption must not re-run the edge build
+    edges_ds = edges_ds.materialize()
     n = edges_ds.count()
     if n > driver_max_edges:
         return kcore_distributed(

@@ -1172,7 +1172,11 @@ def hourly_anomalies_oracle_sql(k_num: int = 3, k_den: int = 2) -> str:
         ),
         hw AS (
             SELECT hour, n_events,
-                   (CAST(epoch(hour) AS BIGINT) // 3600) % 168 AS hw
+                   -- floored modulo (matches numpy; DuckDB % keeps
+                   -- the dividend's sign, which would split pre-1970
+                   -- hours into negative groups)
+                   ((((CAST(epoch(hour) AS BIGINT) // 3600) % 168)
+                     + 168) % 168) AS hw
             FROM h
         ),
         m AS (
