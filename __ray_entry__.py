@@ -726,6 +726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_length_hist": lambda sf: (
             windows.session_length_histogram(_events(sf))
         ),
+        "events_type_stationary": lambda sf: windows.type_stationary(
+            _events(sf)
+        ),
         "docs_train_val_test": lambda sf: analysis.train_val_test_split(
             _docs(sf, ["doc_id", "source"])
         ),
@@ -2414,6 +2417,9 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_wau": windows_mod.dau_wau_oracle_sql(),
         "events_session_length_hist": (
             windows_mod.session_length_histogram_oracle_sql()
+        ),
+        "events_type_stationary": (
+            windows_mod.type_stationary_oracle_sql()
         ),
         "customer_revenue_gini": (
             relational_mod.customer_revenue_gini_oracle_sql()

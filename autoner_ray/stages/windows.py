@@ -1453,3 +1453,105 @@ def session_length_histogram_oracle_sql(gap_minutes: int = 30) -> str:
                CAST(SUM(mins) AS BIGINT) AS total_minutes
         FROM per GROUP BY n_events
     """
+
+
+def type_stationary(events_ds, damping: float = 0.85, iters: int = 20):
+    """Smoothed stationary distribution of the event-type Markov chain
+    (PageRank-style teleport so reducible/periodic chains still
+    converge): where does a user's session flow settle? Transition
+    counts come from the distributed LAG pass
+    (:func:`type_transitions`); the chain itself is TYPE-cardinality
+    sized (a bounded dimension), so the 20 power iterations run as a
+    driver matvec — the same vocab-bounded default as ``kg_pagerank``,
+    with the Dataset-resident variant available via
+    ``graph.pagerank_distributed`` if the state space ever grows.
+
+    Oracle: the same 20 unrolled iterations in SQL with full-float-repr
+    literals; both sides round to 6 dp."""
+    import numpy as np
+
+    tr = type_transitions(events_ds).to_pandas()
+    if len(tr) == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "rank": pa.array([], pa.float64()),
+            }
+        )
+    nodes = sorted(
+        set(tr["prev_type"]) | set(tr["event_type"])
+    )
+    ix = {t: i for i, t in enumerate(nodes)}
+    N = len(nodes)
+    out_sum = tr.groupby("prev_type")["n"].sum()
+    # P[src, dst] = n / out_sum[src]
+    P = np.zeros((N, N), np.float64)
+    for s, d_, n in zip(tr["prev_type"], tr["event_type"], tr["n"]):
+        P[ix[s], ix[d_]] = float(n) / float(out_sum[s])
+    base = (1.0 - damping) / N
+    x = np.full(N, 1.0 / N, np.float64)
+    has_in = P.sum(axis=0) > 0
+    for _ in range(iters):
+        x = base + damping * (x @ P)
+        # mirror the SQL exactly: dst nodes with no incoming
+        # transitions drop out of pr{k} (the unrolled CTE only emits
+        # rows FROM trans), so zero them rather than keep base mass
+        x = np.where(has_in, x, 0.0)
+    keep = has_in
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [n for n, k in zip(nodes, keep) if k], pa.string()
+            ),
+            "rank": pa.array(
+                np.round(x[keep], 6), pa.float64()
+            ),
+        }
+    )
+
+
+def type_stationary_oracle_sql(damping: float = 0.85,
+                               iters: int = 20) -> str:
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        pr{k} AS MATERIALIZED (
+            SELECT t.dst AS entity,
+                   {base} / nn.n + {d} * SUM(pr.rank * t.p) AS rank
+            FROM trans t JOIN pr{k - 1} pr ON pr.entity = t.src, nn
+            GROUP BY t.dst, nn.n
+        )""")
+    return f"""
+        WITH tcounts AS MATERIALIZED (
+            SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+            FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ) WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS entity FROM tcounts
+            UNION SELECT DISTINCT dst FROM tcounts
+        ),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        outw AS MATERIALIZED (
+            SELECT src, SUM(n) AS ow FROM tcounts GROUP BY src
+        ),
+        trans AS MATERIALIZED (
+            SELECT t.src, t.dst,
+                   CAST(t.n AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p
+            FROM tcounts t JOIN outw o ON t.src = o.src
+        ),
+        pr0 AS MATERIALIZED (
+            SELECT entity, 1.0 / nn.n AS rank FROM nodes, nn
+        ),
+        {", ".join(steps)}
+        SELECT entity AS event_type, round(rank, 6) AS rank
+        FROM pr{iters}
+    """
