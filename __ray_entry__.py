@@ -676,6 +676,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": relational.customer_revenue_gini,
         "top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "order_price_bands": relational.order_price_bands,
+        "lineitem_weighted_median": lambda sf: __import__(
+            "autoner_ray.stages.stats",
+            fromlist=["grouped_weighted_median"],
+        ).grouped_weighted_median(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                f"{sf}/lineitem.parquet",
+                columns=["l_returnflag", "l_extendedprice",
+                         "l_quantity"],
+            ),
+            key="l_returnflag", value_col="l_extendedprice",
+            weight_col="l_quantity",
+        ),
         # bucket_docs=1 (per-doc curve) because the synthetic corpus
         # vocab saturates within the first few docs; at real web scale
         # raise bucket_docs so the bucket table stays bounded
@@ -2438,6 +2450,10 @@ def oracle_sql() -> dict[str, str]:
         "order_price_bands": (
             relational_mod.order_price_bands_oracle_sql()
         ),
+        "lineitem_weighted_median": __import__(
+            "autoner_ray.stages.stats",
+            fromlist=["grouped_weighted_median_oracle_sql"],
+        ).grouped_weighted_median_oracle_sql(),
         "embedding_neardup_keep_one": (
             similarity_mod.embedding_keep_one_oracle_sql()
         ),

@@ -495,3 +495,137 @@ def grouped_mad(ds, key: str, value_col: str, value_scale: int = 100):
         .groupby(key)
         .map_groups(mad_group, batch_format="pandas")
     )
+
+
+def grouped_weighted_median(ds, key: str, value_col: str,
+                            weight_col: str,
+                            num_partitions: int | None = None):
+    """Per-group EXACT weighted (lower) median: the smallest value v
+    with cumulative weight(≤v) covering half the group's total weight
+    — the quantity-weighted "typical price" that an unweighted median
+    mis-states when cheap lines carry most volume. Pure integers end
+    to end (cents values, integer weights): no interpolation, no float
+    in the hash.
+
+    Scale shape: per-batch (key, value-cents) weight partials collapse
+    the row stream to <= distinct-values-per-batch; one
+    value-partitioned sum combine; then a per-KEY pandas pass (the
+    value histogram per key is price-domain-bounded, ~10^5 distinct
+    cents) does the cumulative-weight scan."""
+    import numpy as np
+    import pandas as pd
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        wts = t[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {key: t[key].to_pylist(), "v": cents, "w": wts}
+        )
+        agg = df.groupby([key, "v"], sort=False)["w"].sum().reset_index()
+        return pa.table(
+            {
+                key: pa.array(agg[key], pa.string()),
+                "v": pa.array(agg["v"].to_numpy(), pa.int64()),
+                "w": pa.array(agg["w"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist = partitioned_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        [key, "v"], ["w"], part_on=(key,),
+        num_partitions=num_partitions,
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or key not in df.columns:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype="object"),
+                    "wmedian_cents": pd.Series(dtype="int64"),
+                    "total_weight": pd.Series(dtype="int64"),
+                }
+            )
+        out = []
+        for k, g in df.groupby(key, sort=False):
+            g = g.sort_values("v", kind="mergesort")
+            w = g["w"].to_numpy(np.int64)
+            tot = int(w.sum())
+            cum = np.cumsum(w)
+            v = int(g["v"].to_numpy()[np.argmax(2 * cum >= tot)])
+            out.append((k, v, tot))
+        return pd.DataFrame(
+            out, columns=[key, "wmedian_cents", "total_weight"]
+        )
+
+    # the partitioned combine already co-located each key; the scan is
+    # a second pass over the same partition layout
+    from autoner_ray.stages.joins import _stable_part_col
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or key not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        from autoner_ray.cluster import default_num_partitions
+
+        return t.append_column(
+            "part",
+            _stable_part_col(t, (key,), num_partitions
+                             or default_num_partitions()),
+        )
+
+    return (
+        hist.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def grouped_weighted_median_oracle_sql(
+    key: str = "l_returnflag", value_col: str = "l_extendedprice",
+    weight_col: str = "l_quantity",
+) -> str:
+    return f"""
+        WITH c AS (
+            SELECT {key} AS k,
+                   CAST(floor({value_col} * 100 + 0.5) AS BIGINT) AS v,
+                   CAST({weight_col} AS BIGINT) AS w
+            FROM lineitem
+        ),
+        g AS (SELECT k, v, SUM(w) AS w FROM c GROUP BY 1, 2),
+        t AS (SELECT k, SUM(w) AS tot FROM g GROUP BY 1),
+        cum AS (
+            SELECT k, v,
+                   SUM(w) OVER (PARTITION BY k ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw
+            FROM g
+        )
+        SELECT cum.k AS {key},
+               CAST(MIN(cum.v) AS BIGINT) AS wmedian_cents,
+               CAST(t.tot AS BIGINT) AS total_weight
+        FROM cum JOIN t ON cum.k = t.k
+        WHERE 2 * cum.cw >= t.tot
+        GROUP BY cum.k, t.tot
+    """
