@@ -517,6 +517,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_keep_one": lambda sf: (
             similarity.embedding_neardup_keep_one(_emb(sf), threshold=0.4)
         ),
+        "crossmodal_neardup_agreement": lambda sf: (
+            similarity.crossmodal_neardup_agreement(
+                _docs(sf, ["doc_id", "text"]), _emb(sf)
+            )
+        ),
         # --- oracle-backed: near-dup pairs -------------------------------
         "ngram_jaccard_exact": lambda sf: dedup.ngram_jaccard_exact_pairs(
             _docs(sf, ["doc_id", "text"])
@@ -2456,6 +2461,9 @@ def oracle_sql() -> dict[str, str]:
         ).grouped_weighted_median_oracle_sql(),
         "embedding_neardup_keep_one": (
             similarity_mod.embedding_keep_one_oracle_sql()
+        ),
+        "crossmodal_neardup_agreement": (
+            similarity_mod.crossmodal_agreement_oracle_sql()
         ),
         "q6_forecast_revenue": """
             WITH p AS (

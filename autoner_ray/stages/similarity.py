@@ -561,3 +561,122 @@ def embedding_keep_one_oracle_sql(threshold: float = 0.4) -> str:
         SELECT e.vec_id FROM embeddings e
         WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
     """
+
+
+def crossmodal_neardup_agreement(docs_ds, emb_ds,
+                                 text_threshold: float = 0.6,
+                                 cos_threshold: float = 0.4,
+                                 num_partitions: int | None = None):
+    """Agreement report between TEXT near-dup pairs (exact n-gram
+    Jaccard >= ``text_threshold``) and EMBEDDING near-dup pairs
+    (cosine >= ``cos_threshold``, vec_id == doc_id): counts of
+    text-only / embedding-only / both, plus the pair-set Jaccard in
+    integer ppm — the cross-modal sanity check that tells a curation
+    run whether its semantic dedup and surface dedup see the same
+    duplicates (SemDeDup vs MinHash disagreement analysis).
+
+    Scale shape: each pair generator keeps its own partitioned shape;
+    the comparison is one cogroup join on the (a, b) pair key over
+    duplicate-fraction-sized tables; the report is three distributed
+    counts + integer driver arithmetic on a 1-row result."""
+    from autoner_ray.stages.dedup import ngram_jaccard_exact_pairs
+    from autoner_ray.stages.joins import cogroup_join
+
+    text_pairs = ngram_jaccard_exact_pairs(
+        docs_ds, threshold=text_threshold, num_partitions=num_partitions
+    ).materialize()
+    emb_pairs = embedding_neardup(
+        emb_ds, threshold=cos_threshold
+    ).materialize()
+
+    def keyed(a_col, b_col):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("a", pa.int64()), ("b", pa.int64())]
+                ).empty_table()
+            return pa.table(
+                {
+                    "a": pc.cast(t[a_col], pa.int64()),
+                    "b": pc.cast(t[b_col], pa.int64()),
+                }
+            )
+        return fn
+
+    tk = text_pairs.map_batches(
+        keyed("doc_a", "doc_b"), batch_format="pyarrow"
+    )
+    ek = emb_pairs.map_batches(
+        keyed("vec_a", "vec_b"), batch_format="pyarrow"
+    )
+    # rename collision: cogroup_join needs disjoint non-key cols; both
+    # sides are key-only so the join is a pure pair intersection
+    both = cogroup_join(
+        tk, ek, on=("a", "b"), num_partitions=num_partitions or 8
+    )
+    n_text = text_pairs.count()
+    n_emb = emb_pairs.count()
+    n_both = both.count()
+    union = n_text + n_emb - n_both
+    return pa.table(
+        {
+            "n_text_pairs": pa.array([n_text], pa.int64()),
+            "n_embedding_pairs": pa.array([n_emb], pa.int64()),
+            "n_both": pa.array([n_both], pa.int64()),
+            "agreement_ppm": pa.array(
+                [(n_both * 1_000_000) // union if union else 0],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def crossmodal_agreement_oracle_sql(text_threshold: float = 0.6,
+                                    cos_threshold: float = 0.4) -> str:
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) = 0 THEN []
+                        WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                        ELSE list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   END AS shingles
+            FROM toks
+        ), ds AS MATERIALIZED (
+            SELECT DISTINCT doc_id, t.s FROM sh0, UNNEST(shingles) AS t(s)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), tp AS MATERIALIZED (
+            SELECT a, b FROM common
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE)
+                  >= {text_threshold}
+        ), ep AS MATERIALIZED (
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(x.embedding AS DOUBLE[]),
+                      CAST(y.embedding AS DOUBLE[])) >= {cos_threshold}
+        ), agg AS (
+            SELECT (SELECT COUNT(*) FROM tp) AS n_text_pairs,
+                   (SELECT COUNT(*) FROM ep) AS n_embedding_pairs,
+                   (SELECT COUNT(*) FROM tp JOIN ep
+                     ON tp.a = ep.a AND tp.b = ep.b) AS n_both
+        )
+        SELECT CAST(n_text_pairs AS BIGINT) AS n_text_pairs,
+               CAST(n_embedding_pairs AS BIGINT) AS n_embedding_pairs,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(CASE WHEN n_text_pairs + n_embedding_pairs - n_both
+                             = 0 THEN 0
+                    ELSE n_both * 1000000
+                         // (n_text_pairs + n_embedding_pairs - n_both)
+                    END AS BIGINT) AS agreement_ppm
+        FROM agg
+    """
