@@ -681,6 +681,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": relational.customer_revenue_gini,
         "top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "order_price_bands": relational.order_price_bands,
+        "orders_per_customer_hist": (
+            relational.orders_per_customer_histogram
+        ),
+        "docs_word_length_histogram": lambda sf: (
+            analysis.word_length_histogram(_docs(sf, ["doc_id", "text"]))
+        ),
+        "events_user_lifetime_hist": lambda sf: (
+            windows.user_lifetime_histogram(_events(sf))
+        ),
         "lineitem_weighted_median": lambda sf: __import__(
             "autoner_ray.stages.stats",
             fromlist=["grouped_weighted_median"],
@@ -2459,6 +2468,15 @@ def oracle_sql() -> dict[str, str]:
             "autoner_ray.stages.stats",
             fromlist=["grouped_weighted_median_oracle_sql"],
         ).grouped_weighted_median_oracle_sql(),
+        "orders_per_customer_hist": (
+            relational_mod.orders_per_customer_oracle_sql()
+        ),
+        "docs_word_length_histogram": (
+            analysis_mod.word_length_histogram_oracle_sql()
+        ),
+        "events_user_lifetime_hist": (
+            windows_mod.user_lifetime_oracle_sql()
+        ),
         "embedding_neardup_keep_one": (
             similarity_mod.embedding_keep_one_oracle_sql()
         ),

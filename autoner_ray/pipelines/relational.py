@@ -2223,3 +2223,103 @@ def order_price_bands_oracle_sql() -> str:
         FROM o JOIN bands b ON o.cents >= b.lo AND o.cents < b.hi
         GROUP BY b.band
     """
+
+
+def orders_per_customer_histogram(sf_dir: str):
+    """(n_orders -> n_customers) fan-out histogram of the orders table,
+    INCLUDING the zero-order bucket (customers with no orders — the
+    anti-join leg) — the skew profile that sizes the customer-side
+    hash partitions.
+
+    Shape: per-batch custkey count partials -> one custkey combine;
+    the zero bucket comes from a customer-count minus active-count
+    scalar (one metadata read), so no customer-table join; bounded
+    combine over counts."""
+    import pyarrow.parquet as pq
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    n_customers = pq.read_metadata(
+        f"{sf_dir}/customer.parquet"
+    ).num_rows
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["o_custkey", "n"])
+
+    per_cust = partitioned_key_sum(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["o_custkey"], ["n"], part_on=("o_custkey",),
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "n" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                }
+            )
+        vals, counts = np.unique(
+            t["n"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "n_orders": pa.array(vals, pa.int64()),
+                "n_customers": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist = bounded_key_sum(
+        per_cust.map_batches(hist_partial, batch_format="pyarrow",
+                             batch_size=None),
+        ["n_orders"], ["n_customers"],
+    ).to_pandas()
+    active = int(hist["n_customers"].sum())
+    zero = n_customers - active
+    out = pd.concat(
+        [
+            pd.DataFrame({"n_orders": [0], "n_customers": [zero]}),
+            hist,
+        ],
+        ignore_index=True,
+    ).sort_values("n_orders", kind="mergesort")
+    out = out[out["n_customers"] > 0]
+    return pa.table(
+        {
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64)),
+            "n_customers": pa.array(
+                out["n_customers"].to_numpy(np.int64)
+            ),
+        }
+    )
+
+
+def orders_per_customer_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM per GROUP BY n_orders
+        HAVING COUNT(*) > 0
+    """

@@ -3101,3 +3101,131 @@ def filtered_read_oracle_sql(min_chars: int = 280,
         WHERE n_chars BETWEEN {min_chars} AND {max_chars}
         GROUP BY source
     """
+
+
+def word_length_histogram(docs_ds):
+    """Corpus-wide word-length histogram (len -> occurrences, distinct
+    words) — the tokenizer-design diagnostic (where to cap word length,
+    how much tail the char-CNN must absorb).
+
+    Shape: per-batch explode + np.unique partials; distinct-word
+    counts come from a word-partitioned first-occurrence pass
+    (vocab never on the driver); bounded combine over lengths."""
+    import pandas as pd
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    def occ_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "length": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        lens = np.concatenate(
+            [
+                np.array([len(w) for w in (x or "").split(" ")], np.int64)
+                for x in t["text"].to_pylist()
+            ]
+        )
+        vals, counts = np.unique(lens, return_counts=True)
+        return pa.table(
+            {
+                "length": pa.array(vals, pa.int64()),
+                "n_occurrences": pa.array(counts, pa.int64()),
+            }
+        )
+
+    occ = bounded_key_sum(
+        docs_ds.map_batches(occ_partial, batch_format="pyarrow"),
+        ["length"], ["n_occurrences"],
+    )
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ws = sorted(
+            {w for x in t["text"].to_pylist() for w in (x or "").split(" ")}
+        )
+        return pa.table(
+            {
+                "word": pa.array(ws, pa.string()),
+                "one": pa.array(np.ones(len(ws), np.int64)),
+            }
+        )
+
+    distinct = partitioned_key_agg(
+        docs_ds.map_batches(word_partial, batch_format="pyarrow"),
+        ["word"], [("one", "max")], part_on=("word",),
+    )
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "word" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "length": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.array(
+            [len(w) for w in t["word"].to_pylist()], np.int64
+        )
+        vals, counts = np.unique(lens, return_counts=True)
+        return pa.table(
+            {
+                "length": pa.array(vals, pa.int64()),
+                "n_words": pa.array(counts, pa.int64()),
+            }
+        )
+
+    dist = bounded_key_sum(
+        distinct.map_batches(dist_partial, batch_format="pyarrow",
+                             batch_size=None),
+        ["length"], ["n_words"],
+    )
+    o = occ.to_pandas()
+    d = dist.to_pandas()
+    out = o.merge(d, on="length", how="outer").fillna(0).sort_values(
+        "length", kind="mergesort"
+    )
+    return pa.table(
+        {
+            "length": pa.array(out["length"].to_numpy(np.int64)),
+            "n_occurrences": pa.array(
+                out["n_occurrences"].to_numpy(np.int64)
+            ),
+            "n_words": pa.array(out["n_words"].to_numpy(np.int64)),
+        }
+    )
+
+
+def word_length_histogram_oracle_sql() -> str:
+    return """
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        occ AS (
+            SELECT length(word) AS length, COUNT(*) AS n_occurrences
+            FROM w GROUP BY 1
+        ),
+        dist AS (
+            SELECT length(word) AS length, COUNT(*) AS n_words
+            FROM (SELECT DISTINCT word FROM w) GROUP BY 1
+        )
+        SELECT length, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words
+        FROM occ LEFT JOIN dist USING (length)
+    """

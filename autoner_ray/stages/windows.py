@@ -1555,3 +1555,87 @@ def type_stationary_oracle_sql(damping: float = 0.85,
         SELECT entity AS event_type, round(rank, 6) AS rank
         FROM pr{iters}
     """
+
+
+def user_lifetime_histogram(events_ds):
+    """(lifetime_days -> n_users): days between a user's first and last
+    event, floored — the engagement-span distribution. Per-batch
+    (user -> min/max ts) partials via the arrow hash combine, one
+    user-key reduce, then a bounded histogram combine (lifetimes are
+    small integers)."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.timestamp("us")),
+                    "last_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        agg = (
+            batch.select(["user_id", "ts"])
+            .group_by("user_id")
+            .aggregate([("ts", "min"), ("ts", "max")])
+        )
+        return agg.rename_columns(["user_id", "first_ts", "last_ts"])
+
+    per_user = (
+        events_ds.map_batches(
+            user_partial, batch_format="pyarrow", batch_size=65536
+        )
+        .groupby("user_id")
+        .aggregate(
+            Min("first_ts", alias_name="first_ts"),
+            Max("last_ts", alias_name="last_ts"),
+        )
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "first_ts" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "lifetime_days": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        a = pc.cast(t["first_ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = pc.cast(t["last_ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        days = (b - a) // 86_400_000_000
+        vals, counts = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "lifetime_days": pa.array(vals, pa.int64()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return bounded_key_sum(
+        per_user.map_batches(hist_partial, batch_format="pyarrow",
+                             batch_size=None),
+        ["lifetime_days"], ["n_users"],
+    )
+
+
+def user_lifetime_oracle_sql() -> str:
+    return """
+        WITH u AS (
+            SELECT user_id,
+                   CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                        // 86400000000 AS BIGINT) AS lifetime_days
+            FROM events GROUP BY user_id
+        )
+        SELECT lifetime_days, COUNT(*) AS n_users
+        FROM u GROUP BY lifetime_days
+    """
