@@ -690,6 +690,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lifetime_hist": lambda sf: (
             windows.user_lifetime_histogram(_events(sf))
         ),
+        "events_retention_ppm": lambda sf: (
+            windows.retention_normalized(_events(sf))
+        ),
+        "docs_source_quality": lambda sf: (
+            analysis.source_quality_rollup(_docs(sf, ["source", "text"]))
+        ),
         "lineitem_weighted_median": lambda sf: __import__(
             "autoner_ray.stages.stats",
             fromlist=["grouped_weighted_median"],
@@ -2476,6 +2482,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_lifetime_hist": (
             windows_mod.user_lifetime_oracle_sql()
+        ),
+        "events_retention_ppm": (
+            windows_mod.retention_normalized_oracle_sql()
+        ),
+        "docs_source_quality": (
+            analysis_mod.source_quality_oracle_sql()
         ),
         "embedding_neardup_keep_one": (
             similarity_mod.embedding_keep_one_oracle_sql()

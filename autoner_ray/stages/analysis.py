@@ -3229,3 +3229,106 @@ def word_length_histogram_oracle_sql() -> str:
                CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words
         FROM occ LEFT JOIN dist USING (length)
     """
+
+
+def source_quality_rollup(docs_ds):
+    """Per-source quality aggregate in exact integer ppm: total words,
+    stopword share and mean word length (milli-chars) — the
+    which-host-is-gibberish rollup over the same signals
+    ``quality_batch`` scores per doc, but with INTEGER sums so the
+    rollup is order-independent and hash-exact (per-doc ratios do not
+    aggregate; the counts do)."""
+    import pandas as pd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_stop": pa.array([], pa.int64()),
+                    "n_chars_words": pa.array([], pa.int64()),
+                }
+            )
+        rows = []
+        for src, text in zip(
+            t["source"].to_pylist(), t["text"].to_pylist()
+        ):
+            ws = (text or "").split(" ")
+            rows.append(
+                (
+                    src,
+                    len(ws),
+                    sum(1 for w in ws if w in ("a", "the")),
+                    sum(len(w) for w in ws),
+                )
+            )
+        df = pd.DataFrame(
+            rows, columns=["source", "n_words", "n_stop", "n_chars_words"]
+        )
+        agg = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = bounded_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_words", "n_stop", "n_chars_words"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                    "stop_ppm": pa.array([], pa.int64()),
+                    "mean_word_len_milli": pa.array([], pa.int64()),
+                }
+            )
+        w = t["n_words"].to_numpy(zero_copy_only=False)
+        st = t["n_stop"].to_numpy(zero_copy_only=False)
+        c = t["n_chars_words"].to_numpy(zero_copy_only=False)
+        safe = np.maximum(w, 1)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_words": t["n_words"],
+                "stop_ppm": pa.array(st * 1_000_000 // safe, pa.int64()),
+                "mean_word_len_milli": pa.array(
+                    c * 1_000 // safe, pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_quality_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_words,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            w -> w IN ('a', 'the'))) AS BIGINT)
+                       AS n_stop,
+                   CAST(list_aggregate(
+                        list_transform(string_split(text, ' '),
+                                       w -> length(w)), 'sum')
+                        AS BIGINT) AS n_chars_words
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, SUM(n_words) AS n_words,
+                   SUM(n_stop) AS n_stop,
+                   SUM(n_chars_words) AS n_chars_words
+            FROM per GROUP BY source
+        )
+        SELECT source, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_stop * 1000000 // GREATEST(n_words, 1) AS BIGINT)
+                   AS stop_ppm,
+               CAST(n_chars_words * 1000 // GREATEST(n_words, 1)
+                    AS BIGINT) AS mean_word_len_milli
+        FROM agg
+    """

@@ -1639,3 +1639,70 @@ def user_lifetime_oracle_sql() -> str:
         SELECT lifetime_days, COUNT(*) AS n_users
         FROM u GROUP BY lifetime_days
     """
+
+
+def retention_normalized(events_ds):
+    """Cohort retention in integer ppm: for each (cohort_day,
+    day_offset), retained users / cohort size — the chart-ready
+    normalization of :func:`retention_cohorts` (same distributed
+    passes; the normalize is a join of two BOUNDED tables:
+    days x offsets vs days)."""
+    import numpy as np
+
+    raw = retention_cohorts(events_ds).to_pandas()
+    if len(raw) == 0:
+        return pa.table(
+            {
+                "cohort_day": pa.array([], pa.date32()),
+                "day_offset": pa.array([], pa.int64()),
+                "users": pa.array([], pa.int64()),
+                "retention_ppm": pa.array([], pa.int64()),
+            }
+        )
+    base = (
+        raw[raw["day_offset"] == 0][["cohort_day", "users"]]
+        .rename(columns={"users": "cohort_size"})
+    )
+    out = raw.merge(base, on="cohort_day", how="inner")
+    u = out["users"].to_numpy(np.int64)
+    c = out["cohort_size"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "cohort_day": pa.array(out["cohort_day"], pa.date32()),
+            "day_offset": pa.array(
+                out["day_offset"].to_numpy(np.int64)
+            ),
+            "users": pa.array(u, pa.int64()),
+            "retention_ppm": pa.array(u * 1_000_000 // c, pa.int64()),
+        }
+    )
+
+
+def retention_normalized_oracle_sql() -> str:
+    return """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, min(day) AS cohort_day FROM ud
+            GROUP BY user_id
+        ),
+        r AS (
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, ud.day) AS day_offset,
+                   count(*) AS users
+            FROM ud JOIN f USING (user_id)
+            GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT cohort_day, users AS cohort_size FROM r
+            WHERE day_offset = 0
+        )
+        SELECT r.cohort_day, CAST(r.day_offset AS BIGINT) AS day_offset,
+               CAST(r.users AS BIGINT) AS users,
+               CAST(r.users * 1000000 // b.cohort_size AS BIGINT)
+                   AS retention_ppm
+        FROM r JOIN base b USING (cohort_day)
+    """

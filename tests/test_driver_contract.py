@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 180 and len(sqls) == 162
+    assert len(qs) == 182 and len(sqls) == 164
     import subprocess
     import sys
 
