@@ -738,6 +738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_lsh_eval": lambda sf: (
             dedup.minhash_lsh_eval(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_paragraph_dedup": lambda sf: (
+            dedup.paragraph_dedup(_docs(sf, ["doc_id", "text"]))
+        ),
         "docs_shingle_df_histogram": lambda sf: (
             dedup.shingle_df_histogram(_docs(sf, ["doc_id", "text"]))
         ),
@@ -2431,6 +2434,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_minhash_lsh_eval": (
             dedup_mod.minhash_lsh_eval_oracle_sql()
+        ),
+        "docs_paragraph_dedup": (
+            dedup_mod.paragraph_dedup_oracle_sql()
         ),
         "docs_shingle_df_histogram": (
             dedup_mod.shingle_df_histogram_oracle_sql()

@@ -1629,3 +1629,174 @@ def minhash_lsh_eval_oracle_sql(threshold: float = 0.6,
                    AS precision_ppm
         FROM agg
     """
+
+
+# -- cross-document chunk ("paragraph") dedup with reassembly ----------------
+
+
+def _chunk_rows(batch: pa.Table, w: int) -> pa.Table:
+    """Explode documents into W-word chunks: (doc_id, cidx, ctext, h,
+    n_chunks). ``n_chunks`` (total per doc) rides on every chunk row so
+    the reassembly side never needs a second pass over the corpus.
+    Splitting is ``str.split(' ')`` — the exact image of DuckDB
+    ``string_split(text, ' ')`` including empty tokens on runs of
+    spaces — so the oracle reproduces chunk boundaries bit-for-bit."""
+    doc_ids, cidxs, ctexts, totals = [], [], [], []
+    for d, t in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+    ):
+        words = (t or "").split(" ")
+        n = (len(words) + w - 1) // w
+        for c in range(n):
+            doc_ids.append(d)
+            cidxs.append(c)
+            ctexts.append(" ".join(words[c * w : (c + 1) * w]))
+            totals.append(n)
+    hs = [hashlib.md5(s.encode()).hexdigest() for s in ctexts]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "cidx": pa.array(cidxs, pa.int64()),
+            "ctext": pa.array(ctexts, pa.string()),
+            "h": pa.array(hs, pa.string()),
+            "n_chunks": pa.array(totals, pa.int64()),
+        }
+    )
+
+
+def paragraph_dedup(docs_ds, words_per_chunk: int = 16,
+                    num_partitions: int | None = None):
+    """Cross-document chunk-level exact dedup with in-order reassembly
+    (the RefinedWeb / MassiveText "repeated passage removal" shape —
+    Penedo et al. 2023 do it on lines; the fixture corpus is single-line
+    so the unit here is a fixed W-word chunk).
+
+    Semantics: every W-word chunk keeps only its globally FIRST
+    occurrence (min ``(doc_id, cidx)`` lexicographically); every later
+    occurrence — in another doc or later in the same doc — is dropped,
+    and each surviving doc is re-emitted as its kept chunks joined in
+    original order. Docs whose every chunk is a repeat vanish entirely.
+
+    Returns (doc_id, text, n_chunks, n_kept).
+
+    Scale shape: two hash shuffles and nothing on the driver.
+    (1) explode -> partition by md5(chunk) -> per-partition pandas
+    first-wins (all rows of one hash land together); (2) partition the
+    SURVIVING chunks by doc_id -> per-partition in-order string join.
+    Chunk text crosses both shuffles once each; at 100 TB the dedup
+    shuffle could instead move (h, doc_id, cidx) only and anti-join the
+    loser keys back (the neardup_keep_one broadcast pattern) — chosen
+    against here because the loser set is corpus-sized when dup rates
+    are high, while this version's volume is bounded by the input."""
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+
+    def add_hash_part(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return t
+        part = [int(h[:15], 16) % P for h in t["h"].to_pylist()]
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "cidx": pd.Series(dtype="int64"),
+                    "ctext": pd.Series(dtype="object"),
+                    "n_chunks": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["h", "doc_id", "cidx"], kind="stable")
+        keep = df.drop_duplicates("h", keep="first")
+        return keep[["doc_id", "cidx", "ctext", "n_chunks"]]
+
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return t
+        z = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return t.append_column(
+            "part", pa.array((z % np.uint64(P)).astype(np.int32))
+        )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "text": pd.Series(dtype="object"),
+                    "n_chunks": pd.Series(dtype="int64"),
+                    "n_kept": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["doc_id", "cidx"], kind="stable")
+        g = df.groupby("doc_id", sort=False)
+        out = g.agg(
+            text=("ctext", " ".join),
+            n_chunks=("n_chunks", "first"),
+            n_kept=("cidx", "size"),
+        ).reset_index()
+        return out[["doc_id", "text", "n_chunks", "n_kept"]]
+
+    kept = (
+        docs_ds.map_batches(
+            lambda t: _chunk_rows(t, words_per_chunk),
+            batch_format="pyarrow",
+        )
+        .map_batches(add_hash_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(first_wins, batch_format="pandas")
+    )
+    return (
+        kept.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def paragraph_dedup_oracle_sql(words_per_chunk: int = 16) -> str:
+    w = int(words_per_chunk)
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(g.i AS BIGINT) AS cidx,
+                   array_to_string(
+                       ws[g.i * {w} + 1 : g.i * {w} + {w}], ' '
+                   ) AS ctext
+            FROM words,
+                 UNNEST(range(0, CAST(ceil(len(ws) / {w}.0) AS BIGINT)))
+                     AS g(i)
+        ),
+        hashed AS (
+            SELECT doc_id, cidx, ctext, md5(ctext) AS h FROM chunks
+        ),
+        winners AS (
+            SELECT doc_id, cidx, ctext FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY h ORDER BY doc_id, cidx
+                ) AS rn
+                FROM hashed
+            ) WHERE rn = 1
+        ),
+        tot AS (
+            SELECT doc_id, COUNT(*) AS n_chunks FROM hashed GROUP BY 1
+        )
+        SELECT wi.doc_id,
+               string_agg(wi.ctext, ' ' ORDER BY wi.cidx) AS text,
+               CAST(MAX(t.n_chunks) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM winners wi JOIN tot t ON wi.doc_id = t.doc_id
+        GROUP BY wi.doc_id
+    """

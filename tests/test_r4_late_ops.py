@@ -550,3 +550,68 @@ def test_bigram_bfs_tier_equality(ray_session):
     )
     assert len(drv) > 0
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_paragraph_dedup_bruteforce(ray_session):
+    """Chunk-level first-wins dedup + reassembly matches a pandas
+    brute force on a corpus with a full-duplicate doc, a partial
+    repeat, and an all-repeats doc (which must vanish)."""
+    import ray
+
+    from autoner_ray.stages.dedup import paragraph_dedup
+
+    W = 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f",          # two chunks: abc, def
+                "a b c x y z",          # first chunk repeats doc 1
+                "a b c d e f",          # full duplicate -> vanishes
+                "p q r",                # unique single chunk
+            ],
+        }
+    )
+    got = (
+        paragraph_dedup(ray.data.from_pandas(docs), words_per_chunk=W)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    seen: dict[str, tuple[int, int]] = {}
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        ws = t.split(" ")
+        chunks = [
+            " ".join(ws[i : i + W]) for i in range(0, len(ws), W)
+        ]
+        for c_i, c in enumerate(chunks):
+            if c not in seen:
+                seen[c] = (d, c_i)
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        ws = t.split(" ")
+        chunks = [
+            " ".join(ws[i : i + W]) for i in range(0, len(ws), W)
+        ]
+        kept = [
+            c for c_i, c in enumerate(chunks) if seen[c] == (d, c_i)
+        ]
+        if kept:
+            rows.append(
+                {
+                    "doc_id": d,
+                    "text": " ".join(kept),
+                    "n_chunks": len(chunks),
+                    "n_kept": len(kept),
+                }
+            )
+    exp = pd.DataFrame(rows).reset_index(drop=True)
+    got["doc_id"] = got["doc_id"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "text", "n_chunks", "n_kept"]].astype(
+            {"n_chunks": "int64", "n_kept": "int64"}
+        ),
+        exp.astype({"n_chunks": "int64", "n_kept": "int64"}),
+    )
+    assert 3 not in got["doc_id"].tolist()
