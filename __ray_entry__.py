@@ -671,6 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "lang", "text"])
         ),
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q10_returned_items": relational.q10_returned_items,
+        "q8_market_share": relational.q8_market_share,
         "kg_clustering_coeff": lambda sf: kg.unigram_clustering_coeff(
             sf
         ),
@@ -2520,6 +2523,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(revenue_c4 AS DOUBLE) / 10000.0 AS revenue
             FROM s
         """,
+        "q5_local_supplier_volume": relational_mod.q5_oracle_sql(),
+        "q10_returned_items": relational_mod.q10_oracle_sql(),
+        "q8_market_share": relational_mod.q8_oracle_sql(),
         "q14_promo_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)

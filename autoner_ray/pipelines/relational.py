@@ -2323,3 +2323,511 @@ def orders_per_customer_oracle_sql() -> str:
         FROM per GROUP BY n_orders
         HAVING COUNT(*) > 0
     """
+
+
+# -- TPC-H Q5 / Q10 / Q8 shapes (multi-dim broadcast star joins) -------------
+
+
+def _sorted_lookup(tbl: pa.Table, key: str, cols: list[str]):
+    """(sorted key array, value arrays gathered to that order) — the
+    broadcast side of a searchsorted equi-join."""
+    k = tbl[key].to_numpy()
+    ix = np.argsort(k, kind="stable")
+    return (k[ix],) + tuple(
+        tbl[c].to_numpy(zero_copy_only=False)[ix] for c in cols
+    )
+
+
+def _probe_sorted(keys: np.ndarray, probe: np.ndarray):
+    """(pos, hit) of ``probe`` in sorted ``keys`` (inner-join mask)."""
+    if len(keys) == 0:
+        return np.zeros(len(probe), np.int64), np.zeros(len(probe), bool)
+    pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+    return pos, keys[pos] == probe
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             year: int = 1996):
+    """TPC-H Q5 shape: revenue per nation where the CUSTOMER and the
+    SUPPLIER of a lineitem sit in the same ``region`` nation, for
+    orders placed in ``year``.
+
+    Scale shape: the fact table never shuffles. All four dimension
+    sides broadcast once via ``ray.put`` as sorted int arrays — orders
+    is date-filtered FIRST (1/7 of the table; at TPC-H sf≳30 swap this
+    side to the ``_customer_revenue_partials`` cogroup tier, the other
+    three dims stay broadcast-sized at any SF) — and one fused pass
+    over lineitem resolves order→customer-nation and supplier-nation
+    locally, keeps same-nation rows, and emits per-batch cents partials
+    keyed by the ≤25-row nation id. ``bounded_key_sum`` finishes."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = rt["r_regionkey"].to_numpy()[
+        np.asarray(rt["r_name"].to_numpy(zero_copy_only=False)) == region
+    ]
+    in_region = np.isin(nt["n_regionkey"].to_numpy(), rkeys)
+    nat_keys = nt["n_nationkey"].to_numpy()[in_region]
+    nat_names = dict(
+        zip(
+            nat_keys.tolist(),
+            np.asarray(nt["n_name"].to_numpy(zero_copy_only=False))[
+                in_region
+            ].tolist(),
+        )
+    )
+
+    ct = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cmask = np.isin(ct["c_nationkey"].to_numpy(), nat_keys)
+    ckeys, cnat = _sorted_lookup(
+        ct.filter(pa.array(cmask)), "c_custkey", ["c_nationkey"]
+    )
+
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    smask = np.isin(st["s_nationkey"].to_numpy(), nat_keys)
+    skeys, snat = _sorted_lookup(
+        st.filter(pa.array(smask)), "s_suppkey", ["s_nationkey"]
+    )
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"]
+    )
+    odate = ot["o_orderdate"].cast(pa.timestamp("us")).cast(
+        pa.int64()
+    ).to_numpy()
+    ot = ot.filter(pa.array((odate >= lo) & (odate < hi)))
+    okeys, ocust = _sorted_lookup(ot, "o_orderkey", ["o_custkey"])
+
+    lookup_ref = ray.put((okeys, ocust, ckeys, cnat, skeys, snat))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_nationkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ok, oc, ck, cn, sk, sn = ray.get(lookup_ref)
+        opos, ohit = _probe_sorted(ok, t["l_orderkey"].to_numpy())
+        spos, shit = _probe_sorted(sk, t["l_suppkey"].to_numpy())
+        keep = ohit & shit
+        if not keep.any():
+            return empty
+        cpos, chit = _probe_sorted(ck, oc[opos[keep]])
+        c_nat = cn[cpos]
+        s_nat = sn[spos[keep]]
+        same = chit & (c_nat == s_nat)
+        if not same.any():
+            return empty
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        ).to_numpy()[keep][same]
+        agg = pa.table(
+            {
+                "n_nationkey": pa.array(c_nat[same], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("n_nationkey").aggregate([("cents", "sum")])
+        return agg.rename_columns(["n_nationkey", "cents"])
+
+    sums = bounded_key_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        keys=["n_nationkey"], sum_cols=["cents"],
+    ).to_pandas()  # ≤ |nations in region| rows
+
+    sums["n_name"] = sums["n_nationkey"].map(nat_names)
+    sums["revenue"] = sums["cents"].astype("float64") / 100.0
+    sums = sums.sort_values(
+        "revenue", ascending=False, kind="mergesort"
+    ).reset_index(drop=True)
+    return sums[["n_name", "revenue"]]
+
+
+def q5_oracle_sql(region: str = "ASIA", year: int = 1996) -> str:
+    cents = (
+        "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+        SELECT n.n_name, SUM({cents}) / 100.0 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = '{region}'
+          AND o.o_orderdate >= TIMESTAMP '{year}-01-01'
+          AND o.o_orderdate < TIMESTAMP '{year + 1}-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+    """
+
+
+def q10_returned_items(sf_dir: str, date_lo: str = "1996-01-01",
+                       months: int = 3, k: int = 20):
+    """TPC-H Q10 shape: top-``k`` customers by revenue lost to returned
+    lineitems (``l_returnflag = 'R'``) on orders placed in the
+    ``months``-month window from ``date_lo``; customer name/acctbal and
+    nation fetched for the winners only.
+
+    Scale shape: quarter-filtered orders broadcast as a sorted
+    (orderkey → custkey) array (1/32 of orders; above ~5M rows use the
+    cogroup tier of ``_customer_revenue_partials``); the returned-flag
+    filter and custkey resolution fuse into one lineitem pass emitting
+    per-batch custkey partials; ONE hash shuffle on custkey, exact
+    partition-local top-k, driver merges ≤ P×k rows; the customer and
+    nation dims are probed only for the k winners (top-k-first — the
+    customer table is never broadcast or shuffled)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    lo = np.datetime64(date_lo, "us")
+    hi_m = np.datetime64(date_lo, "M") + months
+    hi = np.datetime64(str(hi_m) + "-01", "us")
+    lo_us, hi_us = lo.astype(np.int64), hi.astype(np.int64)
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    odate = ot["o_orderdate"].cast(pa.timestamp("us")).cast(
+        pa.int64()
+    ).to_numpy()
+    ot = ot.filter(pa.array((odate >= lo_us) & (odate < hi_us)))
+    okeys, ocust = _sorted_lookup(ot, "o_orderkey", ["o_custkey"])
+    lookup_ref = ray.put((okeys, ocust))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        flags = np.asarray(
+            t["l_returnflag"].to_numpy(zero_copy_only=False)
+        )
+        t = t.filter(pa.array(flags == "R"))
+        if len(t) == 0:
+            return empty
+        ok, oc = ray.get(lookup_ref)
+        pos, hit = _probe_sorted(ok, t["l_orderkey"].to_numpy())
+        if not hit.any():
+            return empty
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        ).to_numpy()[hit]
+        agg = pa.table(
+            {
+                "o_custkey": pa.array(oc[pos[hit]], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("o_custkey").aggregate([("cents", "sum")])
+        return agg.rename_columns(["o_custkey", "cents"])
+
+    P = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        return t.append_column(
+            "part", _stable_part_col(t, ("o_custkey",), P)
+        )
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        sums = (
+            df.groupby("o_custkey", sort=False)["cents"]
+            .sum()
+            .reset_index(name="cents")
+        )
+        return sums.sort_values(
+            ["cents", "o_custkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    cand = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice",
+             "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    topk = cand.sort_values(
+        ["cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+
+    keys = pa.array(topk["o_custkey"].tolist(), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    names = (
+        _read(
+            sf_dir, "customer",
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )  # exactly k rows
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_names = dict(
+        zip(
+            nt["n_nationkey"].to_numpy().tolist(),
+            np.asarray(
+                nt["n_name"].to_numpy(zero_copy_only=False)
+            ).tolist(),
+        )
+    )
+    out = topk.merge(
+        names, left_on="o_custkey", right_on="c_custkey", how="left"
+    )
+    out["revenue"] = out["cents"].astype("float64") / 100.0
+    out["n_name"] = out["c_nationkey"].map(nat_names)
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+def q10_oracle_sql(date_lo: str = "1996-01-01", months: int = 3,
+                   k: int = 20) -> str:
+    hi_m = np.datetime64(date_lo, "M") + months
+    hi = str(hi_m) + "-01"
+    cents = (
+        "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+        SELECT c.c_custkey, c.c_name,
+               SUM({cents}) / 100.0 AS revenue,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{date_lo}'
+          AND o.o_orderdate < TIMESTAMP '{hi}'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY SUM({cents}) DESC, c.c_custkey
+        LIMIT {k}
+    """
+
+
+def q8_market_share(sf_dir: str, region: str = "AMERICA",
+                    nation: str = "NATION_1", ptype: str = "ECONOMY",
+                    y0: int = 1995, y1: int = 1996):
+    """TPC-H Q8 shape: ``nation``'s supplier market share (ppm, exact
+    integer) of ``ptype``-part revenue sold to ``region`` customers,
+    per order year.
+
+    Scale shape: identical to :func:`q5_local_supplier_volume` — four
+    broadcast sorted-array dims (part filtered to ``ptype``, orders
+    filtered to the two years, customers filtered to the region,
+    supplier carrying an is-``nation`` flag), one fused lineitem pass,
+    per-batch partials keyed by (year, flag) — a ≤4-row key space — and
+    an exact integer ppm division at the end (value-hash safe)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pmask = (
+        np.asarray(pt["p_type"].to_numpy(zero_copy_only=False)) == ptype
+    )
+    pkeys = np.sort(pt["p_partkey"].to_numpy()[pmask])
+
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = rt["r_regionkey"].to_numpy()[
+        np.asarray(rt["r_name"].to_numpy(zero_copy_only=False)) == region
+    ]
+    region_nat = nt["n_nationkey"].to_numpy()[
+        np.isin(nt["n_regionkey"].to_numpy(), rkeys)
+    ]
+    nation_key = nt["n_nationkey"].to_numpy()[
+        np.asarray(nt["n_name"].to_numpy(zero_copy_only=False)) == nation
+    ]
+
+    ct = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ckeys = np.sort(
+        ct["c_custkey"].to_numpy()[
+            np.isin(ct["c_nationkey"].to_numpy(), region_nat)
+        ]
+    )
+
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys, snat = _sorted_lookup(st, "s_suppkey", ["s_nationkey"])
+    sflag = np.isin(snat, nation_key)
+
+    lo = np.datetime64(f"{y0}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{y1 + 1}-01-01", "us").astype(np.int64)
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    odate = ot["o_orderdate"].cast(pa.timestamp("us")).cast(
+        pa.int64()
+    ).to_numpy()
+    keep = (odate >= lo) & (odate < hi)
+    ot = ot.filter(pa.array(keep))
+    oyear = odate[keep].astype("datetime64[us]").astype(
+        "datetime64[Y]"
+    ).astype(np.int64) + 1970
+    ot = ot.append_column("o_year", pa.array(oyear, pa.int64()))
+    okeys, ocust, oyr = _sorted_lookup(
+        ot, "o_orderkey", ["o_custkey", "o_year"]
+    )
+
+    lookup_ref = ray.put((pkeys, ckeys, skeys, sflag, okeys, ocust, oyr))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "is_nation": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        pk, ck, sk, sf, ok, oc, oy = ray.get(lookup_ref)
+        _, phit = _probe_sorted(pk, t["l_partkey"].to_numpy())
+        opos, ohit = _probe_sorted(ok, t["l_orderkey"].to_numpy())
+        spos, shit = _probe_sorted(sk, t["l_suppkey"].to_numpy())
+        keep = phit & ohit & shit
+        if not keep.any():
+            return empty
+        _, chit = _probe_sorted(ck, oc[opos[keep]])
+        if not chit.any():
+            return empty
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        ).to_numpy()[keep][chit]
+        agg = pa.table(
+            {
+                "o_year": pa.array(oy[opos[keep]][chit], pa.int64()),
+                "is_nation": pa.array(
+                    sf[spos[keep]][chit].astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by(["o_year", "is_nation"]).aggregate([("cents", "sum")])
+        return agg.rename_columns(["o_year", "is_nation", "cents"])
+
+    sums = bounded_key_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        keys=["o_year", "is_nation"], sum_cols=["cents"],
+    ).to_pandas()  # ≤ 2 years × 2 flags rows
+
+    if len(sums) == 0:
+        return pd.DataFrame(
+            {
+                "o_year": pd.Series(dtype="int64"),
+                "mkt_share_ppm": pd.Series(dtype="int64"),
+            }
+        )
+    per = sums.pivot_table(
+        index="o_year", columns="is_nation", values="cents",
+        aggfunc="sum", fill_value=0,
+    )
+    num = per[1] if 1 in per.columns else pd.Series(0, index=per.index)
+    den = per.sum(axis=1)
+    out = pd.DataFrame(
+        {
+            "o_year": per.index.astype("int64"),
+            "mkt_share_ppm": (
+                num.astype("int64") * 1_000_000 // den.astype("int64")
+            ).astype("int64").to_numpy(),
+        }
+    ).sort_values("o_year", kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def q8_oracle_sql(region: str = "AMERICA", nation: str = "NATION_1",
+                  ptype: str = "ECONOMY", y0: int = 1995,
+                  y1: int = 1996) -> str:
+    cents = (
+        "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+        WITH flat AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CASE WHEN sn.n_name = '{nation}' THEN 1 ELSE 0 END
+                       AS is_nation,
+                   {cents} AS cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            WHERE p.p_type = '{ptype}' AND r.r_name = '{region}'
+              AND o.o_orderdate >= TIMESTAMP '{y0}-01-01'
+              AND o.o_orderdate < TIMESTAMP '{y1 + 1}-01-01'
+        )
+        SELECT o_year,
+               CAST(SUM(cents * is_nation) * 1000000 // SUM(cents)
+                    AS BIGINT) AS mkt_share_ppm
+        FROM flat
+        GROUP BY o_year
+        ORDER BY o_year
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 183 and len(sqls) == 165
+    assert len(qs) == 186 and len(sqls) == 168
     import subprocess
     import sys
 
