@@ -744,6 +744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_paragraph_dedup": lambda sf: (
             dedup.paragraph_dedup(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_pack_sequences": lambda sf: (
+            analysis.pack_sequences_report(_docs(sf, ["doc_id", "text"]))
+        ),
         "docs_shingle_df_histogram": lambda sf: (
             dedup.shingle_df_histogram(_docs(sf, ["doc_id", "text"]))
         ),
@@ -2440,6 +2443,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_paragraph_dedup": (
             dedup_mod.paragraph_dedup_oracle_sql()
+        ),
+        "docs_pack_sequences": (
+            analysis_mod.pack_sequences_oracle_sql()
         ),
         "docs_shingle_df_histogram": (
             dedup_mod.shingle_df_histogram_oracle_sql()

@@ -3332,3 +3332,64 @@ def source_quality_oracle_sql() -> str:
                     AS BIGINT) AS mean_word_len_milli
         FROM agg
     """
+
+
+def pack_sequences_report(docs_ds, bin_tokens: int = 512):
+    """Training-sequence packing layout over the corpus: concatenate
+    the whitespace token streams of all docs in ``doc_id`` order and
+    cut every ``bin_tokens`` tokens; report each resulting sequence as
+    ``(seq_id, n_docs, n_tokens, first_key, last_key)`` where a doc
+    belongs to the bin its FIRST token lands in (greedy streaming
+    packing — the layout an LLM pretraining loader materializes).
+
+    Token count is ``count(' ') + 1`` — the exact length of
+    ``string_split(text, ' ')`` on both engine and oracle sides,
+    including empty tokens on space runs. Distributed via
+    :func:`ranking.pack_sequences` (range-bucketed exact prefix sums;
+    nothing corpus-sized on the driver)."""
+    from autoner_ray.stages.ranking import pack_sequences
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                }
+            )
+        n = pc.add(
+            pc.count_substring(t["text"].combine_chunks(), " "),
+            pa.scalar(1),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tok": pc.cast(n, pa.int64())}
+        )
+
+    return pack_sequences(
+        docs_ds.map_batches(tok_counts, batch_format="pyarrow"),
+        key_col="doc_id", weight_col="n_tok", bin_size=bin_tokens,
+    )
+
+
+def pack_sequences_oracle_sql(bin_tokens: int = 512) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   SUM(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tok AS prev_cum
+            FROM t
+        )
+        SELECT prev_cum // {bin_tokens} AS seq_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS n_tokens,
+               MIN(doc_id) AS first_key,
+               MAX(doc_id) AS last_key
+        FROM c
+        GROUP BY 1
+    """

@@ -454,3 +454,151 @@ def gini_inequality(rows_ds, key_col: str, val_col: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def pack_sequences(rows_ds, key_col: str, weight_col: str,
+                   bin_size: int, samples_per_block: int = 64,
+                   num_ranges: int | None = None):
+    """Greedy streaming sequence packing: lay the rows on the integer
+    weight line in ``key_col`` order and assign each row to training
+    bin ``prev_cum // bin_size`` (``prev_cum`` = exclusive prefix sum
+    of ``weight_col``) — the "concatenate then cut every B tokens"
+    layout LLM pretraining loaders use, reported per bin as
+    ``(seq_id, n_docs, n_tokens, first_key, last_key)``.
+
+    Scale shape: same three-pass range-bucket prefix sum as
+    :func:`weighted_systematic_select` — sampled key splitters, exact
+    per-range weight sums rolled up to the driver (B ints) whose
+    cumsum is each range's global offset, then a per-range local
+    cumsum + bin assignment and a tiny per-range/bin partial. Bins
+    straddling a range boundary merge in a final hash-partitioned
+    combine on ``seq_id`` (sum/sum/min/max are all re-associative).
+    Rows never gather on the driver; int64 cum bound same as the
+    sampler's."""
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    B = num_ranges or default_num_partitions()
+
+    def sample(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"v": pa.array([], pa.int64())})
+        v = np.sort(t[key_col].to_numpy(zero_copy_only=False))
+        step = max(1, len(v) // samples_per_block)
+        return pa.table({"v": pa.array(v[::step], pa.int64())})
+
+    samp = np.sort(
+        rows_ds.map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["v"]
+        .to_numpy()
+    )
+    empty_out = pa.table(
+        {
+            "seq_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "first_key": pa.array([], pa.int64()),
+            "last_key": pa.array([], pa.int64()),
+        }
+    )
+    if len(samp) == 0:
+        return rows_ds.map_batches(
+            lambda t: empty_out, batch_format="pyarrow"
+        )
+    cuts = np.unique(
+        samp[np.linspace(0, len(samp) - 1, B + 1, dtype=np.int64)][1:-1]
+    )
+    cuts_ref = ray.put(cuts)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    weight_col: pa.array([], pa.int64()),
+                    "__rb": pa.array([], pa.int32()),
+                }
+            )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        rb = np.searchsorted(
+            ray.get(cuts_ref), keys, side="right"
+        ).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pc.cast(t[key_col], pa.int64()),
+                weight_col: pc.cast(t[weight_col], pa.int64()),
+                "__rb": pa.array(rb, pa.int32()),
+            }
+        )
+
+    bucketed = rows_ds.map_batches(
+        assign, batch_format="pyarrow"
+    ).materialize()
+
+    def wsum_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"rb": pa.array([], pa.int32()),
+                             "w": pa.array([], pa.int64())})
+        agg = t.select(["__rb", weight_col]).group_by("__rb").aggregate(
+            [(weight_col, "sum")]
+        )
+        return agg.rename_columns(["rb", "w"])
+
+    wsums = (
+        bucketed.map_batches(wsum_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rb")["w"]
+        .sum()
+    )
+    full = np.zeros(len(cuts) + 1, dtype=np.int64)
+    if len(wsums):
+        full[wsums.index.to_numpy()] = wsums.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "seq_id": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "first_key": pd.Series([], dtype="int64"),
+                "last_key": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "__rb" not in df.columns:
+            return empty
+        import ray as _ray
+
+        off = _ray.get(offsets_ref)[int(df["__rb"].iloc[0])]
+        df = df.sort_values(key_col, kind="mergesort")
+        w = df[weight_col].to_numpy(np.int64)
+        prev_cum = off + np.cumsum(w) - w
+        seq = prev_cum // bin_size
+        g = pd.DataFrame(
+            {
+                "seq_id": seq,
+                "one": 1,
+                "w": w,
+                "k": df[key_col].to_numpy(np.int64),
+            }
+        ).groupby("seq_id", sort=False)
+        out = g.agg(
+            n_docs=("one", "sum"),
+            n_tokens=("w", "sum"),
+            first_key=("k", "min"),
+            last_key=("k", "max"),
+        ).reset_index()
+        return out.astype("int64")
+
+    partials = bucketed.groupby("__rb").map_groups(
+        bin_partial, batch_format="pandas"
+    )
+    return partitioned_key_agg(
+        partials, ["seq_id"],
+        [("n_docs", "sum"), ("n_tokens", "sum"),
+         ("first_key", "min"), ("last_key", "max")],
+        part_on=("seq_id",),
+    )

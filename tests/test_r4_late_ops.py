@@ -615,3 +615,43 @@ def test_paragraph_dedup_bruteforce(ray_session):
         exp.astype({"n_chunks": "int64", "n_kept": "int64"}),
     )
     assert 3 not in got["doc_id"].tolist()
+
+
+def test_pack_sequences_bruteforce(ray_session):
+    """Range-bucketed packing matches a single-process prefix-sum on a
+    corpus sized to force bins that straddle range boundaries."""
+    import ray
+
+    from autoner_ray.stages.ranking import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    keys = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 40, size=n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": keys, "n_tok": w})
+    ).repartition(7)
+    got = (
+        pack_sequences(ds, "doc_id", "n_tok", bin_size=257,
+                       num_ranges=5)
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    prev = np.cumsum(w) - w
+    seq = prev // 257
+    exp = (
+        pd.DataFrame(
+            {"seq_id": seq, "one": 1, "w": w, "k": keys}
+        )
+        .groupby("seq_id", sort=True)
+        .agg(
+            n_docs=("one", "sum"),
+            n_tokens=("w", "sum"),
+            first_key=("k", "min"),
+            last_key=("k", "max"),
+        )
+        .reset_index()
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
