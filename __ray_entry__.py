@@ -674,6 +674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q10_returned_items": relational.q10_returned_items,
         "q8_market_share": relational.q8_market_share,
+        "q18_large_orders": relational.q18_large_orders,
+        "docs_next_word_topk": lambda sf: (
+            webtext.next_word_topk(_docs(sf, ["doc_id", "text"]))
+        ),
         "kg_clustering_coeff": lambda sf: kg.unigram_clustering_coeff(
             sf
         ),
@@ -2532,6 +2536,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": relational_mod.q5_oracle_sql(),
         "q10_returned_items": relational_mod.q10_oracle_sql(),
         "q8_market_share": relational_mod.q8_oracle_sql(),
+        "q18_large_orders": relational_mod.q18_oracle_sql(),
+        "docs_next_word_topk": webtext_mod.next_word_topk_oracle_sql(),
         "q14_promo_revenue": """
             WITH p AS (
                 SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -2831,3 +2831,165 @@ def q8_oracle_sql(region: str = "AMERICA", nation: str = "NATION_1",
         GROUP BY o_year
         ORDER BY o_year
     """
+
+
+def q18_large_orders(sf_dir: str, qty_threshold: int = 150,
+                     k: int = 100, broadcast_max_rows: int = 5_000_000):
+    """TPC-H Q18 shape (HAVING semi-join): the top-``k`` orders by
+    ``o_totalprice`` among orders whose total lineitem quantity
+    exceeds ``qty_threshold``, with customer name attached.
+
+    Scale shape: per-batch (orderkey, qty) partials -> ONE hash
+    shuffle on orderkey; inside the same grouped pass each partition
+    finalizes its sums, applies the HAVING filter, resolves order
+    attrs from a broadcast sorted (orderkey -> custkey/date/
+    totalprice) lookup (orders ≤ ``broadcast_max_rows``; swap to a
+    cogroup join of the winners — a table already shrunk by the
+    HAVING filter — above it) and keeps its local top-``k``; the
+    driver merges ≤ P×k rows and fetches names for exactly the k
+    winning custkeys (top-k-first). Quantities are integral doubles,
+    so their sums are order-independent-exact; they are reported as
+    BIGINT on both sides."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"],
+    )
+    okeys = ot["o_orderkey"].to_numpy()
+    ix = np.argsort(okeys, kind="stable")
+    lookup_ref = ray.put(
+        (
+            okeys[ix],
+            ot["o_custkey"].to_numpy()[ix],
+            ot["o_orderdate"].cast(pa.timestamp("us")).cast(
+                pa.int64()
+            ).to_numpy()[ix],
+            ot["o_totalprice"].to_numpy()[ix],
+        )
+    )
+    P = default_num_partitions()
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        agg = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "qty": pc.cast(
+                        t["l_quantity"].combine_chunks(), pa.int64()
+                    ),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("qty", "sum")])
+            .rename_columns(["l_orderkey", "qty"])
+        )
+        return agg.append_column(
+            "part", _stable_part_col(agg, ("l_orderkey",), P)
+        )
+
+    def having_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_custkey": pd.Series(dtype="int64"),
+                "o_orderdate_us": pd.Series(dtype="int64"),
+                "o_totalprice": pd.Series(dtype="float64"),
+                "sum_qty": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return empty
+        sums = (
+            df.groupby("l_orderkey", sort=False)["qty"]
+            .sum()
+            .reset_index(name="sum_qty")
+        )
+        sums = sums[sums["sum_qty"] > qty_threshold]
+        if len(sums) == 0:
+            return empty
+        import ray as _ray
+
+        keys, custs, dates, prices = _ray.get(lookup_ref)
+        lk = sums["l_orderkey"].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+        hit = keys[pos] == lk if len(keys) else np.zeros(len(lk), bool)
+        sums = sums[hit]
+        pos = pos[hit]
+        out = pd.DataFrame(
+            {
+                "o_orderkey": sums["l_orderkey"].to_numpy(np.int64),
+                "o_custkey": custs[pos],
+                "o_orderdate_us": dates[pos],
+                "o_totalprice": prices[pos],
+                "sum_qty": sums["sum_qty"].to_numpy(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k).reset_index(drop=True)
+
+    cand = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow",
+                     batch_size=65536)
+        .groupby("part")
+        .map_groups(having_topk, batch_format="pandas")
+        .to_pandas()
+    )  # ≤ P×k rows
+    topk = cand.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(k).reset_index(drop=True)
+
+    keys = pa.array(topk["o_custkey"].tolist(), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    names = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = topk.merge(
+        names, left_on="o_custkey", right_on="c_custkey", how="left"
+    )
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate_us"], unit="us")
+    return out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+         "o_totalprice", "sum_qty"]
+    ]
+
+
+def q18_oracle_sql(qty_threshold: int = 150, k: int = 100) -> str:
+    return f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > {qty_threshold}
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT {k}
+    """

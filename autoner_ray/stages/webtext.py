@@ -1016,3 +1016,107 @@ def bigram_bfs_multi_oracle_sql(min_count: int = 75, n_seeds: int = 3,
         SELECT node AS entity, CAST(MIN(d) AS BIGINT) AS dist
         FROM bfs GROUP BY node
     """
+
+
+def next_word_topk(docs_ds, k: int = 3, min_count: int = 2):
+    """Bigram continuation table — the backbone of an n-gram LM / text
+    autocompletion index: for every head word, its top-``k`` next
+    words by bigram count (ties broken alphabetically), keeping rows
+    with count ≥ ``min_count``. ``rnk`` is computed over ALL
+    continuations of the head (so a rank-1 row below ``min_count`` is
+    dropped, not re-ranked) — matching the SQL window exactly.
+
+    Scale shape: per-batch bigram partials (pandas hash combine over
+    the exploded stream — the corpus never shuffles exploded) -> ONE
+    hash shuffle partitioned on the HEAD word -> per-partition final
+    sum + vectorized rank + filter in the SAME grouped pass (ranking
+    inside map_groups, so a head's rows can never split across block
+    boundaries). Output is vocab-bounded."""
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = default_num_partitions()
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "head": pa.array([], pa.string()),
+                "next_word": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        grams = _gram_frame(_exploded(batch["text"].to_pylist()), 2)
+        if grams.empty:
+            return empty
+        agg = grams.groupby("g", sort=False).size()
+        lr = agg.index.to_series().str.split(" ", n=1, expand=True)
+        t = pa.table(
+            {
+                "head": pa.array(lr[0].to_numpy(), pa.string()),
+                "next_word": pa.array(lr[1].to_numpy(), pa.string()),
+                "cnt": pa.array(agg.to_numpy(), pa.int64()),
+            }
+        )
+        return t.append_column(
+            "part", _stable_part_col(t, ("head",), P)
+        )
+
+    def sum_rank(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "head": pd.Series(dtype="object"),
+                "next_word": pd.Series(dtype="object"),
+                "cnt": pd.Series(dtype="int64"),
+                "rnk": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "head" not in df.columns:
+            return empty
+        df = (
+            df.groupby(["head", "next_word"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        df = df.sort_values(
+            ["head", "cnt", "next_word"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df["rnk"] = df.groupby("head", sort=False).cumcount() + 1
+        df = df[(df["rnk"] <= k) & (df["cnt"] >= min_count)]
+        return df[["head", "next_word", "cnt", "rnk"]].reset_index(
+            drop=True
+        )
+
+    return (
+        docs_ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_rank, batch_format="pandas")
+    )
+
+
+def next_word_topk_oracle_sql(k: int = 3, min_count: int = 2) -> str:
+    return f"""
+        WITH ws AS (
+            SELECT string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+            SELECT ws[CAST(i AS BIGINT)] AS head,
+                   ws[CAST(i AS BIGINT) + 1] AS next_word
+            FROM ws, unnest(range(1, len(ws))) AS t(i)
+        ),
+        c AS (
+            SELECT head, next_word, COUNT(*) AS cnt
+            FROM g GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY head ORDER BY cnt DESC, next_word
+            ) AS rnk
+            FROM c
+        )
+        SELECT head, next_word, cnt, rnk
+        FROM r WHERE rnk <= {k} AND cnt >= {min_count}
+    """
