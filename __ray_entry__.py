@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_jaccard": lambda sf: kg.unigram_entity_jaccard(sf),
         "kg_assoc_rules": lambda sf: kg.unigram_assoc_rules(sf),
         "kg_proximity_edges": lambda sf: kg.unigram_proximity_edges(sf),
+        "kg_infix_relations": lambda sf: kg.unigram_infix_relations(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
@@ -1049,6 +1050,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, obj, COUNT(*) AS n_pairs,
                    CAST(SUM(m) AS BIGINT) AS prox_micro
             FROM pr GROUP BY subj, obj
+        """,
+        "kg_infix_relations": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, {WORDS} AS w FROM documents
+            ), pos_words AS (
+                SELECT doc_id, w[i] AS word, i AS pos
+                FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), m AS MATERIALIZED (
+                SELECT doc_id, dict.entity, pos
+                FROM pos_words
+                JOIN {dict_values} ON pos_words.word = dict.word
+            ), pr AS (
+                SELECT a.doc_id, a.entity AS subj, b.entity AS obj,
+                       a.pos AS i, b.pos AS j
+                FROM m a JOIN m b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos - a.pos BETWEEN 2 AND 4
+                 AND a.entity <> b.entity
+            ), inf AS (
+                SELECT pr.subj,
+                       array_to_string(t.w[pr.i + 1 : pr.j - 1], ' ')
+                           AS pred,
+                       pr.obj
+                FROM pr JOIN toks t ON t.doc_id = pr.doc_id
+            )
+            SELECT subj, pred, obj, COUNT(*) AS n
+            FROM inf GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
         """,
         "kg_assoc_rules": f"""
             WITH words AS (

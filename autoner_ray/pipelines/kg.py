@@ -849,3 +849,105 @@ def unigram_adjacency(sf_dir: str):
         .groupby("subj")
         .map_groups(to_adj, batch_format="pandas")
     )
+
+
+def unigram_infix_relations(sf_dir: str, max_gap: int = 3,
+                            min_count: int = 2):
+    """Surface-pattern relation extraction (OpenIE-lite): every ORDERED
+    in-document pair of distinct entity mentions at token distance
+    2..``max_gap``+1 emits the triple (subj, infix-words, obj); triples
+    seen ≥ ``min_count`` times survive. The infix string is the
+    predicate — the "X acquired Y" / "X of Y" patterns KG construction
+    mines when no dependency parser is available.
+
+    Scale shape: pair mining is per-document and GAP-BOUNDED (each
+    mention looks ≤ ``max_gap``+1 tokens ahead — linear in corpus
+    size, unlike the quadratic proximity kernel); per-batch triple
+    partials -> ONE hash shuffle on subj -> per-partition final sum +
+    HAVING filter inside the same grouped pass. Output is pattern-
+    vocabulary bounded."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = default_num_partitions()
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_columns == 0 or len(batch) == 0:
+            return empty
+        subj_all, pred_all, obj_all = [], [], []
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split(" ")
+            pos, ents = [], []
+            for i, t in enumerate(toks):
+                hit = UNIGRAM_DICT.get(t)
+                if hit is not None:
+                    pos.append(i)
+                    ents.append(hit[0])
+            n = len(ents)
+            for a in range(n):
+                for b in range(a + 1, n):
+                    gap = pos[b] - pos[a]
+                    if gap > max_gap + 1:
+                        break
+                    if gap < 2 or ents[a] == ents[b]:
+                        continue
+                    subj_all.append(ents[a])
+                    pred_all.append(
+                        " ".join(toks[pos[a] + 1 : pos[b]])
+                    )
+                    obj_all.append(ents[b])
+        if not subj_all:
+            return empty
+        t = pa.table(
+            {
+                "subj": pa.array(subj_all, pa.string()),
+                "pred": pa.array(pred_all, pa.string()),
+                "obj": pa.array(obj_all, pa.string()),
+                "n": pa.array(np.ones(len(subj_all), np.int64)),
+            }
+        )
+        agg = t.group_by(["subj", "pred", "obj"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["subj", "pred", "obj", "n"])
+        return agg.append_column(
+            "part", _stable_part_col(agg, ("subj",), P)
+        )
+
+    def sum_having(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "subj": pd.Series(dtype="object"),
+                "pred": pd.Series(dtype="object"),
+                "obj": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty
+        out = (
+            df.groupby(["subj", "pred", "obj"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out = out[out["n"] >= min_count]
+        return out.reset_index(drop=True)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return (
+        ds.map_batches(rel_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_having, batch_format="pandas")
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 189 and len(sqls) == 171
+    assert len(qs) == 190 and len(sqls) == 172
     import subprocess
     import sys
 
