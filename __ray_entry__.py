@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assoc_rules": lambda sf: kg.unigram_assoc_rules(sf),
         "kg_proximity_edges": lambda sf: kg.unigram_proximity_edges(sf),
         "kg_infix_relations": lambda sf: kg.unigram_infix_relations(sf),
+        "kg_hash_walks": lambda sf: kg.unigram_hash_walks(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
@@ -1050,6 +1051,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, obj, COUNT(*) AS n_pairs,
                    CAST(SUM(m) AS BIGINT) AS prox_micro
             FROM pr GROUP BY subj, obj
+        """,
+        "kg_hash_walks": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            w1 AS (
+                SELECT src AS seed,
+                       min_by(dst, md5(src || '|1|' || dst)) AS hop1
+                FROM bidir GROUP BY src
+            ),
+            n2 AS (
+                SELECT src,
+                       min_by(dst, md5(src || '|2|' || dst)) AS next2
+                FROM bidir GROUP BY src
+            )
+            SELECT w1.seed, w1.hop1, n2.next2 AS hop2
+            FROM w1 JOIN n2 ON n2.src = w1.hop1
         """,
         "kg_infix_relations": f"""
             WITH toks AS MATERIALIZED (

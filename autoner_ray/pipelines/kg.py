@@ -951,3 +951,131 @@ def unigram_infix_relations(sf_dir: str, max_gap: int = 3,
         .groupby("part")
         .map_groups(sum_having, batch_format="pandas")
     )
+
+
+def unigram_hash_walks(sf_dir: str):
+    """Deterministic 2-hop graph walks for embedding-training corpora
+    (the DeepWalk/node2vec sampling stage made reproducible): from
+    every entity, hop h moves to the neighbor minimizing
+    ``md5(cur || '|h|' || neighbor)`` — a pure content-keyed choice,
+    so walks are identical across runs, widths and block layouts
+    (unlike RNG-seeded walks) while still pseudo-uniform over
+    neighbors. Returns (seed, hop1, hop2).
+
+    Scale shape: ONE hash shuffle partitions the bidirectional edge
+    list by src; each partition computes BOTH per-node minimizers
+    (hop-1 and hop-2 salts) in a single grouped pass, then one
+    vocab-bounded cogroup join stitches hop2 = next2(hop1). Nothing
+    graph-sized on the driver; md5 cost is |E|-bounded (edge table,
+    never the corpus)."""
+    import hashlib
+
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col, cogroup_join
+
+    P = default_num_partitions()
+
+    def bidir(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        src = t["subj"].to_pylist() + t["obj"].to_pylist()
+        dst = t["obj"].to_pylist() + t["subj"].to_pylist()
+        out = pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+            }
+        )
+        return out.append_column(
+            "part", _stable_part_col(out, ("src",), P)
+        )
+
+    def next_hops(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node": pd.Series(dtype="object"),
+                "next1": pd.Series(dtype="object"),
+                "next2": pd.Series(dtype="object"),
+            }
+        )
+        if len(df) == 0 or "src" not in df.columns:
+            return empty
+        h1 = [
+            hashlib.md5(f"{s}|1|{d}".encode()).hexdigest()
+            for s, d in zip(df["src"], df["dst"])
+        ]
+        h2 = [
+            hashlib.md5(f"{s}|2|{d}".encode()).hexdigest()
+            for s, d in zip(df["src"], df["dst"])
+        ]
+        df = df.assign(h1=h1, h2=h2)
+        g = df.groupby("src", sort=False)
+        n1 = df.loc[g["h1"].idxmin(), ["src", "dst"]]
+        n2 = df.loc[g["h2"].idxmin(), ["src", "dst"]]
+        out = n1.rename(
+            columns={"src": "node", "dst": "next1"}
+        ).merge(
+            n2.rename(columns={"src": "node", "dst": "next2"}),
+            on="node",
+        )
+        return out.reset_index(drop=True)
+
+    # both join sides read `hops`: pin the vocab-bounded table once so
+    # the corpus-sized upstream doesn't execute twice (lazy Datasets
+    # re-run per consumer)
+    hops = (
+        unigram_triples(sf_dir)
+        .map_batches(bidir, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(next_hops, batch_format="pandas")
+    ).materialize()
+
+    def left_side(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "seed": pa.array([], pa.string()),
+                    "node": pa.array([], pa.string()),
+                }
+            )
+        return pa.table({"seed": t["node"], "node": t["next1"]})
+
+    def right_side(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "hop2": pa.array([], pa.string()),
+                }
+            )
+        return pa.table({"node": t["node"], "hop2": t["next2"]})
+
+    walks = cogroup_join(
+        hops.map_batches(left_side, batch_format="pyarrow"),
+        hops.map_batches(right_side, batch_format="pyarrow"),
+        on=("node",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "seed": pa.array([], pa.string()),
+                    "hop1": pa.array([], pa.string()),
+                    "hop2": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {"seed": t["seed"], "hop1": t["node"], "hop2": t["hop2"]}
+        )
+
+    return walks.map_batches(finish, batch_format="pyarrow")

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 190 and len(sqls) == 172
+    assert len(qs) == 191 and len(sqls) == 173
     import subprocess
     import sys
 
