@@ -753,6 +753,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": lambda sf: (
             analysis.pack_sequences_report(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_domain_cap": lambda sf: (
+            analysis.domain_cap(_docs(sf, ["doc_id", "source"]))
+        ),
+        "events_user_decay_scores": lambda sf: (
+            windows.user_decay_scores(_events(sf))
+        ),
         "docs_shingle_df_histogram": lambda sf: (
             dedup.shingle_df_histogram(_docs(sf, ["doc_id", "text"]))
         ),
@@ -2494,6 +2500,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_pack_sequences": (
             analysis_mod.pack_sequences_oracle_sql()
+        ),
+        "docs_domain_cap": analysis_mod.domain_cap_oracle_sql(),
+        "events_user_decay_scores": (
+            windows_mod.user_decay_scores_oracle_sql()
         ),
         "docs_shingle_df_histogram": (
             dedup_mod.shingle_df_histogram_oracle_sql()

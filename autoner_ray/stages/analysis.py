@@ -3393,3 +3393,94 @@ def pack_sequences_oracle_sql(bin_tokens: int = 512) -> str:
         FROM c
         GROUP BY 1
     """
+
+
+def domain_cap(docs_ds, cap: int = 20):
+    """Per-domain document cap — the crawl-balancing pass that stops a
+    single hot domain from dominating the training mix (C4/RefinedWeb
+    keep per-domain quotas): keep the ``cap`` LOWEST doc_ids of every
+    source (ingestion order = doc_id order, so "first K crawled"),
+    returning (source, doc_id) of the survivors.
+
+    Scale shape: min-K per key is RE-ASSOCIATIVE, so each batch
+    pre-combines to ≤ cap rows per source seen (a hot domain's
+    millions of rows reduce inside the map; the shuffle moves
+    ≤ cap × sources × blocks rows, never the corpus) -> ONE hash
+    shuffle on source -> per-partition final top-K in the same grouped
+    pass."""
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = default_num_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "source": np.asarray(
+                    t["source"].to_numpy(zero_copy_only=False)
+                ),
+                "doc_id": t["doc_id"].to_numpy(),
+            }
+        )
+        keep = (
+            df.sort_values(["source", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(cap)
+        )
+        out = pa.table(
+            {
+                "source": pa.array(
+                    keep["source"].to_numpy(), pa.string()
+                ),
+                "doc_id": pa.array(
+                    keep["doc_id"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+        return out.append_column(
+            "part", _stable_part_col(out, ("source",), P)
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "source" not in df.columns:
+            return empty
+        keep = (
+            df.sort_values(["source", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(cap)
+        )
+        return keep[["source", "doc_id"]].reset_index(drop=True)
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def domain_cap_oracle_sql(cap: int = 20) -> str:
+    return f"""
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id
+            ) AS rn
+            FROM documents
+        ) WHERE rn <= {cap}
+    """

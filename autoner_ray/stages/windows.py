@@ -1706,3 +1706,75 @@ def retention_normalized_oracle_sql() -> str:
                    AS retention_ppm
         FROM r JOIN base b USING (cohort_day)
     """
+
+
+def user_decay_scores(events_ds, ref_date: str = "2024-02-15",
+                      half_life_days: int = 30):
+    """Recency-weighted engagement score per user — the exponential-
+    decay featurization rankers use (events lose half their weight
+    every ``half_life_days``): each event contributes
+    ``floor(2^(-age_days/half_life) * 1e6 + 0.5)`` integer micro-
+    points, summed per user. Per-event quantization makes the sum
+    order-independent and hash-exact against the SQL twin (float exp
+    sums would drift with summation order).
+
+    Scale shape: stateless vectorized per-batch scoring fused with a
+    per-batch user pre-combine, then ONE user-partitioned sum
+    (:func:`combine.partitioned_key_sum` — nothing user-set-sized on
+    the driver)."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    ref_us = np.datetime64(ref_date, "us").astype(np.int64)
+    us_per_day = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+        age_days = (ref_us - ts).astype(np.float64) / us_per_day
+        # np.power -> libm pow, the same function DuckDB's pow(2.0, x)
+        # calls on this host (np.exp2 is a DIFFERENT libm entry point
+        # that can round differently near quantization boundaries)
+        micro = np.floor(
+            np.power(2.0, -age_days / half_life_days) * 1e6 + 0.5
+        ).astype(np.int64)
+        agg = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "score_micro": pa.array(micro, pa.int64()),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("score_micro", "sum")])
+        )
+        return agg.rename_columns(["user_id", "score_micro"])
+
+    return partitioned_key_sum(
+        events_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["user_id"], ["score_micro"], part_on=("user_id",),
+    )
+
+
+def user_decay_scores_oracle_sql(ref_date: str = "2024-02-15",
+                                 half_life_days: int = 30) -> str:
+    return f"""
+        SELECT user_id,
+               CAST(SUM(CAST(floor(
+                   pow(2.0, -(CAST(
+                       epoch_us(TIMESTAMP '{ref_date}') - epoch_us(ts)
+                   AS DOUBLE) / 86400000000.0) / {half_life_days})
+                   * 1000000 + 0.5
+               ) AS BIGINT)) AS BIGINT) AS score_micro
+        FROM events
+        GROUP BY user_id
+    """
