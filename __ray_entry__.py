@@ -759,6 +759,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_decay_scores": lambda sf: (
             windows.user_decay_scores(_events(sf))
         ),
+        "events_rolling_median": lambda sf: (
+            windows.rolling_median(_events(sf))
+        ),
+        "docs_kmv_distinct_words": lambda sf: (
+            sketches.kmv_distinct_words(_docs(sf, ["source", "text"]))
+        ),
+        "order_reconciliation": relational.order_reconciliation,
         "docs_shingle_df_histogram": lambda sf: (
             dedup.shingle_df_histogram(_docs(sf, ["doc_id", "text"]))
         ),
@@ -2504,6 +2511,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_domain_cap": analysis_mod.domain_cap_oracle_sql(),
         "events_user_decay_scores": (
             windows_mod.user_decay_scores_oracle_sql()
+        ),
+        "events_rolling_median": windows_mod.rolling_median_oracle_sql(),
+        "docs_kmv_distinct_words": (
+            sketches_mod.kmv_distinct_words_oracle_sql()
+        ),
+        "order_reconciliation": (
+            relational_mod.order_reconciliation_oracle_sql()
         ),
         "docs_shingle_df_histogram": (
             dedup_mod.shingle_df_histogram_oracle_sql()

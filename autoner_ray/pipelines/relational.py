@@ -2993,3 +2993,150 @@ def q18_oracle_sql(qty_threshold: int = 150, k: int = 100) -> str:
         ORDER BY o.o_totalprice DESC, o.o_orderkey
         LIMIT {k}
     """
+
+
+def order_reconciliation(sf_dir: str, broadcast_max_rows: int = 5_000_000):
+    """Data-quality reconciliation audit: per order, the lineitem-
+    computed charge ``Σ floor(extprice·(1-disc)·(1+tax)·100+0.5)``
+    against the stored ``o_totalprice``, histogrammed by signed percent
+    deviation bucket ``clip(diff_ppm // 10000, -10, 10)`` — the ledger
+    cross-check a warehouse runs after ingest. Exact integer cents and
+    floor division on both sides.
+
+    Scale shape: per-batch charge partials keyed by orderkey -> ONE
+    hash shuffle; each partition finalizes sums, resolves the stored
+    total from the broadcast sorted (orderkey -> total-cents) lookup
+    (orders ≤ ``broadcast_max_rows``, cogroup tier above), buckets,
+    and emits a ≤21-row histogram partial; a shuffle-free bounded
+    combine finishes."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import bounded_key_sum
+    from autoner_ray.stages.joins import _stable_part_col
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    okeys = ot["o_orderkey"].to_numpy()
+    ix = np.argsort(okeys, kind="stable")
+    tot_cents = np.floor(
+        ot["o_totalprice"].to_numpy() * 100.0 + 0.5
+    ).astype(np.int64)
+    lookup_ref = ray.put((okeys[ix], tot_cents[ix]))
+    P = default_num_partitions()
+
+    def charge_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        x = t["l_tax"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            p * (1.0 - d) * (1.0 + x) * 100.0 + 0.5
+        ).astype(np.int64)
+        agg = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["l_orderkey", "cents"])
+        )
+        return agg.append_column(
+            "part", _stable_part_col(agg, ("l_orderkey",), P)
+        )
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return empty
+        sums = (
+            df.groupby("l_orderkey", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        import ray as _ray
+
+        keys, tots = _ray.get(lookup_ref)
+        lk = sums["l_orderkey"].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+        hit = keys[pos] == lk if len(keys) else np.zeros(len(lk), bool)
+        if not hit.any():
+            return empty
+        comp = sums["cents"].to_numpy(np.int64)[hit]
+        tot = tots[pos[hit]]
+        diff_ppm = (comp - tot) * 1_000_000 // tot
+        bucket = np.clip(diff_ppm // 10_000, -10, 10)
+        vc = pd.Series(bucket).value_counts()
+        return pd.DataFrame(
+            {
+                "bucket": vc.index.to_numpy(np.int64),
+                "n_orders": vc.to_numpy(np.int64),
+            }
+        )
+
+    partials = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        )
+        .map_batches(charge_partial, batch_format="pyarrow",
+                     batch_size=65536)
+        .groupby("part")
+        .map_groups(bucket_partial, batch_format="pandas")
+    )
+    return bounded_key_sum(partials, ["bucket"], ["n_orders"])
+
+
+def order_reconciliation_oracle_sql() -> str:
+    cents = (
+        "CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+        " * 100 + 0.5) AS BIGINT)"
+    )
+    return f"""
+        WITH comp AS (
+            SELECT l_orderkey, SUM({cents}) AS comp_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT c.comp_cents AS cc,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS tc
+            FROM comp c JOIN orders o ON o.o_orderkey = c.l_orderkey
+        ),
+        -- DuckDB // truncates toward zero; numpy floors. Emulate FLOOR
+        -- division (positive divisors) with a remainder correction.
+        p1 AS (
+            SELECT tc, (cc - tc) * 1000000 AS num FROM j
+        ),
+        p2 AS (
+            SELECT (num // tc) - CASE WHEN num % tc <> 0 AND num < 0
+                                 THEN 1 ELSE 0 END AS ppm
+            FROM p1
+        ),
+        d AS (
+            SELECT greatest(-10, least(10,
+                       (ppm // 10000)
+                       - CASE WHEN ppm % 10000 <> 0 AND ppm < 0
+                         THEN 1 ELSE 0 END
+                   )) AS bucket
+            FROM p2
+        )
+        SELECT bucket, COUNT(*) AS n_orders FROM d GROUP BY bucket
+    """

@@ -523,3 +523,128 @@ def source_distinct_words_hll(docs_ds):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def kmv_distinct_words(docs_ds, k: int = 64):
+    """Per-source distinct-word estimate via the KMV (k-minimum-values)
+    sketch — the third cardinality sketch next to the HLL pair, and the
+    only one whose estimate is EXACTLY reproducible in SQL: keep the
+    ``k`` smallest distinct uint64 word hashes per source; if fewer
+    than ``k`` exist the count is exact, else
+    ``est = (k-1) * 2^64 // h_k`` (Beyer et al. 2007, integer-exact
+    both sides). Returns (source, est_distinct).
+
+    Scale shape: a per-batch partial keeps only the k smallest UNIQUE
+    hashes per source seen in that batch (k-min is re-associative, the
+    same contract as min-K in ``domain_cap``), so the shuffle moves
+    ≤ k × sources × blocks uint64s — never the word stream. Final
+    merge + estimate run per source group in one pass."""
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.functions.hashing import md5_64_array
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = default_num_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "h": pa.array([], pa.uint64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        srcs, hs = [], []
+        df = pd.DataFrame(
+            {
+                "source": np.asarray(
+                    t["source"].to_numpy(zero_copy_only=False)
+                ),
+                "text": t["text"].to_pylist(),
+            }
+        )
+        for src, grp in df.groupby("source", sort=False):
+            words = set()
+            for text in grp["text"]:
+                words.update((text or "").split(" "))
+            h = np.unique(md5_64_array(sorted(words)))[:k]
+            srcs.extend([src] * len(h))
+            hs.append(h)
+        if not srcs:
+            return empty
+        out = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "h": pa.array(np.concatenate(hs), pa.uint64()),
+            }
+        )
+        return out.append_column(
+            "part", _stable_part_col(out, ("source",), P)
+        )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "est_distinct": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "source" not in df.columns:
+            return empty
+        rows = []
+        for src, grp in df.groupby("source", sort=False):
+            h = np.unique(grp["h"].to_numpy(np.uint64))[:k]
+            if len(h) < k:
+                est = len(h)
+            else:
+                est = ((k - 1) << 64) // int(h[k - 1])
+            rows.append({"source": src, "est_distinct": est})
+        return pd.DataFrame(rows).astype(
+            {"est_distinct": "int64"}
+        ).reset_index(drop=True)
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(estimate, batch_format="pandas")
+    )
+
+
+def kmv_distinct_words_oracle_sql(k: int = 64) -> str:
+    two64 = str(1 << 64)
+    return f"""
+        WITH dw AS (
+            SELECT DISTINCT source, t.word
+            FROM documents, unnest(string_split(text, ' ')) AS t(word)
+        ),
+        h AS (
+            SELECT DISTINCT source,
+                   CAST(('0x' || substring(md5(word), 1, 16))
+                        AS UBIGINT) AS h
+            FROM dw
+        ),
+        r AS (
+            SELECT source, h,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY h
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM h
+        ),
+        sel AS (
+            SELECT source,
+                   MAX(CASE WHEN rn = {k} THEN h END) AS hk,
+                   MAX(n) AS n
+            FROM r WHERE rn <= {k} GROUP BY source
+        )
+        SELECT source,
+               CAST(CASE WHEN n < {k} THEN n
+                    ELSE CAST({k - 1} AS HUGEINT)
+                         * CAST('{two64}' AS HUGEINT)
+                         // CAST(hk AS HUGEINT)
+               END AS BIGINT) AS est_distinct
+        FROM sel
+    """

@@ -1778,3 +1778,52 @@ def user_decay_scores_oracle_sql(ref_date: str = "2024-02-15",
         FROM events
         GROUP BY user_id
     """
+
+
+def rolling_median(events_ds, window: int = 5):
+    """Per-user rolling median of ``value`` over the last ``window``
+    events (event-time order, ``event_id`` tiebreak) — the robust
+    smoothing pass monitoring pipelines run before thresholding. One
+    row per event. The median is an exact order statistic (or the
+    exact mean of the two middle doubles), so floats hash-match the
+    SQL window twin with no quantization.
+
+    Scale shape: the sessionize pattern — ONE hash shuffle on user_id,
+    per-group ts-sort + pandas vectorized rolling kernel. A window
+    needs only its own user's history, so no cross-partition state."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "roll_median": pd.Series(dtype="float64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        med = (
+            df["value"].rolling(window, min_periods=1).median()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].values,
+                "event_id": df["event_id"].values,
+                "roll_median": med.to_numpy(dtype=float),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
+def rolling_median_oracle_sql(window: int = 5) -> str:
+    return f"""
+        SELECT user_id, event_id,
+               median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+               ) AS roll_median
+        FROM events
+    """
