@@ -766,6 +766,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sketches.kmv_distinct_words(_docs(sf, ["source", "text"]))
         ),
         "order_reconciliation": relational.order_reconciliation,
+        "docs_normalize_text": lambda sf: (
+            analysis.normalize_text(_docs(sf, ["doc_id", "text"]))
+        ),
+        "events_activity_bitmaps": lambda sf: (
+            windows.activity_bitmaps(_events(sf))
+        ),
         "docs_shingle_df_histogram": lambda sf: (
             dedup.shingle_df_histogram(_docs(sf, ["doc_id", "text"]))
         ),
@@ -2518,6 +2524,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "order_reconciliation": (
             relational_mod.order_reconciliation_oracle_sql()
+        ),
+        "docs_normalize_text": analysis_mod.normalize_text_oracle_sql(),
+        "events_activity_bitmaps": (
+            windows_mod.activity_bitmaps_oracle_sql()
         ),
         "docs_shingle_df_histogram": (
             dedup_mod.shingle_df_histogram_oracle_sql()

@@ -3484,3 +3484,48 @@ def domain_cap_oracle_sql(cap: int = 20) -> str:
             FROM documents
         ) WHERE rn <= {cap}
     """
+
+
+def normalize_text(docs_ds):
+    """Canonical text normalization — the first cleaning pass of every
+    curation pipeline: lowercase, collapse whitespace runs to one
+    space, trim. Returns (doc_id, norm_text, changed). Both engine
+    (Arrow kernels) and oracle (DuckDB) run RE2, so ``\\s`` has the
+    same character class on both sides.
+
+    Scale shape: a stateless fully-vectorized Arrow map — zero-copy
+    in, no shuffle, streams at read speed."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "norm_text": pa.array([], pa.string()),
+                    "changed": pa.array([], pa.bool_()),
+                }
+            )
+        txt = t["text"].combine_chunks()
+        n = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " ")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": n,
+                "changed": pc.not_equal(n, txt),
+            }
+        )
+
+    return docs_ds.map_batches(norm, batch_format="pyarrow")
+
+
+def normalize_text_oracle_sql() -> str:
+    return r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                   AS norm_text,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                   <> text AS changed
+        FROM documents
+    """

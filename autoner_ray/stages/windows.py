@@ -1827,3 +1827,104 @@ def rolling_median_oracle_sql(window: int = 5) -> str:
                ) AS roll_median
         FROM events
     """
+
+
+def activity_bitmaps(events_ds, epoch: str = "2024-01-01"):
+    """Per-user daily-activity bitmap: bit ``d`` set iff the user had
+    any event ``d`` days after ``epoch`` — the compact engagement
+    feature (int64, ≤63-day window) recommenders join against. OR is
+    re-associative, so per-batch bitmap partials combine exactly in
+    any order.
+
+    Scale shape: per-batch (user -> OR) pandas combine -> ONE hash
+    shuffle on user_id -> per-partition final OR. The bitmap column
+    is 8 bytes/user end to end."""
+    import numpy as np
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    epoch_us = np.datetime64(epoch, "us").astype(np.int64)
+    us_per_day = 86_400_000_000
+    P = default_num_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "bitmap": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+        day = (ts - epoch_us) // us_per_day
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "bit": np.int64(1) << day.astype(np.int64),
+            }
+        )
+        agg = (
+            df.groupby("user_id", sort=False)["bit"]
+            .agg(lambda s: np.bitwise_or.reduce(s.to_numpy(np.int64)))
+            .reset_index(name="bitmap")
+        )
+        out = pa.table(
+            {
+                "user_id": pa.array(
+                    agg["user_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "bitmap": pa.array(
+                    agg["bitmap"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+        return out.append_column(
+            "part", _stable_part_col(out, ("user_id",), P)
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "bitmap": pd.Series(dtype="int64"),
+                "active_days": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty
+        agg = (
+            df.groupby("user_id", sort=False)["bitmap"]
+            .agg(lambda s: np.bitwise_or.reduce(s.to_numpy(np.int64)))
+            .reset_index()
+        )
+        pop = np.array(
+            [bin(int(b)).count("1") for b in agg["bitmap"]], np.int64
+        )
+        agg["active_days"] = pop
+        return agg.astype(
+            {"user_id": "int64", "bitmap": "int64"}
+        ).reset_index(drop=True)
+
+    return (
+        events_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        )
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def activity_bitmaps_oracle_sql(epoch: str = "2024-01-01") -> str:
+    return f"""
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT)
+                      << date_diff('day', DATE '{epoch}',
+                                   CAST(ts AS DATE))) AS bitmap,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days
+        FROM events
+        GROUP BY user_id
+    """
