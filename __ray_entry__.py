@@ -821,6 +821,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": lambda sf: (
             text_formats.roundtrip_source_stats(sf, fmt="csv")
         ),
+        "docs_parquet_hive_roundtrip": lambda sf: (
+            text_formats.parquet_partitioned_stats(sf)
+        ),
+        "embedding_head_energy": lambda sf: (
+            similarity.head_energy_ratio(_emb(sf))
+        ),
         "events_gap_histogram": lambda sf: windows.gap_histogram(
             _events(sf)
         ),
@@ -2664,6 +2670,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
         """,
+        "docs_parquet_hive_roundtrip": __import__(
+            "autoner_ray.sources.text_formats",
+            fromlist=["parquet_partitioned_stats_oracle_sql"],
+        ).parquet_partitioned_stats_oracle_sql(),
+        "embedding_head_energy": (
+            similarity_mod.head_energy_ratio_oracle_sql()
+        ),
         "events_gap_histogram": windows_mod.gap_histogram_oracle_sql(),
         "supplier_part_fanout": """
             WITH d AS (

@@ -101,3 +101,75 @@ def roundtrip_source_stats(sf_dir: str, fmt: str = "jsonl"):
         back.map_batches(partial, batch_format="pyarrow"),
         ["source"], ["n_docs", "sum_chars"],
     )
+
+
+def parquet_partitioned_stats(sf_dir: str):
+    """Per-language doc count + total chars computed THROUGH a
+    hive-partitioned Parquet write-read roundtrip
+    (``write_parquet(partition_cols=["lang"])`` -> one directory per
+    language, files per block inside — the resumable layout where a
+    re-run skips finished partitions). The SQL twin reads the original
+    table directly, so partition-column round-trip loss (hive values
+    come back from the PATH, not the file) breaks the value hash.
+
+    Scale shape: block-parallel file IO, no shuffle; bounded combine
+    tail."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/autoner_ray_io/hive_docs_{tag}"
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    ds.write_parquet(fresh_dir(out), partition_cols=["lang"])
+    back = rd.read_parquet(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_chars": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            pa.table(
+                {
+                    "lang": pc_cast_str(t["lang"]),
+                    "n_chars": t["n_chars"],
+                }
+            )
+            .group_by("lang")
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return agg.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    return bounded_key_sum(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["n_docs", "sum_chars"],
+    )
+
+
+def pc_cast_str(col):
+    """Hive partition columns read back as dictionary<string>; restore
+    plain string so the group key matches the oracle's."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if pa.types.is_dictionary(col.type):
+        col = pc.cast(col, pa.string())
+    return pc.cast(col, pa.string())
+
+
+def parquet_partitioned_stats_oracle_sql() -> str:
+    return """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """

@@ -680,3 +680,112 @@ def crossmodal_agreement_oracle_sql(text_threshold: float = 0.6,
                     END AS BIGINT) AS agreement_ppm
         FROM agg
     """
+
+
+def head_energy_ratio(emb_ds, head_dims: int = 16):
+    """Per-label average fraction of embedding "energy" (sum of
+    squares) carried by the first ``head_dims`` dimensions, in integer
+    ppm — the diagnostic behind Matryoshka-style truncation: a high
+    head ratio means vectors can be cut to ``head_dims`` for cheap ANN
+    prefiltering. Fully integer-exact: each element's square is
+    quantized to 2^-20 units (float32² is exact in double, so the
+    quantized value is IDENTICAL on engine and SQL sides), sums and
+    the ppm ratio are int64, and the per-label average is a floored
+    integer division.
+
+    Scale shape: per-batch vectorized quantize + per-label partials
+    (zero-copy list flatten -> reshape) -> shuffle-free bounded
+    combine over the label space -> tiny final division block."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "sum_ppm": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(t)
+        dim = len(flat) // n
+        a = flat.reshape(n, dim).astype(np.float64)
+        q = np.floor(a * a * 1048576.0 + 0.5).astype(np.int64)
+        num = q[:, :head_dims].sum(axis=1)
+        den = q.sum(axis=1)
+        ppm = np.where(den > 0, num * 1_000_000 // np.maximum(den, 1), 0)
+        agg = (
+            pa.table(
+                {
+                    "label": pc.cast(
+                        t["label"].combine_chunks(), pa.int64()
+                    ),
+                    "sum_ppm": pa.array(ppm, pa.int64()),
+                    "n_vecs": pa.array(np.ones(n, np.int64)),
+                }
+            )
+            .group_by("label")
+            .aggregate([("sum_ppm", "sum"), ("n_vecs", "sum")])
+        )
+        return agg.rename_columns(["label", "sum_ppm", "n_vecs"])
+
+    sums = bounded_key_sum(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"], ["sum_ppm", "n_vecs"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "avg_head_energy_ppm": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        s = t["sum_ppm"].to_numpy(zero_copy_only=False)
+        nv = t["n_vecs"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": t["label"],
+                "n_vecs": t["n_vecs"],
+                "avg_head_energy_ppm": pa.array(
+                    s // np.maximum(nv, 1), pa.int64()
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def head_energy_ratio_oracle_sql(head_dims: int = 16) -> str:
+    return f"""
+        WITH q AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * x
+                                       * 1048576 + 0.5) AS BIGINT)
+                   ) AS qs
+            FROM embeddings
+        ),
+        per AS (
+            SELECT label,
+                   CASE WHEN list_sum(qs) > 0
+                        THEN list_sum(qs[1:{head_dims}]) * 1000000
+                             // greatest(list_sum(qs), 1)
+                        ELSE 0 END AS ppm
+            FROM q
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(ppm) // COUNT(*) AS BIGINT)
+                   AS avg_head_energy_ppm
+        FROM per GROUP BY label
+    """

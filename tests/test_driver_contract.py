@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 198 and len(sqls) == 180
+    assert len(qs) == 200 and len(sqls) == 182
     import subprocess
     import sys
 
