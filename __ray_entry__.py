@@ -827,6 +827,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_head_energy": lambda sf: (
             similarity.head_energy_ratio(_emb(sf))
         ),
+        "embedding_kmeans_lattice": lambda sf: (
+            similarity.kmeans_lattice(_emb(sf))
+        ),
         "events_gap_histogram": lambda sf: windows.gap_histogram(
             _events(sf)
         ),
@@ -2676,6 +2679,9 @@ def oracle_sql() -> dict[str, str]:
         ).parquet_partitioned_stats_oracle_sql(),
         "embedding_head_energy": (
             similarity_mod.head_energy_ratio_oracle_sql()
+        ),
+        "embedding_kmeans_lattice": (
+            similarity_mod.kmeans_lattice_oracle_sql()
         ),
         "events_gap_histogram": windows_mod.gap_histogram_oracle_sql(),
         "supplier_part_fanout": """

@@ -789,3 +789,211 @@ def head_energy_ratio_oracle_sql(head_dims: int = 16) -> str:
                    AS avg_head_energy_ppm
         FROM per GROUP BY label
     """
+
+
+def kmeans_lattice(emb_ds, k: int = 4, n_iter: int = 2):
+    """SQL-certifiable distributed k-means: Lloyd's algorithm run
+    ENTIRELY on an integer lattice — vectors quantize to 2^-20 units
+    (float32·2^20 is exact in double, so engine and oracle see
+    identical ints), distances are int64 sums of squares, ties break
+    to the lowest centroid id via the ``min(dist·K + k)`` encoding,
+    and new centroids are floored per-dim integer means. Every
+    iteration is therefore bit-reproducible across runs, widths and
+    block layouts — the property float k-means lacks — and the DuckDB
+    twin unrolls the same ``n_iter`` steps. Init = the ``k`` lowest
+    vec_ids. Returns (cluster, n_vecs, min_vec) after the final
+    assignment.
+
+    Scale shape: each iteration is one streaming pass — broadcast
+    centroids (k×dim ints via ``ray.put``), per-batch vectorized
+    assignment + per-cluster dim-sum partials, shuffle-free bounded
+    combine over the k-row key space; the driver only ever holds k
+    centroids. Passes re-read the source (at 100 TB, materialize the
+    quantized vectors once and iterate on that)."""
+    import numpy as np
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    Q = 1048576.0
+
+    def quantized(t: pa.Table) -> np.ndarray:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(t)
+        a = flat.reshape(n, len(flat) // n).astype(np.float64)
+        return np.floor(a * Q + 0.5).astype(np.int64)
+
+    # init: the k lowest vec_ids (per-batch min-k partial, tiny merge)
+    def init_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array(
+                        [], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ix = np.argsort(t["vec_id"].to_numpy())[:k]
+        return t.select(["vec_id", "embedding"]).take(pa.array(ix))
+
+    seed = (
+        emb_ds.map_batches(init_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k)
+    )
+    seed_t = pa.table(
+        {
+            "vec_id": pa.array(seed["vec_id"].to_numpy(np.int64)),
+            "embedding": pa.array(
+                list(seed["embedding"]), pa.list_(pa.float32())
+            ),
+        }
+    )
+    cents = quantized(seed_t)  # (k, dim) int64
+    dim = cents.shape[1]
+
+    def assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # (n, k) int64 squared distances; argmin returns the FIRST
+        # minimum — the min(dist*K + k) % K tiebreak of the SQL twin
+        d = q[:, None, :] - c[None, :, :]
+        return np.argmin((d * d).sum(axis=2), axis=1)
+
+    scols = [f"s{i:02d}" for i in range(dim)]
+    for _ in range(n_iter - 1):
+        cents_ref = ray.put(cents)
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {"cluster": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())}
+                    | {s: pa.array([], pa.int64()) for s in scols}
+                )
+            qv = quantized(t)
+            lab = assign(qv, ray.get(cents_ref))
+            rows = {"cluster": [], "n": []}
+            rows.update({s: [] for s in scols})
+            for kk in np.unique(lab):
+                sel = qv[lab == kk]
+                rows["cluster"].append(int(kk))
+                rows["n"].append(len(sel))
+                ssum = sel.sum(axis=0)
+                for i, s in enumerate(scols):
+                    rows[s].append(int(ssum[i]))
+            return pa.table(
+                {c: pa.array(v, pa.int64()) for c, v in rows.items()}
+            )
+
+        sums = bounded_key_sum(
+            emb_ds.map_batches(sum_partial, batch_format="pyarrow"),
+            ["cluster"], ["n"] + scols,
+        ).to_pandas().sort_values("cluster")
+        new_c = cents.copy()
+        for _, r in sums.iterrows():
+            kk = int(r["cluster"])
+            new_c[kk] = np.array(
+                [int(r[s]) // int(r["n"]) for s in scols], np.int64
+            )
+        cents = new_c
+
+    cents_ref = ray.put(cents)
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "min_vec": pa.array([], pa.int64()),
+                }
+            )
+        qv = quantized(t)
+        lab = assign(qv, ray.get(cents_ref))
+        ids = t["vec_id"].to_numpy()
+        rows = []
+        for kk in np.unique(lab):
+            m = lab == kk
+            rows.append((int(kk), int(m.sum()), int(ids[m].min())))
+        return pa.table(
+            {
+                "cluster": pa.array([r[0] for r in rows], pa.int64()),
+                "n_vecs": pa.array([r[1] for r in rows], pa.int64()),
+                "min_vec": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "min_vec": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by("cluster").aggregate(
+            [("n_vecs", "sum"), ("min_vec", "min")]
+        )
+        return agg.rename_columns(["cluster", "n_vecs", "min_vec"])
+
+    return (
+        emb_ds.map_batches(final_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def kmeans_lattice_oracle_sql(k: int = 4, n_iter: int = 2,
+                              dim: int = 64) -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    steps = [f"""
+        a1 AS (
+            SELECT vec_id, v,
+                   MIN({dist} * {k} + init.k) % {k} AS k1
+            FROM qi CROSS JOIN init GROUP BY vec_id, v
+        )"""]
+    prev = "a1"
+    prev_lab = "k1"
+    for it in range(2, n_iter + 1):
+        steps.append(f"""
+        cd{it} AS (
+            SELECT {prev}.{prev_lab} AS kk, t.i AS dim,
+                   SUM({prev}.v[t.i]) // COUNT(*) AS cv
+            FROM {prev}, UNNEST(range(1, {dim + 1})) AS t(i)
+            GROUP BY {prev}.{prev_lab}, t.i
+        ),
+        c{it} AS (
+            SELECT kk AS k, list(cv ORDER BY dim) AS c
+            FROM cd{it} GROUP BY kk
+        ),
+        a{it} AS (
+            SELECT vec_id, v,
+                   MIN({dist} * {k} + c{it}.k) % {k} AS k{it}
+            FROM {prev} CROSS JOIN c{it} GROUP BY vec_id, v
+        )""")
+        prev = f"a{it}"
+        prev_lab = f"k{it}"
+    return f"""
+        WITH qi AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576
+                                       + 0.5) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        init AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS k, v AS c
+            FROM qi ORDER BY vec_id LIMIT {k}
+        ),
+        {",".join(steps)}
+        SELECT {prev_lab} AS cluster, COUNT(*) AS n_vecs,
+               MIN(vec_id) AS min_vec
+        FROM {prev} GROUP BY {prev_lab}
+    """

@@ -655,3 +655,40 @@ def test_pack_sequences_bruteforce(ray_session):
         .astype("int64")
     )
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def test_kmeans_lattice_three_iterations(ray_session):
+    """The unrolled SQL twin generalizes beyond the driver default:
+    engine and DuckDB agree at n_iter=3 / k=3 too."""
+    import duckdb
+    import ray
+
+    from autoner_ray.stages.similarity import (
+        kmeans_lattice,
+        kmeans_lattice_oracle_sql,
+    )
+
+    sf = SF
+    got = (
+        kmeans_lattice(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet"),
+            k=3, n_iter=3,
+        )
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf}/embeddings.parquet'"
+    )
+    exp = (
+        con.execute(kmeans_lattice_oracle_sql(k=3, n_iter=3))
+        .df()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
