@@ -843,6 +843,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "n_chars"]), "doc_id", "n_chars"
         ),
         "supplier_part_fanout": relational.supplier_part_fanout,
+        "docs_corpus_card": lambda sf: analysis.corpus_card(
+            _docs(sf, ["text", "lang"])
+        ),
+        "events_sequence_patterns": lambda sf: (
+            windows.sequence_pattern_counts(_events(sf))
+        ),
     }
 
 
@@ -2786,6 +2792,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l.l_orderkey
             LIMIT 10
         """,
+        "docs_corpus_card": analysis_mod.corpus_card_oracle_sql(),
+        "events_sequence_patterns": (
+            windows_mod.sequence_pattern_oracle_sql()
+        ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

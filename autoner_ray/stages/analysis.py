@@ -3529,3 +3529,150 @@ def normalize_text_oracle_sql() -> str:
                    <> text AS changed
         FROM documents
     """
+
+
+def corpus_card(docs_ds):
+    """One-row dataset card — the summary block a corpus release ships
+    with: doc count, token count (``count(' ')+1`` per doc), char
+    count, distinct-word vocabulary size and languages present.
+
+    Scale shape: doc-level stats are one streaming pass of scalar
+    partials; the vocabulary size runs word-partitioned (per-batch
+    distinct -> ONE hash shuffle -> per-partition distinct counts ->
+    scalar sum) so no word set ever gathers in one place; the two
+    tiny partial streams union into a single final block."""
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = default_num_partitions()
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "n_langs_seen": pa.array([], pa.int64()),
+                "vocab_size": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        txt = t["text"].combine_chunks()
+        toks = pc.sum(
+            pc.add(pc.count_substring(txt, " "), pa.scalar(1))
+        ).as_py()
+        chars = pc.sum(pc.utf8_length(txt)).as_py()
+        return pa.table(
+            {
+                "n_docs": pa.array([len(t)], pa.int64()),
+                "n_tokens": pa.array([int(toks or 0)], pa.int64()),
+                "n_chars": pa.array([int(chars or 0)], pa.int64()),
+                "n_langs_seen": pa.array([0], pa.int64()),
+                "vocab_size": pa.array([0], pa.int64()),
+            }
+        )
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w": pa.array([], pa.string()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        txt = t["text"].combine_chunks()
+        words = pc.unique(
+            pc.list_flatten(pc.split_pattern(txt, " "))
+        )
+        out = pa.table({"w": words})
+        return out.append_column(
+            "part", _stable_part_col(out, ("w",), P)
+        )
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"lang": pa.array([], pa.string())})
+        return pa.table(
+            {"lang": pc.unique(t["lang"].combine_chunks())}
+        )
+
+    def _one_row(**vals) -> pa.Table:
+        base = {
+            "n_docs": 0, "n_tokens": 0, "n_chars": 0,
+            "n_langs_seen": 0, "vocab_size": 0,
+        }
+        base.update(vals)
+        return pa.table(
+            {k: pa.array([int(v)], pa.int64()) for k, v in base.items()}
+        )
+
+    def vocab_count(t: pa.Table) -> pa.Table:
+        n = (
+            len(pc.unique(t["w"].combine_chunks()))
+            if "w" in t.column_names and len(t)
+            else 0
+        )
+        return _one_row(vocab_size=n)
+
+    vocab = (
+        docs_ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(vocab_count, batch_format="pyarrow")
+    )
+
+    def lang_count(t: pa.Table) -> pa.Table:
+        n = (
+            len(pc.unique(t["lang"].combine_chunks()))
+            if "lang" in t.column_names and len(t)
+            else 0
+        )
+        return _one_row(n_langs_seen=n)
+
+    langs = (
+        docs_ds.map_batches(lang_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lang_count, batch_format="pyarrow", batch_size=None)
+    )
+
+    cols = ["n_docs", "n_tokens", "n_chars", "n_langs_seen",
+            "vocab_size"]
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {c: pa.array([0], pa.int64()) for c in cols}
+            )
+        return pa.table(
+            {
+                c: pa.array(
+                    [int(pc.sum(t[c]).as_py() or 0)], pa.int64()
+                )
+                for c in cols
+            }
+        )
+
+    return (
+        docs_ds.map_batches(doc_partial, batch_format="pyarrow")
+        .union(vocab, langs)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def corpus_card_oracle_sql() -> str:
+    return """
+        WITH w AS (
+            SELECT COUNT(DISTINCT word) AS vocab
+            FROM documents,
+                 unnest(string_split(text, ' ')) AS t(word)
+        )
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs_seen,
+               CAST(MAX(w.vocab) AS BIGINT) AS vocab_size
+        FROM documents, w
+    """

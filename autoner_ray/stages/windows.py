@@ -1928,3 +1928,77 @@ def activity_bitmaps_oracle_sql(epoch: str = "2024-01-01") -> str:
         FROM events
         GROUP BY user_id
     """
+
+
+_TYPE_CHAR = {
+    "click": "c",
+    "purchase": "p",
+    "error": "e",
+    "signup": "s",
+    "view": "v",
+}
+
+
+def sequence_pattern_counts(events_ds, pattern: str = "v[^vp]*p"):
+    """Complex-event-processing primitive: per user, compress the
+    event-type stream (event-time order, ``event_id`` tiebreak) to a
+    one-char-per-event string and count non-overlapping regex matches
+    — default ``v[^vp]*p`` = "a view that converts to a purchase with
+    no intervening view/purchase", the pattern-match formulation of
+    funnel conversion. Leftmost-earliest non-overlapping semantics are
+    identical in Python ``re`` and DuckDB RE2 for this pattern class.
+
+    Scale shape: the sessionize shape — ONE hash shuffle on user_id,
+    per-group sort + single regex scan over a string that is
+    |user events| chars long (no cross-user state)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "n_matches": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        s = "".join(
+            _TYPE_CHAR.get(t, "x") for t in df["event_type"]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_events": [len(df)],
+                "n_matches": [len(rx.findall(s))],
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
+def sequence_pattern_oracle_sql(pattern: str = "v[^vp]*p") -> str:
+    return f"""
+        WITH seq AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   string_agg(
+                       CASE event_type
+                           WHEN 'click' THEN 'c'
+                           WHEN 'purchase' THEN 'p'
+                           WHEN 'error' THEN 'e'
+                           WHEN 'signup' THEN 's'
+                           WHEN 'view' THEN 'v'
+                           ELSE 'x' END,
+                       '' ORDER BY ts, event_id
+                   ) AS s
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(len(regexp_extract_all(s, '{pattern}'))
+                    AS BIGINT) AS n_matches
+        FROM seq
+    """
