@@ -849,6 +849,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sequence_patterns": lambda sf: (
             windows.sequence_pattern_counts(_events(sf))
         ),
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q17_small_quantity_revenue": (
+            relational.q17_small_quantity_revenue
+        ),
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
     }
 
 
@@ -2796,6 +2801,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sequence_patterns": (
             windows_mod.sequence_pattern_oracle_sql()
         ),
+        "q7_volume_shipping": relational_mod.q7_oracle_sql(),
+        "q17_small_quantity_revenue": relational_mod.q17_oracle_sql(),
+        "q19_disjunctive_revenue": relational_mod.q19_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

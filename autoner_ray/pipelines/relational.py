@@ -3140,3 +3140,370 @@ def order_reconciliation_oracle_sql() -> str:
         )
         SELECT bucket, COUNT(*) AS n_orders FROM d GROUP BY bucket
     """
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
+                       nation_b: str = "NATION_7",
+                       year_lo: int = 1996, year_hi: int = 1997):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations — supplier in one, ordering customer in the other — per
+    direction per ship year, over a two-year window.
+
+    Scale shape: the q5 idiom — lineitem never shuffles; supplier and
+    customer broadcast pre-filtered to the two nations (tiny), orders
+    broadcasts as a sorted (orderkey -> custkey) array (swap to the
+    cogroup tier at TPC-H sf≳30, as q5's docstring prescribes); one
+    fused pass filters on shipdate, resolves both nation ends locally,
+    keeps only cross-nation rows and emits per-batch cents partials
+    keyed by the ≤ 2×|years| (supp, cust, year) space."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = np.asarray(nt["n_name"].to_numpy(zero_copy_only=False))
+    keys = nt["n_nationkey"].to_numpy()
+    sel = {
+        int(keys[i]): str(names[i])
+        for i in range(len(keys))
+        if names[i] in (nation_a, nation_b)
+    }
+    nat_keys = np.array(sorted(sel), dtype=np.int64)
+
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    st = st.filter(pa.array(np.isin(st["s_nationkey"].to_numpy(), nat_keys)))
+    skeys, snat = _sorted_lookup(st, "s_suppkey", ["s_nationkey"])
+
+    ct = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ct = ct.filter(pa.array(np.isin(ct["c_nationkey"].to_numpy(), nat_keys)))
+    ckeys, cnat = _sorted_lookup(ct, "c_custkey", ["c_nationkey"])
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    # pre-filter orders to customers of the two nations (the only rows
+    # that can survive the join) before broadcasting
+    cpos, chit = _probe_sorted(ckeys, ot["o_custkey"].to_numpy())
+    ot = ot.filter(pa.array(chit))
+    okeys, ocust = _sorted_lookup(ot, "o_orderkey", ["o_custkey"])
+
+    lookup_ref = ray.put((okeys, ocust, ckeys, cnat, skeys, snat))
+    lo = np.datetime64(f"{year_lo}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year_hi + 1}-01-01", "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "supp_nationkey": pa.array([], pa.int64()),
+                "cust_nationkey": pa.array([], pa.int64()),
+                "l_year": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ok, oc, ck, cn, sk, sn = ray.get(lookup_ref)
+        ship = t["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        spos, shit = _probe_sorted(sk, t["l_suppkey"].to_numpy())
+        opos, ohit = _probe_sorted(ok, t["l_orderkey"].to_numpy())
+        keep &= shit & ohit
+        if not keep.any():
+            return empty
+        cpos2, chit2 = _probe_sorted(ck, oc[opos[keep]])
+        s_nat = sn[spos[keep]]
+        c_nat = cn[cpos2]
+        cross = chit2 & (s_nat != c_nat)
+        if not cross.any():
+            return empty
+        years = (
+            ship[keep][cross].astype("M8[us]").astype("M8[Y]").astype(np.int64)
+            + 1970
+        )
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        ).to_numpy()[keep][cross]
+        agg = pa.table(
+            {
+                "supp_nationkey": pa.array(s_nat[cross], pa.int64()),
+                "cust_nationkey": pa.array(c_nat[cross], pa.int64()),
+                "l_year": pa.array(years, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by(
+            ["supp_nationkey", "cust_nationkey", "l_year"]
+        ).aggregate([("cents", "sum")])
+        return agg.rename_columns(
+            ["supp_nationkey", "cust_nationkey", "l_year", "cents"]
+        )
+
+    sums = bounded_key_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        keys=["supp_nationkey", "cust_nationkey", "l_year"],
+        sum_cols=["cents"],
+    ).to_pandas()  # ≤ 2 directions × |years| rows
+
+    sums["supp_nation"] = sums["supp_nationkey"].map(sel)
+    sums["cust_nation"] = sums["cust_nationkey"].map(sel)
+    sums["revenue"] = sums["cents"].astype("float64") / 100.0
+    sums = sums.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], kind="mergesort"
+    ).reset_index(drop=True)
+    return sums[["supp_nation", "cust_nation", "l_year", "revenue"]]
+
+
+def q7_oracle_sql(nation_a: str = "NATION_3", nation_b: str = "NATION_7",
+                  year_lo: int = 1996, year_hi: int = 1997) -> str:
+    cents = (
+        "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               SUM({cents}) / 100.0 AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ((ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')
+               OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}'))
+          AND l.l_shipdate >= TIMESTAMP '{year_lo}-01-01'
+          AND l.l_shipdate < TIMESTAMP '{year_hi + 1}-01-01'
+        GROUP BY 1, 2, 3
+    """
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20%% of a part's average quantity were
+    not taken, restricted to one brand. Integer-exact: with integer
+    quantities, ``l_quantity < 0.2 * avg(l_quantity)`` is equivalent to
+    ``5 * qty * cnt < sum_qty`` — no float threshold on either side —
+    and revenue is summed in cents (``SUM(l_extendedprice)/7`` becomes
+    ``total_cents / 700.0`` computed from the same int on both sides).
+
+    Scale shape: two streaming passes over the PRUNED lineitem columns,
+    zero shuffles of the fact table. Pass 1 computes per-part
+    (sum_qty, cnt) partials for the brand's parts (bounded by
+    |brand parts|, ~1/25 of part) via ``bounded_key_sum``; the tiny
+    result broadcasts as sorted arrays; pass 2 applies the integer
+    threshold locally and emits scalar cents partials."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    mask = np.asarray(
+        pt["p_brand"].to_numpy(zero_copy_only=False)
+    ) == brand
+    pkeys = np.sort(pt["p_partkey"].to_numpy()[mask])
+    pkeys_ref = ray.put(pkeys)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        pk = ray.get(pkeys_ref)
+        probe = t["l_partkey"].to_numpy()
+        _, hit = _probe_sorted(pk, probe)
+        if not hit.any():
+            return empty
+        qty = t["l_quantity"].to_numpy().astype(np.int64)[hit]
+        agg = pa.table(
+            {
+                "l_partkey": pa.array(probe[hit], pa.int64()),
+                "sum_qty": pa.array(qty, pa.int64()),
+                "cnt": pa.array(np.ones(len(qty), np.int64), pa.int64()),
+            }
+        ).group_by("l_partkey").aggregate(
+            [("sum_qty", "sum"), ("cnt", "sum")]
+        )
+        return agg.rename_columns(["l_partkey", "sum_qty", "cnt"])
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = bounded_key_sum(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["l_partkey"], sum_cols=["sum_qty", "cnt"],
+    ).to_pandas()  # ≤ |brand parts| rows
+
+    sk = stats["l_partkey"].to_numpy()
+    order = np.argsort(sk, kind="stable")
+    stats_ref = ray.put(
+        (
+            sk[order],
+            stats["sum_qty"].to_numpy()[order],
+            stats["cnt"].to_numpy()[order],
+        )
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"total_cents": pa.array([], pa.int64())})
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        keys, sums, cnts = ray.get(stats_ref)
+        pos, hit = _probe_sorted(keys, t["l_partkey"].to_numpy())
+        if not hit.any():
+            return empty
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        small = hit & (5 * qty * np.where(hit, cnts[pos], 0)
+                       < np.where(hit, sums[pos], 0))
+        if not small.any():
+            return empty
+        price = t["l_extendedprice"].to_numpy().astype(np.float64)[small]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"total_cents": pa.array([int(cents.sum())], pa.int64())}
+        )
+
+    import pandas as pd
+
+    totals = (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    total = int(totals["total_cents"].sum()) if len(totals) else 0
+    return pd.DataFrame(
+        {"total_cents": [total], "avg_yearly": [total / 700.0]}
+    )
+
+
+def q17_oracle_sql(brand: str = "Brand#13") -> str:
+    return f"""
+        WITH stats AS (
+            SELECT l_partkey,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = '{brand}'
+            GROUP BY l_partkey
+        ),
+        small AS (
+            SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM lineitem l
+            JOIN stats s ON s.l_partkey = l.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+        )
+        SELECT COALESCE(CAST(SUM(cents) AS BIGINT), 0) AS total_cents,
+               COALESCE(CAST(SUM(cents) AS BIGINT), 0) / 700.0
+                   AS avg_yearly
+        FROM small
+    """
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunction of conjunctive
+    predicates): revenue from lineitems whose PART matches one of three
+    (brand, size-range) classes each paired with its own quantity
+    range — the classic OR-of-ANDs multi-predicate scan.
+
+    Scale shape: part broadcasts once pre-filtered to the three brands
+    (keyed arrays: partkey -> class id + size); one streaming pass over
+    pruned lineitem columns evaluates the disjunction with numpy masks
+    and emits scalar cents partials. No shuffle, no join materialized."""
+    import pyarrow.parquet as pq
+    import ray
+
+    CLASSES = (
+        ("Brand#13", 1, 15, 1, 11),
+        ("Brand#25", 10, 25, 10, 20),
+        ("Brand#22", 20, 35, 20, 30),
+    )
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    brands = np.asarray(pt["p_brand"].to_numpy(zero_copy_only=False))
+    sizes = pt["p_size"].to_numpy().astype(np.int64)
+    pkeys = pt["p_partkey"].to_numpy()
+    cls = np.full(len(pkeys), -1, np.int64)
+    for i, (b, slo, shi, _, _) in enumerate(CLASSES):
+        cls[(brands == b) & (sizes >= slo) & (sizes <= shi)] = i
+    keep = cls >= 0
+    order = np.argsort(pkeys[keep], kind="stable")
+    lut_ref = ray.put((pkeys[keep][order], cls[keep][order]))
+    qlo = np.array([c[3] for c in CLASSES], np.int64)
+    qhi = np.array([c[4] for c in CLASSES], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"total_cents": pa.array([], pa.int64())})
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        keys, classes = ray.get(lut_ref)
+        pos, hit = _probe_sorted(keys, t["l_partkey"].to_numpy())
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        c = np.where(hit, classes[pos], 0)
+        match = hit & (qty >= qlo[c]) & (qty <= qhi[c])
+        if not match.any():
+            return empty
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        ).to_numpy()[match]
+        return pa.table(
+            {"total_cents": pa.array([int(cents.sum())], pa.int64())}
+        )
+
+    import pandas as pd
+
+    totals = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    total = int(totals["total_cents"].sum()) if len(totals) else 0
+    return pd.DataFrame(
+        {"total_cents": [total], "revenue": [total / 100.0]}
+    )
+
+
+def q19_oracle_sql() -> str:
+    cents = (
+        "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+        WITH m AS (
+            SELECT {cents} AS cents
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 10 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 20 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        )
+        SELECT COALESCE(CAST(SUM(cents) AS BIGINT), 0) AS total_cents,
+               COALESCE(CAST(SUM(cents) AS BIGINT), 0) / 100.0 AS revenue
+        FROM m
+    """
