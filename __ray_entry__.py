@@ -854,6 +854,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q17_small_quantity_revenue
         ),
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "docs_readability": lambda sf: analysis.readability(
+            _docs(sf, ["lang", "text"])
+        ),
+        "events_hourly_top_type": lambda sf: windows.hourly_top_type(
+            _events(sf)
+        ),
     }
 
 
@@ -2804,6 +2810,10 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": relational_mod.q7_oracle_sql(),
         "q17_small_quantity_revenue": relational_mod.q17_oracle_sql(),
         "q19_disjunctive_revenue": relational_mod.q19_oracle_sql(),
+        "docs_readability": analysis_mod.readability_oracle_sql(),
+        "events_hourly_top_type": (
+            windows_mod.hourly_top_type_oracle_sql()
+        ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

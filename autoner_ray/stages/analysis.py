@@ -3676,3 +3676,138 @@ def corpus_card_oracle_sql() -> str:
                CAST(MAX(w.vocab) AS BIGINT) AS vocab_size
         FROM documents, w
     """
+
+
+def readability(docs_ds):
+    """Per-language Flesch-reading-ease rollup in integer milli-points
+    — the web-curation readability gate (e.g. "drop docs below
+    score X") aggregated for reporting. Per doc: words = spaces + 1,
+    sentences = terminal-punctuation runs ``[.!?]+`` (min 1),
+    syllables = vowel runs ``[aeiouyAEIOUY]+``; the score
+    ``206.835 - 1.015·(w/s) - 84.6·(y/w)`` is computed over the common
+    denominator ``s·w`` as ONE floored integer division
+    ``max(0, 206835·s·w - 1015·w² - 84600·y·s) // (s·w)`` so engine
+    and SQL agree bit-for-bit (clamped at 0: both ``//`` semantics
+    coincide on non-negative numerators).
+
+    Scale shape: fully vectorized RE2 counts per batch (three
+    ``count_substring_regex`` kernels), per-batch partials keyed by the
+    bounded lang space, shuffle-free combine, tiny final division."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "sum_words": pa.array([], pa.int64()),
+                "sum_sentences": pa.array([], pa.int64()),
+                "sum_syllables": pa.array([], pa.int64()),
+                "sum_flesch_milli": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        txt = t["text"].combine_chunks()
+        w = pc.add(pc.count_substring(txt, " "), 1).to_numpy().astype(
+            np.int64
+        )
+        s = np.maximum(
+            pc.count_substring_regex(txt, r"[.!?]+")
+            .to_numpy().astype(np.int64),
+            1,
+        )
+        y = pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+").to_numpy(
+        ).astype(np.int64)
+        num = 206835 * s * w - 1015 * w * w - 84600 * y * s
+        milli = np.maximum(num, 0) // (s * w)
+        agg = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_docs": pa.array(np.ones(len(w), np.int64)),
+                    "sum_words": pa.array(w),
+                    "sum_sentences": pa.array(s),
+                    "sum_syllables": pa.array(y),
+                    "sum_flesch_milli": pa.array(milli),
+                }
+            )
+            .group_by("lang")
+            .aggregate(
+                [
+                    ("n_docs", "sum"),
+                    ("sum_words", "sum"),
+                    ("sum_sentences", "sum"),
+                    ("sum_syllables", "sum"),
+                    ("sum_flesch_milli", "sum"),
+                ]
+            )
+        )
+        return agg.rename_columns(
+            [
+                "lang", "n_docs", "sum_words", "sum_sentences",
+                "sum_syllables", "sum_flesch_milli",
+            ]
+        )
+
+    sums = bounded_key_sum(
+        docs_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["lang"],
+        [
+            "n_docs", "sum_words", "sum_sentences", "sum_syllables",
+            "sum_flesch_milli",
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_words": pa.array([], pa.int64()),
+                    "sum_syllables": pa.array([], pa.int64()),
+                    "avg_flesch_milli": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n_docs"].to_numpy()
+        avg = t["sum_flesch_milli"].to_numpy() // n
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "sum_words": t["sum_words"],
+                "sum_syllables": t["sum_syllables"],
+                "avg_flesch_milli": pa.array(avg, pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def readability_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                   greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                 AS BIGINT), 1) AS s,
+                   CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        AS BIGINT) AS y
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang, w, s, y,
+                   greatest(206835 * s * w - 1015 * w * w
+                            - 84600 * y * s, 0) // (s * w) AS milli
+            FROM per
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS sum_words,
+               CAST(SUM(y) AS BIGINT) AS sum_syllables,
+               CAST(SUM(milli) // COUNT(*) AS BIGINT)
+                   AS avg_flesch_milli
+        FROM scored GROUP BY lang
+    """

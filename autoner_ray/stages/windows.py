@@ -2002,3 +2002,86 @@ def sequence_pattern_oracle_sql(pattern: str = "v[^vp]*p") -> str:
                     AS BIGINT) AS n_matches
         FROM seq
     """
+
+
+def hourly_top_type(events_ds):
+    """Per hour-of-day (0–23), the most frequent event type — counts
+    keyed by (hour, type), argmax per hour with lexicographic-min
+    tiebreak. The "peak traffic composition by time of day" rollup.
+
+    Scale shape: per-batch arrow hash partials over the bounded
+    24 × |event types| key space -> shuffle-free ``bounded_key_sum``
+    combine -> argmax on the tiny final block (no event ever leaves
+    its batch)."""
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "hour": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+        agg = (
+            pa.table({"hour": hour, "event_type": t["event_type"]})
+            .group_by(["hour", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["hour", "event_type", "n_events"])
+
+    counts = bounded_key_sum(
+        events_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["hour", "event_type"], ["n_events"],
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.int64()),
+                    "top_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas().sort_values(
+            ["hour", "n_events", "event_type"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        top = df.groupby("hour", as_index=False).first()
+        return pa.table(
+            {
+                "hour": pa.array(top["hour"], pa.int64()),
+                "top_type": pa.array(top["event_type"], pa.string()),
+                "n_events": pa.array(top["n_events"], pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        argmax, batch_format="pyarrow", batch_size=None
+    )
+
+
+def hourly_top_type_oracle_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT hour, event_type, n_events,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY hour
+                       ORDER BY n_events DESC, event_type
+                   ) AS rk
+            FROM c
+        )
+        SELECT hour, event_type AS top_type, n_events
+        FROM r WHERE rk = 1
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 206 and len(sqls) == 188
+    assert len(qs) == 208 and len(sqls) == 190
     import subprocess
     import sys
 
