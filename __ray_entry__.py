@@ -860,6 +860,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_top_type": lambda sf: windows.hourly_top_type(
             _events(sf)
         ),
+        "embedding_int8_quantize": lambda sf: (
+            similarity.int8_quantize_report(_emb(sf))
+        ),
     }
 
 
@@ -2813,6 +2816,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_readability": analysis_mod.readability_oracle_sql(),
         "events_hourly_top_type": (
             windows_mod.hourly_top_type_oracle_sql()
+        ),
+        "embedding_int8_quantize": (
+            similarity_mod.int8_quantize_oracle_sql()
         ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-

@@ -997,3 +997,166 @@ def kmeans_lattice_oracle_sql(k: int = 4, n_iter: int = 2,
                MIN(vec_id) AS min_vec
         FROM {prev} GROUP BY {prev_lab}
     """
+
+
+def int8_quantize_report(emb_ds):
+    """Scalar (per-dimension min/max) int8 quantization of the
+    embedding table with an integer-exact reconstruction-error report
+    — the compression step a vector store applies before ANN serving,
+    plus the quality audit that decides whether 8-bit codes are safe.
+
+    Everything runs on the 2^-20 integer lattice (float32 values are
+    exact in double, so ``floor(x·2^20 + 0.5)`` is IDENTICAL on engine
+    and SQL sides): code ``(v-min)·255 // max(range,1)``, dequant
+    offset ``code·range // 255``, error ``|v - min - offset|`` — all
+    non-negative int64 ops where ``//`` floor and truncation coincide.
+
+    Scale shape: pass 1 per-batch per-dim min/max partials (|dims|
+    rows per batch, zero-copy flatten -> reshape) -> tiny combine;
+    the |dims|-row table broadcasts via ``ray.put``; pass 2 streams
+    the vectors once more, emitting per-dim (sum_abs_err, sum_code)
+    partials -> bounded combine. No shuffle of the vector table."""
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    SCALE = 1 << 20
+
+    def _lattice(t: pa.Table) -> tuple[np.ndarray, int]:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n = len(t)
+        dim = len(flat) // max(n, 1)
+        q = np.floor(flat * SCALE + 0.5).astype(np.int64)
+        return q.reshape(n, dim), dim
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "min_q": pa.array([], pa.int64()),
+                "max_q": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        q, dim = _lattice(t)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64)),
+                "min_q": pa.array(q.min(axis=0)),
+                "max_q": pa.array(q.max(axis=0)),
+            }
+        )
+
+    def minmax_combine(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "min_q": pa.array([], pa.int64()),
+                    "max_q": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by("dim").aggregate(
+            [("min_q", "min"), ("max_q", "max")]
+        )
+        return agg.rename_columns(["dim", "min_q", "max_q"])
+
+    stats = (
+        emb_ds.map_batches(
+            minmax_partial, batch_format="pyarrow", batch_size=4096
+        )
+        .repartition(1)
+        .map_batches(minmax_combine, batch_format="pyarrow",
+                     batch_size=None)
+        .to_pandas()
+        .sort_values("dim", kind="mergesort")
+    )
+    mins = stats["min_q"].to_numpy()
+    ranges = np.maximum(stats["max_q"].to_numpy() - mins, 1)
+    stats_ref = ray.put((mins, ranges))
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "sum_abs_err": pa.array([], pa.int64()),
+                "sum_code": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        mn, rg = ray.get(stats_ref)
+        q, dim = _lattice(t)
+        code = (q - mn) * 255 // rg
+        recon_off = code * rg // 255
+        err = np.abs(q - mn - recon_off)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64)),
+                "sum_abs_err": pa.array(err.sum(axis=0)),
+                "sum_code": pa.array(code.sum(axis=0)),
+                "n_vecs": pa.array(
+                    np.full(dim, len(t), dtype=np.int64)
+                ),
+            }
+        )
+
+    sums = bounded_key_sum(
+        emb_ds.map_batches(
+            err_partial, batch_format="pyarrow", batch_size=4096
+        ),
+        ["dim"], ["sum_abs_err", "sum_code", "n_vecs"],
+    ).to_pandas().sort_values("dim", kind="mergesort")
+
+    sums["min_q"] = mins
+    sums["range_q"] = ranges
+    sums["mae_lattice"] = (
+        sums["sum_abs_err"].to_numpy() // sums["n_vecs"].to_numpy()
+    )
+    out = sums[
+        ["dim", "min_q", "range_q", "sum_abs_err", "sum_code",
+         "n_vecs", "mae_lattice"]
+    ].reset_index(drop=True)
+    return out
+
+
+def int8_quantize_oracle_sql() -> str:
+    return """
+        WITH q AS (
+            SELECT list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576
+                                       + 0.5) AS BIGINT)
+                   ) AS qs
+            FROM embeddings
+        ),
+        u AS (
+            SELECT CAST(unnest(range(len(qs))) AS BIGINT) AS dim,
+                   unnest(qs) AS v
+            FROM q
+        ),
+        m AS (
+            SELECT dim, MIN(v) AS min_q,
+                   greatest(MAX(v) - MIN(v), 1) AS range_q
+            FROM u GROUP BY dim
+        ),
+        e AS (
+            SELECT u.dim, m.min_q, m.range_q,
+                   (v - min_q) * 255 // range_q AS code,
+                   abs(v - min_q
+                       - ((v - min_q) * 255 // range_q)
+                         * range_q // 255) AS err
+            FROM u JOIN m USING (dim)
+        )
+        SELECT dim, MIN(min_q) AS min_q, MIN(range_q) AS range_q,
+               CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+               CAST(SUM(code) AS BIGINT) AS sum_code,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae_lattice
+        FROM e GROUP BY dim
+    """

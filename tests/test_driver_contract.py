@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 208 and len(sqls) == 190
+    assert len(qs) == 209 and len(sqls) == 191
     import subprocess
     import sys
 
