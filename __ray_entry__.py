@@ -863,6 +863,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8_quantize": lambda sf: (
             similarity.int8_quantize_report(_emb(sf))
         ),
+        "kg_label_propagation": lambda sf: (
+            kg.unigram_label_propagation(sf)
+        ),
     }
 
 
@@ -887,6 +890,47 @@ def _unigram_graph_ctes(dict_values: str) -> str:
             UNION ALL
             SELECT obj, subj, CAST(weight AS DOUBLE) FROM pairs
         )
+    """
+
+
+def _lpa_sql(dict_values: str, rounds: int = 4) -> str:
+    """Label-propagation twin: ``rounds`` unrolled synchronous sweeps.
+    Each step joins the previous label table to the INTEGER-weight
+    bidirectional edge list, sums votes per (node, label) and keeps the
+    ROW_NUMBER()=1 label under (votes DESC, label ASC) — byte-exact
+    against the engine's numpy sweeps since every vote is an int64."""
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""v{i} AS (
+                SELECT b.dst AS node, l.label,
+                       SUM(b.iw) AS w
+                FROM bidir_int b JOIN {prev} l ON l.src = b.src
+                GROUP BY 1, 2
+            ), l{i} AS (
+                SELECT node AS src, label FROM (
+                    SELECT node, label, ROW_NUMBER() OVER (
+                        PARTITION BY node ORDER BY w DESC, label
+                    ) AS rk
+                    FROM v{i}
+                ) WHERE rk = 1
+            )"""
+        )
+        prev = f"l{i}"
+    return f"""
+        WITH {_unigram_graph_ctes(dict_values)},
+        bidir_int AS MATERIALIZED (
+            SELECT subj AS src, obj AS dst, CAST(weight AS BIGINT) AS iw
+            FROM pairs
+            UNION ALL
+            SELECT obj, subj, CAST(weight AS BIGINT) FROM pairs
+        ),
+        l0 AS (
+            SELECT DISTINCT src, src AS label FROM bidir_int
+        ),
+        {",".join(steps)}
+        SELECT src AS entity, label AS community FROM {prev}
     """
 
 
@@ -2820,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_int8_quantize": (
             similarity_mod.int8_quantize_oracle_sql()
         ),
+        "kg_label_propagation": _lpa_sql(dict_values),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

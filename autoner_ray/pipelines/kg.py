@@ -1079,3 +1079,13 @@ def unigram_hash_walks(sf_dir: str):
         )
 
     return walks.map_batches(finish, batch_format="pyarrow")
+
+
+def unigram_label_propagation(sf_dir: str, rounds: int = 4):
+    """Weighted synchronous label-propagation communities over the
+    unigram co-occurrence graph (oracle: ``rounds`` unrolled
+    vote-argmax steps with ROW_NUMBER tiebreak — integer weights, so
+    the vote sums are exact on both sides)."""
+    from autoner_ray.stages.graph import label_propagation
+
+    return label_propagation(unigram_triples(sf_dir), rounds=rounds)

@@ -1294,3 +1294,72 @@ def kcore(edges_ds, k: int = 2, driver_max_edges: int = 2_000_000,
             "degree": pa.array(deg.to_numpy(), pa.int64()),
         }
     )
+
+
+def label_propagation(edges_ds, rounds: int = 4):
+    """Synchronous weighted label propagation (community detection) —
+    ``rounds`` fixed sweeps of ``label[v] = argmax over neighbor labels
+    by summed edge weight, ties to the lexicographically smallest
+    label``, labels initialized to the node's own name. Fixed rounds +
+    deterministic tiebreak make the result execution-order independent
+    and SQL-unrollable (reference semantics: Raghavan et al. 2007,
+    synchronous variant).
+
+    Same locality argument as :func:`pagerank`: the distributed edge
+    aggregate bounds the vote table to the dictionary-bounded entity
+    vocab, so the sweeps run driver-side on the aggregated edges
+    (integer weights — votes are exact). An unbounded-vocab corpus
+    would iterate the label table as a Dataset with a cogroup join +
+    groupby-argmax per round, the
+    :func:`connected_components_distributed` shape."""
+    import pandas as pd
+
+    df = edges_ds.to_pandas()
+    ents = sorted(set(df["subj"]) | set(df["obj"]))
+    n = len(ents)
+    if n == 0:
+        return pa.table(
+            {
+                "entity": pa.array([], pa.string()),
+                "community": pa.array([], pa.string()),
+            }
+        )
+    idx = {e: i for i, e in enumerate(ents)}
+    src = np.fromiter(
+        (idx[s] for s in df["subj"]), dtype=np.int64, count=len(df)
+    )
+    dst = np.fromiter(
+        (idx[o] for o in df["obj"]), dtype=np.int64, count=len(df)
+    )
+    w = df["weight"].to_numpy().astype(np.int64)
+    voters = np.concatenate([src, dst])
+    targets = np.concatenate([dst, src])
+    ww = np.concatenate([w, w])
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        votes = (
+            pd.DataFrame(
+                {"node": targets, "lab": lab[voters], "w": ww}
+            )
+            .groupby(["node", "lab"], as_index=False)["w"]
+            .sum()
+            # ents is sorted, so index order IS lexicographic order —
+            # "lab asc" realizes the min-label tiebreak exactly
+            .sort_values(
+                ["node", "w", "lab"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+        )
+        first = votes.groupby("node", as_index=False).first()
+        new = lab.copy()
+        new[first["node"].to_numpy()] = first["lab"].to_numpy()
+        lab = new
+    return pa.table(
+        {
+            "entity": pa.array(ents, pa.string()),
+            "community": pa.array(
+                [ents[i] for i in lab], pa.string()
+            ),
+        }
+    )
