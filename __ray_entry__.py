@@ -866,6 +866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_propagation": lambda sf: (
             kg.unigram_label_propagation(sf)
         ),
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q22_sales_opportunity": relational.q22_sales_opportunity,
     }
 
 
@@ -2865,6 +2867,8 @@ def oracle_sql() -> dict[str, str]:
             similarity_mod.int8_quantize_oracle_sql()
         ),
         "kg_label_propagation": _lpa_sql(dict_values),
+        "q15_top_supplier": relational_mod.q15_oracle_sql(),
+        "q22_sales_opportunity": relational_mod.q22_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

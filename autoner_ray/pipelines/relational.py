@@ -3507,3 +3507,272 @@ def q19_oracle_sql() -> str:
                COALESCE(CAST(SUM(cents) AS BIGINT), 0) / 100.0 AS revenue
         FROM m
     """
+
+
+def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
+                     months: int = 3):
+    """TPC-H Q15 shape (top supplier): revenue per supplier over one
+    quarter of shipments, returning the supplier(s) whose revenue
+    equals the maximum (ties kept, as the spec's view formulation
+    does). Integer cents end-to-end, so "equals the max" is exact.
+
+    Scale shape: one streaming pass over date-filtered lineitem emits
+    per-batch (suppkey, cents) arrow hash partials -> shuffle-free
+    bounded combine over the supplier key space (|suppliers| ≪ corpus;
+    at TPC-H sf≳100 swap the combine for a hash-partitioned groupby) ->
+    max + filter + name join on the tiny result."""
+    import pyarrow.parquet as pq
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    lo = np.datetime64(date_lo, "us")
+    hi_m = (lo.astype("M8[M]") + months).astype("M8[us]")
+    lo_i, hi_i = lo.astype(np.int64), hi_m.astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ship = t["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy()
+        keep = (ship >= lo_i) & (ship < hi_i)
+        if not keep.any():
+            return empty
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        ).to_numpy()[keep]
+        agg = pa.table(
+            {
+                "s_suppkey": pa.array(
+                    t["l_suppkey"].to_numpy()[keep], pa.int64()
+                ),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("s_suppkey").aggregate([("cents", "sum")])
+        return agg.rename_columns(["s_suppkey", "cents"])
+
+    sums = bounded_key_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        keys=["s_suppkey"], sum_cols=["cents"],
+    ).to_pandas()
+
+    import pandas as pd
+
+    if len(sums) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series(dtype="int64"),
+                "s_name": pd.Series(dtype="object"),
+                "total_revenue": pd.Series(dtype="float64"),
+            }
+        )
+    top = sums[sums["cents"] == sums["cents"].max()].copy()
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    top = top.merge(st, on="s_suppkey", how="left")
+    top["total_revenue"] = top["cents"].astype("float64") / 100.0
+    top = top.sort_values("s_suppkey", kind="mergesort").reset_index(
+        drop=True
+    )
+    return top[["s_suppkey", "s_name", "total_revenue"]]
+
+
+def q15_oracle_sql(date_lo: str = "1996-01-01", months: int = 3) -> str:
+    cents = (
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+        WITH rev AS (
+            SELECT l_suppkey AS s_suppkey, SUM({cents}) AS cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+              AND l_shipdate < TIMESTAMP '{date_lo}'
+                              + INTERVAL {months} MONTH
+            GROUP BY 1
+        )
+        SELECT r.s_suppkey, s.s_name, r.cents / 100.0 AS total_revenue
+        FROM rev r JOIN supplier s USING (s_suppkey)
+        WHERE r.cents = (SELECT MAX(cents) FROM rev)
+    """
+
+
+def q22_sales_opportunity(sf_dir: str, cutoff: str = "2000-06-01"):
+    """TPC-H Q22 shape (global sales opportunity): LAPSED customers —
+    account balance above the average POSITIVE balance and no order on
+    or after ``cutoff`` — counted and totalled per nation. Anti-join +
+    scalar aggregate, the Q22 adaptation for this schema (no phone
+    column — nation stands in for the country prefix; plain
+    no-orders-ever is degenerate in this data, every customer has
+    ordered at least once).
+
+    Integer-exact: balances compare in cents (``floor(bal·100 + 0.5)``)
+    against a FLOORED integer average, so the threshold is the same
+    int64 on both sides.
+
+    Scale shape: customer streams twice (balance-average partials, then
+    the filtered scan); the no-orders anti-filter broadcasts the SORTED
+    DISTINCT custkey array from a per-batch-distinct pass over orders
+    (|customers with orders| ints — at sf≳100 swap to the
+    hash-partitioned anti-join in ``customers_without_orders``); per-
+    nation partials combine shuffle-free."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    # scalar average of positive balances (cents, floored division)
+    def bal_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sum_cents": pa.array([], pa.int64()),
+                "n_pos": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        bal = t["c_acctbal"].to_numpy().astype(np.float64)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {
+                "sum_cents": pa.array([int(cents[pos].sum())], pa.int64()),
+                "n_pos": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    totals = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow",
+                     batch_size=65536)
+        .to_pandas()
+    )
+    n_pos = int(totals["n_pos"].sum())
+    threshold = (
+        int(totals["sum_cents"].sum()) // n_pos if n_pos else 0
+    )
+
+    cutoff_i = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def has_orders_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"c": pa.array([], pa.int64())})
+        od = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy()
+        recent = t.filter(pa.array(od >= cutoff_i))
+        return pa.table(
+            {"c": pc.unique(recent["o_custkey"].combine_chunks())}
+        )
+
+    havers = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(has_orders_partial, batch_format="pyarrow",
+                     batch_size=65536)
+        .to_pandas()["c"]
+        .unique()
+    )
+    havers_ref = ray.put(np.sort(havers))
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "n_custs": pa.array([], pa.int64()),
+                "bal_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        hv = ray.get(havers_ref)
+        bal = t["c_acctbal"].to_numpy().astype(np.float64)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        ck = t["c_custkey"].to_numpy()
+        pos = np.clip(np.searchsorted(hv, ck), 0, max(len(hv) - 1, 0))
+        no_orders = (
+            np.ones(len(ck), bool) if len(hv) == 0 else hv[pos] != ck
+        )
+        keep = (cents > threshold) & no_orders
+        if not keep.any():
+            return empty
+        agg = pa.table(
+            {
+                "c_nationkey": pa.array(
+                    t["c_nationkey"].to_numpy().astype(np.int64)[keep],
+                    pa.int64(),
+                ),
+                "n_custs": pa.array(
+                    np.ones(int(keep.sum()), np.int64), pa.int64()
+                ),
+                "bal_cents": pa.array(cents[keep], pa.int64()),
+            }
+        ).group_by("c_nationkey").aggregate(
+            [("n_custs", "sum"), ("bal_cents", "sum")]
+        )
+        return agg.rename_columns(["c_nationkey", "n_custs", "bal_cents"])
+
+    sums = bounded_key_sum(
+        _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+        ).map_batches(nation_partial, batch_format="pyarrow",
+                      batch_size=65536),
+        keys=["c_nationkey"], sum_cols=["n_custs", "bal_cents"],
+    ).to_pandas()
+
+    import pandas as pd2
+    import pyarrow.parquet as pq2
+
+    if len(sums) == 0 or "c_nationkey" not in sums.columns:
+        return pd2.DataFrame(
+            {
+                "n_name": pd2.Series(dtype="object"),
+                "n_custs": pd2.Series(dtype="int64"),
+                "total_acctbal": pd2.Series(dtype="float64"),
+            }
+        )
+    nt = pq2.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    sums = sums.merge(
+        nt[["n_nationkey", "n_name"]],
+        left_on="c_nationkey", right_on="n_nationkey",
+    )
+    sums["total_acctbal"] = sums["bal_cents"].astype("float64") / 100.0
+    sums = sums.sort_values("n_name", kind="mergesort").reset_index(
+        drop=True
+    )
+    return sums[["n_name", "n_custs", "total_acctbal"]]
+
+
+def q22_oracle_sql(cutoff: str = "2000-06-01") -> str:
+    return f"""
+        WITH cents AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+            FROM customer
+        ),
+        thr AS (
+            SELECT CAST(SUM(bal) // COUNT(*) AS BIGINT) AS t
+            FROM cents WHERE bal > 0
+        )
+        SELECT n.n_name, COUNT(*) AS n_custs,
+               CAST(SUM(c.bal) AS BIGINT) / 100.0 AS total_acctbal
+        FROM cents c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.bal > (SELECT t FROM thr)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '{cutoff}'
+          )
+        GROUP BY n.n_name
+    """
