@@ -868,6 +868,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q15_top_supplier": relational.q15_top_supplier,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
+        "docs_ccnet_buckets": lambda sf: analysis.ccnet_buckets(
+            _docs(sf, ["doc_id", "text", "lang"])
+        ),
     }
 
 
@@ -2869,6 +2872,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_propagation": _lpa_sql(dict_values),
         "q15_top_supplier": relational_mod.q15_oracle_sql(),
         "q22_sales_opportunity": relational_mod.q22_oracle_sql(),
+        "docs_ccnet_buckets": analysis_mod.ccnet_buckets_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

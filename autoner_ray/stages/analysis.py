@@ -3811,3 +3811,123 @@ def readability_oracle_sql() -> str:
                    AS avg_flesch_milli
         FROM scored GROUP BY lang
     """
+
+
+def ccnet_buckets(docs_ds, n_buckets: int = 3):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per
+    language, split documents into ``n_buckets`` equal-frequency
+    perplexity tiers (head / middle / tail) by the bigram-LM score of
+    :func:`lm_perplexity`, and report each tier's size and metric
+    range. The metric is integer milli-micro-nats per bigram
+    (``nll_micro · 1000 // n_bigrams``) so tier boundaries are exact;
+    tiling follows SQL ``NTILE`` semantics (first ``n %% k`` tiles get
+    the extra row) with a (metric, doc_id) deterministic order.
+
+    Scale shape: the per-doc score table cogroup-joins to the
+    (doc_id, lang) projection sharded by int doc_id — one corpus-row
+    shuffle, no driver materialization — then per-lang pandas tiling.
+    At 100 TB, per-lang groups are corpus/|langs| rows; swap the exact
+    NTILE for tier BOUNDARIES from a distributed value histogram (the
+    ``lineitem_weighted_median`` shape) and a stateless bucketing map —
+    kept exact here because the oracle certifies the tier contract."""
+    import pandas as pd
+
+    from autoner_ray.stages.joins import cogroup_join
+
+    scored = lm_perplexity(docs_ds)
+
+    def metric_col(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "metric": pa.array([], pa.int64()),
+                }
+            )
+        nb = t["n_bigrams"].to_numpy()
+        m = t["nll_micro"].to_numpy() * 1000 // nb
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": t["n_bigrams"],
+                "metric": pa.array(m, pa.int64()),
+            }
+        )
+
+    langs = docs_ds.map_batches(
+        lambda t: t.select(["doc_id", "lang"])
+        if t.num_columns
+        else pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cogroup_join(
+        scored.map_batches(metric_col, batch_format="pyarrow"),
+        langs,
+        on=("doc_id",),
+    )
+
+    def tile(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lang" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype="object"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "min_metric": pd.Series(dtype="int64"),
+                    "max_metric": pd.Series(dtype="int64"),
+                    "sum_bigrams": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["metric", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(df)
+        base, extra = divmod(n, n_buckets)
+        sizes = [base + (1 if i < extra else 0) for i in range(n_buckets)]
+        buckets = np.repeat(
+            np.arange(1, n_buckets + 1, dtype=np.int64), sizes
+        )
+        df["bucket"] = buckets
+        g = df.groupby("bucket", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            min_metric=("metric", "min"),
+            max_metric=("metric", "max"),
+            sum_bigrams=("n_bigrams", "sum"),
+        )
+        g.insert(0, "lang", df["lang"].iloc[0])
+        return g[g["n_docs"] > 0]
+
+    return joined.groupby("lang").map_groups(
+        tile, batch_format="pandas"
+    )
+
+
+def ccnet_buckets_oracle_sql(n_buckets: int = 3) -> str:
+    inner = lm_perplexity_oracle_sql()
+    return f"""
+        WITH ppl AS ({inner}),
+        m AS (
+            SELECT p.doc_id, d.lang, p.n_bigrams,
+                   p.nll_micro * 1000 // p.n_bigrams AS metric
+            FROM ppl p JOIN documents d USING (doc_id)
+        ),
+        t AS (
+            SELECT lang, n_bigrams, metric,
+                   NTILE({n_buckets}) OVER (
+                       PARTITION BY lang ORDER BY metric, doc_id
+                   ) AS bucket
+            FROM m
+        )
+        SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(metric) AS min_metric,
+               MAX(metric) AS max_metric,
+               CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+        FROM t GROUP BY lang, bucket
+    """
