@@ -871,6 +871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ccnet_buckets": lambda sf: analysis.ccnet_buckets(
             _docs(sf, ["doc_id", "text", "lang"])
         ),
+        "q9_product_type_profit": relational.q9_product_type_profit,
+        "orders_cohort_ltv": relational.orders_cohort_ltv,
     }
 
 
@@ -2873,6 +2875,8 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": relational_mod.q15_oracle_sql(),
         "q22_sales_opportunity": relational_mod.q22_oracle_sql(),
         "docs_ccnet_buckets": analysis_mod.ccnet_buckets_oracle_sql(),
+        "q9_product_type_profit": relational_mod.q9_oracle_sql(),
+        "orders_cohort_ltv": relational_mod.cohort_ltv_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

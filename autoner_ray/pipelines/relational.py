@@ -3776,3 +3776,255 @@ def q22_oracle_sql(cutoff: str = "2000-06-01") -> str:
           )
         GROUP BY n.n_name
     """
+
+
+def q9_product_type_profit(sf_dir: str, ptype: str = "ECONOMY"):
+    """TPC-H Q9 shape (product-type profit, adapted — this schema has
+    no partsupp, so profit is discounted revenue): revenue of lineitems
+    whose part is of ``ptype``, grouped by the SUPPLIER's nation and
+    order year. The 4-table star with a selective dimension filter.
+
+    Scale shape: q5/q7 idiom — part pre-filters to the type and ships
+    as a sorted key array, supplier ships as (suppkey -> nationkey),
+    orders as (orderkey -> orderdate-year); one fused pass over pruned
+    lineitem columns resolves all three locally and emits per-batch
+    cents partials over the bounded |nations| × |years| key space."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    mask = np.asarray(
+        pt["p_type"].to_numpy(zero_copy_only=False)
+    ) == ptype
+    pkeys = np.sort(pt["p_partkey"].to_numpy()[mask])
+
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys, snat = _sorted_lookup(st, "s_suppkey", ["s_nationkey"])
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    oyears = (
+        ot["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        .to_numpy().astype("M8[us]").astype("M8[Y]").astype(np.int64)
+        + 1970
+    )
+    okeys = ot["o_orderkey"].to_numpy()
+    oix = np.argsort(okeys, kind="stable")
+    lookup_ref = ray.put(
+        (pkeys, skeys, snat, okeys[oix], oyears[oix])
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_nationkey": pa.array([], pa.int64()),
+                "o_year": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        pk, sk, sn, ok, oy = ray.get(lookup_ref)
+        _, phit = _probe_sorted(pk, t["l_partkey"].to_numpy())
+        if not phit.any():
+            return empty
+        spos, shit = _probe_sorted(sk, t["l_suppkey"].to_numpy())
+        opos, ohit = _probe_sorted(ok, t["l_orderkey"].to_numpy())
+        keep = phit & shit & ohit
+        if not keep.any():
+            return empty
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        ).to_numpy()[keep]
+        agg = pa.table(
+            {
+                "s_nationkey": pa.array(
+                    sn[spos[keep]].astype(np.int64), pa.int64()
+                ),
+                "o_year": pa.array(oy[opos[keep]], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by(["s_nationkey", "o_year"]).aggregate(
+            [("cents", "sum")]
+        )
+        return agg.rename_columns(["s_nationkey", "o_year", "cents"])
+
+    sums = bounded_key_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_orderkey",
+             "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        keys=["s_nationkey", "o_year"], sum_cols=["cents"],
+    ).to_pandas()
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    sums = sums.merge(
+        nt[["n_nationkey", "n_name"]],
+        left_on="s_nationkey", right_on="n_nationkey",
+    )
+    sums["profit"] = sums["cents"].astype("float64") / 100.0
+    sums = sums.sort_values(
+        ["n_name", "o_year"], kind="mergesort"
+    ).reset_index(drop=True)
+    return sums[["n_name", "o_year", "profit"]]
+
+
+def q9_oracle_sql(ptype: str = "ECONOMY") -> str:
+    cents = (
+        "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+        SELECT n.n_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                   AS o_year,
+               SUM({cents}) / 100.0 AS profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_type = '{ptype}'
+        GROUP BY 1, 2
+    """
+
+
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix: customers grouped by FIRST-order
+    month (the acquisition cohort), order revenue accumulated by months
+    elapsed since that first order — the retention-revenue triangle
+    every growth dashboard draws, here over order totals in exact
+    cents.
+
+    Scale shape: pass 1 streams orders into per-batch (custkey,
+    min-date) arrow partials -> hash-partitioned groupby-min (customer
+    keys are unbounded, so the combine is key-distributed, never
+    driver-sized); the resulting cohort table (one row per customer,
+    ≪ fact volume) broadcasts once as sorted arrays; pass 2 re-streams
+    orders, resolves each row's cohort + month-age locally and emits
+    cents partials over the bounded |cohorts| × |ages| key space."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "first_us": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        od = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        agg = pa.table(
+            {"o_custkey": t["o_custkey"], "first_us": od}
+        ).group_by("o_custkey").aggregate([("first_us", "min")])
+        return agg.rename_columns(["o_custkey", "first_us"])
+
+    firsts = partitioned_key_agg(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            first_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["o_custkey"], aggs=[("first_us", "min")],
+    ).to_pandas()
+
+    ck = firsts["o_custkey"].to_numpy()
+    ix = np.argsort(ck, kind="stable")
+    first_m = (
+        firsts["first_us"].to_numpy().astype("M8[us]").astype("M8[M]")
+        .astype(np.int64)
+    )  # months since 1970
+    lookup_ref = ray.put((ck[ix], first_m[ix]))
+
+    def ltv_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_month": pa.array([], pa.int64()),
+                "age_months": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        keys, fm = ray.get(lookup_ref)
+        pos, hit = _probe_sorted(keys, t["o_custkey"].to_numpy())
+        om = (
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy().astype("M8[us]").astype("M8[M]").astype(np.int64)
+        )
+        cohort = fm[pos]
+        age = om - cohort
+        price = t["o_totalprice"].to_numpy().astype(np.float64)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        agg = pa.table(
+            {
+                "cohort_month": pa.array(cohort, pa.int64()),
+                "age_months": pa.array(age, pa.int64()),
+                "n_orders": pa.array(
+                    np.ones(len(age), np.int64), pa.int64()
+                ),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by(["cohort_month", "age_months"]).aggregate(
+            [("n_orders", "sum"), ("cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["cohort_month", "age_months", "n_orders", "cents"]
+        )
+
+    sums = bounded_key_sum(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+        ).map_batches(ltv_partial, batch_format="pyarrow",
+                      batch_size=65536),
+        keys=["cohort_month", "age_months"],
+        sum_cols=["n_orders", "cents"],
+    ).to_pandas()
+
+    sums["revenue"] = sums["cents"].astype("float64") / 100.0
+    sums = sums.sort_values(
+        ["cohort_month", "age_months"], kind="mergesort"
+    ).reset_index(drop=True)
+    return sums[["cohort_month", "age_months", "n_orders", "revenue"]]
+
+
+def cohort_ltv_oracle_sql() -> str:
+    # months-since-epoch via (year-1970)*12 + (month-1): DuckDB's
+    # date_diff('month', ...) counts month BOUNDARIES crossed, which is
+    # the same thing for month-floored inputs
+    # outer parens are load-bearing: the expression is spliced into
+    # "{om} - {fm}" and must subtract as a unit
+    month = (
+        "((CAST(EXTRACT(year FROM {c}) AS BIGINT) - 1970) * 12"
+        " + CAST(EXTRACT(month FROM {c}) AS BIGINT) - 1)"
+    )
+    om = month.format(c="o.o_orderdate")
+    fm = month.format(c="f.first_date")
+    return f"""
+        WITH f AS (
+            SELECT o_custkey, MIN(o_orderdate) AS first_date
+            FROM orders GROUP BY 1
+        )
+        SELECT {fm} AS cohort_month,
+               {om} - {fm} AS age_months,
+               COUNT(*) AS n_orders,
+               SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   / 100.0 AS revenue
+        FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    """

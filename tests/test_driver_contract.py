@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 213 and len(sqls) == 195
+    assert len(qs) == 215 and len(sqls) == 197
     import subprocess
     import sys
 
