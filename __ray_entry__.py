@@ -873,6 +873,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q9_product_type_profit": relational.q9_product_type_profit,
         "orders_cohort_ltv": relational.orders_cohort_ltv,
+        "docs_chunk_overlap": lambda sf: analysis.chunk_overlap(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "docs_vocab_coverage": lambda sf: analysis.vocab_coverage_curve(
+            _docs(sf, ["text"])
+        ),
+        "q16_parts_supplier_count": (
+            relational.q16_supplier_count_by_part_attrs
+        ),
     }
 
 
@@ -2877,6 +2886,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_ccnet_buckets": analysis_mod.ccnet_buckets_oracle_sql(),
         "q9_product_type_profit": relational_mod.q9_oracle_sql(),
         "orders_cohort_ltv": relational_mod.cohort_ltv_oracle_sql(),
+        "docs_chunk_overlap": analysis_mod.chunk_overlap_oracle_sql(),
+        "docs_vocab_coverage": analysis_mod.vocab_coverage_oracle_sql(),
+        "q16_parts_supplier_count": relational_mod.q16_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -4028,3 +4028,136 @@ def cohort_ltv_oracle_sql() -> str:
         FROM orders o JOIN f ON f.o_custkey = o.o_custkey
         GROUP BY 1, 2
     """
+
+
+def q16_supplier_count_by_part_attrs(
+    sf_dir: str,
+    excl_brand: str = "Brand#13",
+    excl_type: str = "PROMO",
+):
+    """TPC-H Q16 shape (suppliers who can supply a part class, adapted
+    — this schema has no partsupp, so lineitem is the part↔supplier
+    bridge): COUNT(DISTINCT supplier) per (brand, type, size) over
+    parts excluding one brand and one type.
+
+    Scale shape: part pre-filters the exclusions and broadcasts as
+    (sorted partkey -> packed attr-group id); one pass over two
+    lineitem columns packs (group, suppkey) into int64 and
+    per-batch-uniques it; a supplier-partitioned distinct makes pairs
+    globally unique (pair counts are unbounded — never driver-sized);
+    the final count per group flows through the bounded combine
+    (|brand|×|type|×|size| ≤ ~10^4 by construction)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    pt = pt[(pt["p_brand"] != excl_brand) & (pt["p_type"] != excl_type)]
+    b_codes, b_uniq = pd.factorize(pt["p_brand"], sort=True)
+    t_codes, t_uniq = pd.factorize(pt["p_type"], sort=True)
+    sizes = pt["p_size"].to_numpy(np.int64)
+    # sizes are small positive ints; 2^16 headroom keeps the pack exact
+    gid = (
+        (b_codes.astype(np.int64) * len(t_uniq) + t_codes) << 16
+    ) | sizes
+    keys = pt["p_partkey"].to_numpy(np.int64)
+    ix = np.argsort(keys, kind="stable")
+    lookup_ref = ray.put((keys[ix], gid[ix]))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gid": pa.array([], pa.int64()),
+                "supp": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        pk, pg = ray.get(lookup_ref)
+        pos, hit = _probe_sorted(pk, t["l_partkey"].to_numpy())
+        if not hit.any():
+            return empty
+        g = pg[pos[hit]]
+        supp = t["l_suppkey"].to_numpy()[hit].astype(np.int64)
+        packed = np.unique((g.astype(np.uint64) << np.uint64(32))
+                           | supp.astype(np.uint64))
+        return pa.table(
+            {
+                "gid": pa.array(
+                    (packed >> np.uint64(32)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "supp": pa.array(
+                    (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(len(packed), np.int64)),
+            }
+        )
+
+    distinct_pairs = partitioned_key_agg(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            pair_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["gid", "supp"], aggs=[("one", "max")], part_on=("supp",),
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "gid" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "gid": pa.array([], pa.int64()),
+                    "supplier_cnt": pa.array([], pa.int64()),
+                }
+            )
+        vals, counts = np.unique(
+            t["gid"].to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {
+                "gid": pa.array(vals, pa.int64()),
+                "supplier_cnt": pa.array(
+                    counts.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = bounded_key_sum(
+        distinct_pairs.map_batches(
+            count_partial, batch_format="pyarrow", batch_size=None
+        ),
+        keys=["gid"], sum_cols=["supplier_cnt"],
+    ).to_pandas()
+
+    g = out["gid"].to_numpy(np.int64)
+    bt = g >> 16
+    out["p_brand"] = b_uniq[(bt // len(t_uniq)).astype(np.int64)]
+    out["p_type"] = t_uniq[(bt % len(t_uniq)).astype(np.int64)]
+    out["p_size"] = (g & 0xFFFF).astype(np.int64)
+    out = out.sort_values(
+        ["p_brand", "p_type", "p_size"], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+def q16_oracle_sql(excl_brand: str = "Brand#13",
+                   excl_type: str = "PROMO") -> str:
+    return f"""
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> '{excl_brand}' AND p.p_type <> '{excl_type}'
+        GROUP BY 1, 2, 3
+    """

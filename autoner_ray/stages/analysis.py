@@ -3931,3 +3931,218 @@ def ccnet_buckets_oracle_sql(n_buckets: int = 3) -> str:
                CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
         FROM t GROUP BY lang, bucket
     """
+
+
+def chunk_overlap(docs_ds, chunk_words: int = 32, stride: int = 24):
+    """Fixed-stride overlapping word-window chunker — the
+    context-window preprocessor every RAG / pretraining pipeline runs:
+    each document's whitespace tokens become windows of ``chunk_words``
+    words starting every ``stride`` words (so consecutive chunks share
+    ``chunk_words - stride`` words); the tail chunk is short. Emits one
+    row per chunk with its md5 fingerprint so downstream chunk-level
+    dedup (exact or winnowing) can run without re-carrying text.
+
+    Chunk contract (mirrored exactly by the SQL twin): a chunk starts
+    at word offset ``k*stride`` for every k with ``k*stride < n_words``
+    (empty text splits to the single empty word, n=1, one chunk).
+
+    Scale shape: stateless per-batch flat-map — one pass, no shuffle;
+    output is ~``n_words/stride`` rows per doc. Chunk hashing is the
+    same per-string md5 the exact-dedup stage pays."""
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "chunk_md5": pa.array([], pa.string()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ids_out: list[int] = []
+        idx_out: list[int] = []
+        nw_out: list[int] = []
+        md5_out: list[str] = []
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            words = (text or "").split(" ")
+            n = len(words)
+            k = 0
+            while k * stride < n:
+                piece = words[k * stride: k * stride + chunk_words]
+                ids_out.append(doc_id)
+                idx_out.append(k)
+                nw_out.append(len(piece))
+                md5_out.append(
+                    hashlib.md5(" ".join(piece).encode()).hexdigest()
+                )
+                k += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "chunk_idx": pa.array(idx_out, pa.int64()),
+                "n_words": pa.array(nw_out, pa.int64()),
+                "chunk_md5": pa.array(md5_out, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def chunk_overlap_oracle_sql(chunk_words: int = 32,
+                             stride: int = 24) -> str:
+    # 1-based inclusive list slicing; the scalar generate_series list
+    # (unnested) enumerates exactly the starts with (start-1) < n —
+    # the lateral table-function form can't reference w.n in DuckDB
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, ws, n,
+                   unnest(generate_series(1, CAST(n AS BIGINT),
+                                          {stride})) AS gs
+            FROM w
+        )
+        SELECT doc_id,
+               (gs - 1) // {stride} AS chunk_idx,
+               least(gs + {chunk_words} - 1, n) - gs + 1 AS n_words,
+               md5(array_to_string(
+                   ws[gs:least(gs + {chunk_words} - 1, n)], ' '
+               )) AS chunk_md5
+        FROM c
+    """
+
+
+def vocab_coverage_curve(docs_ds, ks: tuple[int, ...] = (
+        1, 2, 5, 10, 20, 50, 100, 1000)):
+    """Token-coverage curve of the frequency-ranked vocabulary: for
+    each k, the integer-ppm share of ALL corpus tokens covered by the
+    top-k words (count DESC, word ASC tie-break) — the
+    tokenizer-budget diagnostic (how big a vocab buys how much of the
+    stream). k beyond the vocab saturates at 1e6 ppm.
+
+    Scale shape: word counts reduce through the word-partitioned
+    distributed sum (vocab never on the driver); each partition then
+    ships only its local top-max(k) rows plus a single total row, so
+    the driver merge sees P × max(k) rows regardless of vocab size."""
+    import pandas as pd
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    kmax = max(ks)
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        words, counts = np.unique(
+            np.concatenate(
+                [
+                    np.array((x or "").split(" "), dtype=object)
+                    for x in t["text"].to_pylist()
+                ]
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "word": pa.array(words.astype(str), pa.string()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = partitioned_key_sum(
+        docs_ds.map_batches(word_partial, batch_format="pyarrow"),
+        keys=["word"], sum_cols=["c"], part_on=("word",),
+    )
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0 or "word" not in (
+            t.column_names
+        ):
+            return empty
+        df = t.select(["word", "c"]).to_pandas()
+        total = int(df["c"].sum())
+        top = df.sort_values(
+            ["c", "word"], ascending=[False, True], kind="mergesort"
+        ).head(kmax)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    [0] * len(top) + [1], pa.int64()
+                ),
+                "word": pa.array(
+                    list(top["word"]) + [""], pa.string()
+                ),
+                "c": pa.array(
+                    list(top["c"].astype(np.int64)) + [total],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = counts.map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    total = int(parts.loc[parts["kind"] == 1, "c"].sum())
+    top = (
+        parts[parts["kind"] == 0]
+        .sort_values(["c", "word"], ascending=[False, True],
+                     kind="mergesort")
+        .head(kmax)
+    )
+    cum = top["c"].to_numpy(np.int64).cumsum()
+    ppm = [
+        int(cum[min(k, len(cum)) - 1] * 1_000_000 // total)
+        if len(cum) and total else 0
+        for k in ks
+    ]
+    return pa.table(
+        {
+            "k": pa.array(list(ks), pa.int64()),
+            "coverage_ppm": pa.array(ppm, pa.int64()),
+        }
+    )
+
+
+def vocab_coverage_oracle_sql(ks: tuple[int, ...] = (
+        1, 2, 5, 10, 20, 50, 100, 1000)) -> str:
+    kvals = ", ".join(f"({k})" for k in ks)
+    return f"""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+        rk AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r
+            FROM cnt
+        ),
+        cum AS (
+            SELECT r, SUM(c) OVER (ORDER BY r) AS cs FROM rk
+        ),
+        tot AS (SELECT SUM(c) AS t FROM cnt),
+        ks(k) AS (VALUES {kvals})
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(COALESCE(
+                   (SELECT MAX(cs) FROM cum WHERE cum.r <= ks.k), 0
+               ) * 1000000 // tot.t AS BIGINT) AS coverage_ppm
+        FROM ks, tot
+    """
