@@ -882,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_parts_supplier_count": (
             relational.q16_supplier_count_by_part_attrs
         ),
+        "kg_triple_delta": lambda sf: kg.unigram_triple_delta(sf),
     }
 
 
@@ -2889,6 +2890,30 @@ def oracle_sql() -> dict[str, str]:
         "docs_chunk_overlap": analysis_mod.chunk_overlap_oracle_sql(),
         "docs_vocab_coverage": analysis_mod.vocab_coverage_oracle_sql(),
         "q16_parts_supplier_count": relational_mod.q16_oracle_sql(),
+        "kg_triple_delta": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ),
+            pairs AS (
+                SELECT a.entity AS subj, b.entity AS obj,
+                       SUM(CASE WHEN a.doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                           AS old_weight,
+                       SUM(CASE WHEN a.doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                           AS new_weight
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2
+            )
+            SELECT subj, obj,
+                   CAST(old_weight AS BIGINT) AS old_weight,
+                   CAST(new_weight AS BIGINT) AS new_weight,
+                   CAST(old_weight + new_weight AS BIGINT)
+                       AS total_weight,
+                   CAST(old_weight = 0 AS BIGINT) AS is_new_edge
+            FROM pairs WHERE new_weight > 0
+        """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

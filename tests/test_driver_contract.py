@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 218 and len(sqls) == 200
+    assert len(qs) == 219 and len(sqls) == 201
     import subprocess
     import sys
 
