@@ -883,6 +883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q16_supplier_count_by_part_attrs
         ),
         "kg_triple_delta": lambda sf: kg.unigram_triple_delta(sf),
+        "docs_bigram_ktruss": lambda sf: webtext.bigram_ktruss(
+            _docs(sf, ["doc_id", "text"])
+        ),
     }
 
 
@@ -2914,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(old_weight = 0 AS BIGINT) AS is_new_edge
             FROM pairs WHERE new_weight > 0
         """,
+        "docs_bigram_ktruss": webtext_mod.bigram_ktruss_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

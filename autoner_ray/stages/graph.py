@@ -1363,3 +1363,333 @@ def label_propagation(edges_ds, rounds: int = 4):
             ),
         }
     )
+
+
+def ktruss_distributed(edges_ds, k: int = 4, rounds: int = 3,
+                       num_partitions: int | None = None):
+    """Exact k-truss peel, Dataset-resident: ``rounds`` iterations of
+    (count triangles supporting each edge -> drop edges with support
+    < k-2), then one final support recount on the surviving set — the
+    standard noise filter a KG applies to keep only edges embedded in
+    dense neighborhoods (a strictly stronger cohesion test than k-core:
+    an edge survives only if its endpoints share >= k-2 common
+    neighbors that themselves survive).
+
+    Scale shape: same compact-forward orientation as
+    :func:`triangle_counts` — the (degree, entity)-rank map is the
+    vocab-bounded broadcast that family already pays, computed ONCE and
+    reused across rounds; each round is the two content-hash shuffles
+    of the triangle kernel (wedges by center, closure by endpoint pair)
+    plus one int64-keyed partitioned support sum. The edge list only
+    shrinks. A fixed ``rounds`` is the same determinism contract the
+    pagerank/label-propagation unrolls use; at fixpoint extra rounds
+    are idempotent, so early-stop on an unchanged edge count is safe.
+
+    Returns (subj, obj, support) for surviving canonical subj < obj
+    edges with the final-set support."""
+    import pandas as pd
+    import ray
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    P = num_partitions or default_num_partitions()
+    _MIX = 2654435761
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64())})
+        ents = pa.concat_arrays(
+            [pc.cast(t["subj"], pa.string()).combine_chunks(),
+             pc.cast(t["obj"], pa.string()).combine_chunks()]
+        )
+        vc = ents.value_counts()
+        return pa.table({"entity": vc.field("values"),
+                         "deg": pc.cast(vc.field("counts"), pa.int64())})
+
+    deg = bounded_key_sum(
+        edges_ds.select_columns(["subj", "obj"]).map_batches(
+            deg_partial, batch_format="pyarrow"
+        ),
+        ["entity"], ["deg"],
+    ).to_pandas()  # vocab-bounded (same collect triangle_counts does)
+    _out_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()),
+         ("support", pa.int64())]
+    )
+    if len(deg) == 0:
+        return ray.data.from_arrow(_out_schema.empty_table())
+    deg = deg.sort_values(["deg", "entity"], kind="mergesort")
+    ents = deg["entity"].tolist()
+    rank_ref = ray.put({e: i for i, e in enumerate(ents)})
+    ents_ref = ray.put(np.array(ents, dtype=object))
+
+    _pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _pair_schema.empty_table()
+        rank = ray.get(rank_ref)
+        s = pd.Series(t["subj"].to_pylist()).map(rank).to_numpy(np.int64)
+        o = pd.Series(t["obj"].to_pylist()).map(rank).to_numpy(np.int64)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, o), pa.int64()),
+                "hi": pa.array(np.maximum(s, o), pa.int64()),
+            }
+        )
+
+    cur = edges_ds.select_columns(["subj", "obj"]).map_batches(
+        encode, batch_format="pyarrow"
+    ).materialize()
+    n_edges = cur.count()
+
+    _wedge_schema = pd.DataFrame(
+        {
+            "v": pd.Series([], dtype="int64"),
+            "w": pd.Series([], dtype="int64"),
+            "u": pd.Series([], dtype="int64"),
+            "epart": pd.Series([], dtype="int32"),
+        }
+    )
+    _sup_partial_schema = pd.DataFrame(
+        {
+            "ekey": pd.Series([], dtype="int64"),
+            "sup": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def _edge_support(pairs_ds):
+        """(lo, hi) Dataset -> (lo, hi, sup) for edges in >=1 triangle."""
+
+        def with_parts(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("lo", pa.int64()), ("hi", pa.int64()),
+                     ("cpart", pa.int32()), ("epart", pa.int32())]
+                ).empty_table()
+            lo = t["lo"].to_numpy()
+            hi = t["hi"].to_numpy()
+            return pa.table(
+                {
+                    "lo": t["lo"], "hi": t["hi"],
+                    "cpart": pa.array((lo * _MIX % P).astype(np.int32)),
+                    "epart": pa.array(
+                        (((lo * _MIX + hi) * _MIX) % P).astype(np.int32)
+                    ),
+                }
+            )
+
+        oriented = pairs_ds.map_batches(
+            with_parts, batch_format="pyarrow"
+        ).materialize()  # feeds wedge AND edge sides: build once
+
+        def wedges_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "lo" not in df.columns:
+                return _wedge_schema
+            vs, ws, us = [], [], []
+            for u, g in df.groupby("lo"):
+                nb = np.unique(g["hi"].to_numpy(np.int64))
+                d = len(nb)
+                if d < 2:
+                    continue
+                i, j = np.triu_indices(d, k=1)
+                vs.append(nb[i])
+                ws.append(nb[j])
+                us.append(np.full(len(i), u, dtype=np.int64))
+            if not vs:
+                return _wedge_schema
+            v = np.concatenate(vs)
+            w = np.concatenate(ws)
+            u = np.concatenate(us)
+            return pd.DataFrame(
+                {
+                    "v": v, "w": w, "u": u,
+                    "epart": ((v * _MIX + w) * _MIX % P).astype("int32"),
+                }
+            )
+
+        wedges = oriented.groupby("cpart").map_groups(
+            wedges_in_partition, batch_format="pandas"
+        )
+
+        def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "lo" not in df.columns:
+                return _wedge_schema
+            return pd.DataFrame(
+                {
+                    "v": df["lo"].to_numpy(np.int64),
+                    "w": df["hi"].to_numpy(np.int64),
+                    "u": np.full(len(df), -1, dtype=np.int64),
+                    "epart": df["epart"].to_numpy(np.int32),
+                }
+            )
+
+        edge_side = oriented.map_batches(edge_keys, batch_format="pandas")
+
+        def close_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "v" not in df.columns:
+                return _sup_partial_schema
+            is_edge = df["u"] < 0
+            ek = df.loc[is_edge, ["v", "w"]]
+            wd = df.loc[~is_edge]
+            if ek.empty or wd.empty:
+                return _sup_partial_schema
+            closed = wd.merge(ek, on=["v", "w"], how="inner")
+            if closed.empty:
+                return _sup_partial_schema
+            u = closed["u"].to_numpy(np.int64)
+            v = closed["v"].to_numpy(np.int64)
+            w = closed["w"].to_numpy(np.int64)
+            # each triangle supports its three edges (canonical by rank)
+            keys = np.concatenate(
+                [(u << 32) | v, (u << 32) | w, (v << 32) | w]
+            )
+            uniq, cnt = np.unique(keys, return_counts=True)
+            return pd.DataFrame(
+                {"ekey": uniq, "sup": cnt.astype("int64")}
+            )
+
+        sup = partitioned_key_sum(
+            wedges.union(edge_side).groupby("epart").map_groups(
+                close_in_partition, batch_format="pandas"
+            ),
+            keys=["ekey"], sum_cols=["sup"], part_on=("ekey",),
+        )
+
+        def unpack(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "ekey" not in (
+                t.column_names
+            ):
+                return pa.schema(
+                    [("lo", pa.int64()), ("hi", pa.int64()),
+                     ("sup", pa.int64())]
+                ).empty_table()
+            ekey = t["ekey"].to_numpy()
+            return pa.table(
+                {
+                    "lo": pa.array(ekey >> 32, pa.int64()),
+                    "hi": pa.array(ekey & 0xFFFFFFFF, pa.int64()),
+                    "sup": t["sup"],
+                }
+            )
+
+        return sup.map_batches(unpack, batch_format="pyarrow")
+
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        sup = _edge_support(cur)
+
+        def survivors(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "lo" not in (
+                t.column_names
+            ):
+                return _pair_schema.empty_table()
+            keep = pc.greater_equal(t["sup"], pa.scalar(k - 2))
+            return t.filter(keep).select(["lo", "hi"])
+
+        cur = sup.map_batches(
+            survivors, batch_format="pyarrow"
+        ).materialize()
+        remaining = cur.count()
+        if remaining == n_edges:
+            break
+        n_edges = remaining
+
+    final = _edge_support(cur)
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "lo" not in (
+            t.column_names
+        ):
+            return _out_schema.empty_table()
+        names = ray.get(ents_ref)
+        return pa.table(
+            {
+                "subj": pa.array(names[t["lo"].to_numpy()], pa.string()),
+                "obj": pa.array(names[t["hi"].to_numpy()], pa.string()),
+                "support": t["sup"],
+            }
+        )
+
+    return final.map_batches(decode, batch_format="pyarrow")
+
+
+def ktruss(edges_ds, k: int = 4, rounds: int = 3,
+           driver_max_edges: int = 2_000_000,
+           num_partitions: int | None = None):
+    """Tiered k-truss front door (same tiering contract as
+    :func:`kcore`): vocab-bounded edge lists under ``driver_max_edges``
+    peel in one process; larger graphs fall through to the
+    Dataset-resident :func:`ktruss_distributed` (tier equality pinned
+    by tests/test_r4_late_ops.py). Output either way: canonical
+    (subj, obj, support) with support recounted on the final set.
+
+    NOTE on the rank canonicalization: the distributed tier reports
+    edges as (lower-rank, higher-rank) by the degree order; the driver
+    tier mirrors the LEXICOGRAPHIC (subj < obj) input canon — the same
+    undirected edge either way, and the driver compare sorts rows, so
+    the two tiers agree after canonicalizing. The driver tier re-canons
+    distributed output to subj < obj for a single stable contract."""
+    from collections import defaultdict
+
+    edges_ds = edges_ds.materialize()
+    n = edges_ds.count()
+    if n > driver_max_edges:
+        out = ktruss_distributed(
+            edges_ds, k=k, rounds=rounds, num_partitions=num_partitions
+        )
+
+        def recanon(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return t
+            s = np.array(t["subj"].to_pylist(), dtype=object)
+            o = np.array(t["obj"].to_pylist(), dtype=object)
+            lo = np.minimum(s, o)
+            hi = np.maximum(s, o)
+            return pa.table(
+                {
+                    "subj": pa.array(lo, pa.string()),
+                    "obj": pa.array(hi, pa.string()),
+                    "support": t["support"],
+                }
+            )
+
+        return out.map_batches(recanon, batch_format="pyarrow")
+
+    df = edges_ds.select_columns(["subj", "obj"]).to_pandas()
+    edges = [
+        (min(s, o), max(s, o))
+        for s, o in zip(df["subj"], df["obj"])
+    ]
+    for _ in range(rounds):
+        adj: dict[str, set] = defaultdict(set)
+        for s, o in edges:
+            adj[s].add(o)
+            adj[o].add(s)
+        kept = [
+            (s, o) for s, o in edges if len(adj[s] & adj[o]) >= k - 2
+        ]
+        done = len(kept) == len(edges)
+        edges = kept
+        if done:
+            break
+    adj = defaultdict(set)
+    for s, o in edges:
+        adj[s].add(o)
+        adj[o].add(s)
+    rows = sorted(
+        (s, o, len(adj[s] & adj[o])) for s, o in edges
+    )
+    return pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "obj": pa.array([r[1] for r in rows], pa.string()),
+            "support": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

@@ -1120,3 +1120,64 @@ def next_word_topk_oracle_sql(k: int = 3, min_count: int = 2) -> str:
         SELECT head, next_word, cnt, rnk
         FROM r WHERE rnk <= {k} AND cnt >= {min_count}
     """
+
+
+def bigram_ktruss(docs_ds, min_count: int = 50, k: int = 20,
+                  rounds: int = 3):
+    """Bounded k-truss peel of the thresholded bigram collocation
+    graph: ``rounds`` iterations of (count triangles supporting each
+    edge -> drop edges with support < k-2), then a support recount on
+    the survivors — the dense-neighborhood edge filter (strictly
+    stronger than k-core: an edge needs >= k-2 surviving common
+    neighbors). Fixed ``rounds`` is the determinism contract the
+    pagerank/LPA unrolls use; at fixpoint extra rounds are idempotent.
+    Kernel: tiered :func:`autoner_ray.stages.graph.ktruss` (driver peel
+    under the edge cap, Dataset-resident wedge-closure beyond)."""
+    from autoner_ray.stages.graph import ktruss
+
+    return ktruss(bigram_graph(docs_ds, min_count), k=k, rounds=rounds)
+
+
+def bigram_ktruss_oracle_sql(min_count: int = 50, k: int = 20,
+                             rounds: int = 3) -> str:
+    """Unrolled truss peel: support of edge (a,b) = common neighbors
+    via the bidirectional self-join; ``rounds`` filter iterations, then
+    the final support recount the engine also performs. MATERIALIZED is
+    load-bearing (same planner note as bigram_kcore_oracle_sql)."""
+    parts = []
+    for i in range(rounds + 1):
+        parts.append(f"""
+        b{i} AS MATERIALIZED (
+            SELECT subj AS a, obj AS b FROM e{i}
+            UNION ALL SELECT obj, subj FROM e{i}
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT e.subj, e.obj, COUNT(*) AS sup
+            FROM e{i} e
+            JOIN b{i} x ON x.a = e.subj
+            JOIN b{i} y ON y.a = e.obj AND y.b = x.b
+            GROUP BY 1, 2
+        )""")
+        if i < rounds:
+            parts.append(f"""
+        e{i + 1} AS MATERIALIZED (
+            SELECT subj, obj FROM s{i} WHERE sup >= {k - 2}
+        )""")
+    chain = ",".join(parts)
+    return f"""
+        WITH ws AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        bg AS (
+            SELECT least(ws[i], ws[i + 1]) AS a,
+                   greatest(ws[i], ws[i + 1]) AS b
+            FROM ws, unnest(range(1, len(ws))) AS t(i)
+            WHERE ws[i] <> ws[i + 1]
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a AS subj, b AS obj FROM bg
+            GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+        ),
+        {chain}
+        SELECT subj, obj, CAST(sup AS BIGINT) AS support FROM s{rounds}
+    """
