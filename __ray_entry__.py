@@ -821,6 +821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": lambda sf: (
             text_formats.roundtrip_source_stats(sf, fmt="csv")
         ),
+        "docs_jsonl_gz_roundtrip": lambda sf: (
+            text_formats.roundtrip_source_stats(sf, fmt="jsonl_gz")
+        ),
         "docs_parquet_hive_roundtrip": lambda sf: (
             text_formats.parquet_partitioned_stats(sf)
         ),
@@ -2753,6 +2756,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "docs_csv_roundtrip": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
+        "docs_jsonl_gz_roundtrip": """
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
