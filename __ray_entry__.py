@@ -889,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_ktruss": lambda sf: webtext.bigram_ktruss(
             _docs(sf, ["doc_id", "text"])
         ),
+        "embedding_pq_report": lambda sf: similarity.pq_report(_emb(sf)),
     }
 
 
@@ -2926,6 +2927,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE new_weight > 0
         """,
         "docs_bigram_ktruss": webtext_mod.bigram_ktruss_oracle_sql(),
+        "embedding_pq_report": similarity_mod.pq_report_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -791,6 +791,17 @@ def head_energy_ratio_oracle_sql(head_dims: int = 16) -> str:
     """
 
 
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``
+    (engine centroid updates must match the SQL twin exactly; numpy's
+    ``//`` floors, which diverges by one lattice unit on negative
+    sums)."""
+    q = a // b
+    if a % b != 0 and (a < 0) != (b < 0):
+        q += 1
+    return q
+
+
 def kmeans_lattice(emb_ds, k: int = 4, n_iter: int = 2):
     """SQL-certifiable distributed k-means: Lloyd's algorithm run
     ENTIRELY on an integer lattice — vectors quantize to 2^-20 units
@@ -895,7 +906,8 @@ def kmeans_lattice(emb_ds, k: int = 4, n_iter: int = 2):
         for _, r in sums.iterrows():
             kk = int(r["cluster"])
             new_c[kk] = np.array(
-                [int(r[s]) // int(r["n"]) for s in scols], np.int64
+                [_trunc_div(int(r[s]), int(r["n"])) for s in scols],
+                np.int64
             )
         cents = new_c
 
@@ -1159,4 +1171,270 @@ def int8_quantize_oracle_sql() -> str:
                COUNT(*) AS n_vecs,
                CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae_lattice
         FROM e GROUP BY dim
+    """
+
+
+def pq_report(emb_ds, m: int = 4, k: int = 4, n_iter: int = 2):
+    """SQL-certifiable product quantization: the vector is split into
+    ``m`` contiguous subspaces and each runs the SAME integer-lattice
+    Lloyd's recipe as :func:`kmeans_lattice` (2^-20 quantization, int64
+    distances, min(dist·K + k) tiebreak, floored integer centroid
+    means, init = the k lowest vec_ids' subvectors) — so every PQ code
+    is bit-reproducible and the DuckDB twin can unroll it. Returns one
+    row per occupied PQ cell: the m-tuple code, occupancy, total
+    squared reconstruction error in lattice units, and the lowest
+    member vec_id. k^m cells (256 at the defaults) make the codebook —
+    the memory-for-recall trade ANN indexes at 10^10+ vectors run on.
+
+    Scale shape: all m subspaces train SIMULTANEOUSLY in each pass (one
+    corpus read per Lloyd iteration, not m) — per-batch partials keyed
+    (subspace, cluster) reduce through the shuffle-free bounded combine
+    (m·k rows); the final encode pass emits per-cell partials over the
+    bounded k^m key space. The driver only ever holds m·k·(dim/m)
+    centroid ints."""
+    import numpy as np
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    Q = 1048576.0
+
+    def quantized(t: pa.Table) -> np.ndarray:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(t)
+        a = flat.reshape(n, len(flat) // n).astype(np.float64)
+        return np.floor(a * Q + 0.5).astype(np.int64)
+
+    def init_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        ix = np.argsort(t["vec_id"].to_numpy())[:k]
+        return t.select(["vec_id", "embedding"]).take(pa.array(ix))
+
+    seed = (
+        emb_ds.map_batches(init_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k)
+    )
+    seed_q = quantized(
+        pa.table(
+            {
+                "vec_id": pa.array(seed["vec_id"].to_numpy(np.int64)),
+                "embedding": pa.array(
+                    list(seed["embedding"]), pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    dim = seed_q.shape[1]
+    sub = dim // m
+    cents = np.stack(
+        [seed_q[:, i * sub:(i + 1) * sub] for i in range(m)]
+    )  # (m, k, sub) int64
+
+    def sub_assign(qv: np.ndarray, c: np.ndarray):
+        """(n, dim) x (m, k, sub) -> labels (n, m), sq-errors (n, m)."""
+        n = qv.shape[0]
+        labs = np.empty((n, m), np.int64)
+        errs = np.empty((n, m), np.int64)
+        for ms in range(m):
+            d = qv[:, None, ms * sub:(ms + 1) * sub] - c[ms][None]
+            d2 = (d * d).sum(axis=2)
+            lab = np.argmin(d2, axis=1)  # first min == SQL tiebreak
+            labs[:, ms] = lab
+            errs[:, ms] = d2[np.arange(n), lab]
+        return labs, errs
+
+    scols = [f"s{i:02d}" for i in range(sub)]
+    for _ in range(n_iter - 1):
+        cents_ref = ray.put(cents)
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {"ms": pa.array([], pa.int64()),
+                     "cluster": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())}
+                    | {s: pa.array([], pa.int64()) for s in scols}
+                )
+            qv = quantized(t)
+            labs, _ = sub_assign(qv, ray.get(cents_ref))
+            rows = {"ms": [], "cluster": [], "n": []}
+            rows.update({s: [] for s in scols})
+            for ms in range(m):
+                sl = qv[:, ms * sub:(ms + 1) * sub]
+                for kk in np.unique(labs[:, ms]):
+                    sel = sl[labs[:, ms] == kk]
+                    rows["ms"].append(ms)
+                    rows["cluster"].append(int(kk))
+                    rows["n"].append(len(sel))
+                    ssum = sel.sum(axis=0)
+                    for i, s in enumerate(scols):
+                        rows[s].append(int(ssum[i]))
+            return pa.table(
+                {c: pa.array(v, pa.int64()) for c, v in rows.items()}
+            )
+
+        sums = bounded_key_sum(
+            emb_ds.map_batches(sum_partial, batch_format="pyarrow"),
+            ["ms", "cluster"], ["n"] + scols,
+        ).to_pandas()
+        new_c = cents.copy()
+        for _, r in sums.iterrows():
+            new_c[int(r["ms"]), int(r["cluster"])] = np.array(
+                [_trunc_div(int(r[s]), int(r["n"])) for s in scols],
+                np.int64
+            )
+        cents = new_c
+
+    cents_ref = ray.put(cents)
+    code_cols = [f"code_{i}" for i in range(m)]
+
+    def encode_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], pa.int64()) for c in code_cols}
+            | {
+                "n_vecs": pa.array([], pa.int64()),
+                "sum_err": pa.array([], pa.int64()),
+                "min_vec": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        qv = quantized(t)
+        labs, errs = sub_assign(qv, ray.get(cents_ref))
+        ids = t["vec_id"].to_numpy()
+        packed = np.zeros(len(qv), np.int64)
+        for ms in range(m):
+            packed = packed * k + labs[:, ms]
+        err_tot = errs.sum(axis=1)
+        uniq = np.unique(packed)
+        cols = {c: [] for c in code_cols}
+        nv, se, mv = [], [], []
+        for p in uniq:
+            sel = packed == p
+            v = int(p)
+            for ms in reversed(range(m)):
+                cols[code_cols[ms]].append(v % k)
+                v //= k
+            nv.append(int(sel.sum()))
+            se.append(int(err_tot[sel].sum()))
+            mv.append(int(ids[sel].min()))
+        return pa.table(
+            {c: pa.array(cols[c], pa.int64()) for c in code_cols}
+            | {
+                "n_vecs": pa.array(nv, pa.int64()),
+                "sum_err": pa.array(se, pa.int64()),
+                "min_vec": pa.array(mv, pa.int64()),
+            }
+        )
+
+    def cell_combine(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in code_cols}
+                | {
+                    "n_vecs": pa.array([], pa.int64()),
+                    "sum_err": pa.array([], pa.int64()),
+                    "min_vec": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by(code_cols).aggregate(
+            [("n_vecs", "sum"), ("sum_err", "sum"), ("min_vec", "min")]
+        )
+        return agg.rename_columns(
+            code_cols + ["n_vecs", "sum_err", "min_vec"]
+        )
+
+    return (
+        emb_ds.map_batches(encode_partial, batch_format="pyarrow")
+        .map_batches(cell_combine, batch_format="pyarrow",
+                     batch_size=65536)
+        .repartition(1)
+        .map_batches(cell_combine, batch_format="pyarrow",
+                     batch_size=None)
+    )
+
+
+def pq_report_oracle_sql(m: int = 4, k: int = 4, n_iter: int = 2,
+                         dim: int = 64) -> str:
+    """Per-subspace unroll of the :func:`kmeans_lattice_oracle_sql`
+    recipe over ``list_slice`` subvectors, joined on vec_id for the
+    final cell rollup; MIN(dist*K + k) yields the code via % K and the
+    reconstruction error via // K."""
+    sub = dim // m
+    dist = (
+        "list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    blocks = []
+    finals = []
+    for ms in range(m):
+        lo, hi = ms * sub + 1, (ms + 1) * sub
+        blocks.append(f"""
+        qi_{ms} AS (
+            SELECT vec_id, q[{lo}:{hi}] AS v FROM qi
+        ),
+        init_{ms} AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS k, v AS c
+            FROM qi_{ms} ORDER BY vec_id LIMIT {k}
+        ),
+        a1_{ms} AS (
+            SELECT vec_id, v,
+                   MIN({dist} * {k} + init_{ms}.k) % {k} AS lab
+            FROM qi_{ms} CROSS JOIN init_{ms} GROUP BY vec_id, v
+        )""")
+        prev = f"a1_{ms}"
+        for it in range(2, n_iter + 1):
+            blocks.append(f"""
+        cd{it}_{ms} AS (
+            SELECT {prev}.lab AS kk, t.i AS dim,
+                   SUM({prev}.v[t.i]) // COUNT(*) AS cv
+            FROM {prev}, UNNEST(range(1, {sub + 1})) AS t(i)
+            GROUP BY {prev}.lab, t.i
+        ),
+        c{it}_{ms} AS (
+            SELECT kk AS k, list(cv ORDER BY dim) AS c
+            FROM cd{it}_{ms} GROUP BY kk
+        ),
+        a{it}_{ms} AS (
+            SELECT vec_id, v,
+                   MIN({dist} * {k} + c{it}_{ms}.k) % {k} AS lab,
+                   MIN({dist} * {k} + c{it}_{ms}.k) // {k} AS err
+            FROM {prev} CROSS JOIN c{it}_{ms} GROUP BY vec_id, v
+        )""")
+            prev = f"a{it}_{ms}"
+        finals.append(prev)
+    joins = " ".join(
+        f"JOIN {finals[ms]} f{ms} ON f{ms}.vec_id = f0.vec_id"
+        for ms in range(1, m)
+    )
+    code_sel = ", ".join(
+        f"CAST(f{ms}.lab AS BIGINT) AS code_{ms}" for ms in range(m)
+    )
+    err_sum = " + ".join(f"f{ms}.err" for ms in range(m))
+    group_by = ", ".join(str(i + 1) for i in range(m))
+    return f"""
+        WITH qi AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576
+                                       + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        {",".join(blocks)}
+        SELECT {code_sel},
+               COUNT(*) AS n_vecs,
+               CAST(SUM({err_sum}) AS BIGINT) AS sum_err,
+               MIN(f0.vec_id) AS min_vec
+        FROM {finals[0]} f0 {joins}
+        GROUP BY {group_by}
     """
