@@ -288,6 +288,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def knn_ivf(sf_dir):
         return similarity.ivf_topk(_emb(sf_dir), _query_vec(sf_dir))
 
+    def knn_pq(sf_dir):
+        """PQ asymmetric-distance top-k (approximate family, like
+        knn_ivf: no SQL oracle; exact-recompute pin in
+        tests/test_r4_late_ops.py)."""
+        return similarity.knn_pq(_emb(sf_dir), _query_vec(sf_dir))
+
     def embedding_clusters(sf_dir):
         """K-means cluster assignment per vector (curation: cluster-
         balanced sampling); centroids trained once on a bounded sample,
@@ -552,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tagger_span_f1": _tagger_span_f1,
         "lang_id_predict": lang_id_predict,
         "knn_ivf": knn_ivf,
+        "knn_pq": knn_pq,
         "embedding_clusters": embedding_clusters,
         "media_features": lambda sf: multimodal.media_features(
             _docs(sf, ["doc_id", "text"])

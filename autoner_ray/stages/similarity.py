@@ -1174,37 +1174,43 @@ def int8_quantize_oracle_sql() -> str:
     """
 
 
-def pq_report(emb_ds, m: int = 4, k: int = 4, n_iter: int = 2):
-    """SQL-certifiable product quantization: the vector is split into
-    ``m`` contiguous subspaces and each runs the SAME integer-lattice
-    Lloyd's recipe as :func:`kmeans_lattice` (2^-20 quantization, int64
-    distances, min(dist·K + k) tiebreak, floored integer centroid
-    means, init = the k lowest vec_ids' subvectors) — so every PQ code
-    is bit-reproducible and the DuckDB twin can unroll it. Returns one
-    row per occupied PQ cell: the m-tuple code, occupancy, total
-    squared reconstruction error in lattice units, and the lowest
-    member vec_id. k^m cells (256 at the defaults) make the codebook —
-    the memory-for-recall trade ANN indexes at 10^10+ vectors run on.
+def _pq_quantized(t: pa.Table) -> np.ndarray:
+    """Embedding batch -> (n, dim) int64 on the 2^-20 lattice (the
+    kmeans_lattice contract: float32·2^20 is exact in double)."""
+    col = t["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(t)
+    a = flat.reshape(n, len(flat) // n).astype(np.float64)
+    return np.floor(a * 1048576.0 + 0.5).astype(np.int64)
 
-    Scale shape: all m subspaces train SIMULTANEOUSLY in each pass (one
-    corpus read per Lloyd iteration, not m) — per-batch partials keyed
-    (subspace, cluster) reduce through the shuffle-free bounded combine
-    (m·k rows); the final encode pass emits per-cell partials over the
-    bounded k^m key space. The driver only ever holds m·k·(dim/m)
-    centroid ints."""
-    import numpy as np
+
+def _pq_sub_assign(qv: np.ndarray, c: np.ndarray):
+    """(n, dim) lattice vectors x (m, k, sub) codebooks -> per-subspace
+    labels (n, m) and squared errors (n, m); argmin's first-minimum is
+    the SQL min(dist*K + k) tiebreak."""
+    m, _, sub = c.shape
+    n = qv.shape[0]
+    labs = np.empty((n, m), np.int64)
+    errs = np.empty((n, m), np.int64)
+    for ms in range(m):
+        d = qv[:, None, ms * sub:(ms + 1) * sub] - c[ms][None]
+        d2 = (d * d).sum(axis=2)
+        lab = np.argmin(d2, axis=1)
+        labs[:, ms] = lab
+        errs[:, ms] = d2[np.arange(n), lab]
+    return labs, errs
+
+
+def _pq_train(emb_ds, m: int = 4, k: int = 4,
+              n_iter: int = 2) -> np.ndarray:
+    """Train the m per-subspace lattice codebooks (the
+    :func:`pq_report` recipe: init = k lowest vec_ids' subvectors,
+    n_iter-1 re-estimation rounds of truncated integer means, all
+    subspaces in one corpus pass per round). Returns (m, k, sub)
+    int64 centroids — the only state on the driver."""
     import ray
 
     from autoner_ray.stages.combine import bounded_key_sum
-
-    Q = 1048576.0
-
-    def quantized(t: pa.Table) -> np.ndarray:
-        col = t["embedding"].combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        n = len(t)
-        a = flat.reshape(n, len(flat) // n).astype(np.float64)
-        return np.floor(a * Q + 0.5).astype(np.int64)
 
     def init_partial(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
@@ -1223,7 +1229,7 @@ def pq_report(emb_ds, m: int = 4, k: int = 4, n_iter: int = 2):
         .sort_values("vec_id")
         .head(k)
     )
-    seed_q = quantized(
+    seed_q = _pq_quantized(
         pa.table(
             {
                 "vec_id": pa.array(seed["vec_id"].to_numpy(np.int64)),
@@ -1239,19 +1245,6 @@ def pq_report(emb_ds, m: int = 4, k: int = 4, n_iter: int = 2):
         [seed_q[:, i * sub:(i + 1) * sub] for i in range(m)]
     )  # (m, k, sub) int64
 
-    def sub_assign(qv: np.ndarray, c: np.ndarray):
-        """(n, dim) x (m, k, sub) -> labels (n, m), sq-errors (n, m)."""
-        n = qv.shape[0]
-        labs = np.empty((n, m), np.int64)
-        errs = np.empty((n, m), np.int64)
-        for ms in range(m):
-            d = qv[:, None, ms * sub:(ms + 1) * sub] - c[ms][None]
-            d2 = (d * d).sum(axis=2)
-            lab = np.argmin(d2, axis=1)  # first min == SQL tiebreak
-            labs[:, ms] = lab
-            errs[:, ms] = d2[np.arange(n), lab]
-        return labs, errs
-
     scols = [f"s{i:02d}" for i in range(sub)]
     for _ in range(n_iter - 1):
         cents_ref = ray.put(cents)
@@ -1264,8 +1257,8 @@ def pq_report(emb_ds, m: int = 4, k: int = 4, n_iter: int = 2):
                      "n": pa.array([], pa.int64())}
                     | {s: pa.array([], pa.int64()) for s in scols}
                 )
-            qv = quantized(t)
-            labs, _ = sub_assign(qv, ray.get(cents_ref))
+            qv = _pq_quantized(t)
+            labs, _ = _pq_sub_assign(qv, ray.get(cents_ref))
             rows = {"ms": [], "cluster": [], "n": []}
             rows.update({s: [] for s in scols})
             for ms in range(m):
@@ -1293,7 +1286,33 @@ def pq_report(emb_ds, m: int = 4, k: int = 4, n_iter: int = 2):
                 np.int64
             )
         cents = new_c
+    return cents
 
+
+def pq_report(emb_ds, m: int = 4, k: int = 4, n_iter: int = 2):
+    """SQL-certifiable product quantization: the vector is split into
+    ``m`` contiguous subspaces and each runs the SAME integer-lattice
+    Lloyd's recipe as :func:`kmeans_lattice` (2^-20 quantization, int64
+    distances, min(dist·K + k) tiebreak, floored integer centroid
+    means, init = the k lowest vec_ids' subvectors) — so every PQ code
+    is bit-reproducible and the DuckDB twin can unroll it. Returns one
+    row per occupied PQ cell: the m-tuple code, occupancy, total
+    squared reconstruction error in lattice units, and the lowest
+    member vec_id. k^m cells (256 at the defaults) make the codebook —
+    the memory-for-recall trade ANN indexes at 10^10+ vectors run on.
+
+    Scale shape: all m subspaces train SIMULTANEOUSLY in each pass (one
+    corpus read per Lloyd iteration, not m) — per-batch partials keyed
+    (subspace, cluster) reduce through the shuffle-free bounded combine
+    (m·k rows); the final encode pass emits per-cell partials over the
+    bounded k^m key space. The driver only ever holds m·k·(dim/m)
+    centroid ints."""
+    import numpy as np
+    import ray
+
+    cents = _pq_train(emb_ds, m=m, k=k, n_iter=n_iter)
+    quantized = _pq_quantized
+    sub_assign = _pq_sub_assign
     cents_ref = ray.put(cents)
     code_cols = [f"code_{i}" for i in range(m)]
 
@@ -1438,3 +1457,81 @@ def pq_report_oracle_sql(m: int = 4, k: int = 4, n_iter: int = 2,
         FROM {finals[0]} f0 {joins}
         GROUP BY {group_by}
     """
+
+
+def knn_pq(emb_ds, query_vec, k_top: int = 10, m: int = 4,
+           kc: int = 16, n_iter: int = 2):
+    """PQ asymmetric-distance (ADC) top-k — the search path the
+    :func:`pq_report` codebooks exist for: the query stays EXACT on the
+    lattice while corpus vectors are represented by their per-subspace
+    codes, so scoring a vector is m table lookups instead of a dim-wide
+    dot product. With kc=16, m=4 a vector costs 4 bytes in the index —
+    the 10^10-vector memory trade.
+
+    Scale shape: codebooks train via :func:`_pq_train` (one corpus pass
+    per Lloyd round, driver holds m·kc·sub ints); the query's (m, kc)
+    distance lookup table broadcasts with the codebooks; the scan emits
+    only k_top rows per batch and the driver merges partials. Exact
+    ADC semantics (int64 lattice distances, vec_id-ascending tiebreak)
+    are deterministic, so the distributed result equals a one-process
+    recompute — pinned by tests/test_r4_late_ops.py."""
+    import heapq
+
+    import ray
+
+    cents = _pq_train(emb_ds, m=m, k=kc, n_iter=n_iter)
+    sub = cents.shape[2]
+    q = np.floor(
+        np.asarray(query_vec, dtype=np.float64) * 1048576.0 + 0.5
+    ).astype(np.int64)
+    # LUT[ms][c] = squared lattice distance from the query's ms-th
+    # subvector to codebook centroid c
+    lut = np.stack(
+        [
+            ((q[ms * sub:(ms + 1) * sub][None] - cents[ms]) ** 2)
+            .sum(axis=1)
+            for ms in range(m)
+        ]
+    )  # (m, kc) int64
+    state_ref = ray.put((cents, lut))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "adc_dist": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        c, lu = ray.get(state_ref)
+        qv = _pq_quantized(t)
+        labs, _ = _pq_sub_assign(qv, c)
+        dist = np.zeros(len(qv), np.int64)
+        for ms in range(m):
+            dist += lu[ms][labs[:, ms]]
+        ids = t["vec_id"].to_numpy()
+        order = np.lexsort((ids, dist))[:k_top]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "adc_dist": pa.array(dist[order], pa.int64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    heap: list[tuple[int, int]] = []  # max-heap by (-dist, -vec_id)
+    for b in partials.iter_batches(batch_size=4096,
+                                   batch_format="pyarrow"):
+        for vid, d in zip(b["vec_id"].to_pylist(),
+                          b["adc_dist"].to_pylist()):
+            heapq.heappush(heap, (-d, -vid))
+            if len(heap) > k_top:
+                heapq.heappop(heap)
+    top = sorted(((-d, -v) for d, v in heap))
+    return pa.table(
+        {
+            "vec_id": pa.array([v for _, v in top], pa.int64()),
+            "adc_dist": pa.array([d for d, _ in top], pa.int64()),
+        }
+    )

@@ -724,3 +724,50 @@ def test_ktruss_tier_equality(ray_session):
     assert len(drv) > 0  # survivors exist after 3 peel rounds
     assert len(drv) < edges.count()  # and peeling removed edges
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_knn_pq_matches_single_process(ray_session):
+    """Distributed PQ-ADC top-k equals a one-process recompute of the
+    same deterministic contract (lattice codebooks, int64 ADC lookup,
+    vec_id-ascending tiebreak), and the codebooks it searches with are
+    exactly _pq_train's."""
+    import ray
+
+    from autoner_ray.stages.similarity import (
+        _pq_quantized,
+        _pq_sub_assign,
+        _pq_train,
+        knn_pq,
+    )
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    full = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.asarray(full["embedding"].iloc[7], dtype=np.float64)
+
+    got = knn_pq(emb, q, k_top=10, m=4, kc=16, n_iter=2).to_pandas()
+
+    cents = _pq_train(emb, m=4, k=16, n_iter=2)
+    sub = cents.shape[2]
+    qi = np.floor(q * 1048576.0 + 0.5).astype(np.int64)
+    lut = np.stack(
+        [((qi[ms * sub:(ms + 1) * sub][None] - cents[ms]) ** 2).sum(1)
+         for ms in range(4)]
+    )
+    qv = _pq_quantized(
+        pa.table(
+            {
+                "embedding": pa.array(
+                    list(full["embedding"]), pa.list_(pa.float32())
+                )
+            }
+        )
+    )
+    labs, _ = _pq_sub_assign(qv, cents)
+    dist = sum(lut[ms][labs[:, ms]] for ms in range(4))
+    ids = full["vec_id"].to_numpy(np.int64)
+    order = np.lexsort((ids, dist))[:10]
+    exp = pd.DataFrame(
+        {"vec_id": ids[order], "adc_dist": dist[order]}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    assert (got["adc_dist"].to_numpy() >= 0).all()
