@@ -897,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])
         ),
         "embedding_pq_report": lambda sf: similarity.pq_report(_emb(sf)),
+        "kg_metapath_wedges": lambda sf: kg.unigram_metapath_wedges(sf),
     }
 
 
@@ -2935,6 +2936,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bigram_ktruss": webtext_mod.bigram_ktruss_oracle_sql(),
         "embedding_pq_report": similarity_mod.pq_report_oracle_sql(),
+        "kg_metapath_wedges": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            ty AS (SELECT DISTINCT entity, type FROM {dict_values})
+            SELECT tm.type AS type_mid,
+                   least(ta.type, tb.type) AS type_a,
+                   greatest(ta.type, tb.type) AS type_b,
+                   COUNT(*) AS n_paths
+            FROM bidir e1
+            JOIN bidir e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN ty tm ON tm.entity = e1.src
+            JOIN ty ta ON ta.entity = e1.dst
+            JOIN ty tb ON tb.entity = e2.dst
+            GROUP BY 1, 2, 3
+        """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

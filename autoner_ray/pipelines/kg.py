@@ -1184,3 +1184,95 @@ def unigram_triple_delta(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def unigram_metapath_wedges(sf_dir: str):
+    """Metapath (length-2 heterogeneous path) census over the unigram
+    co-occurrence graph: for every middle-entity type and unordered
+    endpoint-type pair, how many distinct wedges a—c—b exist — the
+    schema-level statistic heterogeneous-network pipelines (metapath2vec
+    et al.) read before choosing which metapaths to sample.
+
+    Scale shape: edges expand to both directions with the static
+    dictionary type map applied in-task (module data — nothing
+    broadcast); one hash shuffle groups each center's adjacency;
+    per-center wedge counts per type pair come from type-count
+    combinatorics (n1·n2, or C(n,2) within a type — never materializing
+    the wedges); the tail is a bounded combine over |types|^3 keys."""
+    import pandas as pd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+    from autoner_ray.stages.joins import _stable_part_col
+
+    # canonical entity id == word; dict values are (entity, type)
+    type_of = {e: t for (e, t) in UNIGRAM_DICT.values()}
+    P = 16
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+                "__part": pa.array([], pa.int32()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        s = t["subj"].combine_chunks()
+        o = t["obj"].combine_chunks()
+        both = pa.table(
+            {
+                "src": pa.concat_arrays([s, o]),
+                "dst": pa.concat_arrays([o, s]),
+            }
+        )
+        return both.append_column(
+            "__part", _stable_part_col(both, ("src",), P)
+        )
+
+    _out = pd.DataFrame(
+        {
+            "type_mid": pd.Series([], dtype="object"),
+            "type_a": pd.Series([], dtype="object"),
+            "type_b": pd.Series([], dtype="object"),
+            "n_paths": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def wedge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "src" not in df.columns:
+            return _out
+        rows: dict[tuple[str, str, str], int] = {}
+        for center, g in df.groupby("src"):
+            tm = type_of[center]
+            tc = g["dst"].map(type_of).value_counts()
+            types = sorted(tc.index)
+            for i, t1 in enumerate(types):
+                n1 = int(tc[t1])
+                if n1 >= 2:
+                    key = (tm, t1, t1)
+                    rows[key] = rows.get(key, 0) + n1 * (n1 - 1) // 2
+                for t2 in types[i + 1:]:
+                    key = (tm, t1, t2)
+                    rows[key] = rows.get(key, 0) + n1 * int(tc[t2])
+        if not rows:
+            return _out
+        ks = sorted(rows)
+        return pd.DataFrame(
+            {
+                "type_mid": [k[0] for k in ks],
+                "type_a": [k[1] for k in ks],
+                "type_b": [k[2] for k in ks],
+                "n_paths": [rows[k] for k in ks],
+            }
+        )
+
+    partials = (
+        unigram_triples(sf_dir)
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(wedge_counts, batch_format="pandas")
+    )
+    return bounded_key_sum(
+        partials, ["type_mid", "type_a", "type_b"], ["n_paths"]
+    )

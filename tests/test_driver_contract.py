@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 223 and len(sqls) == 204
+    assert len(qs) == 224 and len(sqls) == 205
     import subprocess
     import sys
 
