@@ -898,7 +898,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "embedding_pq_report": lambda sf: similarity.pq_report(_emb(sf)),
         "kg_metapath_wedges": lambda sf: kg.unigram_metapath_wedges(sf),
+        "embedding_gram_lattice": lambda sf: similarity.gram_lattice(
+            _emb(sf)
+        ),
+        "kg_node_embedding_rp": lambda sf: (
+            kg.unigram_node_embedding_rp(sf)
+        ),
     }
+
+
+def _node_rp_sql(dict_values: str, n_dims: int = 8) -> str:
+    """FastRP depth-1 twin: the ±1 projection for (neighbor, dim) is
+    the parity of the first hex digit of md5(neighbor || '|' || dim) —
+    content-derived, so engine and SQL share it with no stored matrix.
+    bidir carries the edge weight as DOUBLE; the sum is integer-exact
+    (±1 · integer counts) and cast back."""
+    cols = ", ".join(
+        "CAST(SUM((CASE WHEN strpos('02468ace',"
+        f" substr(md5(dst || '|{d}'), 1, 1)) > 0"
+        f" THEN 1 ELSE -1 END) * w) AS BIGINT) AS d{d}"
+        for d in range(n_dims)
+    )
+    return f"""
+        WITH {_unigram_graph_ctes(dict_values)}
+        SELECT src AS entity, {cols}
+        FROM bidir GROUP BY src
+    """
 
 
 def _unigram_graph_ctes(dict_values: str) -> str:
@@ -2950,6 +2975,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN ty tb ON tb.entity = e2.dst
             GROUP BY 1, 2, 3
         """,
+        "embedding_gram_lattice": (
+            similarity_mod.gram_lattice_oracle_sql()
+        ),
+        "kg_node_embedding_rp": _node_rp_sql(dict_values),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -1276,3 +1276,78 @@ def unigram_metapath_wedges(sf_dir: str):
     return bounded_key_sum(
         partials, ["type_mid", "type_a", "type_b"], ["n_paths"]
     )
+
+
+def unigram_node_embedding_rp(sf_dir: str, n_dims: int = 8):
+    """Deterministic random-projection node embeddings over the
+    weighted unigram co-occurrence graph (FastRP depth-1): dimension d
+    of entity e is the weighted sum over its neighbors n of
+    sign(md5(n || '|' || d)) · weight(e, n), where the sign is the
+    parity of the first hex digit — a content-derived ±1 that engine
+    and SQL twin compute identically, so the embedding is
+    bit-reproducible with no stored projection matrix. The standard
+    cheap-embedding pass a KG runs before anything learned.
+
+    Scale shape: edges expand to both directions and emit per-batch
+    (entity, d0..d{n-1}) partial sums (signs memoized per worker via
+    the neighbor's md5 — one hash per distinct (neighbor, d), not per
+    edge); an entity-partitioned distributed sum merges them (entity
+    keys unbounded — never driver-sized)."""
+    import hashlib
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    dcols = [f"d{i}" for i in range(n_dims)]
+
+    def rp_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"entity": pa.array([], pa.string())}
+            | {c: pa.array([], pa.int64()) for c in dcols}
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        import numpy as np
+        import pandas as pd
+
+        s = t["subj"].to_pylist()
+        o = t["obj"].to_pylist()
+        w = t["weight"].to_numpy()
+        ent = np.array(s + o, dtype=object)
+        nbr = np.array(o + s, dtype=object)
+        ww = np.concatenate([w, w]).astype(np.int64)
+
+        sign_cache: dict[str, np.ndarray] = {}
+
+        def signs(name: str) -> np.ndarray:
+            v = sign_cache.get(name)
+            if v is None:
+                v = np.array(
+                    [
+                        1 if int(hashlib.md5(
+                            f"{name}|{d}".encode()
+                        ).hexdigest()[0], 16) % 2 == 0 else -1
+                        for d in range(n_dims)
+                    ],
+                    np.int64,
+                )
+                sign_cache[name] = v
+            return v
+        sgn = np.stack([signs(n) for n in nbr])  # (rows, n_dims)
+        contrib = sgn * ww[:, None]
+        df = pd.DataFrame(contrib, columns=dcols)
+        df["entity"] = ent
+        agg = df.groupby("entity", sort=False, as_index=False).sum()
+        return pa.table(
+            {"entity": pa.array(agg["entity"], pa.string())}
+            | {
+                c: pa.array(agg[c].to_numpy(np.int64), pa.int64())
+                for c in dcols
+            }
+        )
+
+    return partitioned_key_sum(
+        unigram_triples(sf_dir).map_batches(
+            rp_partial, batch_format="pyarrow"
+        ),
+        keys=["entity"], sum_cols=dcols, part_on=("entity",),
+    )

@@ -1535,3 +1535,86 @@ def knn_pq(emb_ds, query_vec, k_top: int = 10, m: int = 4,
             "adc_dist": pa.array([d for d, _ in top], pa.int64()),
         }
     )
+
+
+def gram_lattice(emb_ds):
+    """Integer-exact second-moment (Gram) matrix of the embedding
+    table on the 2^-20 lattice — the covariance/whitening precursor
+    (PCA, ZCA, Mahalanobis scoring) computed as upper-triangle entries
+    (i <= j, 0-based): sum over vectors of v[i]·v[j], plus the row
+    count and per-dim sums needed to center it downstream.
+
+    Scale shape: one streaming pass; each batch contributes a single
+    dim×dim einsum (plus a dim-long sum), flattened to the bounded
+    dim·(dim+1)/2 key space for the shuffle-free combine — the corpus
+    never shuffles and the driver holds one 64×64 matrix. Lattice
+    magnitudes (~2^20) bound a product at ~2^40, so int64 partials
+    carry ~2^23 rows per batch safely; the combine's int64 totals
+    carry ~10^5 batches — beyond that widen to per-partition float128
+    or split the key space (documented, not needed at current scales).
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "sum_prod": pa.array([], pa.int64()),
+                "sum_i": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        qv = _pq_quantized(t)
+        dim = qv.shape[1]
+        gram = qv.T @ qv  # (dim, dim) int64, exact
+        sums = qv.sum(axis=0)
+        ii, jj = np.triu_indices(dim)
+        return pa.table(
+            {
+                "i": pa.array(ii.astype(np.int64), pa.int64()),
+                "j": pa.array(jj.astype(np.int64), pa.int64()),
+                "sum_prod": pa.array(gram[ii, jj], pa.int64()),
+                # carried on the diagonal rows only (i == j) so the
+                # combine stays a plain keyed sum
+                "sum_i": pa.array(
+                    np.where(ii == jj, sums[ii], 0), pa.int64()
+                ),
+                "n_vecs": pa.array(
+                    np.where((ii == 0) & (jj == 0), len(qv), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return bounded_key_sum(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"], sum_cols=["sum_prod", "sum_i", "n_vecs"],
+    )
+
+
+def gram_lattice_oracle_sql(dim: int = 64) -> str:
+    return f"""
+        WITH qi AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576
+                                       + 0.5) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        ij AS (
+            SELECT a.i AS i, b.j AS j
+            FROM UNNEST(range(1, {dim + 1})) a(i),
+                 UNNEST(range(1, {dim + 1})) b(j)
+            WHERE a.i <= b.j
+        )
+        SELECT ij.i - 1 AS i, ij.j - 1 AS j,
+               SUM(v[ij.i] * v[ij.j]) AS sum_prod,
+               CASE WHEN ij.i = ij.j THEN SUM(v[ij.i]) ELSE 0 END
+                   AS sum_i,
+               CASE WHEN ij.i = 1 AND ij.j = 1 THEN COUNT(*) ELSE 0 END
+                   AS n_vecs
+        FROM qi, ij
+        GROUP BY ij.i, ij.j
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 224 and len(sqls) == 205
+    assert len(qs) == 226 and len(sqls) == 207
     import subprocess
     import sys
 
