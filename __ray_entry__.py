@@ -904,6 +904,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_embedding_rp": lambda sf: (
             kg.unigram_node_embedding_rp(sf)
         ),
+        "docs_bucketed_sink": lambda sf: (
+            text_formats.bucketed_parquet_stats(sf)
+        ),
+        "docs_corpus_fingerprint": lambda sf: (
+            analysis.corpus_fingerprint(_docs(sf, ["text"]))
+        ),
     }
 
 
@@ -1157,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         temperature_sample_oracle_sql,
     )
     from autoner_ray.pipelines import relational as relational_mod
+    from autoner_ray.sources import text_formats as text_formats_mod
     from autoner_ray.stages import analysis as analysis_mod
     from autoner_ray.stages import asof as asof_mod
     from autoner_ray.stages import dedup as dedup_mod
@@ -2979,6 +2986,12 @@ def oracle_sql() -> dict[str, str]:
             similarity_mod.gram_lattice_oracle_sql()
         ),
         "kg_node_embedding_rp": _node_rp_sql(dict_values),
+        "docs_bucketed_sink": (
+            text_formats_mod.bucketed_parquet_stats_oracle_sql()
+        ),
+        "docs_corpus_fingerprint": (
+            analysis_mod.corpus_fingerprint_oracle_sql()
+        ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

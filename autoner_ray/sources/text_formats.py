@@ -223,3 +223,84 @@ def parquet_partitioned_stats_oracle_sql() -> str:
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
     """
+
+
+def bucketed_parquet_stats(sf_dir: str, n_buckets: int = 16):
+    """Per-bucket doc count + total chars computed THROUGH a
+    hash-bucketed Parquet write-read roundtrip: docs land in
+    ``n_buckets`` directories by a content hash of doc_id (first hex
+    digit of md5 — the same function the SQL twin computes), the
+    CLUSTER-BY layout that lets a downstream bucket join or point
+    lookup open 1/n of the files. The twin recomputes buckets from the
+    original table, so any routing or fidelity error breaks the hash.
+
+    Scale shape: one stateless map assigns buckets, one partitioned
+    write (files per block inside each bucket directory — resumable),
+    stats stream back through the bounded combine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/autoner_ray_io/bucketed_docs_{tag}"
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        import hashlib
+
+        b = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[0], 16)
+            % n_buckets
+            for d in t["doc_id"].to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        fresh_dir(out), partition_cols=["bucket"]
+    )
+    back = rd.read_parquet(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_chars": pa.array([], pa.int64()),
+                }
+            )
+        bucket = pc.cast(pc_cast_str(t["bucket"]), pa.int64())
+        agg = (
+            pa.table({"bucket": bucket, "n_chars": t["n_chars"]})
+            .group_by("bucket")
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return agg.rename_columns(["bucket", "n_docs", "sum_chars"])
+
+    return bounded_key_sum(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], ["n_docs", "sum_chars"],
+    )
+
+
+def bucketed_parquet_stats_oracle_sql(n_buckets: int = 16) -> str:
+    return f"""
+        SELECT (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   % {n_buckets} AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+    """

@@ -4146,3 +4146,90 @@ def vocab_coverage_oracle_sql(ks: tuple[int, ...] = (
                ) * 1000000 // tot.t AS BIGINT) AS coverage_ppm
         FROM ks, tot
     """
+
+
+def corpus_fingerprint(docs_ds):
+    """Order-insensitive corpus content fingerprint — the dataset
+    version id a curation pipeline stamps on every artifact (same rows
+    in any order / any partitioning => same fingerprint; one changed
+    byte flips it): doc count, XOR and modular sum of each document's
+    60-bit md5(text) prefix. XOR and sum are commutative-associative,
+    so the reduction is layout-independent by construction.
+
+    Scale shape: per-batch partials collapse to ONE row each (n, xor,
+    sum mod 2^61); a single-task combine folds them — no shuffle, no
+    driver iteration."""
+    import hashlib
+
+    MOD = 1 << 61
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_docs": pa.array([], pa.int64()),
+                "xor_fp": pa.array([], pa.int64()),
+                "sum_fp": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        x = 0
+        s = 0
+        n = 0
+        for text in t["text"].to_pylist():
+            h = int(
+                hashlib.md5((text or "").encode()).hexdigest()[:15], 16
+            )
+            x ^= h
+            s = (s + h) % MOD
+            n += 1
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "xor_fp": pa.array([x], pa.int64()),
+                "sum_fp": pa.array([s], pa.int64()),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "n_docs": pa.array([0], pa.int64()),
+                    "xor_fp": pa.array([0], pa.int64()),
+                    "sum_fp": pa.array([0], pa.int64()),
+                }
+            )
+        x = 0
+        for v in t["xor_fp"].to_pylist():
+            x ^= int(v)
+        return pa.table(
+            {
+                "n_docs": pa.array(
+                    [int(np.sum(t["n_docs"].to_numpy()))], pa.int64()
+                ),
+                "xor_fp": pa.array([x], pa.int64()),
+                "sum_fp": pa.array(
+                    [int(np.sum(t["sum_fp"].to_numpy()) % (1 << 61))],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def corpus_fingerprint_oracle_sql() -> str:
+    h = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)"
+    return f"""
+        SELECT COUNT(*) AS n_docs,
+               CAST(bit_xor({h}) AS BIGINT) AS xor_fp,
+               CAST(SUM(CAST({h} AS HUGEINT))
+                    % CAST(2305843009213693952 AS HUGEINT) AS BIGINT)
+                   AS sum_fp
+        FROM documents
+    """
