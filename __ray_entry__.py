@@ -910,6 +910,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_fingerprint": lambda sf: (
             analysis.corpus_fingerprint(_docs(sf, ["text"]))
         ),
+        "docs_word_burstiness": lambda sf: analysis.word_burstiness(
+            _docs(sf, ["text"])
+        ),
+        "docs_bigram_assortativity": lambda sf: (
+            webtext.bigram_assortativity(_docs(sf, ["doc_id", "text"]))
+        ),
     }
 
 
@@ -2991,6 +2997,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_corpus_fingerprint": (
             analysis_mod.corpus_fingerprint_oracle_sql()
+        ),
+        "docs_word_burstiness": (
+            analysis_mod.word_burstiness_oracle_sql()
+        ),
+        "docs_bigram_assortativity": (
+            webtext_mod.bigram_assortativity_oracle_sql()
         ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-

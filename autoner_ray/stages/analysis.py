@@ -4233,3 +4233,106 @@ def corpus_fingerprint_oracle_sql() -> str:
                    AS sum_fp
         FROM documents
     """
+
+
+def word_burstiness(docs_ds):
+    """Per-word burstiness table: document frequency, total
+    occurrences, sum of squared per-doc counts, and the
+    variance-to-mean ratio in EXACT integer ppm —
+    vmr = var/mean over docs containing the word
+        = (sum_sq·df − occ²) / (df·occ),
+    reported as ``(10^6·(sum_sq·df − occ²)) // (df·occ)`` so engine and
+    SQL agree with no float in sight. VMR ≈ 1e6 means Poisson-like
+    function words; high VMR flags topical/bursty words — the signal
+    keyword extractors and stopword-list builders threshold on.
+
+    Scale shape: per-batch (word, occ, sum_sq, df) partials from a
+    vectorized doc×word count, merged by the word-partitioned
+    distributed sum (vocab never on the driver); the ppm ratio is a
+    stateless final map."""
+    import pandas as pd
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "occurrences": pa.array([], pa.int64()),
+                "sum_sq": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        words, docs = [], []
+        for i, x in enumerate(t["text"].to_pylist()):
+            ws = (x or "").split(" ")
+            words.extend(ws)
+            docs.extend([i] * len(ws))
+        df = pd.DataFrame({"w": words, "d": docs})
+        per_doc = df.groupby(["w", "d"], sort=False).size()
+        agg = per_doc.groupby(level=0).agg(["count", "sum"])
+        sq = (per_doc * per_doc).groupby(level=0).sum()
+        return pa.table(
+            {
+                "word": pa.array(agg.index.to_numpy(object), pa.string()),
+                "df": pa.array(
+                    agg["count"].to_numpy(np.int64), pa.int64()
+                ),
+                "occurrences": pa.array(
+                    agg["sum"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_sq": pa.array(sq.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    summed = partitioned_key_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["word"], sum_cols=["df", "occurrences", "sum_sq"],
+        part_on=("word",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "word" not in (
+            t.column_names
+        ):
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "occurrences": pa.array([], pa.int64()),
+                    "sum_sq": pa.array([], pa.int64()),
+                    "vmr_ppm": pa.array([], pa.int64()),
+                }
+            )
+        df_ = t["df"].to_numpy()
+        occ = t["occurrences"].to_numpy()
+        sq = t["sum_sq"].to_numpy()
+        vmr = (1_000_000 * (sq * df_ - occ * occ)) // (df_ * occ)
+        return t.append_column("vmr_ppm", pa.array(vmr, pa.int64()))
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def word_burstiness_oracle_sql() -> str:
+    return """
+        WITH pd AS (
+            SELECT doc_id, word, COUNT(*) AS c
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT word, COUNT(*) AS df, SUM(c) AS occurrences,
+                   SUM(c * c) AS sum_sq
+            FROM pd GROUP BY 1
+        )
+        SELECT word, CAST(df AS BIGINT) AS df,
+               CAST(occurrences AS BIGINT) AS occurrences,
+               CAST(sum_sq AS BIGINT) AS sum_sq,
+               CAST((1000000 * (sum_sq * df - occurrences * occurrences))
+                    // (df * occurrences) AS BIGINT) AS vmr_ppm
+        FROM agg
+    """

@@ -1693,3 +1693,95 @@ def ktruss(edges_ds, k: int = 4, rounds: int = 3,
             "support": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def degree_assortativity(edges_ds):
+    """Degree-assortativity coefficient of the undirected graph —
+    Newman's r: the Pearson correlation of endpoint degrees over every
+    directed edge. Positive = hubs link hubs (social shape), negative
+    = hubs link leaves (star/technological shape); the one-number
+    topology fingerprint a KG build logs per snapshot.
+
+    All five moments (Σx, Σy, Σx², Σy², Σxy over 2m directed edges)
+    are exact int64 sums, so engine and SQL twin agree bit-for-bit
+    before the one final float division (rounded to 6 dp both sides).
+
+    Scale shape: degrees reduce through the bounded combine (entity
+    vocab is dictionary-bounded for the co-occurrence graphs this
+    serves — same contract as pagerank/triangles) and broadcast once;
+    one pass over edges emits per-batch moment partials that collapse
+    to a single row each."""
+    import pandas as pd
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64())})
+        ents = pa.concat_arrays(
+            [pc.cast(t["subj"], pa.string()).combine_chunks(),
+             pc.cast(t["obj"], pa.string()).combine_chunks()]
+        )
+        vc = ents.value_counts()
+        return pa.table({"entity": vc.field("values"),
+                         "deg": pc.cast(vc.field("counts"), pa.int64())})
+
+    deg = bounded_key_sum(
+        edges_ds.select_columns(["subj", "obj"]).map_batches(
+            deg_partial, batch_format="pyarrow"
+        ),
+        ["entity"], ["deg"],
+    ).to_pandas()
+    if len(deg) == 0:
+        return pa.table(
+            {
+                "n_edges": pa.array([0], pa.int64()),
+                "assortativity": pa.array([0.0], pa.float64()),
+            }
+        )
+    deg_ref = ray.put(dict(zip(deg["entity"], deg["deg"].astype(int))))
+
+    mcols = ["m", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], pa.int64()) for c in mcols}
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        dmap = ray.get(deg_ref)
+        s = pd.Series(t["subj"].to_pylist()).map(dmap).to_numpy(np.int64)
+        o = pd.Series(t["obj"].to_pylist()).map(dmap).to_numpy(np.int64)
+        # both directions: x over sources, y over destinations
+        x = np.concatenate([s, o])
+        y = np.concatenate([o, s])
+        return pa.table(
+            {
+                "m": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        edges_ds.select_columns(["subj", "obj"])
+        .map_batches(moment_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    m, sx, sy = int(tot["m"]), int(tot["sx"]), int(tot["sy"])
+    sxx, syy, sxy = int(tot["sxx"]), int(tot["syy"]), int(tot["sxy"])
+    num = m * sxy - sx * sy
+    den = ((m * sxx - sx * sx) ** 0.5) * ((m * syy - sy * sy) ** 0.5)
+    r = round(num / den, 6) if den > 0 else 0.0
+    return pa.table(
+        {
+            "n_edges": pa.array([m // 2], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )

@@ -1181,3 +1181,54 @@ def bigram_ktruss_oracle_sql(min_count: int = 50, k: int = 20,
         {chain}
         SELECT subj, obj, CAST(sup AS BIGINT) AS support FROM s{rounds}
     """
+
+
+def bigram_assortativity(docs_ds, min_count: int = 50):
+    """Degree assortativity of the thresholded bigram collocation
+    graph (kernel: stages/graph.py:degree_assortativity — exact int64
+    moment sums, one float division at the end)."""
+    from autoner_ray.stages.graph import degree_assortativity
+
+    return degree_assortativity(bigram_graph(docs_ds, min_count))
+
+
+def bigram_assortativity_oracle_sql(min_count: int = 50) -> str:
+    return f"""
+        WITH ws AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        bg AS (
+            SELECT least(ws[i], ws[i + 1]) AS a,
+                   greatest(ws[i], ws[i + 1]) AS b
+            FROM ws, unnest(range(1, len(ws))) AS t(i)
+            WHERE ws[i] <> ws[i + 1]
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a AS subj, b AS obj FROM bg
+            GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+        ),
+        bidir AS (
+            SELECT subj AS src, obj AS dst FROM e0
+            UNION ALL SELECT obj, subj FROM e0
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM bidir GROUP BY 1),
+        mom AS (
+            SELECT COUNT(*) AS m,
+                   SUM(dx.deg) AS sx, SUM(dy.deg) AS sy,
+                   SUM(dx.deg * dx.deg) AS sxx,
+                   SUM(dy.deg * dy.deg) AS syy,
+                   SUM(dx.deg * dy.deg) AS sxy
+            FROM bidir e
+            JOIN deg dx ON dx.src = e.src
+            JOIN deg dy ON dy.src = e.dst
+        )
+        SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+               CASE WHEN m * sxx - sx * sx <= 0
+                      OR m * syy - sy * sy <= 0 THEN 0.0
+                    ELSE round(
+                        (m * sxy - sx * sy) /
+                        (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+               END AS assortativity
+        FROM mom
+    """
