@@ -916,6 +916,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_assortativity": lambda sf: (
             webtext.bigram_assortativity(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_gopher_quality": lambda sf: webtext.gopher_quality(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "docs_pii_scrub": lambda sf: _docs(
+            sf, ["doc_id", "text"]
+        ).map_batches(
+            lambda b: webtext.pii_scrub_batch(b, _AUDIT_PATTERNS),
+            batch_format="pyarrow",
+        ),
     }
 
 
@@ -3003,6 +3012,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_bigram_assortativity": (
             webtext_mod.bigram_assortativity_oracle_sql()
+        ),
+        "docs_gopher_quality": webtext_mod.gopher_quality_oracle_sql(),
+        "docs_pii_scrub": webtext_mod.pii_scrub_oracle_sql(
+            _AUDIT_PATTERNS
         ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-

@@ -1232,3 +1232,179 @@ def bigram_assortativity_oracle_sql(min_count: int = 50) -> str:
                END AS assortativity
         FROM mom
     """
+
+
+# Gopher-style document-quality rules (Rae et al. 2021, table A1 shape),
+# re-parameterized for a space-tokenized corpus and made INTEGER-EXACT:
+# every ratio threshold is a cross-multiplied integer comparison, so the
+# engine and the DuckDB twin agree bit-for-bit with no float rounding.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a")
+
+
+def gopher_quality(
+    docs_ds,
+    min_words: int = 20,
+    max_words: int = 90,
+    mwl_lo_x10: int = 43,
+    mwl_hi_x10: int = 47,
+    min_stopwords: int = 2,
+    max_top_frac_den: int = 10,
+    min_distinct_num: int = 2,
+    min_distinct_den: int = 5,
+):
+    """Per-document Gopher-rule audit: one row per doc with the five
+    rule flags (0/1) and the conjunction ``keep``.
+
+    Rules (all integer-exact):
+      r_wc        min_words <= wc <= max_words
+      r_mwl       mwl_lo_x10*wc <= 10*total_word_chars <= mwl_hi_x10*wc
+                  (mean word length in [4.3, 4.7] at the defaults)
+      r_stop      count of GOPHER_STOPWORDS occurrences >= min_stopwords
+      r_rep       max single-word count * max_top_frac_den <= wc
+                  (top word <= 10% of tokens at the default)
+      r_distinct  distinct_words * min_distinct_den >=
+                  min_distinct_num * wc  (>= 40% distinct at defaults)
+
+    Scale shape: each document is judged from its own row alone, so this
+    is ONE stateless vectorized ``map_batches`` — no shuffle, no state,
+    embarrassingly parallel at any corpus size. Per-batch work is a
+    pandas explode -> (doc, word) count -> per-doc integer aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    stopset = set(GOPHER_STOPWORDS)
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [
+            "doc_id", "wc", "r_wc", "r_mwl", "r_stop", "r_rep",
+            "r_distinct", "keep",
+        ]
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in out_cols}
+            )
+        words = df["text"].fillna("").str.split(" ")
+        ex = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().repeat(
+                    words.str.len().to_numpy()
+                ),
+                "word": np.concatenate(words.to_numpy()),
+            }
+        )
+        wt = (
+            ex.groupby(["doc_id", "word"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        wt["wchars"] = wt["word"].str.len() * wt["c"]
+        wt["stop_c"] = np.where(wt["word"].isin(stopset), wt["c"], 0)
+        g = wt.groupby("doc_id", sort=False)
+        agg = g.agg(
+            wc=("c", "sum"),
+            tc=("wchars", "sum"),
+            stop_n=("stop_c", "sum"),
+            top_c=("c", "max"),
+            distinct_n=("c", "size"),
+        ).reset_index()
+        wc = agg["wc"].to_numpy()
+        tc = agg["tc"].to_numpy()
+        out = pd.DataFrame({"doc_id": agg["doc_id"], "wc": wc})
+        out["r_wc"] = (
+            (wc >= min_words) & (wc <= max_words)
+        ).astype("int64")
+        out["r_mwl"] = (
+            (mwl_lo_x10 * wc <= 10 * tc) & (10 * tc <= mwl_hi_x10 * wc)
+        ).astype("int64")
+        out["r_stop"] = (
+            agg["stop_n"].to_numpy() >= min_stopwords
+        ).astype("int64")
+        out["r_rep"] = (
+            agg["top_c"].to_numpy() * max_top_frac_den <= wc
+        ).astype("int64")
+        out["r_distinct"] = (
+            agg["distinct_n"].to_numpy() * min_distinct_den
+            >= min_distinct_num * wc
+        ).astype("int64")
+        out["keep"] = (
+            out[["r_wc", "r_mwl", "r_stop", "r_rep", "r_distinct"]]
+            .min(axis=1)
+            .astype("int64")
+        )
+        out["wc"] = out["wc"].astype("int64")
+        return out[out_cols]
+
+    return docs_ds.map_batches(rules, batch_format="pandas")
+
+
+def gopher_quality_oracle_sql(
+    min_words: int = 20,
+    max_words: int = 90,
+    mwl_lo_x10: int = 43,
+    mwl_hi_x10: int = 47,
+    min_stopwords: int = 2,
+    max_top_frac_den: int = 10,
+    min_distinct_num: int = 2,
+    min_distinct_den: int = 5,
+) -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        wt AS (
+            SELECT doc_id, word, COUNT(*) AS c
+            FROM w GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT doc_id,
+                   SUM(c) AS wc,
+                   SUM(length(word) * c) AS tc,
+                   SUM(CASE WHEN word IN ({stops}) THEN c ELSE 0 END)
+                       AS stop_n,
+                   MAX(c) AS top_c,
+                   COUNT(*) AS distinct_n
+            FROM wt GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(wc AS BIGINT) AS wc,
+               CAST(CASE WHEN wc >= {min_words} AND wc <= {max_words}
+                    THEN 1 ELSE 0 END AS BIGINT) AS r_wc,
+               CAST(CASE WHEN {mwl_lo_x10} * wc <= 10 * tc
+                          AND 10 * tc <= {mwl_hi_x10} * wc
+                    THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+               CAST(CASE WHEN stop_n >= {min_stopwords}
+                    THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+               CAST(CASE WHEN top_c * {max_top_frac_den} <= wc
+                    THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+               CAST(CASE WHEN distinct_n * {min_distinct_den}
+                          >= {min_distinct_num} * wc
+                    THEN 1 ELSE 0 END AS BIGINT) AS r_distinct,
+               CAST(CASE WHEN wc >= {min_words} AND wc <= {max_words}
+                          AND {mwl_lo_x10} * wc <= 10 * tc
+                          AND 10 * tc <= {mwl_hi_x10} * wc
+                          AND stop_n >= {min_stopwords}
+                          AND top_c * {max_top_frac_den} <= wc
+                          AND distinct_n * {min_distinct_den}
+                              >= {min_distinct_num} * wc
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM per
+    """
+
+
+def pii_scrub_oracle_sql(patterns: dict[str, str] | None = None) -> str:
+    """DuckDB twin of :func:`pii_scrub_batch`: the same RE2 patterns
+    applied as a nested global ``regexp_replace`` chain in dict order
+    (both engines are RE2 with leftmost non-overlapping semantics, so
+    the chained rewrites agree byte-for-byte)."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    expr = "COALESCE(text, '')"
+    for name, pat in pats.items():
+        expr = (
+            "regexp_replace({}, '{}', '[{}]', 'g')".format(
+                expr, pat.replace("'", "''"), name.upper()
+            )
+        )
+    return f"SELECT doc_id, {expr} AS text FROM documents"

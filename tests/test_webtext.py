@@ -177,3 +177,56 @@ def test_temperature_sample_rebalances_and_matches_oracle(ray_session):
     ).df().set_index("lang")["n"]
     # the head (en) loses a larger fraction than the rarest language
     assert mix["en"] / full["en"] < mix[full.idxmin()] / full.min()
+
+
+def test_gopher_quality_hand_computed(ray_session):
+    import ray.data as rd
+
+    # doc 0: wc=3 -> fails r_wc; "the a the": stop_n=3, top=2
+    # doc 1: 25 words "w01..w20 the a the a x" all distinct-ish
+    words = [f"wrd{i:02d}" for i in range(20)] + ["the", "a", "the", "a", "x"]
+    texts = ["the a the", " ".join(words)]
+    ds = rd.from_arrow(_docs_table(texts))
+    out = (
+        webtext.gopher_quality(ds)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "wc"] == 3 and out.loc[0, "r_wc"] == 0
+    assert out.loc[0, "keep"] == 0
+    assert out.loc[1, "wc"] == 25 and out.loc[1, "r_wc"] == 1
+    # doc 1: top word "the"=2, 2*10 <= 25 -> r_rep=1;
+    # distinct 22, 22*5 >= 2*25 -> r_distinct=1; stop_n=4 -> r_stop=1
+    assert out.loc[1, "r_rep"] == 1
+    assert out.loc[1, "r_distinct"] == 1
+    assert out.loc[1, "r_stop"] == 1
+    # mean word length: 20*5 + 3+1+3+1+1 = 109 chars over 25 words
+    # -> 10*109=1090 vs [43*25, 47*25]=[1075,1175] -> r_mwl=1, keep=1
+    assert out.loc[1, "r_mwl"] == 1 and out.loc[1, "keep"] == 1
+
+
+def test_gopher_quality_matches_duckdb_on_corpus(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    eng = (
+        webtext.gopher_quality(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ora = (
+        con.execute(webtext.gopher_quality_oracle_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (eng[eng.columns] == ora[eng.columns]).all().all()
