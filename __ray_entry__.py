@@ -925,6 +925,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: webtext.pii_scrub_batch(b, _AUDIT_PATTERNS),
             batch_format="pyarrow",
         ),
+        "kg_source_hits": lambda sf: kg.unigram_source_hits(sf),
+        "docs_entity_density": lambda sf: kg.unigram_entity_density(sf),
+        "q12_priority_shipping_lag": (
+            relational.q12_priority_shipping_lag
+        ),
+        "vocab_blocking_keys": lambda sf: analysis.vocab_blocking_keys(
+            _docs(sf, ["text"])
+        ),
     }
 
 
@@ -1084,6 +1092,80 @@ def _pagerank_sql(dict_values: str, damping=0.85, iters=20) -> str:
         ),
         {", ".join(steps)}
         SELECT entity, round(rank, 6) AS rank FROM pr{iters}
+    """
+
+
+def _hits_sql(dict_values: str, iters: int = 8,
+              scale: int = 1_000_000) -> str:
+    """Integer-lattice HITS twin (``graph.hits_lattice``): unrolled
+    hub/authority iterations with L1 floor-normalization in HUGEINT —
+    bit-exact vs the engine's python-bigint matvec (all quantities are
+    nonnegative, so ``//`` trunc == floor on both sides)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        a{k}r AS MATERIALIZED (
+            SELECT e.ent, SUM(e.w * h.h) AS r
+            FROM edges e JOIN h{k - 1} h ON h.src = e.src
+            GROUP BY e.ent
+        ),
+        a{k} AS MATERIALIZED (
+            SELECT ent, r * {scale} // (SELECT SUM(r) FROM a{k}r) AS a
+            FROM a{k}r
+        ),
+        h{k}r AS MATERIALIZED (
+            SELECT e.src, SUM(e.w * a.a) AS r
+            FROM edges e JOIN a{k} a ON a.ent = e.ent
+            GROUP BY e.src
+        ),
+        h{k} AS MATERIALIZED (
+            SELECT src, r * {scale} // (SELECT SUM(r) FROM h{k}r) AS h
+            FROM h{k}r
+        )""")
+    return f"""
+        WITH mentions AS MATERIALIZED (
+            SELECT DISTINCT d.doc_id, d.source, dict.entity
+            FROM documents d, UNNEST({WORDS}) AS t(word)
+            JOIN {dict_values} ON t.word = dict.word
+        ),
+        edges AS MATERIALIZED (
+            SELECT source AS src, entity AS ent,
+                   CAST(COUNT(*) AS HUGEINT) AS w
+            FROM mentions GROUP BY 1, 2
+        ),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src, CAST({scale} AS HUGEINT) AS h FROM edges
+        ),
+        {", ".join(steps)}
+        SELECT src AS node, 'hub' AS kind, CAST(h AS BIGINT) AS score
+        FROM h{iters}
+        UNION ALL
+        SELECT ent, 'authority', CAST(a AS BIGINT) FROM a{iters}
+    """
+
+
+def _entity_density_sql() -> str:
+    """Per-doc unigram mention density in integer ppm
+    (``kg.unigram_entity_density``); empty docs drop on both sides."""
+    from autoner_ray.dicts import UNIGRAM_DICT
+
+    in_list = ", ".join(f"'{w}'" for w in sorted(UNIGRAM_DICT))
+    return f"""
+        WITH tok AS (
+            SELECT d.doc_id, t.word
+            FROM documents d, UNNEST({WORDS}) AS t(word)
+            WHERE t.word <> ''
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN word IN ({in_list})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT CASE WHEN word IN ({in_list})
+                    THEN word END) AS BIGINT) AS n_entities,
+               CAST(SUM(CASE WHEN word IN ({in_list})
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                    AS BIGINT) AS density_ppm
+        FROM tok GROUP BY doc_id
     """
 
 
@@ -3016,6 +3098,26 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_quality": webtext_mod.gopher_quality_oracle_sql(),
         "docs_pii_scrub": webtext_mod.pii_scrub_oracle_sql(
             _AUDIT_PATTERNS
+        ),
+        "kg_source_hits": _hits_sql(dict_values),
+        "docs_entity_density": _entity_density_sql(),
+        "q12_priority_shipping_lag": """
+            SELECT CAST(greatest(-4, least(4,
+                       CAST(floor(date_diff('day', o.o_orderdate,
+                                            l.l_shipdate) / 180.0)
+                            AS BIGINT))) AS BIGINT) AS lag_band,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_lines,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "vocab_blocking_keys": (
+            analysis_mod.vocab_blocking_keys_oracle_sql()
         ),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-

@@ -1351,3 +1351,118 @@ def unigram_node_embedding_rp(sf_dir: str, n_dims: int = 8):
         ),
         keys=["entity"], sum_cols=dcols, part_on=("entity",),
     )
+
+
+def unigram_source_hits(sf_dir: str, iters: int = 8,
+                        scale: int = 1_000_000):
+    """HITS hubs/authorities over the bipartite SOURCE -> ENTITY mention
+    graph: edge weight = number of docs from the source mentioning the
+    entity (distinct per doc). Which sources concentrate authoritative
+    entities — the crawl-seeding / source-ranking signal for KG
+    construction (integer-lattice iteration, see
+    :func:`autoner_ray.stages.graph.hits_lattice`).
+
+    Scale shape: corpus -> per-batch (source, entity) count partials
+    (each doc is one row, so per-doc distinct entities never need a
+    cross-batch dedup) -> shuffle-free bounded combine (|sources| x
+    |dict| rows) -> driver lattice iteration.
+    """
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+    from autoner_ray.stages.graph import hits_lattice
+
+    dict_keys = set(UNIGRAM_DICT)
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter[tuple[str, str]] = Counter()
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = set(sentence_token_stream(text or ""))
+            for t in toks & dict_keys:
+                counter[(src, UNIGRAM_DICT[t][0])] += 1
+        keys = list(counter.keys())
+        return pa.table(
+            {
+                "src": pa.array([k[0] for k in keys], pa.string()),
+                "ent": pa.array([k[1] for k in keys], pa.string()),
+                "w": pa.array(
+                    [counter[k] for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    edges = bounded_key_sum(
+        ds.map_batches(edge_partial, batch_format="pyarrow"),
+        ["src", "ent"], ["w"],
+    )
+    return hits_lattice(edges, iters=iters, scale=scale)
+
+
+def unigram_entity_density(sf_dir: str):
+    """Per-document mention-density audit over the unigram dictionary:
+    token count, dictionary-token mentions (with repeats), distinct
+    entities, and density in integer ppm (mentions * 10^6 // tokens) —
+    the corpus-selection signal that decides which documents feed KG
+    construction (mention-sparse docs carry no triples).
+
+    Scale shape: ONE stateless vectorized ``map_batches`` (explode ->
+    isin -> per-doc integer aggregate); no shuffle, no state.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    dict_words = list(UNIGRAM_DICT)
+
+    def density(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "doc_id", "n_tokens", "n_mentions", "n_entities",
+            "density_ppm",
+        ]
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in cols}
+            )
+        words = df["text"].fillna("").str.split(" ")
+        ex = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().repeat(
+                    words.str.len().to_numpy()
+                ),
+                "word": np.concatenate(words.to_numpy()),
+            }
+        )
+        ex = ex[ex["word"] != ""]
+        ex["hit"] = ex["word"].isin(dict_words).astype("int64")
+        g = ex.groupby("doc_id", sort=False)
+        agg = g.agg(
+            n_tokens=("word", "size"),
+            n_mentions=("hit", "sum"),
+        ).reset_index()
+        ents = (
+            ex[ex["hit"] == 1]
+            .groupby("doc_id", sort=False)["word"]
+            .nunique()
+        )
+        agg["n_entities"] = (
+            agg["doc_id"].map(ents).fillna(0).astype("int64")
+        )
+        agg["density_ppm"] = (
+            agg["n_mentions"].to_numpy() * 1_000_000
+            // agg["n_tokens"].to_numpy()
+        )
+        for c in cols[1:]:
+            agg[c] = agg[c].astype("int64")
+        return agg[cols]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(density, batch_format="pandas")

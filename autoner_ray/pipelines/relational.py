@@ -4161,3 +4161,124 @@ def q16_oracle_sql(excl_brand: str = "Brand#13",
         WHERE p.p_brand <> '{excl_brand}' AND p.p_type <> '{excl_type}'
         GROUP BY 1, 2, 3
     """
+
+
+def q12_priority_shipping_lag(sf_dir: str,
+                              broadcast_max_rows: int = 5_000_000):
+    """TPC-H Q12 shape adapted to this schema (no ``l_shipmode``
+    column): per shipping-LAG band — floor(days between o_orderdate and
+    l_shipdate / 180), clamped to [-4, 4] — how many lineitems belong
+    to critical orders (``o_orderpriority`` 1-URGENT / 2-HIGH) vs the
+    rest. The late-shipment-by-priority operational report
+    (ref: TPC-H Q12's high_line_count/low_line_count split).
+
+    Scale shape: same TIERED orderkey resolution as
+    ``order_ship_delay_hist`` — sorted (orderkey -> orderdate,
+    is_high) broadcast under ``broadcast_max_rows``, large-large
+    cogroup join above; bands are 9 values, so the tail is the
+    shuffle-free bounded combine.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    US_PER_DAY = 86_400_000_000
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    _schema = pa.schema(
+        [
+            ("lag_band", pa.int64()),
+            ("high_lines", pa.int64()),
+            ("low_lines", pa.int64()),
+        ]
+    )
+
+    def band_agg(lag_days: "np.ndarray", is_high: "np.ndarray") -> pa.Table:
+        band = np.clip(np.floor_divide(lag_days, 180), -4, 4)
+        t = pa.table(
+            {
+                "lag_band": pa.array(band, pa.int64()),
+                "high_lines": pa.array(
+                    is_high.astype(np.int64), pa.int64()
+                ),
+                "low_lines": pa.array(
+                    (~is_high).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        agg = t.group_by("lag_band").aggregate(
+            [("high_lines", "sum"), ("low_lines", "sum")]
+        )
+        return agg.rename_columns(["lag_band", "high_lines", "low_lines"])
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= broadcast_max_rows:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        okeys = ot["o_orderkey"].to_numpy()
+        ix = np.argsort(okeys, kind="stable")
+        odays = (
+            ot["o_orderdate"].cast(pa.int64()).to_numpy() // US_PER_DAY
+        )[ix]
+        prio = ot["o_orderpriority"].to_numpy(zero_copy_only=False)[ix]
+        high = np.isin(prio, np.array(["1-URGENT", "2-HIGH"]))
+        lookup_ref = ray.put((okeys[ix], odays, high))
+
+        def lag_partial(t: pa.Table) -> pa.Table:
+            keys, days, hi = ray.get(lookup_ref)
+            if len(keys) == 0 or len(t) == 0:
+                return _schema.empty_table()
+            lkeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, lkeys), 0, len(keys) - 1)
+            hit = keys[pos] == lkeys  # inner-join semantics
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64())
+                .to_numpy() // US_PER_DAY
+            )
+            return band_agg((ship - days[pos])[hit], hi[pos][hit])
+
+        partials = line.map_batches(
+            lag_partial, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        from autoner_ray.stages.joins import cogroup_join
+
+        orders = _read(
+            sf_dir, "orders",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["o_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = cogroup_join(line, orders, on=("l_orderkey",))
+
+        def lag_partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _schema.empty_table()
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64())
+                .to_numpy() // US_PER_DAY
+            )
+            odays = (
+                t["o_orderdate"].combine_chunks().cast(pa.int64())
+                .to_numpy() // US_PER_DAY
+            )
+            hi = np.isin(
+                t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                np.array(["1-URGENT", "2-HIGH"]),
+            )
+            return band_agg(ship - odays, hi)
+
+        partials = joined.map_batches(lag_partial, batch_format="pyarrow")
+
+    return bounded_key_sum(partials, ["lag_band"],
+                           ["high_lines", "low_lines"])

@@ -4336,3 +4336,131 @@ def word_burstiness_oracle_sql() -> str:
                     // (df * occurrences) AS BIGINT) AS vmr_ppm
         FROM agg
     """
+
+
+def vocab_blocking_keys(docs_ds, num_partitions: int | None = None):
+    """Entity-resolution BLOCKING pass over the corpus vocabulary:
+    each distinct word gets a cheap blocking key (first character +
+    word length — the classic initial+length blocker), and the full
+    block index ``(block_key, n_words, canonical)`` is emitted with
+    canonical = the lexicographically smallest member. Candidate pairs
+    for the expensive pairwise compare (``vocab_edit_distance_pairs``)
+    then form only WITHIN a block — the standard sub-quadratic ER
+    recipe; singleton blocks are kept so the index is the complete
+    key -> bucket map.
+
+    Scale shape: per-batch distinct-word partials -> word-partitioned
+    vocab combine (vocab never in one block) -> per-block (key ->
+    count, min-word) partials -> KEY-hash-partitioned final combine.
+    Every stage is vocab-sized; nothing corpus-sized shuffles.
+    """
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.functions.hashing import md5_64_array
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    P = num_partitions or default_num_partitions()
+
+    def words_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        txt = pc.fill_null(t["text"], "").combine_chunks()
+        flat = pc.split_pattern(txt, pattern=" ").flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        agg = (
+            pa.table({"word": flat})
+            .group_by("word")
+            .aggregate([("word", "count")])
+        )
+        return agg.rename_columns(["word", "n"])
+
+    vocab = partitioned_key_sum(
+        docs_ds.map_batches(words_partial, batch_format="pyarrow"),
+        ["word"], ["n"],
+    )
+
+    _partial_schema = pa.schema(
+        [
+            ("block_key", pa.string()),
+            ("n_words", pa.int64()),
+            ("canonical", pa.string()),
+            ("part", pa.int32()),
+        ]
+    )
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _partial_schema.empty_table()
+        w = t["word"].combine_chunks()
+        head = pc.utf8_slice_codeunits(w, 0, 1)
+        ln = pc.cast(pc.utf8_length(w), pa.string())
+        key = pc.binary_join_element_wise(head, ln, "")
+        agg = (
+            pa.table({"block_key": key, "canonical": w})
+            .group_by("block_key")
+            .aggregate([("block_key", "count"), ("canonical", "min")])
+            .rename_columns(["block_key", "n_words", "canonical"])
+        )
+        pid = (
+            md5_64_array(agg["block_key"].to_pylist())
+            % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "block_key": agg["block_key"],
+                "n_words": agg["n_words"].cast(pa.int64()),
+                "canonical": agg["canonical"],
+                "part": pa.array(pid),
+            }
+        )
+
+    def final(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        cols = ["block_key", "n_words", "canonical"]
+        if len(df) == 0 or "block_key" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "block_key": pd.Series([], dtype="object"),
+                    "n_words": pd.Series([], dtype="int64"),
+                    "canonical": pd.Series([], dtype="object"),
+                }
+            )
+        agg = (
+            df.groupby("block_key", as_index=False)
+            .agg(n_words=("n_words", "sum"), canonical=("canonical", "min"))
+        )
+        agg["n_words"] = agg["n_words"].astype("int64")
+        return agg[cols]
+
+    return (
+        vocab.map_batches(key_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def vocab_blocking_keys_oracle_sql() -> str:
+    return """
+        WITH words AS (
+            SELECT DISTINCT t.word
+            FROM documents d,
+                 UNNEST(string_split(d.text, ' ')) AS t(word)
+            WHERE t.word <> ''
+        ),
+        keyed AS (
+            SELECT word,
+                   substr(word, 1, 1) || CAST(length(word) AS VARCHAR)
+                       AS block_key
+            FROM words
+        )
+        SELECT block_key,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               MIN(word) AS canonical
+        FROM keyed
+        GROUP BY block_key
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 232 and len(sqls) == 213
+    assert len(qs) == 236 and len(sqls) == 217
     import subprocess
     import sys
 

@@ -771,3 +771,89 @@ def test_knn_pq_matches_single_process(ray_session):
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
     assert (got["adc_dist"].to_numpy() >= 0).all()
+
+
+def test_hits_lattice_hand_computed(ray_session):
+    import ray
+
+    from autoner_ray.stages.graph import hits_lattice
+
+    # two hubs, two auths: s1 -(3)-> e1, s1 -(1)-> e2, s2 -(1)-> e2
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["s1", "s1", "s2"]),
+                "ent": pa.array(["e1", "e2", "e2"]),
+                "w": pa.array([3, 1, 1], pa.int64()),
+            }
+        )
+    )
+    got = (
+        hits_lattice(edges, iters=1, scale=1_000_000)
+        .to_pandas()
+        .set_index("node")
+    )
+    # iter 1: a_raw = {e1: 3M, e2: 2M}, total 5M
+    #         a = {e1: 600000, e2: 400000}
+    # h_raw = {s1: 3*600000 + 400000 = 2.2M, s2: 400000}, total 2.6M
+    # h = floor(2.2M*1M/2.6M)=846153, floor(0.4M*1M/2.6M)=153846
+    assert got.loc["e1", "score"] == 600_000
+    assert got.loc["e2", "score"] == 400_000
+    assert got.loc["s1", "score"] == 846_153
+    assert got.loc["s2", "score"] == 153_846
+    assert set(got["kind"]) == {"hub", "authority"}
+
+
+def test_q12_band_clamp_and_inner_join(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from autoner_ray.pipelines import relational
+
+    days = lambda d: pa.scalar(d * 86_400_000_000).cast(
+        pa.timestamp("us")
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                [days(0).as_py(), days(0).as_py(), days(0).as_py()],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "5-LOW", "2-HIGH"]
+            ),
+        }
+    )
+    # lags: +2000d (clamps to band 4), -1000d (band -4 via clamp:
+    # floor(-1000/180) = -6 -> -4), 10d (band 0); orderkey 9 is absent
+    # from orders -> dropped (inner-join semantics)
+    line = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 9], pa.int64()),
+            "l_shipdate": pa.array(
+                [
+                    days(2000).as_py(),
+                    days(-1000).as_py(),
+                    days(10).as_py(),
+                    days(1).as_py(),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, f"{tmp_path}/orders.parquet")
+    pq.write_table(line, f"{tmp_path}/lineitem.parquet")
+    for tier in (10, 1):  # broadcast tier, then cogroup tier
+        got = (
+            relational.q12_priority_shipping_lag(
+                str(tmp_path), broadcast_max_rows=tier
+            )
+            .to_pandas()
+            .set_index("lag_band")
+            .sort_index()
+        )
+        assert list(got.index) == [-4, 0, 4]
+        assert got.loc[4, "high_lines"] == 1  # urgent, +2000d
+        assert got.loc[-4, "low_lines"] == 1  # 5-LOW, -1000d
+        assert got.loc[0, "high_lines"] == 1  # 2-HIGH, 10d
+        assert int(got["high_lines"].sum() + got["low_lines"].sum()) == 3
