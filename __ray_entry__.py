@@ -933,6 +933,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_blocking_keys": lambda sf: analysis.vocab_blocking_keys(
             _docs(sf, ["text"])
         ),
+        "docs_window_cooccurrence": (
+            lambda sf: webtext.window_cooccurrence(
+                _docs(sf, ["doc_id", "text"])
+            )
+        ),
+        "docs_prefix_dup_groups": lambda sf: webtext.prefix_dup_groups(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "kg_type_schema_census": (
+            lambda sf: kg.unigram_type_schema_census(sf)
+        ),
+        "kg_ntriples_export": lambda sf: kg.unigram_ntriples(sf),
     }
 
 
@@ -3119,6 +3131,48 @@ def oracle_sql() -> dict[str, str]:
         "vocab_blocking_keys": (
             analysis_mod.vocab_blocking_keys_oracle_sql()
         ),
+        "docs_window_cooccurrence": (
+            webtext_mod.window_cooccurrence_oracle_sql()
+        ),
+        "docs_prefix_dup_groups": (
+            webtext_mod.prefix_dup_groups_oracle_sql()
+        ),
+        "kg_type_schema_census": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity, dict.type
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ),
+            pairs AS (
+                SELECT a.entity AS s, b.entity AS o,
+                       a.type AS ta, b.type AS tb, COUNT(*) AS w
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT least(ta, tb) AS type_a, greatest(ta, tb) AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(w) AS BIGINT) AS total_weight
+            FROM pairs GROUP BY 1, 2
+        """,
+        "kg_ntriples_export": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ),
+            pairs AS (
+                SELECT a.entity AS subj, b.entity AS obj,
+                       COUNT(*) AS weight
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2
+            )
+            SELECT '<urn:e:' || subj || '> <urn:r:cooccurs_with> <urn:e:'
+                   || obj || '> .' AS ntriple,
+                   CAST(weight AS BIGINT) AS weight
+            FROM pairs
+        """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -1466,3 +1466,117 @@ def unigram_entity_density(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(density, batch_format="pandas")
+
+
+def unigram_type_schema_census(sf_dir: str):
+    """KG SCHEMA CENSUS: roll the co-occurrence edge list up to entity-
+    TYPE pairs — for every unordered (type_a, type_b), the number of
+    distinct entity pairs and the total co-occurrence weight. The
+    schema-induction summary that tells a KG builder which relation
+    types the corpus actually supports (ref contract: the typed-edge
+    filter at `unigram_typed_edge_filter`, aggregated instead of
+    filtered).
+
+    Scale shape: edge list arrives pre-aggregated from
+    :func:`unigram_triples` (one global row per pair); the type lookup
+    is a dict-bounded broadcast map; the tail is a shuffle-free bounded
+    combine over <= |types|^2 keys.
+    """
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    type_of = {e: t for e, t in UNIGRAM_DICT.values()}
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "total_weight": pa.array([], pa.int64()),
+                }
+            )
+        ta = [type_of[s] for s in batch["subj"].to_pylist()]
+        tb = [type_of[o] for o in batch["obj"].to_pylist()]
+        lo = [min(a, b) for a, b in zip(ta, tb)]
+        hi = [max(a, b) for a, b in zip(ta, tb)]
+        t = pa.table(
+            {
+                "type_a": pa.array(lo, pa.string()),
+                "type_b": pa.array(hi, pa.string()),
+                "n_pairs": pa.array([1] * len(lo), pa.int64()),
+                "total_weight": batch["weight"].cast(pa.int64()),
+            }
+        )
+        agg = t.group_by(["type_a", "type_b"]).aggregate(
+            [("n_pairs", "sum"), ("total_weight", "sum")]
+        )
+        return agg.rename_columns(
+            ["type_a", "type_b", "n_pairs", "total_weight"]
+        )
+
+    return bounded_key_sum(
+        unigram_triples(sf_dir).map_batches(rollup, batch_format="pyarrow"),
+        ["type_a", "type_b"], ["n_pairs", "total_weight"],
+    )
+
+
+def unigram_ntriples(sf_dir: str):
+    """N-Triples EXPORT of the co-occurrence edge list: one canonical
+    RDF line per edge (`<urn:e:subj> <urn:r:cooccurs_with> <urn:e:obj> .`)
+    plus the weight column — the interchange format a downstream triple
+    store ingests. IRI-escaping is the identity for this dictionary
+    (entity ids are [a-z]+); :func:`parse_ntriples_batch` is the
+    inverse and the roundtrip is pinned by pytest.
+
+    Scale shape: a stateless vectorized string concat over the
+    pre-aggregated edge list; no shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def serialize(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "ntriple": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        line = pc.binary_join_element_wise(
+            "<urn:e:", batch["subj"].cast(pa.string()),
+            "> <urn:r:cooccurs_with> <urn:e:",
+            batch["obj"].cast(pa.string()), "> .", "",
+        )
+        return pa.table(
+            {"ntriple": line, "weight": batch["weight"].cast(pa.int64())}
+        )
+
+    return unigram_triples(sf_dir).map_batches(
+        serialize, batch_format="pyarrow"
+    )
+
+
+_NT_RE = (
+    r"^<urn:e:(?P<subj>[^>]+)> <urn:r:(?P<pred>[^>]+)>"
+    r" <urn:e:(?P<obj>[^>]+)> \.$"
+)
+
+
+def parse_ntriples_batch(batch: pa.Table) -> pa.Table:
+    """Inverse of :func:`unigram_ntriples`: parse canonical N-Triples
+    lines back to (subj, pred, obj) via one vectorized RE2 extract
+    (rows that don't match the canonical form are dropped)."""
+    import pyarrow.compute as pc
+
+    line = pc.fill_null(batch["ntriple"], "").combine_chunks()
+    ok = pc.match_substring_regex(line, _NT_RE)
+    line = line.filter(ok)
+    st = pc.extract_regex(line, _NT_RE)
+    keep = {
+        "subj": st.field("subj"),
+        "pred": st.field("pred"),
+        "obj": st.field("obj"),
+    }
+    if "weight" in batch.column_names:
+        keep["weight"] = batch["weight"].filter(ok)
+    return pa.table(keep)

@@ -1408,3 +1408,160 @@ def pii_scrub_oracle_sql(patterns: dict[str, str] | None = None) -> str:
             )
         )
     return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def window_cooccurrence(docs_ds, window: int = 4):
+    """Sliding-WINDOW word co-occurrence counts — the word2vec/GloVe
+    co-occurrence builder: for every token position pair (i, j) with
+    ``0 < j - i <= window`` inside one document, count the unordered
+    word pair (equal-word pairs and empty tokens dropped). Distinct
+    from the doc-level entity pair graph (``kg.unigram_triples``):
+    the weight here is POSITIONAL — distance-bounded index pairs, all
+    words, repeats included.
+
+    Scale shape: per-batch shifted-array pair extraction (one numpy
+    shift per distance d, doc boundaries masked — no per-token python)
+    -> per-batch (pair -> n) partial -> WORD_A-partitioned combine.
+    Pair stream is O(tokens x window) pre-combined per batch; nothing
+    corpus-sized on the driver.
+    """
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "word_a": pd.Series([], dtype="object"),
+                "word_b": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        words = df["text"].fillna("").str.split(" ")
+        lens = words.str.len().to_numpy()
+        flat = np.concatenate(words.to_numpy())
+        doc_ix = np.repeat(np.arange(len(df)), lens)
+        parts = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            a, b = flat[:-d], flat[d:]
+            m = (
+                (doc_ix[:-d] == doc_ix[d:])
+                & (a != b) & (a != "") & (b != "")
+            )
+            if not m.any():
+                continue
+            am, bm = a[m], b[m]
+            lo = np.where(am < bm, am, bm)
+            hi = np.where(am < bm, bm, am)
+            parts.append(pd.DataFrame({"word_a": lo, "word_b": hi}))
+        if not parts:
+            return empty
+        agg = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["word_a", "word_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    return partitioned_key_sum(
+        docs_ds.map_batches(pair_partial, batch_format="pandas"),
+        ["word_a", "word_b"], ["n"], part_on=("word_a",),
+    )
+
+
+def window_cooccurrence_oracle_sql(window: int = 4) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, i.i AS pos, l[i.i + 1] AS word
+            FROM toks t, UNNEST(range(len(t.l))) AS i(i)
+        ),
+        p AS (
+            SELECT least(a.word, b.word) AS word_a,
+                   greatest(a.word, b.word) AS word_b
+            FROM idx a JOIN idx b
+              ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos - a.pos <= {window}
+            WHERE a.word <> b.word AND a.word <> '' AND b.word <> ''
+        )
+        SELECT word_a, word_b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2
+    """
+
+
+def prefix_dup_groups(docs_ds, k: int = 2):
+    """Prefix-key duplicate grouping: documents sharing the same first
+    ``k`` tokens (the cheap truncation/boilerplate-dup blocking key —
+    crawl snapshots of the same page usually share a long prefix even
+    when tails diverge). Emits ``(prefix, n_docs, min_doc)`` for groups
+    with >= 2 docs; pairs for expensive verification form only within a
+    group.
+
+    Scale shape: stateless prefix map -> per-batch (prefix -> count,
+    min-doc) partials -> PREFIX-partitioned re-associative combine
+    (``partitioned_key_agg``) -> vectorized >= 2 filter. Never
+    corpus-sized anywhere.
+    """
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    def prefix_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "prefix": pd.Series([], dtype="object"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "min_doc": pd.Series([], dtype="int64"),
+                }
+            )
+        pref = (
+            df["text"].fillna("").str.split(" ").str[:k].str.join(" ")
+        )
+        agg = (
+            pd.DataFrame({"prefix": pref, "min_doc": df["doc_id"]})
+            .assign(n_docs=1)
+            .groupby("prefix", as_index=False)
+            .agg(n_docs=("n_docs", "sum"), min_doc=("min_doc", "min"))
+        )
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        agg["min_doc"] = agg["min_doc"].astype("int64")
+        return agg[["prefix", "n_docs", "min_doc"]]
+
+    grouped = partitioned_key_agg(
+        docs_ds.map_batches(prefix_partial, batch_format="pandas"),
+        ["prefix"], [("n_docs", "sum"), ("min_doc", "min")],
+    )
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "min_doc": pa.array([], pa.int64()),
+                }
+            )
+        return t.filter(pc.greater_equal(t["n_docs"], 2))
+
+    return grouped.map_batches(keep_dups, batch_format="pyarrow")
+
+
+def prefix_dup_groups_oracle_sql(k: int = 2) -> str:
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   array_to_string(string_split(text, ' ')[1:{k}], ' ')
+                       AS prefix
+            FROM documents
+        )
+        SELECT prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM p GROUP BY prefix
+        HAVING COUNT(*) >= 2
+    """

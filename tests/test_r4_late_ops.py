@@ -857,3 +857,56 @@ def test_q12_band_clamp_and_inner_join(ray_session, tmp_path):
         assert got.loc[-4, "low_lines"] == 1  # 5-LOW, -1000d
         assert got.loc[0, "high_lines"] == 1  # 2-HIGH, 10d
         assert int(got["high_lines"].sum() + got["low_lines"].sum()) == 3
+
+
+def test_ntriples_roundtrip_and_window_cooc_bruteforce(ray_session):
+    from collections import Counter
+
+    from autoner_ray.pipelines.kg import (
+        parse_ntriples_batch,
+        unigram_ntriples,
+        unigram_triples,
+    )
+    from autoner_ray.stages.webtext import window_cooccurrence
+
+    # N-Triples serialize -> parse is the identity on the edge list
+    nt = unigram_ntriples(SF).to_pandas()
+    back = (
+        parse_ntriples_batch(pa.Table.from_pandas(nt))
+        .to_pandas()
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    edges = (
+        unigram_triples(SF)
+        .to_pandas()
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    assert (back["pred"] == "cooccurs_with").all()
+    pd.testing.assert_frame_equal(
+        back[["subj", "obj", "weight"]],
+        edges[["subj", "obj", "weight"]].astype(
+            {"weight": back["weight"].dtype}
+        ),
+    )
+
+    # window co-occurrence vs a per-doc python brute force
+    import ray
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = Counter()
+    for _, r in window_cooccurrence(docs, window=3).to_pandas().iterrows():
+        got[(r["word_a"], r["word_b"])] = int(r["n"])
+    want = Counter()
+    for t in docs.to_pandas()["text"]:
+        toks = (t or "").split(" ")
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + 3, len(toks) - 1) + 1):
+                a, b = toks[i], toks[j]
+                if a != b and a and b:
+                    want[(min(a, b), max(a, b))] += 1
+    assert got == want
