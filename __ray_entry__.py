@@ -945,6 +945,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: kg.unigram_type_schema_census(sf)
         ),
         "kg_ntriples_export": lambda sf: kg.unigram_ntriples(sf),
+        "docs_linear_probe": lambda sf: analysis.linear_probe_mention(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "kg_harmonic_centrality": (
+            lambda sf: kg.unigram_harmonic_centrality(sf)
+        ),
+        "kg_entity_context_topk": (
+            lambda sf: kg.unigram_entity_context_topk(sf)
+        ),
+        "docs_ipc_roundtrip": lambda sf: (
+            text_formats.roundtrip_source_stats(sf, fmt="ipc")
+        ),
     }
 
 
@@ -965,6 +977,13 @@ def _node_rp_sql(dict_values: str, n_dims: int = 8) -> str:
         SELECT src AS entity, {cols}
         FROM bidir GROUP BY src
     """
+
+
+def _unigram_in_list() -> str:
+    """The unigram dictionary words as a SQL IN-list."""
+    from autoner_ray.dicts import UNIGRAM_DICT
+
+    return ", ".join(f"'{w}'" for w in sorted(UNIGRAM_DICT))
 
 
 def _unigram_graph_ctes(dict_values: str) -> str:
@@ -3172,6 +3191,50 @@ def oracle_sql() -> dict[str, str]:
                    || obj || '> .' AS ntriple,
                    CAST(weight AS BIGINT) AS weight
             FROM pairs
+        """,
+        "docs_linear_probe": analysis_mod.linear_probe_oracle_sql(),
+        "kg_harmonic_centrality": f"""
+            WITH RECURSIVE {_unigram_graph_ctes(dict_values)},
+            reach(a, b, d) AS (
+                SELECT src, src, 0
+                FROM (SELECT DISTINCT src FROM bidir)
+                UNION
+                SELECT r.a, e.dst, r.d + 1
+                FROM reach r JOIN bidir e ON e.src = r.b
+                WHERE r.d + 1 <= 32
+            ),
+            dist AS (
+                SELECT a, b, MIN(d) AS d FROM reach GROUP BY 1, 2
+            )
+            SELECT a AS entity,
+                   CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm,
+                   CAST(COUNT(*) AS BIGINT) AS n_reachable
+            FROM dist WHERE d > 0 GROUP BY a
+        """,
+        "kg_entity_context_topk": f"""
+            WITH {webtext_mod.window_pairs_ctes(4)},
+            e AS (
+                SELECT word_a AS entity, word_b AS ctx, n FROM wp
+                WHERE word_a IN ({_unigram_in_list()})
+                UNION ALL
+                SELECT word_b, word_a, n FROM wp
+                WHERE word_b IN ({_unigram_in_list()})
+            ),
+            r AS (
+                SELECT entity, ctx, n,
+                       row_number() OVER (
+                           PARTITION BY entity ORDER BY n DESC, ctx
+                       ) AS rank
+                FROM e
+            )
+            SELECT entity, ctx, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "docs_ipc_roundtrip": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
         """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-

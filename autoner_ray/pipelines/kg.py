@@ -1580,3 +1580,152 @@ def parse_ntriples_batch(batch: pa.Table) -> pa.Table:
     if "weight" in batch.column_names:
         keep["weight"] = batch["weight"].filter(ok)
     return pa.table(keep)
+
+
+def unigram_harmonic_centrality(sf_dir: str, max_depth: int = 32,
+                                scale: int = 1_000_000):
+    """Harmonic centrality over the unigram co-occurrence graph, in
+    integer ppm: H(v) = sum over reachable u != v of ``scale // d(v,u)``
+    plus the reachable-set size — the distance-based importance ranking
+    that, unlike closeness, handles disconnected graphs gracefully.
+    Integer floor division keeps both engines bit-exact (d >= 1, so
+    trunc == floor in the DuckDB twin too).
+
+    Scale shape: edge aggregation is distributed
+    (:func:`unigram_triples`); the all-pairs BFS runs on the
+    vocab-bounded driver adjacency — the same bounded default as
+    ``kg_pagerank``, with the multi-source frontier-as-Dataset variant
+    (``graph.bfs_multi``-shaped) the documented unbounded path.
+    """
+    from collections import deque
+
+    df = unigram_triples(sf_dir).to_pandas()
+    out_schema = pa.schema(
+        [
+            ("entity", pa.string()),
+            ("harmonic_ppm", pa.int64()),
+            ("n_reachable", pa.int64()),
+        ]
+    )
+    if len(df) == 0:
+        return out_schema.empty_table()
+    adj: dict[str, set[str]] = {}
+    for s, o in zip(df["subj"], df["obj"]):
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    nodes = sorted(adj)
+    hp, nr = [], []
+    for v in nodes:
+        dist = {v: 0}
+        q = deque([v])
+        acc = 0
+        while q:
+            u = q.popleft()
+            d = dist[u]
+            if d >= max_depth:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = d + 1
+                    acc += scale // (d + 1)
+                    q.append(w)
+        hp.append(acc)
+        nr.append(len(dist) - 1)
+    return pa.table(
+        {
+            "entity": pa.array(nodes, pa.string()),
+            "harmonic_ppm": pa.array(hp, pa.int64()),
+            "n_reachable": pa.array(nr, pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def unigram_entity_context_topk(sf_dir: str, window: int = 4,
+                                k: int = 5):
+    """Distributional CONTEXT SIGNATURE per dictionary entity: the
+    top-``k`` sliding-window neighbor words by positional co-occurrence
+    count (ties lexicographic) — the feature an entity linker or
+    embedding trainer consumes. Composition: the word2vec-style window
+    pair counts (:func:`autoner_ray.stages.webtext.window_cooccurrence`)
+    restricted to pairs touching a dictionary word, then grouped top-k.
+
+    Scale shape: the pair table arrives globally combined and
+    WORD_A-partitioned; the dict filter is a broadcast ``is_in``; the
+    top-k is per-partition (each entity's rows co-locate after the
+    ENTITY-hash repartition) with <= |dict| * k rows surviving.
+    """
+    import ray.data as rd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.functions.hashing import md5_64_array
+    from autoner_ray.stages.webtext import window_cooccurrence
+
+    P = default_num_partitions()
+    dict_arr = pa.array(sorted(UNIGRAM_DICT), pa.string())
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = window_cooccurrence(docs, window=window)
+
+    _partial_schema = pa.schema(
+        [
+            ("entity", pa.string()),
+            ("ctx", pa.string()),
+            ("n", pa.int64()),
+            ("part", pa.int32()),
+        ]
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or len(t) == 0:
+            return _partial_schema.empty_table()
+        ina = pc.is_in(t["word_a"], value_set=dict_arr)
+        inb = pc.is_in(t["word_b"], value_set=dict_arr)
+        ta = t.filter(ina)
+        tb = t.filter(inb)
+        both = pa.concat_tables(
+            [
+                pa.table({"entity": ta["word_a"], "ctx": ta["word_b"],
+                          "n": ta["n"].cast(pa.int64())}),
+                pa.table({"entity": tb["word_b"], "ctx": tb["word_a"],
+                          "n": tb["n"].cast(pa.int64())}),
+            ]
+        )
+        pid = (
+            md5_64_array(both["entity"].to_pylist()) % np.uint64(P)
+        ).astype(np.int32)
+        return both.append_column("part", pa.array(pid))
+
+    def topk(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        cols = ["entity", "ctx", "n", "rank"]
+        if len(df) == 0 or "entity" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series([], dtype="object"),
+                    "ctx": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["entity", "n", "ctx"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("entity", sort=False).head(k).copy()
+        top["rank"] = top.groupby("entity", sort=False).cumcount() + 1
+        top["n"] = top["n"].astype("int64")
+        top["rank"] = top["rank"].astype("int64")
+        return top[cols]
+
+    return (
+        pairs.map_batches(orient, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pandas")
+    )

@@ -85,6 +85,69 @@ def write_jsonl_gz(ds, out_dir: str) -> str:
     return out_dir
 
 
+def write_ipc(ds, out_dir: str) -> str:
+    """Dataset -> Arrow IPC (Feather v2) files, one ``.arrow`` file per
+    batch, named by content hash so identical data re-writes identical
+    files (the resumable layout). IPC is the zero-copy interchange a
+    downstream Arrow/Flight consumer mmaps directly — no parse cost,
+    exact schema fidelity (timestamps, large strings, lists)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    fresh_dir(out_dir)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "path": pa.array([], pa.string()),
+                "rows": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+        payload = sink.getvalue().to_pybytes()
+        name = hashlib.md5(payload).hexdigest()[:16] + ".arrow"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(payload)
+        return pa.table(
+            {
+                "path": pa.array([name], pa.string()),
+                "rows": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    ds.map_batches(write_batch, batch_format="pyarrow").materialize()
+    return out_dir
+
+
+def read_ipc(path: str):
+    """Arrow IPC directory -> streaming Dataset: file-driven
+    parallelism via ``read_binary_files`` (one task per file), each
+    payload opened zero-parse with ``pa.ipc.open_file``."""
+    import pyarrow as pa
+    import pyarrow.ipc
+    import ray.data as rd
+
+    def parse(t: pa.Table) -> pa.Table:
+        tabs = [
+            pa.ipc.open_file(pa.BufferReader(b)).read_all()
+            for b in t["bytes"].to_pylist()
+        ]
+        tabs = [x for x in tabs if len(x)]
+        if not tabs:
+            return pa.table({})
+        return pa.concat_tables(tabs)
+
+    return rd.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
 def write_csv(ds, out_dir: str) -> str:
     """Dataset -> CSV, one file per block (header per file)."""
     ds.write_csv(fresh_dir(out_dir))
@@ -128,6 +191,9 @@ def roundtrip_source_stats(sf_dir: str, fmt: str = "jsonl"):
     elif fmt == "csv":
         write_csv(ds, out)
         back = read_csv(out)
+    elif fmt == "ipc":
+        write_ipc(ds, out)
+        back = read_ipc(out)
     else:  # pragma: no cover - caller bug
         raise ValueError(fmt)
 

@@ -4464,3 +4464,200 @@ def vocab_blocking_keys_oracle_sql() -> str:
         FROM keyed
         GROUP BY block_key
     """
+
+
+def linear_probe_mention(docs_ds, dict_words: list[str] | None = None,
+                         scale: int = 1000):
+    """Closed-form LINEAR PROBE trained distributed: least-squares fit
+    of the mention label (y = 1 iff the doc contains a dictionary word)
+    on two surface features (x1 = token count, x2 = total word chars),
+    then per-doc scores from the fitted plane. The classic
+    sufficient-statistics training shape — map-side integer moment
+    partials, one tiny reduce, closed-form solve, broadcast scoring —
+    with EVERY step exact integer arithmetic: normal equations solved
+    by Cramer's rule in python bigints, scores floor-scaled to milli
+    units, so the DuckDB HUGEINT twin matches bit-for-bit.
+
+    Scale shape: pass 1 is a stateless partial-moment map (9 integers
+    per batch) + driver sum of B rows; the solve is O(1); pass 2 is a
+    stateless scoring map with the 4 determinants broadcast. No
+    shuffle anywhere. (The engine's bigints are unbounded; the SQL
+    twin's HUGEINT bounds the certifiable scale at ~1e38 moments.)
+    """
+    if dict_words is None:
+        from autoner_ray.dicts import UNIGRAM_DICT
+
+        dict_words = sorted(UNIGRAM_DICT)
+    wset = list(dict_words)
+
+    def feats(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        words = df["text"].fillna("").str.split(" ")
+        ex = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().repeat(
+                    words.str.len().to_numpy()
+                ),
+                "word": np.concatenate(words.to_numpy()),
+            }
+        )
+        ex = ex[ex["word"] != ""]
+        ex["wlen"] = ex["word"].str.len().astype("int64")
+        ex["hit"] = ex["word"].isin(wset).astype("int64")
+        g = ex.groupby("doc_id", sort=False)
+        agg = g.agg(
+            x1=("word", "size"), x2=("wlen", "sum"), y=("hit", "max")
+        ).reset_index()
+        for c in ("x1", "x2", "y"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    def moment_partial(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        cols = ["s00", "s01", "s02", "s11", "s12", "s22",
+                "v0", "v1", "v2"]
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in cols}
+            )
+        f = feats(df)
+        x1 = f["x1"].to_numpy()
+        x2 = f["x2"].to_numpy()
+        y = f["y"].to_numpy()
+        return pd.DataFrame(
+            {
+                "s00": [len(f)],
+                "s01": [int(x1.sum())],
+                "s02": [int(x2.sum())],
+                "s11": [int((x1 * x1).sum())],
+                "s12": [int((x1 * x2).sum())],
+                "s22": [int((x2 * x2).sum())],
+                "v0": [int(y.sum())],
+                "v1": [int((y * x1).sum())],
+                "v2": [int((y * x2).sum())],
+            }
+        )
+
+    tot = (
+        docs_ds.map_batches(moment_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    s00, s01, s02 = int(tot["s00"]), int(tot["s01"]), int(tot["s02"])
+    s11, s12, s22 = int(tot["s11"]), int(tot["s12"]), int(tot["s22"])
+    v0, v1, v2 = int(tot["v0"]), int(tot["v1"]), int(tot["v2"])
+    # Cramer over the symmetric normal matrix [[s00 s01 s02],
+    # [s01 s11 s12], [s02 s12 s22]] — python bigints, exact
+    det = (
+        s00 * (s11 * s22 - s12 * s12)
+        - s01 * (s01 * s22 - s12 * s02)
+        + s02 * (s01 * s12 - s11 * s02)
+    )
+    det0 = (
+        v0 * (s11 * s22 - s12 * s12)
+        - s01 * (v1 * s22 - s12 * v2)
+        + s02 * (v1 * s12 - s11 * v2)
+    )
+    det1 = (
+        s00 * (v1 * s22 - s12 * v2)
+        - v0 * (s01 * s22 - s12 * s02)
+        + s02 * (s01 * v2 - v1 * s02)
+    )
+    det2 = (
+        s00 * (s11 * v2 - v1 * s12)
+        - s01 * (s01 * v2 - v1 * s02)
+        + v0 * (s01 * s12 - s11 * s02)
+    )
+    assert det > 0, "degenerate feature Gram matrix"
+
+    def score(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        cols = ["doc_id", "y", "score_milli"]
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in cols}
+            )
+        f = feats(df)
+        # python-int list: magnitudes exceed int64 (det ~ 1e24)
+        sc = [
+            (det0 + det1 * int(a) + det2 * int(b)) * scale // det
+            for a, b in zip(f["x1"], f["x2"])
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": f["doc_id"].astype("int64"),
+                "y": f["y"],
+                "score_milli": pd.Series(sc, dtype="int64"),
+            }
+        )
+        return out[cols]
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def linear_probe_oracle_sql(dict_words: list[str] | None = None,
+                            scale: int = 1000) -> str:
+    if dict_words is None:
+        from autoner_ray.dicts import UNIGRAM_DICT
+
+        dict_words = sorted(UNIGRAM_DICT)
+    in_list = ", ".join(f"'{w}'" for w in dict_words)
+    return f"""
+        WITH tok AS (
+            SELECT d.doc_id, t.word
+            FROM documents d,
+                 UNNEST(string_split(d.text, ' ')) AS t(word)
+            WHERE t.word <> ''
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS HUGEINT) AS x1,
+                   CAST(SUM(length(word)) AS HUGEINT) AS x2,
+                   CAST(MAX(CASE WHEN word IN ({in_list})
+                        THEN 1 ELSE 0 END) AS HUGEINT) AS y
+            FROM tok GROUP BY doc_id
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS s00,
+                   CAST(SUM(x1) AS HUGEINT) AS s01,
+                   CAST(SUM(x2) AS HUGEINT) AS s02,
+                   CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+                   CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+                   CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+                   CAST(SUM(y) AS HUGEINT) AS v0,
+                   CAST(SUM(y * x1) AS HUGEINT) AS v1,
+                   CAST(SUM(y * x2) AS HUGEINT) AS v2
+            FROM f
+        ),
+        d AS (
+            SELECT
+                s00 * (s11 * s22 - s12 * s12)
+                - s01 * (s01 * s22 - s12 * s02)
+                + s02 * (s01 * s12 - s11 * s02) AS det,
+                v0 * (s11 * s22 - s12 * s12)
+                - s01 * (v1 * s22 - s12 * v2)
+                + s02 * (v1 * s12 - s11 * v2) AS det0,
+                s00 * (v1 * s22 - s12 * v2)
+                - v0 * (s01 * s22 - s12 * s02)
+                + s02 * (s01 * v2 - v1 * s02) AS det1,
+                s00 * (s11 * v2 - v1 * s12)
+                - s01 * (s01 * v2 - v1 * s02)
+                + v0 * (s01 * s12 - s11 * s02) AS det2
+            FROM m
+        ),
+        p AS (
+            SELECT f.doc_id, f.y,
+                   (d.det0 + d.det1 * f.x1 + d.det2 * f.x2)
+                       * {scale} AS num,
+                   d.det AS det
+            FROM f, d
+        )
+        SELECT doc_id,
+               CAST(y AS BIGINT) AS y,
+               CAST((num - (((num % det) + det) % det)) // det
+                    AS BIGINT) AS score_milli
+        FROM p
+    """

@@ -1473,25 +1473,34 @@ def window_cooccurrence(docs_ds, window: int = 4):
     )
 
 
-def window_cooccurrence_oracle_sql(window: int = 4) -> str:
+def window_pairs_ctes(window: int = 4) -> str:
+    """Shared CTE prefix ending in ``wp(word_a, word_b, n)`` — the
+    sliding-window pair counts (twin of :func:`window_cooccurrence`)."""
     return f"""
-        WITH toks AS (
+        toks AS MATERIALIZED (
             SELECT doc_id, string_split(text, ' ') AS l FROM documents
         ),
-        idx AS (
+        idx AS MATERIALIZED (
             SELECT doc_id, i.i AS pos, l[i.i + 1] AS word
             FROM toks t, UNNEST(range(len(t.l))) AS i(i)
         ),
-        p AS (
+        wp AS MATERIALIZED (
             SELECT least(a.word, b.word) AS word_a,
-                   greatest(a.word, b.word) AS word_b
+                   greatest(a.word, b.word) AS word_b,
+                   COUNT(*) AS n
             FROM idx a JOIN idx b
               ON a.doc_id = b.doc_id
              AND b.pos > a.pos AND b.pos - a.pos <= {window}
             WHERE a.word <> b.word AND a.word <> '' AND b.word <> ''
+            GROUP BY 1, 2
         )
-        SELECT word_a, word_b, CAST(COUNT(*) AS BIGINT) AS n
-        FROM p GROUP BY 1, 2
+    """
+
+
+def window_cooccurrence_oracle_sql(window: int = 4) -> str:
+    return f"""
+        WITH {window_pairs_ctes(window)}
+        SELECT word_a, word_b, CAST(n AS BIGINT) AS n FROM wp
     """
 
 

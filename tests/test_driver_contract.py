@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 240 and len(sqls) == 221
+    assert len(qs) == 244 and len(sqls) == 225
     import subprocess
     import sys
 

@@ -910,3 +910,57 @@ def test_ntriples_roundtrip_and_window_cooc_bruteforce(ray_session):
                 if a != b and a and b:
                     want[(min(a, b), max(a, b))] += 1
     assert got == want
+
+
+def test_linear_probe_exact_vs_numpy_lstsq(ray_session):
+    """The integer Cramer solve agrees with float lstsq to float
+    precision, and scores are the exact floor-scaled plane."""
+    import ray.data as rd
+
+    from autoner_ray.stages.analysis import linear_probe_mention
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = linear_probe_mention(docs).to_pandas()
+    assert len(got) == 500 and set(got["y"].unique()) <= {0, 1}
+    # float reference fit
+    df = docs.to_pandas()
+    feats = []
+    from autoner_ray.dicts import UNIGRAM_DICT
+
+    for _, r in df.iterrows():
+        toks = [w for w in (r["text"] or "").split(" ") if w]
+        feats.append(
+            (
+                r["doc_id"],
+                len(toks),
+                sum(len(w) for w in toks),
+                int(any(w in UNIGRAM_DICT for w in toks)),
+            )
+        )
+    f = pd.DataFrame(feats, columns=["doc_id", "x1", "x2", "y"])
+    X = np.column_stack(
+        [np.ones(len(f)), f["x1"].to_numpy(), f["x2"].to_numpy()]
+    )
+    w, *_ = np.linalg.lstsq(X, f["y"].to_numpy(float), rcond=None)
+    pred = X @ w
+    g = got.set_index("doc_id").loc[f["doc_id"]]
+    assert np.abs(g["score_milli"].to_numpy() / 1000.0 - pred).max() < 2e-3
+
+
+def test_ipc_roundtrip_identity(ray_session, tmp_path):
+    import ray.data as rd
+
+    from autoner_ray.sources.text_formats import read_ipc, write_ipc
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    write_ipc(docs, str(tmp_path / "ipc"))
+    back = (
+        read_ipc(str(tmp_path / "ipc"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    orig = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
