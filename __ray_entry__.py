@@ -957,6 +957,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ipc_roundtrip": lambda sf: (
             text_formats.roundtrip_source_stats(sf, fmt="ipc")
         ),
+        "q13_customer_distribution": (
+            relational.q13_customer_distribution
+        ),
+        "q21_suppliers_waiting": relational.q21_suppliers_waiting,
+        "q11_important_parts": relational.q11_important_parts,
+        "q20_prominent_suppliers": relational.q20_prominent_suppliers,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
     }
 
 
@@ -3236,6 +3243,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
         """,
+        "q13_customer_distribution": relational_mod.q13_oracle_sql(),
+        "q21_suppliers_waiting": relational_mod.q21_oracle_sql(),
+        "q11_important_parts": relational_mod.q11_oracle_sql(),
+        "q20_prominent_suppliers": relational_mod.q20_oracle_sql(),
+        "q2_min_cost_supplier": relational_mod.q2_oracle_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

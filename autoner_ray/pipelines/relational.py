@@ -4282,3 +4282,789 @@ def q12_priority_shipping_lag(sf_dir: str,
 
     return bounded_key_sum(partials, ["lag_band"],
                            ["high_lines", "low_lines"])
+
+
+def q13_customer_distribution(sf_dir: str, status_excl: str = "F"):
+    """TPC-H Q13 shape (customer distribution): histogram of customers
+    by their order count, INCLUDING zero-order customers (the left
+    outer join the spec demands), counting only orders outside one
+    status class (this schema has no ``o_comment``, so the spec's
+    NOT LIKE comment filter is adapted to ``o_orderstatus <>
+    status_excl`` — same filtered-left-join shape,
+    ref dbgen queries/13.sql).
+
+    Scale shape: no customer-side shuffle at all. Orders stream to
+    per-batch (custkey, n) partials -> custkey-partitioned sum
+    (exactly one row per ordering customer, never driver-sized) ->
+    per-partition histogram over the bounded c_count key -> shuffle-
+    free bounded combine. The zero bucket is arithmetic: |customer|
+    (parquet metadata, no scan) minus the ordering-customer count
+    carried through the same combine."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        keep = pa.compute.not_equal(
+            t["o_orderstatus"].combine_chunks(), status_excl
+        )
+        agg = (
+            t.filter(keep)
+            .select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["o_custkey", "n"])
+
+    per_cust = partitioned_key_sum(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(order_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        keys=["o_custkey"], sum_cols=["n"], part_on=("o_custkey",),
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "c_count": pa.array([], pa.int64()),
+                    "custdist": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.select(["n"]).group_by("n").aggregate([([], "count_all")])
+        return agg.rename_columns(["c_count", "custdist"])
+
+    hist = bounded_key_sum(
+        per_cust.map_batches(hist_partial, batch_format="pyarrow"),
+        keys=["c_count"], sum_cols=["custdist"],
+    ).to_pandas()
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    zero = n_cust - int(hist["custdist"].sum()) if len(hist) else n_cust
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist = hist.astype({"c_count": "int64", "custdist": "int64"})
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False],
+        kind="mergesort",
+    ).reset_index(drop=True)
+
+
+def q13_oracle_sql(status_excl: str = "F") -> str:
+    return f"""
+        WITH per AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderstatus <> '{status_excl}'
+            GROUP BY 1
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+
+def q21_suppliers_waiting(sf_dir: str, late_days: int = 60,
+                          broadcast_max_rows: int = 5_000_000):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for each
+    finalized multi-supplier order, credit the supplier who was the
+    ONLY late shipper — the EXISTS + NOT EXISTS dual semi/anti join.
+    This schema has no ``l_commitdate``/``l_receiptdate``, so "late"
+    is adapted to ``l_shipdate > o_orderdate + late_days`` (same
+    per-order only-offender semantics, ref dbgen queries/21.sql).
+
+    Scale shape: TIERED orderkey resolution (sorted orderdate
+    broadcast under ``broadcast_max_rows``, large-large cogroup join
+    above) -> per-batch (orderkey, suppkey, late) max-partials ->
+    orderkey-partitioned max (one row per order-supplier pair, all
+    pairs of an order co-located) -> per-partition vectorized
+    only-offender filter -> shuffle-free bounded supplier combine ->
+    name join on the tiny result."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    US_PER_DAY = 86_400_000_000
+    late_us = late_days * US_PER_DAY
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def _pair_empty() -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "late": pa.array([], pa.int64()),
+            }
+        )
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= broadcast_max_rows:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        )
+        st = np.asarray(
+            ot["o_orderstatus"].to_numpy(zero_copy_only=False)
+        )
+        ot = ot.filter(pa.array(st == "F"))
+        okeys, odate = _sorted_lookup(
+            ot.set_column(
+                1, "o_orderdate",
+                ot["o_orderdate"].cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+            ),
+            "o_orderkey", ["o_orderdate"],
+        )
+        lookup_ref = ray.put((okeys, odate))
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _pair_empty()
+            keys, dates = ray.get(lookup_ref)
+            pos, hit = _probe_sorted(keys, t["l_orderkey"].to_numpy())
+            if not hit.any():
+                return _pair_empty()
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64())
+                .to_numpy()
+            )
+            late = (ship > dates[pos] + late_us).astype(np.int64)
+            agg = pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        t["l_orderkey"].to_numpy()[hit], pa.int64()
+                    ),
+                    "l_suppkey": pa.array(
+                        t["l_suppkey"].to_numpy()[hit], pa.int64()
+                    ),
+                    "late": pa.array(late[hit], pa.int64()),
+                }
+            ).group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("late", "max")]
+            )
+            return agg.rename_columns(
+                ["l_orderkey", "l_suppkey", "late"]
+            )
+
+        pair_stream = line.map_batches(
+            pair_partial, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        from autoner_ray.stages.joins import cogroup_join
+
+        orders = _read(
+            sf_dir, "orders",
+            ["o_orderkey", "o_orderdate", "o_orderstatus"],
+        ).map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(
+                    t["o_orderstatus"].combine_chunks(), "F"
+                )
+            ).select(["o_orderkey", "o_orderdate"]).rename_columns(
+                ["l_orderkey", "o_orderdate"]
+            ),
+            batch_format="pyarrow",
+        )
+        joined = cogroup_join(line, orders, on=("l_orderkey",))
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _pair_empty()
+            ship = (
+                t["l_shipdate"].combine_chunks().cast(pa.int64())
+                .to_numpy()
+            )
+            od = (
+                t["o_orderdate"].combine_chunks()
+                .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            )
+            agg = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "late": pa.array(
+                        (ship > od + late_us).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ).group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("late", "max")]
+            )
+            return agg.rename_columns(
+                ["l_orderkey", "l_suppkey", "late"]
+            )
+
+        pair_stream = joined.map_batches(
+            pair_partial, batch_format="pyarrow"
+        )
+
+    pairs = partitioned_key_agg(
+        pair_stream, keys=["l_orderkey", "l_suppkey"],
+        aggs=[("late", "max")], part_on=("l_orderkey",),
+    )
+
+    def offender_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_suppkey": pa.array([], pa.int64()),
+                "numwait": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        df = t.to_pandas()
+        g = df.groupby("l_orderkey")["late"]
+        only = (
+            (df["late"] == 1)
+            & (g.transform("size") >= 2)
+            & (g.transform("sum") == 1)
+        )
+        if not only.any():
+            return empty
+        out = (
+            df.loc[only]
+            .groupby("l_suppkey", as_index=False)
+            .size()
+            .rename(columns={"size": "numwait"})
+        )
+        return pa.table(
+            {
+                "l_suppkey": pa.array(
+                    out["l_suppkey"].to_numpy(), pa.int64()
+                ),
+                "numwait": pa.array(
+                    out["numwait"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    counts = bounded_key_sum(
+        pairs.map_batches(
+            offender_partial, batch_format="pyarrow", batch_size=None
+        ),
+        keys=["l_suppkey"], sum_cols=["numwait"],
+    ).to_pandas()
+    if len(counts) == 0:
+        return pd.DataFrame(
+            {
+                "s_name": pd.Series(dtype="object"),
+                "numwait": pd.Series(dtype="int64"),
+            }
+        )
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = counts.merge(
+        st, left_on="l_suppkey", right_on="s_suppkey", how="inner"
+    )
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[["s_name", "numwait"]].astype({"numwait": "int64"})
+
+
+def q21_oracle_sql(late_days: int = 60) -> str:
+    return f"""
+        WITH pair AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_shipdate > o_orderdate
+                                 + INTERVAL {late_days} DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ), per_order AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+            FROM pair GROUP BY 1
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM pair p
+        JOIN per_order o USING (l_orderkey)
+        JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        WHERE p.late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+    """
+
+
+def _region_suppkeys(sf_dir: str, region: str) -> np.ndarray:
+    """Sorted suppkeys of suppliers whose nation sits in ``region``
+    (dim-chain resolved driver-side — region × nation × supplier are
+    the three broadcast-sized tables at any SF)."""
+    import pyarrow.parquet as pq
+
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    nt = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    rkeys = rt["r_regionkey"].to_numpy()[
+        np.asarray(rt["r_name"].to_numpy(zero_copy_only=False)) == region
+    ]
+    nat_keys = nt["n_nationkey"].to_numpy()[
+        np.isin(nt["n_regionkey"].to_numpy(), rkeys)
+    ]
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = st["s_suppkey"].to_numpy()[
+        np.isin(st["s_nationkey"].to_numpy(), nat_keys)
+    ]
+    return np.sort(sk).astype(np.int64)
+
+
+def q11_important_parts(sf_dir: str, region: str = "EUROPE",
+                        frac_denom: int = 1000):
+    """TPC-H Q11 shape (important stock, adapted — no partsupp, so a
+    part's "stock value" is its summed net revenue through suppliers of
+    one scope; the spec's single-nation scope is widened to a REGION so
+    the smallest test SF keeps a non-empty supplier set): parts whose
+    value exceeds ``1/frac_denom`` of the scope's total value, the
+    GROUP BY + HAVING-scalar-subquery shape of ref dbgen queries/11.sql.
+
+    Scale shape: supplier scope broadcasts as a sorted int array (dim
+    chain, driver-side); one lineitem pass emits (partkey, cents)
+    per-batch partials; a partkey-partitioned sum makes exactly one row
+    per part ACROSS BLOCKS (never driver-sized); the grand total is a
+    scalar second pass over that materialized per-part table; the
+    HAVING filter is an integer-exact broadcast compare streamed over
+    the same blocks. Only the passing fraction (~1/frac_denom of
+    |part|) is collected."""
+    import pandas as pd
+    import ray
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    sk = _region_suppkeys(sf_dir, region)
+    sk_ref = ray.put(sk)
+
+    def value_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        keys = ray.get(sk_ref)
+        _, hit = _probe_sorted(keys, t["l_suppkey"].to_numpy())
+        if not hit.any():
+            return empty
+        cents = _rev_cents(
+            t["l_extendedprice"].combine_chunks(),
+            t["l_discount"].combine_chunks(),
+        )
+        agg = pa.table(
+            {
+                "l_partkey": pa.array(
+                    t["l_partkey"].to_numpy()[hit], pa.int64()
+                ),
+                "cents": cents.filter(pa.array(hit)),
+            }
+        ).group_by("l_partkey").aggregate([("cents", "sum")])
+        return agg.rename_columns(["l_partkey", "cents"])
+
+    per_part = partitioned_key_sum(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(value_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        keys=["l_partkey"], sum_cols=["cents"], part_on=("l_partkey",),
+    ).materialize()
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"s": pa.array([], pa.int64())})
+        return pa.table(
+            {"s": pa.array([int(pc.sum(t["cents"]).as_py() or 0)])}
+        )
+
+    total = sum(
+        r["s"]
+        for r in per_part.map_batches(
+            total_partial, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        c = t["cents"].to_numpy()
+        # integer-exact HAVING: cents * frac_denom > total  (the SQL
+        # twin compares the same int64 product — no float threshold)
+        return t.filter(pa.array(c * frac_denom > total))
+
+    out = per_part.map_batches(
+        keep, batch_format="pyarrow"
+    ).to_pandas()
+    out["value"] = out.pop("cents").to_numpy(np.int64) / 100.0
+    return out.sort_values(
+        ["value", "l_partkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)[["l_partkey", "value"]]
+
+
+def q11_oracle_sql(region: str = "EUROPE", frac_denom: int = 1000) -> str:
+    return f"""
+        WITH pv AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(floor(l_extendedprice*(1-l_discount)*100
+                                  + 0.5) AS BIGINT)) AS cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = '{region}'
+            GROUP BY 1
+        )
+        SELECT l_partkey, cents / 100.0 AS value
+        FROM pv
+        WHERE cents * {frac_denom} > (SELECT SUM(cents) FROM pv)
+        ORDER BY value DESC, l_partkey
+    """
+
+
+def q20_prominent_suppliers(sf_dir: str, prefix: str = "small",
+                            year: int = 1996, share_denom: int = 2):
+    """TPC-H Q20 shape (suppliers holding a promotable share of a named
+    part class, adapted — no partsupp/availqty, so "holds excess stock"
+    becomes "shipped MORE than 1/share_denom of the part's total
+    year-``year`` quantity"): the nested semi-join of ref dbgen
+    queries/20.sql — supplier qualifies if such a part EXISTS.
+
+    Scale shape: the prefix part set broadcasts as a sorted int array;
+    one lineitem pass (year filter + part probe) emits (partkey,
+    suppkey, qty) partials; a partkey-partitioned sum co-locates every
+    supplier of a part in one block, where a vectorized transform
+    computes the per-part total and keeps dominant pairs — no second
+    shuffle; the qualifying supplier set (≤ |part prefix| rows) is
+    distinct-ed through a supplier-partitioned max and only THEN
+    touches the driver for the name join."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import (
+        partitioned_key_agg,
+        partitioned_key_sum,
+    )
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    names = np.asarray(pt["p_name"].to_numpy(zero_copy_only=False))
+    pk = np.sort(
+        pt["p_partkey"].to_numpy()[
+            np.char.startswith(names.astype(str), prefix)
+        ]
+    ).astype(np.int64)
+    pk_ref = ray.put(pk)
+
+    US_PER_DAY = 86_400_000_000
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ship = (
+            t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy()
+        )
+        keep = (ship >= lo) & (ship < hi)
+        if not keep.any():
+            return empty
+        keys = ray.get(pk_ref)
+        lp = t["l_partkey"].to_numpy()
+        _, hit = _probe_sorted(keys, lp)
+        keep &= hit
+        if not keep.any():
+            return empty
+        # quantities are integral doubles; half-up to int64 keeps the
+        # share compare integer-exact (SQL twin CASTs the same way)
+        qty = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False)[keep] + 0.5
+        ).astype(np.int64)
+        agg = pa.table(
+            {
+                "l_partkey": pa.array(lp[keep], pa.int64()),
+                "l_suppkey": pa.array(
+                    t["l_suppkey"].to_numpy()[keep], pa.int64()
+                ),
+                "qty": pa.array(qty, pa.int64()),
+            }
+        ).group_by(["l_partkey", "l_suppkey"]).aggregate([("qty", "sum")])
+        return agg.rename_columns(["l_partkey", "l_suppkey", "qty"])
+
+    pairs = partitioned_key_sum(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(qty_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        keys=["l_partkey", "l_suppkey"], sum_cols=["qty"],
+        part_on=("l_partkey",),
+    )
+
+    def dominant(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_suppkey": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        df = t.to_pandas()
+        total = df.groupby("l_partkey")["qty"].transform("sum")
+        win = df["qty"].to_numpy() * share_denom > total.to_numpy()
+        if not win.any():
+            return empty
+        supp = np.unique(df["l_suppkey"].to_numpy()[win])
+        return pa.table(
+            {
+                "l_suppkey": pa.array(supp, pa.int64()),
+                "one": pa.array(np.ones(len(supp), np.int64)),
+            }
+        )
+
+    supp = partitioned_key_agg(
+        pairs.map_batches(dominant, batch_format="pyarrow",
+                          batch_size=None),
+        keys=["l_suppkey"], aggs=[("one", "max")],
+        part_on=("l_suppkey",),
+    ).to_pandas()
+
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = supp.merge(
+        st, left_on="l_suppkey", right_on="s_suppkey", how="inner"
+    )[["s_name"]]
+    return out.sort_values("s_name", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q20_oracle_sql(prefix: str = "small", year: int = 1996,
+                   share_denom: int = 2) -> str:
+    return f"""
+        WITH pairq AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '{prefix}%'
+              AND l_shipdate >= DATE '{year}-01-01'
+              AND l_shipdate < DATE '{year + 1}-01-01'
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT l_partkey, SUM(qty) AS total FROM pairq GROUP BY 1
+        )
+        SELECT DISTINCT s.s_name
+        FROM pairq p
+        JOIN tot t USING (l_partkey)
+        JOIN supplier s ON s.s_suppkey = p.l_suppkey
+        WHERE p.qty * {share_denom} > t.total
+        ORDER BY s.s_name
+    """
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                         p_type: str = "SMALL", size_max: int = 25,
+                         k: int = 100):
+    """TPC-H Q2 shape (min-cost supplier per part, adapted — no
+    partsupp/supplycost, so a (part, supplier) pair's "cost" is the
+    MINIMUM line price observed for it): for parts of one type and a
+    size bound, the suppliers of ``region`` achieving the part's global
+    minimum cost — the correlated-MIN-subquery shape of ref dbgen
+    queries/2.sql, top-``k`` by account balance.
+
+    Scale shape: both filters broadcast as sorted int arrays (part set
+    driver-side from two columns; supplier scope via the dim chain);
+    one lineitem pass emits (partkey, suppkey, min-cents) partials; a
+    partkey-partitioned MIN co-locates each part's suppliers so the
+    argmin filter is one vectorized transform, no second shuffle; only
+    the winners (≈ one row per filtered part) reach the driver for the
+    dim joins, sort, and top-k."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type", "p_size"],
+    )
+    pmask = (
+        np.asarray(pt["p_type"].to_numpy(zero_copy_only=False)) == p_type
+    ) & (pt["p_size"].to_numpy() <= size_max)
+    pk = np.sort(pt["p_partkey"].to_numpy()[pmask]).astype(np.int64)
+    sk = _region_suppkeys(sf_dir, region)
+    lookup_ref = ray.put((pk, sk))
+
+    def cost_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        pks, sks = ray.get(lookup_ref)
+        _, phit = _probe_sorted(pks, t["l_partkey"].to_numpy())
+        _, shit = _probe_sorted(sks, t["l_suppkey"].to_numpy())
+        keep = phit & shit
+        if not keep.any():
+            return empty
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        agg = pa.table(
+            {
+                "l_partkey": pa.array(
+                    t["l_partkey"].to_numpy()[keep], pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    t["l_suppkey"].to_numpy()[keep], pa.int64()
+                ),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("cents", "min")]
+        )
+        return agg.rename_columns(["l_partkey", "l_suppkey", "cents"])
+
+    costs = partitioned_key_agg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(cost_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        keys=["l_partkey", "l_suppkey"], aggs=[("cents", "min")],
+        part_on=("l_partkey",),
+    )
+
+    def argmin(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        df = t.to_pandas()
+        best = df.groupby("l_partkey")["cents"].transform("min")
+        win = df["cents"].to_numpy() == best.to_numpy()
+        w = df.loc[win]
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    w["l_partkey"].to_numpy(), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    w["l_suppkey"].to_numpy(), pa.int64()
+                ),
+                "cents": pa.array(w["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    winners = costs.map_batches(
+        argmin, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if len(winners) == 0:
+        return pd.DataFrame(
+            {
+                "s_acctbal": pd.Series(dtype="float64"),
+                "s_name": pd.Series(dtype="object"),
+                "n_name": pd.Series(dtype="object"),
+                "p_partkey": pd.Series(dtype="int64"),
+                "min_price": pd.Series(dtype="float64"),
+            }
+        )
+
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    nt = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = winners.merge(
+        st, left_on="l_suppkey", right_on="s_suppkey"
+    ).merge(nt, left_on="s_nationkey", right_on="n_nationkey")
+    out["min_price"] = out.pop("cents").to_numpy(np.int64) / 100.0
+    out = out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], kind="mergesort",
+    ).head(k).reset_index(drop=True)
+    return out[["s_acctbal", "s_name", "n_name", "p_partkey",
+                "min_price"]]
+
+
+def q2_oracle_sql(region: str = "EUROPE", p_type: str = "SMALL",
+                  size_max: int = 25, k: int = 100) -> str:
+    return f"""
+        WITH costs AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   MIN(CAST(floor(l_extendedprice*100 + 0.5)
+                            AS BIGINT)) AS cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_type = '{p_type}' AND p.p_size <= {size_max}
+              AND r.r_name = '{region}'
+            GROUP BY 1, 2
+        ), best AS (
+            SELECT l_partkey, MIN(cents) AS mc FROM costs GROUP BY 1
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name,
+               c.l_partkey AS p_partkey, c.cents / 100.0 AS min_price
+        FROM costs c
+        JOIN best b ON c.l_partkey = b.l_partkey AND c.cents = b.mc
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p_partkey
+        LIMIT {k}
+    """
