@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ranking,
         similarity,
         sketches,
+        webgraph,
         webtext,
         windows,
     )
@@ -964,6 +965,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": relational.q11_important_parts,
         "q20_prominent_suppliers": relational.q20_prominent_suppliers,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "pages_link_graph": webgraph.link_graph,
+        "pages_link_degree_hist": webgraph.link_degree_hist,
+        "pages_link_pagerank": webgraph.link_pagerank,
     }
 
 
@@ -1014,6 +1018,63 @@ def _unigram_graph_ctes(dict_values: str) -> str:
             UNION ALL
             SELECT obj, subj, CAST(weight AS DOUBLE) FROM pairs
         )
+    """
+
+
+_LINKS_CTE = """
+        links AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS src, dst
+            FROM (
+                SELECT doc_id,
+                       UNNEST([doc_id + 1, 2*doc_id + 1, doc_id // 3])
+                           AS dst
+                FROM documents
+            )
+            WHERE dst <> doc_id
+        )
+"""
+
+
+def _link_pagerank_sql(damping=0.85, iters=20) -> str:
+    """Hyperlink-graph twin of ``_pagerank_sql``: same unrolled power
+    iteration (full-float-repr literals, MATERIALIZED steps), but the
+    edge set is re-derived arithmetically from ``documents`` — the
+    engine parses the SAME edges out of the html anchors, so the
+    value-hash proves the parse end-to-end."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        pr{k} AS MATERIALIZED (
+            SELECT t.dst AS page,
+                   {base} / nn.n + {d} * SUM(pr.rank * t.p) AS rank
+            FROM trans t JOIN pr{k - 1} pr ON pr.page = t.src, nn
+            GROUP BY t.dst, nn.n
+        )""")
+    return f"""
+        WITH {_LINKS_CTE},
+        bidir AS MATERIALIZED (
+            SELECT src, dst, CAST(1 AS DOUBLE) AS w FROM links
+            UNION ALL
+            SELECT dst, src, CAST(1 AS DOUBLE) FROM links
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS page FROM bidir),
+        nn AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+        ),
+        outw AS MATERIALIZED (
+            SELECT src, SUM(w) AS ow FROM bidir GROUP BY src
+        ),
+        trans AS MATERIALIZED (
+            SELECT b.src, b.dst, b.w / o.ow AS p
+            FROM bidir b JOIN outw o ON b.src = o.src
+        ),
+        pr0 AS MATERIALIZED (
+            SELECT page, 1.0 / nn.n AS rank FROM nodes, nn
+        ),
+        {", ".join(steps)}
+        SELECT page, round(rank, 6) AS rank FROM pr{iters}
     """
 
 
@@ -3248,6 +3309,19 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": relational_mod.q11_oracle_sql(),
         "q20_prominent_suppliers": relational_mod.q20_oracle_sql(),
         "q2_min_cost_supplier": relational_mod.q2_oracle_sql(),
+        "pages_link_graph": f"""
+            WITH {_LINKS_CTE}
+            SELECT src, dst FROM links
+        """,
+        "pages_link_degree_hist": f"""
+            WITH {_LINKS_CTE},
+            per_dst AS (
+                SELECT dst, COUNT(*) AS n FROM links GROUP BY 1
+            )
+            SELECT n AS in_degree, COUNT(*) AS n_nodes
+            FROM per_dst GROUP BY 1 ORDER BY 1
+        """,
+        "pages_link_pagerank": _link_pagerank_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

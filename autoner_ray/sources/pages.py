@@ -27,13 +27,35 @@ URL_PREFIX = "https://example.org/doc/"
 _TS_BASE_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
 
 
+def link_targets(doc_id: int) -> list[int]:
+    """Deterministic outlink targets of a page: a pure arithmetic
+    function of ``doc_id`` (so a SQL oracle can re-derive the link
+    graph without parsing HTML), first-occurrence-deduped, self-loops
+    dropped. Targets may exceed the corpus id range — dangling links,
+    like the real web."""
+    out: list[int] = []
+    for dst in (doc_id + 1, 2 * doc_id + 1, doc_id // 3):
+        if dst != doc_id and dst not in out:
+            out.append(dst)
+    return out
+
+
 def make_html(doc_id: int, text: str) -> bytes:
-    """Deterministic page markup wrapping ``text`` (entity-escaped)."""
+    """Deterministic page markup wrapping ``text`` (entity-escaped).
+
+    Outlinks (``link_targets``) live in the footer, AFTER the main
+    ``<p>`` block, so the first-paragraph text extractor
+    (`stages/extract.py`) is unaffected — the byte-identity invariant
+    on extracted text holds with or without the anchors."""
     body = _html.escape(text, quote=False)
+    anchors = "".join(
+        f'<a href="{URL_PREFIX}{dst}">doc {dst}</a>'
+        for dst in link_targets(doc_id)
+    )
     return (
         f"<html><head><title>doc {doc_id}</title></head>"
         f"<body><nav>site nav</nav><p id=\"main\">{body}</p>"
-        f"<footer>footer</footer></body></html>"
+        f"<footer>footer{anchors}</footer></body></html>"
     ).encode()
 
 

@@ -1,0 +1,177 @@
+"""Web link-graph construction from crawled pages (north-rule KG
+family: the hyperlink graph is the other graph a Common-Crawl-style
+corpus carries besides the entity graph).
+
+Anchor extraction parses the ``html`` binary column directly — the
+pages generator embeds outlinks as a pure arithmetic function of
+``doc_id`` (``sources/pages.py::link_targets``) precisely so a DuckDB
+oracle can re-derive the SAME edge set from ``documents`` without an
+HTML parser: the driver's value-hash then proves the engine's parse is
+exact end-to-end.
+
+Scale shape: link extraction is a stateless ``map_batches`` over pages
+blocks (the wide html column is dropped on output, same as
+``stages/extract.py``); each url appears exactly once in the crawl
+table, so per-row dedup of anchors makes the edge stream globally
+distinct with NO shuffle. Degree aggregation uses the partitioned
+combine (never driver-sized); PageRank reuses ``stages/graph.py`` —
+node set here is corpus-sized, so at 10^12 pages the
+``pagerank_distributed`` twin is the default (same contract as the
+entity graph's vocab-bounded/driver split).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from autoner_ray.sources.pages import URL_PREFIX, read_pages
+
+_HREF_RE = re.compile(
+    rb'href="' + re.escape(URL_PREFIX.encode()) + rb'(\d+)"'
+)
+
+_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """pages -> (src, dst) outlink edges; anchors first-occurrence-
+    deduped per page (mirrors the generator's dedup so re-parsed
+    duplicates collapse identically)."""
+    if batch.num_columns == 0 or len(batch) == 0:
+        return _EDGE_SCHEMA.empty_table()
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    plen = len(URL_PREFIX)
+    srcs: list[int] = []
+    dsts: list[int] = []
+    for u, h in zip(urls, htmls):
+        src = int(u[plen:])
+        seen: set[int] = set()
+        for m in _HREF_RE.finditer(h or b""):
+            dst = int(m.group(1))
+            if dst != src and dst not in seen:
+                seen.add(dst)
+                srcs.append(src)
+                dsts.append(dst)
+    return pa.table(
+        {
+            "src": pa.array(srcs, pa.int64()),
+            "dst": pa.array(dsts, pa.int64()),
+        }
+    )
+
+
+def link_graph(sf_dir: str):
+    """The parsed hyperlink edge list (src, dst), globally distinct
+    (one crawl row per url + per-row dedup — no shuffle needed)."""
+    return read_pages(sf_dir).map_batches(
+        extract_links_batch, batch_format="pyarrow"
+    )
+
+
+def link_degree_hist(sf_dir: str):
+    """In-degree histogram of the hyperlink graph: (in_degree,
+    n_nodes). Per-dst counts flow through the dst-partitioned combine
+    (node set is corpus-sized — never on the driver); the histogram
+    tail is the shuffle-free bounded combine over the small degree
+    domain."""
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "dst": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vals, counts = np.unique(t["dst"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "dst": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_dst = partitioned_key_sum(
+        link_graph(sf_dir).map_batches(
+            count_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["dst"], sum_cols=["n"], part_on=("dst",),
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "in_degree": pa.array([], pa.int64()),
+                    "n_nodes": pa.array([], pa.int64()),
+                }
+            )
+        vals, counts = np.unique(t["n"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "in_degree": pa.array(vals, pa.int64()),
+                "n_nodes": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return bounded_key_sum(
+        per_dst.map_batches(
+            hist_partial, batch_format="pyarrow", batch_size=None
+        ),
+        keys=["in_degree"], sum_cols=["n_nodes"],
+    )
+
+
+def link_pagerank(sf_dir: str, round_dp: int = 6):
+    """PageRank over the hyperlink graph, undirected expansion (same
+    contract as the entity graph's ``kg_pagerank``: co-citation
+    relevance, weight 1 per distinct parsed edge; the SQL twin unrolls
+    the identical power iteration). String node ids keep the
+    ``stages/graph.py`` interface; the collect there is documented as
+    the bounded-vocab default with ``pagerank_distributed`` as the
+    at-scale twin — for the corpus-sized web graph the distributed
+    variant IS the default at 10^12 pages."""
+    from autoner_ray.stages.graph import pagerank
+
+    def to_weighted(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "subj": t["src"].cast(pa.string()),
+                "obj": t["dst"].cast(pa.string()),
+                "weight": pa.array(
+                    np.ones(len(t), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranked = pagerank(
+        link_graph(sf_dir).map_batches(
+            to_weighted, batch_format="pyarrow"
+        ),
+        round_dp=round_dp,
+    )
+    # int node ids for the oracle compare (and a saner public schema)
+    import pyarrow.compute as pc
+
+    page = ranked["entity"].cast(pa.int64())
+    out = pa.table({"page": page, "rank": ranked["rank"]})
+    order = pc.sort_indices(
+        out, sort_keys=[("rank", "descending"), ("page", "ascending")]
+    )
+    return out.take(order)

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 249 and len(sqls) == 230
+    assert len(qs) == 252 and len(sqls) == 233
     import subprocess
     import sys
 

@@ -1,0 +1,96 @@
+"""Hyperlink-graph pins: anchor parse == arithmetic generator,
+degree histogram brute force, PageRank twin vs DuckDB unroll, and the
+extraction invariant (links must not disturb first-paragraph text)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from autoner_ray.sources.pages import (
+    URL_PREFIX,
+    derive_pages_batch,
+    link_targets,
+    make_html,
+)
+from autoner_ray.stages.webgraph import extract_links_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_link_targets_arithmetic():
+    assert link_targets(0) == [1]            # 0//3 is a self-loop
+    assert link_targets(1) == [2, 3, 0]
+    assert link_targets(9) == [10, 19, 3]
+    for i in range(200):
+        ts = link_targets(i)
+        assert i not in ts and len(ts) == len(set(ts))
+
+
+def test_parse_recovers_generator_links():
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(50)), pa.int64()),
+            "text": pa.array([f"t {i} <&>" for i in range(50)]),
+            "lang": pa.array(["en"] * 50),
+        }
+    )
+    edges = extract_links_batch(derive_pages_batch(docs))
+    got = set(zip(edges["src"].to_pylist(), edges["dst"].to_pylist()))
+    want = {(i, d) for i in range(50) for d in link_targets(i)}
+    assert got == want
+
+
+def test_links_do_not_disturb_text_extraction():
+    from autoner_ray.stages.extract import extract_text_from_html
+
+    text = 'x <a href="https://other.example/">inline</a> & y'
+    assert extract_text_from_html(make_html(7, text)) == text
+
+
+def test_degree_hist_bruteforce(ray_session):
+    from autoner_ray.stages.webgraph import link_degree_hist
+
+    got = (
+        link_degree_hist(SF).to_pandas()
+        .sort_values("in_degree").reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    edges = [
+        (i, d) for i in docs["doc_id"] for d in link_targets(int(i))
+    ]
+    indeg = pd.Series([d for _, d in edges]).value_counts()
+    want = (
+        indeg.value_counts().rename_axis("in_degree")
+        .rename("n_nodes").reset_index()
+        .sort_values("in_degree").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+
+
+def test_link_pagerank_matches_duckdb(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    from autoner_ray.stages.webgraph import link_pagerank
+
+    got = link_pagerank(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(entrymod._link_pagerank_sql()).df()
+    g = got.sort_values("page").reset_index(drop=True)
+    w = want.sort_values("page").reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["page"].to_numpy() == w["page"].to_numpy()).all()
+    assert np.allclose(
+        g["rank"].to_numpy(), w["rank"].to_numpy(), atol=1e-9
+    )
