@@ -968,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_graph": webgraph.link_graph,
         "pages_link_degree_hist": webgraph.link_degree_hist,
         "pages_link_pagerank": webgraph.link_pagerank,
+        "pages_crawl_frontier": webgraph.link_crawl_frontier,
     }
 
 
@@ -3322,6 +3323,18 @@ def oracle_sql() -> dict[str, str]:
             FROM per_dst GROUP BY 1 ORDER BY 1
         """,
         "pages_link_pagerank": _link_pagerank_sql(),
+        "pages_crawl_frontier": f"""
+            WITH RECURSIVE {_LINKS_CTE},
+            bfs(node, d) AS (
+                SELECT CAST(0 AS BIGINT), 0
+                UNION
+                SELECT l.dst, bfs.d + 1
+                FROM bfs JOIN links l ON l.src = bfs.node
+                WHERE bfs.d + 1 <= 16
+            )
+            SELECT node AS page, CAST(MIN(d) AS BIGINT) AS hops
+            FROM bfs GROUP BY node
+        """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -376,7 +376,8 @@ def connected_components_distributed(edges_ds,
 
 def bfs_distances(edges_ds, source=None, max_depth: int = 32,
                   num_partitions: int | None = None,
-                  sources: list | None = None):
+                  sources: list | None = None,
+                  directed: bool = False):
     """Single-source shortest-path (hop) distances on the undirected
     entity graph — min-DISTANCE propagation with the dist table as a
     Dataset, the same join+groupby-min fixpoint loop as
@@ -413,7 +414,18 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
             }
         )
 
+    # node-universe table: both endpoints as src regardless of
+    # direction (so dst-only sink nodes get a dist row); propagation
+    # follows ``prop`` — both directions (default) or subj->obj only
+    # (``directed=True``, e.g. a crawl frontier over outlinks)
     bidir = edges_ds.map_batches(expand, batch_format="pyarrow").materialize()
+    if directed:
+        prop = edges_ds.map_batches(
+            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        prop = bidir
     if sources is None:
         if source is None:
             source = bidir.min("src")
@@ -466,7 +478,7 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
 
     for _ in range(max_depth):
         neigh_min = (
-            cogroup_join(bidir, dist, on=("src",),
+            cogroup_join(prop, dist, on=("src",),
                          num_partitions=num_partitions)
             .map_batches(neighbor_dists, batch_format="pyarrow")
             .groupby("src")

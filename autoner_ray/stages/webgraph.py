@@ -175,3 +175,83 @@ def link_pagerank(sf_dir: str, round_dp: int = 6):
         out, sort_keys=[("rank", "descending"), ("page", "ascending")]
     )
     return out.take(order)
+
+
+def link_crawl_frontier(sf_dir: str, seed: int = 0,
+                        max_depth: int = 16,
+                        driver_max_edges: int = 2_000_000):
+    """Crawl-frontier simulation: hop distance from the ``seed`` page
+    following OUTLINKS only (directed BFS — the order a breadth-first
+    crawler would discover pages in); pages unreachable within
+    ``max_depth`` hops emit no row (same cap as the recursive-CTE
+    oracle).
+
+    TIERED like ``dedup.neardup_keep_one``: an edge set up to
+    ``driver_max_edges`` runs a numpy CSR frontier sweep on the driver
+    (each distributed fixpoint round costs two cogroup shuffles of pure
+    fixed overhead — ~16 rounds of that dwarf a small graph); above the
+    bound, the Dataset min-distance fixpoint
+    (``graph.bfs_distances(directed=True)``) takes over with identical
+    results (equality pytest-pinned on the fixture graph)."""
+    edges = link_graph(sf_dir).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([src, dst, [seed]]))
+        comp = {int(n): i for i, n in enumerate(nodes)}
+        s = np.fromiter((comp[int(x)] for x in src), np.int64,
+                        count=len(src))
+        d = np.fromiter((comp[int(x)] for x in dst), np.int64,
+                        count=len(dst))
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        starts = np.searchsorted(s, np.arange(len(nodes) + 1))
+        dist = np.full(len(nodes), -1, np.int64)
+        frontier = np.array([comp[seed]], np.int64)
+        dist[frontier] = 0
+        for depth in range(1, max_depth + 1):
+            if len(frontier) == 0:
+                break
+            neigh = np.concatenate(
+                [d[starts[f]:starts[f + 1]] for f in frontier]
+            ) if len(frontier) else np.array([], np.int64)
+            neigh = np.unique(neigh)
+            frontier = neigh[dist[neigh] < 0]
+            dist[frontier] = depth
+        hit = dist >= 0
+        return pa.table(
+            {
+                "page": pa.array(nodes[hit], pa.int64()),
+                "hops": pa.array(dist[hit], pa.int64()),
+            }
+        )
+
+    from autoner_ray.stages.graph import bfs_distances
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.int64()),
+                    "obj": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table({"subj": t["src"], "obj": t["dst"]})
+
+    dist = bfs_distances(
+        edges.map_batches(to_named, batch_format="pyarrow"),
+        source=seed, max_depth=max_depth, directed=True,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "page": pa.array([], pa.int64()),
+                    "hops": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table({"page": t["entity"], "hops": t["dist"]})
+
+    return dist.map_batches(rename, batch_format="pyarrow")

@@ -94,3 +94,57 @@ def test_link_pagerank_matches_duckdb(ray_session):
     assert np.allclose(
         g["rank"].to_numpy(), w["rank"].to_numpy(), atol=1e-9
     )
+
+
+def test_crawl_frontier_matches_duckdb(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    from autoner_ray.stages.webgraph import link_crawl_frontier
+
+    got = (
+        link_crawl_frontier(SF).to_pandas()
+        .sort_values("page").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["pages_crawl_frontier"]).df()
+        .sort_values("page").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+
+
+def test_directed_bfs_distributed_tier_equality(ray_session):
+    """The distributed directed fixpoint must agree with a hand BFS on
+    a small graph (each round is 2 shuffles, so the test graph has a
+    tiny diameter — the driver tier covers the deep-chain case)."""
+    import ray
+
+    from autoner_ray.stages.graph import bfs_distances
+
+    # 0->1, 0->2, 1->3, 3->4, 2->4, 4->0 (cycle back), 5 isolated-ish
+    edges = pa.table(
+        {
+            "subj": pa.array([0, 0, 1, 3, 2, 4, 5], pa.int64()),
+            "obj": pa.array([1, 2, 3, 4, 4, 0, 6], pa.int64()),
+        }
+    )
+    got = (
+        bfs_distances(
+            ray.data.from_arrow(edges), source=0, max_depth=4,
+            directed=True, num_partitions=2,
+        )
+        .to_pandas().sort_values("entity").reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"entity": [0, 1, 2, 3, 4], "dist": [0, 1, 1, 2, 2]}
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
