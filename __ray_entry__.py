@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from autoner_ray.stages import (
         analysis,
         asof,
+        bpe,
         decontam,
         dedup,
         multimodal,
@@ -969,6 +970,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_degree_hist": webgraph.link_degree_hist,
         "pages_link_pagerank": webgraph.link_pagerank,
         "pages_crawl_frontier": webgraph.link_crawl_frontier,
+        "docs_bpe_learn_merges": lambda sf: bpe.learn_bpe_merges(
+            _docs(sf, ["text"])
+        ),
     }
 
 
@@ -1077,6 +1081,55 @@ def _link_pagerank_sql(damping=0.85, iters=20) -> str:
         {", ".join(steps)}
         SELECT page, round(rank, 6) AS rank FROM pr{iters}
     """
+
+
+def _bpe_merges_sql(num_merges: int = 6) -> str:
+    """Unrolled BPE-merge-learning twin (``stages/bpe.py``): per round,
+    pair counts over the space-joined segmentation, top-1 by
+    (count DESC, left, right), merge applied via ``replace`` — DuckDB's
+    replace scans left-to-right non-overlapping exactly like Python
+    ``str.replace``, so the learned merges match bit-for-bit."""
+    parts = ["""
+        words AS MATERIALIZED (
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY 1
+        ),
+        seg0 AS MATERIALIZED (
+            SELECT array_to_string(string_split(word, ''), ' ') AS s,
+                   cnt
+            FROM words
+        )"""]
+    for k in range(1, num_merges + 1):
+        parts.append(f"""
+        pc{k} AS MATERIALIZED (
+            SELECT sym[i] AS lft, sym[i+1] AS rgt, SUM(cnt) AS c
+            FROM (SELECT string_split(s, ' ') AS sym, cnt
+                  FROM seg{k - 1}),
+                 UNNEST(range(1, len(sym))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        top{k} AS MATERIALIZED (
+            SELECT lft, rgt, c FROM pc{k}
+            ORDER BY c DESC, lft, rgt LIMIT 1
+        ),
+        seg{k} AS MATERIALIZED (
+            SELECT trim(replace(' ' || s || ' ',
+                   ' ' || (SELECT lft FROM top{k}) || ' ' ||
+                          (SELECT rgt FROM top{k}) || ' ',
+                   ' ' || (SELECT lft FROM top{k}) ||
+                          (SELECT rgt FROM top{k}) || ' ')) AS s,
+                   cnt
+            FROM seg{k - 1}
+        )""")
+    sel = "\n            UNION ALL\n".join(
+        f"SELECT {k} AS rank, lft AS left_sym, rgt AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM top{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + sel + " ORDER BY rank"
 
 
 def _lpa_sql(dict_values: str, rounds: int = 4) -> str:
@@ -3335,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS page, CAST(MIN(d) AS BIGINT) AS hops
             FROM bfs GROUP BY node
         """,
+        "docs_bpe_learn_merges": _bpe_merges_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

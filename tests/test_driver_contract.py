@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 253 and len(sqls) == 234
+    assert len(qs) == 254 and len(sqls) == 235
     import subprocess
     import sys
 
