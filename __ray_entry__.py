@@ -973,6 +973,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_learn_merges": lambda sf: bpe.learn_bpe_merges(
             _docs(sf, ["text"])
         ),
+        "docs_bpe_source_compression": (
+            lambda sf: bpe.bpe_compression_stats(
+                _docs(sf, ["text", "source"])
+            )
+        ),
     }
 
 
@@ -1130,6 +1135,70 @@ def _bpe_merges_sql(num_merges: int = 6) -> str:
         for k in range(1, num_merges + 1)
     )
     return "WITH " + ",".join(parts) + sel + " ORDER BY rank"
+
+
+def _bpe_compression_sql(num_merges: int = 6) -> str:
+    """Train-then-apply twin of ``stages/bpe.py::
+    bpe_compression_stats``: the same unrolled merge learning with
+    ``word`` carried through the segmentation CTEs, then per-source
+    word/char-symbol/BPE-token totals through a word join."""
+    parts = ["""
+        words AS MATERIALIZED (
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY 1
+        ),
+        seg0 AS MATERIALIZED (
+            SELECT word,
+                   array_to_string(string_split(word, ''), ' ') AS s,
+                   cnt
+            FROM words
+        )"""]
+    for k in range(1, num_merges + 1):
+        parts.append(f"""
+        pc{k} AS MATERIALIZED (
+            SELECT sym[i] AS lft, sym[i+1] AS rgt, SUM(cnt) AS c
+            FROM (SELECT string_split(s, ' ') AS sym, cnt
+                  FROM seg{k - 1}),
+                 UNNEST(range(1, len(sym))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        top{k} AS MATERIALIZED (
+            SELECT lft, rgt, c FROM pc{k}
+            ORDER BY c DESC, lft, rgt LIMIT 1
+        ),
+        seg{k} AS MATERIALIZED (
+            SELECT word, trim(replace(' ' || s || ' ',
+                   ' ' || (SELECT lft FROM top{k}) || ' ' ||
+                          (SELECT rgt FROM top{k}) || ' ',
+                   ' ' || (SELECT lft FROM top{k}) ||
+                          (SELECT rgt FROM top{k}) || ' ')) AS s,
+                   cnt
+            FROM seg{k - 1}
+        )""")
+    parts.append(f"""
+        per_word AS MATERIALIZED (
+            SELECT word, len(string_split(s, ' ')) AS n_sym,
+                   len(string_split(word, '')) AS n_char
+            FROM seg{num_merges}
+        ),
+        sw AS MATERIALIZED (
+            SELECT source, word, COUNT(*) AS cnt
+            FROM (SELECT source,
+                         UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY 1, 2
+        )""")
+    return "WITH " + ",".join(parts) + """
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * n_char) AS BIGINT) AS n_char_syms,
+               CAST(SUM(cnt * n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM sw JOIN per_word USING (word)
+        GROUP BY 1
+    """
 
 
 def _lpa_sql(dict_values: str, rounds: int = 4) -> str:
@@ -3389,6 +3458,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bfs GROUP BY node
         """,
         "docs_bpe_learn_merges": _bpe_merges_sql(),
+        "docs_bpe_source_compression": _bpe_compression_sql(),
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

@@ -221,3 +221,150 @@ def learn_bpe_merges(docs_ds, num_merges: int = 6,
             "pair_count": pa.array(counts, pa.int64()),
         }
     )
+
+
+def bpe_compression_stats(docs_ds, num_merges: int = 6,
+                          num_partitions: int | None = None):
+    """Train-then-apply: learn the merge table, tokenize the corpus
+    with it, and report per-source compression — (source, n_words,
+    n_chars_sym, n_bpe_tokens): words, pre-merge symbols (chars) and
+    post-merge BPE tokens.
+
+    Scale shape: the learned per-word token count lives in the
+    DISTRIBUTED segmentation table (vocab-sized); the corpus-side
+    (source, word) count partials join against it with the cogroup
+    join — no vocab broadcast, no corpus shuffle beyond the word
+    partition both sides already share; the per-source tail is the
+    shuffle-free bounded combine."""
+    import pyarrow.compute as pc_
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+    from autoner_ray.stages.joins import cogroup_join
+
+    # 1) learn merges (same kernel the driver hash-checks)
+    merges = learn_bpe_merges(docs_ds, num_merges, num_partitions)
+    pats = [
+        (f" {l} {r} ", f" {l}{r} ")
+        for l, r in zip(
+            merges["left_sym"].to_pylist(),
+            merges["right_sym"].to_pylist(),
+        )
+    ]
+
+    # 2) (source, word, cnt) corpus partials, word-partitioned
+    def sw_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "word": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        la = pc_.split_pattern(t["text"].combine_chunks(), " ")
+        lens = pc_.list_value_length(la).to_numpy().astype(np.int64)
+        flat = la.flatten()
+        src = t["source"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(t)), lens))
+        )
+        keep = pc_.not_equal(flat, "")
+        agg = pa.table(
+            {
+                "source": src.filter(keep),
+                "word": flat.filter(keep),
+                "cnt": pa.array(
+                    np.ones(int(pc_.sum(keep).as_py() or 0), np.int64)
+                ),
+            }
+        ).group_by(["source", "word"]).aggregate([("cnt", "sum")])
+        return agg.rename_columns(["source", "word", "cnt"])
+
+    sw = partitioned_key_sum(
+        docs_ds.map_batches(sw_partial, batch_format="pyarrow",
+                            batch_size=65536),
+        keys=["source", "word"], sum_cols=["cnt"], part_on=("word",),
+        num_partitions=num_partitions,
+    )
+
+    # 3) per-word symbol counts under the learned merges (vocab-sized,
+    # distributed; merge list is K tiny strings in the closure)
+    def word_tokens(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "n_sym": pa.array([], pa.int64()),
+                "n_char_sym": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0 or "word" not in (
+            t.column_names
+        ):
+            return empty
+        import pandas as pd
+
+        words = pd.Series(t["word"].to_pylist())
+        seg = words.map(lambda w: " " + " ".join(w) + " ")
+        n_char = seg.str.count(" ") - 1
+        for pat, rep in pats:
+            seg = seg.str.replace(pat, rep, regex=False)
+        n_sym = seg.str.count(" ") - 1
+        return pa.table(
+            {
+                "word": pa.array(words.tolist(), pa.string()),
+                "n_sym": pa.array(n_sym.to_numpy(np.int64), pa.int64()),
+                "n_char_sym": pa.array(
+                    n_char.to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    vocab = _word_counts(docs_ds, num_partitions).map_batches(
+        word_tokens, batch_format="pyarrow"
+    )
+
+    joined = cogroup_join(sw, vocab, on=("word",),
+                          num_partitions=num_partitions)
+
+    def per_source(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_words": pa.array([], pa.int64()),
+                "n_char_syms": pa.array([], pa.int64()),
+                "n_bpe_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0 or "source" not in (
+            t.column_names
+        ):
+            return empty
+        cnt = t["cnt"].to_numpy()
+        agg = pa.table(
+            {
+                "source": t["source"],
+                "n_words": pa.array(cnt, pa.int64()),
+                "n_char_syms": pa.array(
+                    cnt * t["n_char_sym"].to_numpy(), pa.int64()
+                ),
+                "n_bpe_tokens": pa.array(
+                    cnt * t["n_sym"].to_numpy(), pa.int64()
+                ),
+            }
+        ).group_by("source").aggregate(
+            [("n_words", "sum"), ("n_char_syms", "sum"),
+             ("n_bpe_tokens", "sum")]
+        )
+        return agg.rename_columns(
+            ["source", "n_words", "n_char_syms", "n_bpe_tokens"]
+        )
+
+    return bounded_key_sum(
+        joined.map_batches(per_source, batch_format="pyarrow",
+                           batch_size=None),
+        keys=["source"],
+        sum_cols=["n_words", "n_char_syms", "n_bpe_tokens"],
+    )

@@ -95,3 +95,58 @@ def test_pair_counts_batch_bruteforce():
         ("h", "e"): 4, ("e", "l"): 3, ("l", "l"): 5, ("l", "o"): 3,
     }
     assert got == want
+
+
+def test_bpe_compression_stats_bruteforce(ray_session):
+    """Train-then-apply per-source totals vs a single-process
+    recomputation using the reference learner."""
+    import ray
+
+    from autoner_ray.stages.bpe import bpe_compression_stats
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["text", "source"]
+    )
+    merges = _reference_bpe(docs["text"].tolist(), 6)
+
+    def n_tokens(word: str) -> int:
+        s = " " + " ".join(word) + " "
+        for _, lft, rgt, _ in merges:
+            s = s.replace(f" {lft} {rgt} ", f" {lft}{rgt} ")
+        return len(s.split()) if s.strip() else 0
+
+    memo: dict[str, int] = {}
+    rows: dict[str, list[int]] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        acc = rows.setdefault(src, [0, 0, 0])
+        for w in text.split(" "):
+            if not w:
+                continue
+            acc[0] += 1
+            acc[1] += len(w)
+            if w not in memo:
+                memo[w] = n_tokens(w)
+            acc[2] += memo[w]
+    want = (
+        pd.DataFrame(
+            [(s, a, b, c) for s, (a, b, c) in rows.items()],
+            columns=["source", "n_words", "n_char_syms",
+                     "n_bpe_tokens"],
+        )
+        .sort_values("source").reset_index(drop=True)
+    )
+
+    got = (
+        bpe_compression_stats(
+            ray.data.read_parquet(
+                f"{SF}/documents.parquet", columns=["text", "source"]
+            )
+        )
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["source", "n_words", "n_char_syms", "n_bpe_tokens"]]
+        .astype({"n_words": "int64", "n_char_syms": "int64",
+                 "n_bpe_tokens": "int64"}),
+        want,
+    )

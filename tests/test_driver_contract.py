@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 254 and len(sqls) == 235
+    assert len(qs) == 255 and len(sqls) == 236
     import subprocess
     import sys
 
