@@ -889,16 +889,25 @@ def crawl_rate(sf_dir: str):
 
 def crawl_rate_oracle_sql() -> str:
     # mirrors sources/pages.py: warc_ts = 2020-01-01T00:00Z + doc_id s;
-    # html = fixed wrapper + title doc_id + entity-escaped text (the
-    # escape only rewrites & < > — the corpus contains none, enforced
-    # by the length identity hashing here)
+    # html = fixed wrapper (117 chars) + title doc_id + entity-escaped
+    # text (the escape only rewrites & < > — the corpus contains none,
+    # enforced by the length identity hashing here) + footer outlink
+    # anchors per ``link_targets``: each anchor is 43 fixed chars plus
+    # the target id TWICE (href + anchor text); doc 0 emits a single
+    # anchor (its other two targets collapse as dup/self-loop), every
+    # other doc emits all three distinct targets.
     return """
         WITH p AS (
             SELECT TIMESTAMP '2020-01-01 00:00:00'
                        + to_seconds(doc_id) AS warc_ts,
                    lang,
                    117 + length(CAST(doc_id AS VARCHAR)) + length(text)
-                       AS html_len
+                   + CASE WHEN doc_id = 0 THEN 43 + 2 * 1
+                     ELSE 129 + 2 * (
+                         length(CAST(doc_id + 1 AS VARCHAR))
+                         + length(CAST(2 * doc_id + 1 AS VARCHAR))
+                         + length(CAST(doc_id // 3 AS VARCHAR)))
+                     END AS html_len
             FROM documents
         )
         SELECT date_trunc('hour', warc_ts) AS hour, lang,
