@@ -91,7 +91,7 @@ _DECONTAM_SQL = """
 def queries() -> dict[str, Callable[[str], Any]]:
     from autoner_ray.cluster import tune_data_context
     from autoner_ray.pipelines import kg, relational
-    from autoner_ray.sources import text_formats
+    from autoner_ray.sources import pages, text_formats, warc
 
     tune_data_context()
     from autoner_ray.stages import (
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bpe,
         decontam,
         dedup,
+        extract,
         multimodal,
         ranking,
         similarity,
@@ -978,6 +979,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _docs(sf, ["text", "source"])
             )
         ),
+        # Common-Crawl WARC interchange: pages -> per-record-gzipped
+        # WARC files -> streaming re-read -> html text extraction; the
+        # oracle recomputes every column from the original documents
+        # parquet, so any byte loss in the sink/source breaks the hash
+        "pages_warc_roundtrip": warc.warc_roundtrip_extracted,
+        # metadata extraction from the raw html payload (title element)
+        "pages_title_extract": lambda sf: pages.read_pages(
+            sf
+        ).map_batches(extract.extract_title_batch, batch_format="pyarrow"),
+        # temporal KG provenance: per-entity / per-edge crawl lineage
+        "kg_entity_timeline": kg.unigram_entity_timeline,
+        "kg_triples_temporal": kg.unigram_triples_temporal,
     }
 
 
@@ -3459,6 +3472,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bpe_learn_merges": _bpe_merges_sql(),
         "docs_bpe_source_compression": _bpe_compression_sql(),
+        "pages_warc_roundtrip": """
+            SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   TIMESTAMP '2020-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "pages_title_extract": """
+            SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   'doc ' || CAST(doc_id AS VARCHAR) AS title
+            FROM documents
+        """,
+        "kg_entity_timeline": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            )
+            SELECT entity,
+                   TIMESTAMP '2020-01-01 00:00:00'
+                       + MIN(doc_id) * INTERVAL 1 SECOND AS first_seen,
+                   TIMESTAMP '2020-01-01 00:00:00'
+                       + MAX(doc_id) * INTERVAL 1 SECOND AS last_seen,
+                   COUNT(*) AS n_docs
+            FROM words GROUP BY entity
+        """,
+        "kg_triples_temporal": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            )
+            SELECT a.entity AS subj, b.entity AS obj,
+                   COUNT(*) AS weight,
+                   TIMESTAMP '2020-01-01 00:00:00'
+                       + MIN(a.doc_id) * INTERVAL 1 SECOND AS first_seen,
+                   TIMESTAMP '2020-01-01 00:00:00'
+                       + MAX(a.doc_id) * INTERVAL 1 SECOND AS last_seen
+            FROM words a JOIN words b
+              ON a.doc_id = b.doc_id AND a.entity < b.entity
+            GROUP BY 1, 2
+        """,
     }
     # the LSH keep-one path is value-twinned by the SAME transitive-
     # closure oracle as the exact path: MinHash-LSH candidate recall is

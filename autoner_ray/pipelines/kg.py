@@ -1729,3 +1729,159 @@ def unigram_entity_context_topk(sf_dir: str, window: int = 4,
         .groupby("part")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal provenance over the unigram KG (crawl-timestamp lineage)
+# ---------------------------------------------------------------------------
+
+def unigram_entity_timeline(sf_dir: str):
+    """Per-entity crawl-time provenance: first_seen / last_seen
+    ``warc_ts`` plus document support count.
+
+    The KG analogue of a crawl ledger — when did each entity enter the
+    graph, when was it last observed, how much evidence backs it. The
+    page timestamp is the same pure doc_id derivation the pages source
+    uses (`sources/pages.py::derive_pages_batch`), so the DuckDB twin
+    recomputes it exactly.
+
+    Scale shape: per-batch min/max/sum partials over the dict-bounded
+    entity set, then the hash-partitioned two-level combine
+    (`stages/combine.py::partitioned_key_agg`) — no corpus shuffle, no
+    driver-side state.
+    """
+    from autoner_ray.sources.pages import _TS_BASE_US
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ents_per_doc = batch["entities"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        ent_col, first, last, n = [], [], [], []
+        agg: dict[str, list[int]] = {}
+        for did, ents in zip(ids, ents_per_doc):
+            ts = _TS_BASE_US + did * 1_000_000
+            for e in ents:
+                cur = agg.get(e)
+                if cur is None:
+                    agg[e] = [ts, ts, 1]
+                else:
+                    cur[0] = min(cur[0], ts)
+                    cur[1] = max(cur[1], ts)
+                    cur[2] += 1
+        for e in sorted(agg):
+            ent_col.append(e)
+            first.append(agg[e][0])
+            last.append(agg[e][1])
+            n.append(agg[e][2])
+        return pa.table(
+            {
+                "entity": pa.array(ent_col, pa.string()),
+                "first_us": pa.array(first, pa.int64()),
+                "last_us": pa.array(last, pa.int64()),
+                "n_docs": pa.array(n, pa.int64()),
+            }
+        )
+
+    agg_ds = partitioned_key_agg(
+        unigram_doc_entities(sf_dir).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        keys=["entity"],
+        aggs=[("first_us", "min"), ("last_us", "max"), ("n_docs", "sum")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "entity": pa.array([], pa.string()),
+                    "first_seen": pa.array([], pa.timestamp("us")),
+                    "last_seen": pa.array([], pa.timestamp("us")),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "entity": t["entity"],
+                "first_seen": t["first_us"].cast(pa.timestamp("us")),
+                "last_seen": t["last_us"].cast(pa.timestamp("us")),
+                "n_docs": t["n_docs"],
+            }
+        )
+
+    return agg_ds.map_batches(finish, batch_format="pyarrow")
+
+
+def unigram_triples_temporal(sf_dir: str):
+    """Co-occurrence triples with crawl-time lineage: weight plus
+    first_seen / last_seen evidence timestamps per (subj, obj) edge —
+    the per-partition lineage metadata the north rule asks each graph
+    shard to carry, expressed as a first-class queryable table.
+
+    Same two-level partitioned combine as the timeline; edge
+    cardinality is unbounded so the combine hash-partitions on the
+    (subj, obj) key pair rather than assuming boundedness.
+    """
+    from autoner_ray.sources.pages import _TS_BASE_US
+    from autoner_ray.stages.combine import partitioned_key_agg
+    from itertools import combinations
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ents_per_doc = batch["entities"].to_pylist()
+        agg: dict[tuple[str, str], list[int]] = {}
+        for did, ents in zip(ids, ents_per_doc):
+            ts = _TS_BASE_US + did * 1_000_000
+            for a, b in combinations(sorted(ents), 2):
+                cur = agg.get((a, b))
+                if cur is None:
+                    agg[(a, b)] = [ts, ts, 1]
+                else:
+                    cur[0] = min(cur[0], ts)
+                    cur[1] = max(cur[1], ts)
+                    cur[2] += 1
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "subj": pa.array([k[0] for k in keys], pa.string()),
+                "obj": pa.array([k[1] for k in keys], pa.string()),
+                "first_us": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "last_us": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "weight": pa.array([agg[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    agg_ds = partitioned_key_agg(
+        unigram_doc_entities(sf_dir).map_batches(
+            pair_partials, batch_format="pyarrow"
+        ),
+        keys=["subj", "obj"],
+        aggs=[
+            ("first_us", "min"),
+            ("last_us", "max"),
+            ("weight", "sum"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                    "first_seen": pa.array([], pa.timestamp("us")),
+                    "last_seen": pa.array([], pa.timestamp("us")),
+                }
+            )
+        return pa.table(
+            {
+                "subj": t["subj"],
+                "obj": t["obj"],
+                "weight": t["weight"],
+                "first_seen": t["first_us"].cast(pa.timestamp("us")),
+                "last_seen": t["last_us"].cast(pa.timestamp("us")),
+            }
+        )
+
+    return agg_ds.map_batches(finish, batch_format="pyarrow")
