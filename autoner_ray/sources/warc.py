@@ -184,14 +184,31 @@ def parse_warc_bytes(raw: bytes) -> pa.Table:
         pos = head_end + 4 + clen + 4  # trailing CRLF CRLF
         if fields.get("warc-type") != "response":
             continue
+        if "warc-target-uri" not in fields or "warc-date" not in fields:
+            continue  # malformed record: skip, don't kill the read task
         http_end = payload.find(_CRLF + _CRLF)
-        http_head = payload[:http_end].decode("utf-8", errors="replace")
-        http_fields = {}
-        for line in http_head.split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            http_fields[k.strip().lower()] = v.strip()
-        body_len = int(http_fields.get("content-length", "0"))
-        body = payload[http_end + 4 : http_end + 4 + body_len]
+        if http_end < 0:
+            # no HTTP header/body split — nothing parseable as html
+            body = b""
+        else:
+            http_head = payload[:http_end].decode(
+                "utf-8", errors="replace"
+            )
+            http_fields = {}
+            for line in http_head.split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                http_fields[k.strip().lower()] = v.strip()
+            body_start = http_end + 4
+            if "content-length" in http_fields:
+                body = payload[
+                    body_start
+                    : body_start + int(http_fields["content-length"])
+                ]
+            else:
+                # real crawls store chunked / connection-close responses
+                # with no Content-Length: the body is the payload
+                # remainder, not empty
+                body = payload[body_start:]
         urls.append(fields["warc-target-uri"])
         ts.append(_parse_warc_date(fields["warc-date"]))
         htmls.append(body)

@@ -4306,10 +4306,21 @@ def word_burstiness(docs_ds):
                     "vmr_ppm": pa.array([], pa.int64()),
                 }
             )
-        df_ = t["df"].to_numpy()
-        occ = t["occurrences"].to_numpy()
-        sq = t["sum_sq"].to_numpy()
-        vmr = (1_000_000 * (sq * df_ - occ * occ)) // (df_ * occ)
+        # arbitrary-precision ints, matching the twin's HUGEINT sums:
+        # sum_sq*df and the ppm-scaled numerator exceed int64 for
+        # frequent words at real corpus sizes and would silently wrap
+        # under numpy. The loop runs over the post-aggregation
+        # vocab-sized table, not the corpus. (numerator ≥ 0 by
+        # Cauchy-Schwarz, so floor == DuckDB's truncating //.)
+        vmr = [
+            (1_000_000 * (int(s) * int(d) - int(o) * int(o)))
+            // (int(d) * int(o))
+            for s, d, o in zip(
+                t["sum_sq"].to_pylist(),
+                t["df"].to_pylist(),
+                t["occurrences"].to_pylist(),
+            )
+        ]
         return t.append_column("vmr_ppm", pa.array(vmr, pa.int64()))
 
     return summed.map_batches(finish, batch_format="pyarrow")

@@ -107,15 +107,21 @@ def _pair_counts_batch(t: pa.Table) -> pa.Table:
 
 
 def learn_bpe_merges(docs_ds, num_merges: int = 6,
-                     num_partitions: int | None = None):
+                     num_partitions: int | None = None,
+                     return_segmentation: bool = False):
     """Learn the top-``num_merges`` BPE merge rules from the corpus.
-    Returns a pa.Table (rank, left_sym, right_sym, pair_count)."""
+    Returns a pa.Table (rank, left_sym, right_sym, pair_count); with
+    ``return_segmentation`` also returns the final per-word
+    segmentation Dataset (word, s, cnt) so apply-side consumers reuse
+    it instead of re-scanning the corpus and re-applying every merge
+    (`bpe_compression_stats` does)."""
     from autoner_ray.stages.combine import partitioned_key_sum
 
     def seg_init(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             return pa.table(
                 {
+                    "word": pa.array([], pa.string()),
                     "s": pa.array([], pa.string()),
                     "cnt": pa.array([], pa.int64()),
                 }
@@ -124,6 +130,7 @@ def learn_bpe_merges(docs_ds, num_merges: int = 6,
         # bounded exception (same budget class as the vocab collects)
         return pa.table(
             {
+                "word": t["word"],
                 "s": pa.array(
                     [" ".join(w) for w in t["word"].to_pylist()],
                     pa.string(),
@@ -192,6 +199,7 @@ def learn_bpe_merges(docs_ds, num_merges: int = 6,
             if t.num_columns == 0 or len(t) == 0:
                 return pa.table(
                     {
+                        "word": pa.array([], pa.string()),
                         "s": pa.array([], pa.string()),
                         "cnt": pa.array([], pa.int64()),
                     }
@@ -204,6 +212,7 @@ def learn_bpe_merges(docs_ds, num_merges: int = 6,
             ).str.strip()
             return pa.table(
                 {
+                    "word": t["word"],
                     "s": pa.array(s.tolist(), pa.string()),
                     "cnt": t["cnt"],
                 }
@@ -213,7 +222,7 @@ def learn_bpe_merges(docs_ds, num_merges: int = 6,
             apply_merge, batch_format="pyarrow"
         ).materialize()
 
-    return pa.table(
+    merges = pa.table(
         {
             "rank": pa.array(ranks, pa.int64()),
             "left_sym": pa.array(lefts, pa.string()),
@@ -221,6 +230,9 @@ def learn_bpe_merges(docs_ds, num_merges: int = 6,
             "pair_count": pa.array(counts, pa.int64()),
         }
     )
+    if return_segmentation:
+        return merges, seg
+    return merges
 
 
 def bpe_compression_stats(docs_ds, num_merges: int = 6,
@@ -244,15 +256,13 @@ def bpe_compression_stats(docs_ds, num_merges: int = 6,
     )
     from autoner_ray.stages.joins import cogroup_join
 
-    # 1) learn merges (same kernel the driver hash-checks)
-    merges = learn_bpe_merges(docs_ds, num_merges, num_partitions)
-    pats = [
-        (f" {l} {r} ", f" {l}{r} ")
-        for l, r in zip(
-            merges["left_sym"].to_pylist(),
-            merges["right_sym"].to_pylist(),
-        )
-    ]
+    # 1) learn merges (same kernel the driver hash-checks), keeping the
+    # final per-word segmentation — the apply side below reuses it, so
+    # tokenizing the corpus costs ZERO extra corpus scans and no
+    # per-word merge re-application
+    merges, seg = learn_bpe_merges(
+        docs_ds, num_merges, num_partitions, return_segmentation=True
+    )
 
     # 2) (source, word, cnt) corpus partials, word-partitioned
     def sw_partial(t: pa.Table) -> pa.Table:
@@ -290,8 +300,11 @@ def bpe_compression_stats(docs_ds, num_merges: int = 6,
         num_partitions=num_partitions,
     )
 
-    # 3) per-word symbol counts under the learned merges (vocab-sized,
-    # distributed; merge list is K tiny strings in the closure)
+    # 3) per-word symbol counts straight off the learned segmentation
+    # (vocab-sized, already word-partitioned and materialized): BPE
+    # token count = symbols in ``s``; char-symbol count = word length
+    # (the pre-merge segmentation is one symbol per char by
+    # construction)
     def word_tokens(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -304,27 +317,21 @@ def bpe_compression_stats(docs_ds, num_merges: int = 6,
             t.column_names
         ):
             return empty
-        import pandas as pd
-
-        words = pd.Series(t["word"].to_pylist())
-        seg = words.map(lambda w: " " + " ".join(w) + " ")
-        n_char = seg.str.count(" ") - 1
-        for pat, rep in pats:
-            seg = seg.str.replace(pat, rep, regex=False)
-        n_sym = seg.str.count(" ") - 1
+        n_sym = pc_.add(
+            pc_.count_substring(t["s"].combine_chunks(), " "), 1
+        )
         return pa.table(
             {
-                "word": pa.array(words.tolist(), pa.string()),
-                "n_sym": pa.array(n_sym.to_numpy(np.int64), pa.int64()),
-                "n_char_sym": pa.array(
-                    n_char.to_numpy(np.int64), pa.int64()
+                "word": t["word"],
+                "n_sym": pc_.cast(n_sym, pa.int64()),
+                "n_char_sym": pc_.cast(
+                    pc_.utf8_length(t["word"].combine_chunks()),
+                    pa.int64(),
                 ),
             }
         )
 
-    vocab = _word_counts(docs_ds, num_partitions).map_batches(
-        word_tokens, batch_format="pyarrow"
-    )
+    vocab = seg.map_batches(word_tokens, batch_format="pyarrow")
 
     joined = cogroup_join(sw, vocab, on=("word",),
                           num_partitions=num_partitions)

@@ -468,11 +468,17 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
     def merge_dists(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             return _merged_schema.empty_table()
+        # LEFT-OUTER merge: a node with no in-edge from the surviving
+        # frontier has a null nd this round — it keeps its dist rather
+        # than eroding out of the table (directed graphs routinely have
+        # in-degree-0 nodes; an inner join here dropped them and then,
+        # round by round, everything downstream of them)
+        nd = pc.fill_null(t["nd"], sentinel)
         return pa.table(
             {
                 "src": t["src"],
-                "dist": pc.min_element_wise(t["dist"], t["nd"]),
-                "changed": pc.cast(pc.less(t["nd"], t["dist"]), pa.int64()),
+                "dist": pc.min_element_wise(t["dist"], nd),
+                "changed": pc.cast(pc.less(nd, t["dist"]), pa.int64()),
             }
         )
 
@@ -486,7 +492,8 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
         )
         merged = (
             cogroup_join(dist, neigh_min, on=("src",),
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         join_type="left outer")
             .map_batches(merge_dists, batch_format="pyarrow")
             .materialize()
         )
@@ -1764,8 +1771,14 @@ def degree_assortativity(edges_ds):
         if t.num_columns == 0 or len(t) == 0:
             return empty
         dmap = ray.get(deg_ref)
-        s = pd.Series(t["subj"].to_pylist()).map(dmap).to_numpy(np.int64)
-        o = pd.Series(t["obj"].to_pylist()).map(dmap).to_numpy(np.int64)
+        # cast keys to string exactly like deg_partial did, so an
+        # integer-keyed edge table probes the same map keys it built
+        s = pd.Series(
+            pc.cast(t["subj"], pa.string()).to_pylist()
+        ).map(dmap).to_numpy(np.int64)
+        o = pd.Series(
+            pc.cast(t["obj"], pa.string()).to_pylist()
+        ).map(dmap).to_numpy(np.int64)
         # both directions: x over sources, y over destinations
         x = np.concatenate([s, o])
         y = np.concatenate([o, s])

@@ -80,3 +80,40 @@ def test_write_read_warc_dataset_roundtrip(ray_session, tmp_path):
     )
     assert list(back["url"]) == t["url"].to_pylist()
     assert [bytes(b) for b in back["html"]] == t["html"].to_pylist()
+
+
+def test_parse_tolerates_real_crawl_shapes():
+    """Responses with no Content-Length (chunked/connection-close),
+    records missing mandatory headers, and envelope-less payloads must
+    parse (body = remainder) or be skipped — never raise or silently
+    truncate to b''."""
+    from autoner_ray.sources.warc import _record
+
+    body = b"<html>\r\n\r\n<p>no content-length</p></html>"
+    http_no_cl = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    rec_no_cl = _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Date", "2020-01-01T00:00:05Z"),
+            ("WARC-Target-URI", "https://example.org/doc/5"),
+        ],
+        http_no_cl,
+    )
+    rec_no_uri = _record(
+        [("WARC-Type", "response"), ("WARC-Date", "2020-01-01T00:00:06Z")],
+        b"HTTP/1.1 200 OK\r\n\r\nx",
+    )
+    rec_no_envelope = _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Date", "2020-01-01T00:00:07Z"),
+            ("WARC-Target-URI", "https://example.org/doc/7"),
+        ],
+        b"no-crlfcrlf-anywhere",
+    )
+    out = parse_warc_bytes(rec_no_cl + rec_no_uri + rec_no_envelope)
+    assert out["url"].to_pylist() == [
+        "https://example.org/doc/5",
+        "https://example.org/doc/7",
+    ]
+    assert out["html"].to_pylist() == [body, b""]

@@ -148,3 +148,30 @@ def test_directed_bfs_distributed_tier_equality(ray_session):
         {"entity": [0, 1, 2, 3, 4], "dist": [0, 1, 1, 2, 2]}
     )
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_directed_bfs_survives_indegree_zero_ancestry(ray_session):
+    """Regression: nodes with no in-edge (and everything downstream of
+    them) must NOT erode out of the dist table round by round. The old
+    inner-join merge dropped in-degree-0 node 10 in round 1, then the
+    seed 0 (whose only in-edge came from 10) in round 2, then 1 — the
+    fixpoint returned only {2}. The merge is left-outer now."""
+    import ray
+
+    from autoner_ray.stages.graph import bfs_distances
+
+    edges = pa.table(
+        {
+            "subj": pa.array([10, 0, 1], pa.int64()),
+            "obj": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    got = (
+        bfs_distances(
+            ray.data.from_arrow(edges), source=0, max_depth=4,
+            directed=True, num_partitions=2,
+        )
+        .to_pandas().sort_values("entity").reset_index(drop=True)
+    )
+    want = pd.DataFrame({"entity": [0, 1, 2], "dist": [0, 1, 2]})
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
