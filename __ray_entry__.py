@@ -1841,17 +1841,23 @@ def oracle_sql() -> dict[str, str]:
                        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
                 FROM b GROUP BY l_returnflag
             )
+            -- NULLIF degenerate denominators: a zero-x-variance group
+            -- yields NULL slope/intercept/corr, matching the engine's
+            -- None (stages/stats.py grouped_linear_fit) instead of
+            -- IEEE inf/NaN
             SELECT l_returnflag, CAST(n AS BIGINT) AS n,
                    round(CAST(n*sxy - sx*sy AS DOUBLE)
-                         / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                         / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE), 6)
+                       AS slope,
                    round((CAST(sy AS DOUBLE)
                           - (CAST(n*sxy - sx*sy AS DOUBLE)
-                             / CAST(n*sxx - sx*sx AS DOUBLE))
+                             / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE))
                             * CAST(sx AS DOUBLE))
                          / CAST(n AS DOUBLE), 6) AS intercept,
                    round(CAST(n*sxy - sx*sy AS DOUBLE)
-                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
-                                * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr
+                         / sqrt(CAST(NULLIF((n*sxx - sx*sx)
+                                            * (n*syy - sy*sy), 0)
+                                     AS DOUBLE)), 6) AS corr
             FROM m
         """,
         "q1_pricing_summary": f"""
@@ -2223,9 +2229,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE(source, lang)
         """,
         "events_props_stats": """
+            -- same RE2 pattern as the engine's vectorized
+            -- pc.extract_regex kernel (stages/stats.py): the declared
+            -- contract is FLAT json props with integer fields, and
+            -- twinning the extraction keeps engine and oracle
+            -- bit-identical on any input honoring it (json_extract
+            -- would silently diverge on nested/float/string-embedded
+            -- fields instead of surfacing the contract breach)
             WITH j AS (
                 SELECT event_type,
-                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                       CAST(NULLIF(regexp_extract(
+                                props, '"k":\\s*(-?\\d+)', 1),
+                            '') AS BIGINT) AS k
                 FROM events
             )
             SELECT event_type,

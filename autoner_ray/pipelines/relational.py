@@ -834,9 +834,9 @@ def orders_monthly_trend(sf_dir: str):
         cents = t["cents"].to_numpy(zero_copy_only=False)
         delta = np.empty(len(cents), np.float64)
         delta[1:] = (cents[1:] - cents[:-1]) / 100.0
-        delta[0] = 0.0  # masked below
         mask = np.zeros(len(cents), bool)
         if len(cents):
+            delta[0] = 0.0  # masked below
             mask[0] = True
         return pa.table(
             {

@@ -867,8 +867,18 @@ def lm_perplexity(
         agg = batch.group_by(["w1", "w2"]).aggregate([("occ", "sum")])
         return agg.rename_columns(["w1", "w2", "c2"])
 
+    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+    if force_join:
+        # the join tier consumes the exploded table TWICE (model
+        # aggregation + scoring join): pin it once so the corpus is
+        # tokenized in a single pass; the object store spills, the
+        # second tokenize pass disappears. The probe path skips this —
+        # its broadcast tier scores straight off the raw docs, and
+        # pinning corpus-sized data it may never reuse would be waste
+        # (falling through probe -> join keeps today's recompute).
+        exploded = exploded.materialize()
     bigrams = (
-        docs_ds.map_batches(explode, batch_format="pyarrow")
+        exploded
         .map_batches(
             c2_partial, batch_format="pyarrow", batch_size=65536,
             num_cpus=0.5,  # fusion break: keep explode at its own width
@@ -959,7 +969,7 @@ def lm_perplexity(
         bigrams, contexts, on=("w1",), num_partitions=num_partitions
     )
 
-    doc_bigrams = docs_ds.map_batches(explode, batch_format="pyarrow")
+    doc_bigrams = exploded
     scored = cogroup_join(
         doc_bigrams, model, on=("w1", "w2"), num_partitions=num_partitions
     )
@@ -2139,8 +2149,11 @@ def source_dup_stats(docs_ds):
 
 def weighted_sample(docs_ds, k: int = 64):
     """Weight-proportional systematic sample of documents (weight =
-    ``n_chars``): exactly ``k`` docs, each selected with probability
-    proportional to its length — the standard PPS design for building
+    ``n_chars``): ~``k`` docs (k minus one per extra boundary any
+    single doc longer than total_chars/k spans — see
+    ``ranking.weighted_systematic_select``), each selected with
+    probability proportional to its length — the standard PPS design
+    for building
     eval/inspection subsets that reflect token mass rather than doc
     count. Deterministic (pure function of the corpus), resume-stable,
     and exactly matched by the window-function SQL twin. Distributed

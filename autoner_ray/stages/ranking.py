@@ -263,9 +263,13 @@ def weighted_systematic_select(
     covering each of the ``k`` evenly spaced boundaries — row i is
     selected iff ``floor(cum_i*k/W) > floor((cum_i-w_i)*k/W)`` with
     ``cum`` the inclusive prefix sum and ``W`` the total. Pure integer
-    arithmetic (exactly k rows out for positive weights, k <= n),
-    deterministic and resume-stable; selection probability is
-    proportional to weight, the classic PPS-systematic design.
+    arithmetic, deterministic and resume-stable; selection probability
+    is proportional to weight, the classic PPS-systematic design.
+    Output size is ``k`` MINUS one per boundary a single heavy row
+    spans beyond its first (a row with ``w_i > W/k`` covers 2+
+    boundaries but is emitted once — standard PPS-systematic
+    behavior, identical in the SQL twin); callers needing exactly k
+    rows must cap weights at W/k upstream.
 
     Same three-pass shape as :func:`exact_ntile`: sampled key-range
     splitters -> per-range EXACT weight sums roll up to the driver (B

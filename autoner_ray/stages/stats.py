@@ -130,6 +130,14 @@ def json_int_field_stats(ds, key: str, json_col: str, field: str):
     max / 6-dp avg. Rows whose JSON lacks the field are skipped (SQL
     NULL-aggregate semantics).
 
+    CONTRACT: ``json_col`` holds FLAT json objects with integer
+    fields (the events fixture's shape). The regex deliberately does
+    NOT implement full JSON-path semantics — nested objects, float
+    values, or the field name embedded inside a string value are out
+    of contract; the DuckDB twin applies the SAME regexp_extract so
+    both sides stay bit-identical on any input honoring the contract
+    rather than silently diverging outside it.
+
     Mergeable-partials shape: per-batch arrow group_by computes
     (count, sum, min, max) partials; the bounded per-key merge re-sums
     counts/sums and re-min/maxes extrema in one tiny single-block pass
