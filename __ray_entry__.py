@@ -2504,13 +2504,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,
-        "docs_bpe_token_counts": """
+        "docs_bpe_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(
                        COALESCE(text, ''), '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
                        AS n_bpe_tokens,
                    CAST(len(list_filter(
-                       string_split_regex(COALESCE(text, ''), '\\s+'),
+                       string_split_regex(COALESCE(text, ''), '\s+'),
                        x -> x <> '')) AS BIGINT) AS n_ws_tokens
             FROM documents
         """,

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 255 and len(sqls) == 236
+    assert len(qs) == 259 and len(sqls) == 240
     import subprocess
     import sys
 
