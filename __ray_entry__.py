@@ -971,6 +971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_degree_hist": webgraph.link_degree_hist,
         "pages_link_pagerank": webgraph.link_pagerank,
         "pages_crawl_frontier": webgraph.link_crawl_frontier,
+        "pages_link_scc": webgraph.link_scc,
+        "pages_link_bowtie": webgraph.link_bowtie,
         "docs_bpe_learn_merges": lambda sf: bpe.learn_bpe_merges(
             _docs(sf, ["text"])
         ),
@@ -3484,6 +3486,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS page, CAST(MIN(d) AS BIGINT) AS hops
             FROM bfs GROUP BY node
+        """,
+        "pages_link_scc": f"""
+            WITH RECURSIVE {_LINKS_CTE},
+            nodes AS (SELECT src AS v FROM links
+                      UNION SELECT dst FROM links),
+            reach(a, b) AS (
+                SELECT src, dst FROM links
+                UNION
+                SELECT r.a, l.dst FROM reach r JOIN links l ON l.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2
+                  ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT n.v AS page,
+                   LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+            GROUP BY n.v
+        """,
+        "pages_link_bowtie": f"""
+            WITH RECURSIVE {_LINKS_CTE},
+            nodes AS (SELECT src AS v FROM links
+                      UNION SELECT dst FROM links),
+            reach(a, b) AS (
+                SELECT src, dst FROM links
+                UNION
+                SELECT r.a, l.dst FROM reach r JOIN links l ON l.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2
+                  ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            scc AS (
+                SELECT n.v AS page,
+                       LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
+                FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+                GROUP BY n.v
+            ),
+            core AS (
+                SELECT scc_id FROM scc GROUP BY scc_id
+                ORDER BY COUNT(*) DESC, scc_id ASC LIMIT 1
+            ),
+            root AS (SELECT scc_id AS r FROM core),
+            wreach(v) AS (
+                SELECT r FROM root
+                UNION
+                SELECT CASE WHEN l.src = w.v THEN l.dst ELSE l.src END
+                FROM wreach w JOIN links l ON l.src = w.v OR l.dst = w.v
+            ),
+            cls AS (
+                SELECT s.page,
+                  CASE WHEN s.scc_id = (SELECT r FROM root) THEN 'CORE'
+                       WHEN EXISTS (SELECT 1 FROM reach x
+                                    WHERE x.a = s.page
+                                      AND x.b = (SELECT r FROM root))
+                           THEN 'IN'
+                       WHEN EXISTS (SELECT 1 FROM reach x
+                                    WHERE x.a = (SELECT r FROM root)
+                                      AND x.b = s.page)
+                           THEN 'OUT'
+                       WHEN s.page IN (SELECT v FROM wreach)
+                           THEN 'TENDRIL'
+                       ELSE 'DISCONNECTED' END AS component
+                FROM scc s
+            ),
+            agg AS (SELECT component, COUNT(*) AS n_pages
+                    FROM cls GROUP BY 1)
+            SELECT c.component, COALESCE(a.n_pages, 0) AS n_pages
+            FROM (VALUES ('CORE'), ('IN'), ('OUT'), ('TENDRIL'),
+                         ('DISCONNECTED')) c(component)
+            LEFT JOIN agg a USING (component)
         """,
         "docs_bpe_learn_merges": _bpe_merges_sql(),
         "docs_bpe_source_compression": _bpe_compression_sql(),

@@ -1870,3 +1870,500 @@ def hits_lattice(edges_ds, iters: int = 8, scale: int = 1_000_000):
         },
         schema=out_schema,
     )
+
+
+def _scc_kosaraju(src: np.ndarray, dst: np.ndarray):
+    """Exact SCC labels over a compacted int node space — iterative
+    Kosaraju (two CSR passes, O(V+E), no recursion). Returns the
+    component label per node where the label is the node-space index
+    of the SMALLEST-id member (content-derived, order-independent —
+    the same contract as :func:`connected_components`).
+
+    ``src``/``dst`` are int64 indices into a compacted node space of
+    size ``n = max(src|dst) + 1`` (callers compact via ``np.unique``).
+    """
+    n = 0
+    if len(src):
+        n = int(max(src.max(), dst.max())) + 1
+    if n == 0:
+        return np.empty(0, np.int64)
+    # forward CSR
+    order = np.argsort(src, kind="stable")
+    fs, fd = src[order], dst[order]
+    fstart = np.searchsorted(fs, np.arange(n + 1))
+    # reverse CSR
+    order = np.argsort(dst, kind="stable")
+    rs, rd = dst[order], src[order]
+    rstart = np.searchsorted(rs, np.arange(n + 1))
+    # pass 1: DFS finish order on the forward graph (explicit stack;
+    # (node, next-child-cursor) frames so each edge is scanned once)
+    visited = np.zeros(n, bool)
+    finish: list[int] = []
+    for s0 in range(n):
+        if visited[s0]:
+            continue
+        visited[s0] = True
+        stack: list[list[int]] = [[s0, 0]]
+        while stack:
+            frame = stack[-1]
+            v, i = frame
+            lo, hi = int(fstart[v]), int(fstart[v + 1])
+            pushed = False
+            while lo + i < hi:
+                w = int(fd[lo + i])
+                i += 1
+                if not visited[w]:
+                    visited[w] = True
+                    frame[1] = i
+                    stack.append([w, 0])
+                    pushed = True
+                    break
+            if not pushed:
+                finish.append(v)
+                stack.pop()
+    # pass 2: reverse-graph DFS in reverse finish order; every tree is
+    # one SCC. Roots follow finish order, so relabel to min-member id
+    # afterwards for the content-derived label.
+    comp = np.full(n, -1, np.int64)
+    for v in reversed(finish):
+        if comp[v] >= 0:
+            continue
+        comp[v] = v
+        stack2 = [v]
+        while stack2:
+            u = stack2.pop()
+            for w in rd[rstart[u]:rstart[u + 1]]:
+                wi = int(w)
+                if comp[wi] < 0:
+                    comp[wi] = v
+                    stack2.append(wi)
+        # isolated compaction gaps (ids never touched by an edge) keep
+        # comp[v] = v from the seed assignment above
+    # relabel each component to its smallest member index
+    min_member = np.full(n, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(min_member, comp, np.arange(n, dtype=np.int64))
+    return min_member[comp]
+
+
+def _directed_min_label_fixpoint(prop, labels, num_partitions: int,
+                                 max_iters: int, node_type):
+    """``label[v] = min(label[v], min over in-neighbors' labels)``
+    iterated to a fixpoint with the label table as a Dataset — the
+    directed sibling of the loop in
+    :func:`connected_components_distributed` (labels flow along
+    ``prop``'s (src -> dst) direction only). Converges in O(longest
+    shortest-path) rounds; each round is two cogroup shuffles of the
+    label table."""
+    from ray.data.aggregate import Min
+
+    from autoner_ray.stages.joins import cogroup_join
+
+    _nl_schema = pa.schema([("src", node_type), ("nl", node_type)])
+
+    def neighbor_labels(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _nl_schema.empty_table()
+        return pa.table({"src": t["dst"], "nl": t["label"]})
+
+    _merged_schema = pa.schema(
+        [("src", node_type), ("label", node_type), ("changed", pa.int64())]
+    )
+
+    def merge_labels(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _merged_schema.empty_table()
+        # left-outer merge: in-degree-0 nodes keep their label
+        nl = pc.fill_null(t["nl"], t["label"])
+        return pa.table(
+            {
+                "src": t["src"],
+                "label": pc.min_element_wise(t["label"], nl),
+                "changed": pc.cast(pc.less(nl, t["label"]), pa.int64()),
+            }
+        )
+
+    labels = labels.materialize()
+    if prop.count() == 0:
+        # no edges: every label is already at its fixpoint
+        return labels
+    for _ in range(max_iters):
+        neigh_min = (
+            cogroup_join(prop, labels, on=("src",),
+                         num_partitions=num_partitions)
+            .map_batches(neighbor_labels, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Min("nl", alias_name="nl"))
+        )
+        merged = (
+            cogroup_join(labels, neigh_min, on=("src",),
+                         num_partitions=num_partitions,
+                         join_type="left outer")
+            .map_batches(merge_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = merged.sum("changed")
+        labels = merged.select_columns(["src", "label"]).materialize()
+        if not n_changed:
+            break
+    return labels
+
+
+def scc_distributed(edges_ds, num_partitions: int | None = None,
+                    max_peels: int = 25, max_iters: int = 50):
+    """Strongly connected components with every table Dataset-resident
+    (the unbounded-node-set tier of :func:`scc`) — min-label
+    forward/backward peeling:
+
+    per peel round, over the still-unassigned subgraph,
+      f[v] = min node id that REACHES v   (forward min-label fixpoint)
+      b[v] = min node id v REACHES        (backward fixpoint, reversed
+                                           propagation)
+    and every node with ``f[v] == b[v] == r`` is certified into
+    ``SCC(r)`` (r reaches v and v reaches r, so they are mutually
+    reachable; no smaller member can exist or it would lower f). Both
+    label functions are CONSTANT across one SCC (members share exact
+    reach-in/reach-out sets), so certified SCCs peel off whole — never
+    split — and the SCC of the smallest remaining node id is always
+    certified, so each round removes >= 1 component (typically most of
+    the locally-minimal ones at once). O(#peel rounds x graph
+    diameter) cogroup shuffles total; the driver tier in :func:`scc`
+    is the small-graph default for exactly that reason.
+
+    Node ids follow the edge dtype; returns a (entity, scc_id) Dataset
+    where ``scc_id`` is the smallest member id (same content-derived
+    label as the Kosaraju tier — tier equality is pytest-pinned).
+    """
+    from ray.data.aggregate import Count
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import cogroup_join
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions(multiplier=1)
+    schema = edges_ds.schema()
+    node_type = schema.types[schema.names.index("subj")]
+
+    _e_schema0 = pa.schema([("src", node_type), ("dst", node_type)])
+
+    def fwd(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _e_schema0.empty_table()
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    def bwd(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _e_schema0.empty_table()
+        return pa.table({"src": t["obj"], "dst": t["subj"]})
+
+    def both(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema([("src", node_type)]).empty_table()
+        return pa.table(
+            {"src": pa.chunked_array(t["subj"].chunks + t["obj"].chunks)}
+        )
+
+    edges = edges_ds.materialize()
+    remaining_nodes = (
+        edges.map_batches(both, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src"])
+        .materialize()
+    )
+    fwd_edges = edges.map_batches(fwd, batch_format="pyarrow").materialize()
+    bwd_edges = edges.map_batches(bwd, batch_format="pyarrow").materialize()
+    assigned = []
+    _out_schema = pa.schema([("entity", node_type), ("scc_id", node_type)])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("src", node_type), ("label", node_type)]
+            ).empty_table()
+        return pa.table({"src": t["src"], "label": t["src"]})
+
+    for _ in range(max_peels):
+        if remaining_nodes.count() == 0:
+            break
+        init = remaining_nodes.map_batches(
+            init_labels, batch_format="pyarrow"
+        )
+        f = _directed_min_label_fixpoint(
+            fwd_edges, init, num_partitions, max_iters, node_type
+        )
+        b = _directed_min_label_fixpoint(
+            bwd_edges, init, num_partitions, max_iters, node_type
+        )
+        _fl_schema = pa.schema([("src", node_type), ("fl", node_type)])
+        _bl_schema = pa.schema([("src", node_type), ("bl", node_type)])
+
+        def as_fl(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _fl_schema.empty_table()
+            return pa.table({"src": t["src"], "fl": t["label"]})
+
+        def as_bl(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _bl_schema.empty_table()
+            return pa.table({"src": t["src"], "bl": t["label"]})
+
+        fb = cogroup_join(
+            f.map_batches(as_fl, batch_format="pyarrow"),
+            b.map_batches(as_bl, batch_format="pyarrow"),
+            on=("src",), num_partitions=num_partitions,
+        ).materialize()
+
+        def certified(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _out_schema.empty_table()
+            keep = pc.equal(t["fl"], t["bl"])
+            return pa.table(
+                {
+                    "entity": t["src"].filter(keep),
+                    "scc_id": t["fl"].filter(keep),
+                },
+                schema=_out_schema,
+            )
+
+        _rn_schema = pa.schema([("src", node_type)])
+
+        def uncertified(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _rn_schema.empty_table()
+            keep = pc.invert(pc.equal(t["fl"], t["bl"]))
+            return pa.table({"src": t["src"].filter(keep)})
+
+        done = fb.map_batches(
+            certified, batch_format="pyarrow"
+        ).materialize()
+        if done.count():
+            assigned.append(done)
+        remaining_nodes = fb.map_batches(
+            uncertified, batch_format="pyarrow"
+        ).materialize()
+        if remaining_nodes.count() == 0:
+            break
+        # shrink the edge sets to the unassigned subgraph: semi-join
+        # each endpoint against the surviving node table
+        _e_schema = pa.schema([("src", node_type), ("dst", node_type)])
+
+        def swap(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "dst" not in t.schema.names:
+                return _e_schema.empty_table()
+            return pa.table({"src": t["dst"], "dst": t["src"]})
+
+        fwd_edges = (
+            cogroup_join(fwd_edges, remaining_nodes, on=("src",),
+                         num_partitions=num_partitions)
+            .map_batches(swap, batch_format="pyarrow")
+            .materialize()
+        )
+        fwd_edges = (
+            cogroup_join(fwd_edges, remaining_nodes, on=("src",),
+                         num_partitions=num_partitions)
+            .map_batches(swap, batch_format="pyarrow")
+            .materialize()
+        )
+        bwd_edges = fwd_edges.map_batches(
+            swap, batch_format="pyarrow"
+        ).materialize()
+        if fwd_edges.count() == 0:
+            # edgeless remainder: every surviving node is its own SCC
+            def singleton(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0 or len(t) == 0:
+                    return _out_schema.empty_table()
+                return pa.table(
+                    {"entity": t["src"], "scc_id": t["src"]},
+                    schema=_out_schema,
+                )
+
+            assigned.append(
+                remaining_nodes.map_batches(
+                    singleton, batch_format="pyarrow"
+                ).materialize()
+            )
+            break
+    else:
+        if remaining_nodes.count():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scc_distributed: %d nodes still unassigned after %d "
+                "peel rounds — raise max_peels (each round certifies "
+                "all locally-minimal SCCs)",
+                remaining_nodes.count(), max_peels,
+            )
+    import ray.data as rd
+
+    if not assigned:
+        return rd.from_arrow(_out_schema.empty_table())
+    out = assigned[0]
+    for more in assigned[1:]:
+        out = out.union(more)
+    return out
+
+
+def scc(edges_ds, driver_max_edges: int = 2_000_000,
+        num_partitions: int | None = None):
+    """Tiered strongly-connected-components front door (same tier
+    contract as :func:`kcore` / ``webgraph.link_crawl_frontier``): an
+    edge list under ``driver_max_edges`` runs iterative Kosaraju on
+    numpy CSR in one process (O(V+E), no diameter dependence); above
+    the bound the Dataset-resident peel (:func:`scc_distributed`)
+    takes over with identical labels (tier equality pytest-pinned).
+    Returns (entity, scc_id) with ``scc_id`` = smallest member id.
+    """
+    edges_ds = edges_ds.materialize()
+    n = edges_ds.count()
+    if n > driver_max_edges:
+        return scc_distributed(edges_ds, num_partitions=num_partitions)
+    schema = edges_ds.schema()
+    node_type = schema.types[schema.names.index("subj")]
+    df = edges_ds.to_pandas()
+    if len(df) == 0:
+        return pa.schema(
+            [("entity", node_type), ("scc_id", node_type)]
+        ).empty_table()
+    subj = df["subj"].to_numpy()
+    obj = df["obj"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([subj, obj]), return_inverse=True)
+    src = inv[: len(subj)].astype(np.int64)
+    dst = inv[len(subj):].astype(np.int64)
+    comp = _scc_kosaraju(src, dst)
+    return pa.table(
+        {
+            "entity": pa.array(nodes, node_type),
+            "scc_id": pa.array(nodes[comp], node_type),
+        }
+    )
+
+
+BOWTIE_CLASSES = ("CORE", "IN", "OUT", "TENDRIL", "DISCONNECTED")
+
+
+def bowtie_census(edges_ds, driver_max_edges: int = 2_000_000,
+                  max_depth: int = 64):
+    """Bow-tie class counts of a DIRECTED (subj, obj) edge Dataset —
+    (component, n_pages) over CORE / IN / OUT / TENDRIL / DISCONNECTED
+    (zero counts kept). CORE = largest SCC (tie -> smallest scc label);
+    IN reaches CORE, OUT is reached from it, TENDRIL is weakly
+    connected but neither, DISCONNECTED has no undirected path to CORE.
+    CORE being strongly connected, reachability to/from its SMALLEST
+    member decides IN/OUT — sweeps never seed from the full member
+    list.
+
+    Tiers (same contract as :func:`scc` / :func:`kcore`): numpy-CSR
+    Kosaraju + three CSR sweeps under ``driver_max_edges``; above it,
+    :func:`scc_distributed` + three :func:`bfs_distances` fixpoints
+    (forward / reversed / undirected, all capped at ``max_depth``)
+    with the class COUNTS derived from four tiny set-size aggregates —
+    no corpus-sized membership set ever reaches the driver. Tier
+    equality is pytest-pinned on a fixture covering all five classes.
+    """
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+
+    def counts_table(counter: dict[str, int]) -> pa.Table:
+        return pa.table(
+            {
+                "component": pa.array(list(BOWTIE_CLASSES), pa.string()),
+                "n_pages": pa.array(
+                    [int(counter.get(c, 0)) for c in BOWTIE_CLASSES],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    if n_edges <= driver_max_edges:
+        df = edges.to_pandas()
+        if len(df) == 0:
+            return counts_table({})
+        s_raw = df["subj"].to_numpy(np.int64)
+        d_raw = df["obj"].to_numpy(np.int64)
+        nodes, inv = np.unique(
+            np.concatenate([s_raw, d_raw]), return_inverse=True
+        )
+        src = inv[: len(s_raw)].astype(np.int64)
+        dst = inv[len(s_raw):].astype(np.int64)
+        n = len(nodes)
+        comp = _scc_kosaraju(src, dst)
+        labs, sizes = np.unique(comp, return_counts=True)
+        core_lab = int(labs[np.lexsort((labs, -sizes))[0]])
+        in_core = comp == core_lab
+        root = core_lab  # compacted index of the smallest core member
+
+        def sweep(fsrc: np.ndarray, fdst: np.ndarray) -> np.ndarray:
+            order = np.argsort(fsrc, kind="stable")
+            ss, dd = fsrc[order], fdst[order]
+            starts = np.searchsorted(ss, np.arange(n + 1))
+            seen = np.zeros(n, bool)
+            seen[root] = True
+            stack = [root]
+            while stack:
+                u = stack.pop()
+                for w in dd[starts[u]:starts[u + 1]]:
+                    wi = int(w)
+                    if not seen[wi]:
+                        seen[wi] = True
+                        stack.append(wi)
+            return seen
+
+        reach_out = sweep(src, dst)           # root ->* v
+        reach_in = sweep(dst, src)            # v ->* root
+        weak = sweep(
+            np.concatenate([src, dst]), np.concatenate([dst, src])
+        )
+        cls = np.full(n, 4, np.int8)          # DISCONNECTED
+        cls[weak] = 3                         # TENDRIL
+        cls[reach_out & ~in_core] = 2         # OUT
+        cls[reach_in & ~in_core] = 1          # IN
+        cls[in_core] = 0                      # CORE
+        ids, cnt = np.unique(cls, return_counts=True)
+        return counts_table(
+            {BOWTIE_CLASSES[int(i)]: int(c) for i, c in zip(ids, cnt)}
+        )
+
+    # ---- distributed tier
+    from ray.data.aggregate import Count
+
+    schema = edges.schema()
+    node_type = schema.types[schema.names.index("subj")]
+    _e_schema = pa.schema([("subj", node_type), ("obj", node_type)])
+
+    def to_rev(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _e_schema.empty_table()
+        return pa.table({"subj": t["obj"], "obj": t["subj"]})
+
+    rev = edges.map_batches(to_rev, batch_format="pyarrow").materialize()
+    labels = scc_distributed(edges).materialize()
+    top = (
+        labels.groupby("scc_id")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "scc_id"], descending=[True, False])
+        .limit(1)
+        .to_pandas()
+    )
+    root = top["scc_id"].iloc[0]
+    root = root if isinstance(root, str) else int(root)
+    root_lit = repr(root)
+    n_core = labels.filter(expr=f"scc_id == {root_lit}").count()
+    out_d = bfs_distances(edges, source=root, max_depth=max_depth,
+                          directed=True)
+    in_d = bfs_distances(rev, source=root, max_depth=max_depth,
+                         directed=True)
+    weak_d = bfs_distances(edges, source=root, max_depth=max_depth,
+                           directed=False)
+    n_out = out_d.count() - n_core            # forward-reachable \ CORE
+    n_in = in_d.count() - n_core              # backward-reachable \ CORE
+    n_weak = weak_d.count()
+    n_all = labels.count()
+    return counts_table(
+        {
+            "CORE": n_core,
+            "IN": n_in,
+            "OUT": n_out,
+            "TENDRIL": n_weak - n_core - n_out - n_in,
+            "DISCONNECTED": n_all - n_weak,
+        }
+    )

@@ -255,3 +255,88 @@ def link_crawl_frontier(sf_dir: str, seed: int = 0,
         return pa.table({"page": t["entity"], "hops": t["dist"]})
 
     return dist.map_batches(rename, batch_format="pyarrow")
+
+
+def link_scc(sf_dir: str, driver_max_edges: int = 2_000_000):
+    """Strongly connected components of the DIRECTED hyperlink graph
+    (page, scc_id) — the first half of the classic web bow-tie census
+    (Broder et al., "Graph structure in the Web", WWW 2000). scc_id is
+    the smallest member page id, so labels are content-derived and
+    identical across tiers / parallelism.
+
+    Node set is every page id appearing as either endpoint (dangling
+    outlink targets included, as sink nodes). TIERED via
+    ``stages/graph.py::scc``: numpy-CSR Kosaraju under
+    ``driver_max_edges``, Dataset-resident min-label forward/backward
+    peeling above it (tier equality pytest-pinned)."""
+    from autoner_ray.stages.graph import scc
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("subj", pa.int64()), ("obj", pa.int64())]
+            ).empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]})
+
+    labels = scc(
+        link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
+        driver_max_edges=driver_max_edges,
+    )
+    if not isinstance(labels, pa.Table):
+        # distributed tier: stay a Dataset (corpus-sized node table) —
+        # rename only; the driver compare is order-insensitive
+        def rename(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("page", pa.int64()), ("scc_id", pa.int64())]
+                ).empty_table()
+            return pa.table(
+                {"page": t["entity"], "scc_id": t["scc_id"]}
+            )
+
+        return labels.map_batches(rename, batch_format="pyarrow")
+    import pyarrow.compute as pc
+
+    out = pa.table({"page": labels["entity"], "scc_id": labels["scc_id"]})
+    return out.take(pc.sort_indices(out, sort_keys=[("page", "ascending")]))
+
+
+
+
+def link_bowtie(sf_dir: str, driver_max_edges: int = 2_000_000,
+                max_depth: int = 64):
+    """Bow-tie census of the directed hyperlink graph (Broder et al.,
+    WWW 2000): every page lands in exactly one of
+      CORE          — the largest SCC (ties broken by smallest scc_id),
+      IN            — reaches CORE but is not in it,
+      OUT           — reachable from CORE but not in it,
+      TENDRIL       — weakly connected to CORE, neither IN nor OUT
+                      (classic tendrils + tubes, folded together),
+      DISCONNECTED  — no undirected path to CORE at all.
+    Output: (component, n_pages) over all five classes (zero counts
+    kept — stable schema at any scale).
+
+    Because CORE is strongly connected, reachability to/from ANY one
+    member decides IN/OUT — the sweeps seed from the core's smallest
+    member only, never from the (possibly huge) member list.
+
+    TIERED like :func:`link_scc`: under ``driver_max_edges`` the three
+    reachability sweeps run on the same numpy CSR as the Kosaraju
+    labels; above it, ``graph.scc_distributed`` + three
+    ``graph.bfs_distances`` fixpoints (forward, reversed-edge, and
+    undirected, all seeded at the core root) produce identical classes
+    (tier equality pytest-pinned). ``max_depth`` caps the distributed
+    sweeps; the real web's diameter is far below it."""
+    from autoner_ray.stages.graph import bowtie_census
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("subj", pa.int64()), ("obj", pa.int64())]
+            ).empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]})
+
+    return bowtie_census(
+        link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
+        driver_max_edges=driver_max_edges, max_depth=max_depth,
+    )
