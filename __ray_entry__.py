@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ranking,
         similarity,
         sketches,
+        urltools,
         webgraph,
         webtext,
         windows,
@@ -973,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_crawl_frontier": webgraph.link_crawl_frontier,
         "pages_link_scc": webgraph.link_scc,
         "pages_link_bowtie": webgraph.link_bowtie,
+        "pages_url_canonical_map": urltools.url_canonical_map,
+        "pages_url_canonical_dedup": urltools.url_canonical_dedup,
         "docs_bpe_learn_merges": lambda sf: bpe.learn_bpe_merges(
             _docs(sf, ["text"])
         ),
@@ -1504,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
     from autoner_ray.stages import similarity as similarity_mod
     from autoner_ray.stages import sketches as sketches_mod
     from autoner_ray.stages import webtext
+    from autoner_ray.stages import urltools as urltools_mod
     from autoner_ray.stages import webtext as webtext_mod
     from autoner_ray.stages import windows as windows_mod
 
@@ -3560,6 +3564,10 @@ def oracle_sql() -> dict[str, str]:
                          ('DISCONNECTED')) c(component)
             LEFT JOIN agg a USING (component)
         """,
+        "pages_url_canonical_map":
+            urltools_mod.url_canonical_map_oracle_sql(),
+        "pages_url_canonical_dedup":
+            urltools_mod.url_canonical_dedup_oracle_sql(),
         "docs_bpe_learn_merges": _bpe_merges_sql(),
         "docs_bpe_source_compression": _bpe_compression_sql(),
         "pages_warc_roundtrip": """
