@@ -550,6 +550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardup_cluster_sizes": lambda sf: (
             dedup.neardup_cluster_sizes(_docs(sf, ["doc_id", "text"]))
         ),
+        "docs_neardup_keep_best": lambda sf: dedup.neardup_keep_best(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "minhash_neardup": minhash_neardup,
         # --- rows-only tail (outside the 50-query oracle window; each is
         # pinned by pytest — the trie/DP/serializer family byte-diffed
@@ -2714,6 +2717,66 @@ def oracle_sql() -> dict[str, str]:
             ), losers AS (
                 SELECT a AS doc_id FROM reach GROUP BY a
                 HAVING MIN(b) < a
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # same shingle/pair/closure CTE chain; winner per component =
+        # max word count, ties -> smallest doc_id (the keep-best rule)
+        "docs_neardup_keep_best": f"""
+            WITH RECURSIVE toks AS MATERIALIZED (
+                SELECT doc_id, {WORDS} AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END AS shingles
+                FROM toks
+            ), ds AS MATERIALIZED (
+                SELECT DISTINCT doc_id, t.s
+                FROM sh, UNNEST(shingles) AS t(s)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS c
+                FROM ds a JOIN ds b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS MATERIALIZED (
+                SELECT doc_a, doc_b
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(c AS DOUBLE)
+                          / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.6
+            ), bidir AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT u, u FROM bidir
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN bidir e ON e.u = r.b
+            ), labels AS (
+                SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a
+            ), scored AS (
+                SELECT l.doc_id, l.comp,
+                       CAST(len(t.w) AS BIGINT) AS n_words
+                FROM labels l JOIN toks t ON t.doc_id = l.doc_id
+            ), winners AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY comp
+                               ORDER BY n_words DESC, doc_id ASC) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ), losers AS (
+                SELECT doc_id FROM labels
+                WHERE doc_id NOT IN (SELECT doc_id FROM winners)
             )
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)

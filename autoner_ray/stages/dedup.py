@@ -1800,3 +1800,232 @@ def paragraph_dedup_oracle_sql(words_per_chunk: int = 16) -> str:
         FROM winners wi JOIN tot t ON wi.doc_id = t.doc_id
         GROUP BY wi.doc_id
     """
+
+
+def neardup_keep_best(
+    docs_ds,
+    threshold: float = 0.6,
+    k: int = 3,
+    num_partitions: int | None = None,
+    driver_cc_max_pairs: int = 2_000_000,
+    pair_source: str = "exact",
+):
+    """Near-duplicate removal keeping the HIGHEST-QUALITY member of
+    each cluster instead of the smallest id — the winner rule
+    production curation actually uses (RefinedWeb/SlimPajama keep the
+    longest/highest-scoring copy so truncated or boilerplate-padded
+    variants lose). Winner per cluster = max ``n_words``
+    (whitespace-stream token count, the same count ``docs_quality``
+    scores), ties broken by smallest ``doc_id`` so the choice is
+    content-derived and execution-order-independent.
+
+    Same tiered pair/cluster machinery as :func:`neardup_keep_one`
+    (shared-shingle exact pairs or LSH candidates; driver union-find
+    under ``driver_cc_max_pairs``, distributed min-label CC above).
+    In the distributed tier the winner argmax never leaves the
+    cluster-label space: member word counts cogroup-join onto the
+    (duplicate-fraction-sized) label table, a label-partitioned
+    max picks the winning count, and a second label-partitioned min
+    breaks ties — both mergeable combines, no cluster table on the
+    driver. Losers are broadcast once and the corpus anti-filters with
+    vectorized ``is_in`` (the :func:`neardup_keep_one` contract).
+
+    Returns a Dataset of surviving ``doc_id`` rows.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    if pair_source == "exact":
+        pairs = ngram_jaccard_exact_pairs(
+            docs_ds, threshold=threshold, k=k,
+            num_partitions=num_partitions,
+        ).materialize()
+    elif pair_source == "lsh":
+        pairs = ngram_jaccard_pairs(
+            docs_ds, threshold=threshold
+        ).materialize()
+    else:
+        raise ValueError(f"unknown pair_source: {pair_source!r}")
+
+    _nw_schema = pa.schema([("src", pa.int64()), ("n_words", pa.int64())])
+
+    def nwords_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _nw_schema.empty_table()
+        return pa.table(
+            {
+                "src": t["doc_id"],
+                "n_words": pa.array(
+                    [
+                        len(sentence_token_stream(x or ""))
+                        for x in t["text"].to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            },
+            schema=_nw_schema,
+        )
+
+    if pairs.count() <= driver_cc_max_pairs:
+        pdf = pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members = sorted(parent)
+        if not members:
+            loser_ids: list[int] = []
+        else:
+            member_arr = ray.put(pa.array(members, pa.int64()))
+
+            class MemberWords:
+                def __init__(self) -> None:
+                    self.members = ray.get(member_arr)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    if t.num_columns == 0 or len(t) == 0:
+                        return _nw_schema.empty_table()
+                    hit = t.filter(
+                        pc.is_in(t["doc_id"], value_set=self.members)
+                    )
+                    return nwords_batch(hit)
+
+            import pandas as pd
+
+            mw = docs_ds.map_batches(
+                MemberWords, batch_format="pyarrow", concurrency=2
+            ).to_pandas()
+            mw["comp"] = [find(int(d)) for d in mw["src"]]
+            mw = mw.sort_values(
+                ["comp", "n_words", "src"],
+                ascending=[True, False, True], kind="mergesort",
+            )
+            winners = set(
+                mw.groupby("comp", sort=False)["src"].first()
+            )
+            loser_ids = [int(d) for d in mw["src"] if int(d) not in winners]
+    else:
+        from autoner_ray.stages.combine import partitioned_key_agg
+        from autoner_ray.stages.graph import (
+            connected_components_distributed,
+        )
+        from autoner_ray.stages.joins import cogroup_join
+
+        _edge_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+
+        def pairs_to_edges(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _edge_schema.empty_table()
+            return pa.table({"subj": t["doc_a"], "obj": t["doc_b"]})
+
+        labels = connected_components_distributed(
+            pairs.map_batches(pairs_to_edges, batch_format="pyarrow"),
+            num_partitions=num_partitions, as_dataset=True,
+        )
+        nwords = docs_ds.map_batches(nwords_batch, batch_format="pyarrow")
+        # members: (src, label, n_words) — duplicate-fraction-sized
+        members = cogroup_join(
+            labels, nwords, on=("src",), num_partitions=num_partitions
+        ).materialize()
+        _ln_schema = pa.schema([("label", pa.int64()),
+                                ("n_words", pa.int64())])
+
+        def label_words(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _ln_schema.empty_table()
+            return pa.table(
+                {"label": t["label"], "n_words": t["n_words"]},
+                schema=_ln_schema,
+            )
+
+        mx = partitioned_key_agg(
+            members.map_batches(label_words, batch_format="pyarrow"),
+            keys=["label"], aggs=[("n_words", "max")],
+            part_on=("label",), num_partitions=num_partitions,
+        )
+        _mx_schema = pa.schema([("label", pa.int64()),
+                                ("max_nw", pa.int64())])
+
+        def as_max(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _mx_schema.empty_table()
+            return pa.table(
+                {"label": t["label"], "max_nw": t["n_words"]},
+                schema=_mx_schema,
+            )
+
+        _cand_schema = pa.schema([("label", pa.int64()),
+                                  ("src", pa.int64())])
+
+        def cands_batch(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _cand_schema.empty_table()
+            keep = pc.equal(t["n_words"], t["max_nw"])
+            return pa.table(
+                {
+                    "label": t["label"].filter(keep),
+                    "src": t["src"].filter(keep),
+                },
+                schema=_cand_schema,
+            )
+
+        cands = cogroup_join(
+            members, mx.map_batches(as_max, batch_format="pyarrow"),
+            on=("label",), num_partitions=num_partitions,
+        ).map_batches(cands_batch, batch_format="pyarrow")
+        winners = partitioned_key_agg(
+            cands, keys=["label"], aggs=[("src", "min")],
+            part_on=("label",), num_partitions=num_partitions,
+        )
+        _win_schema = pa.schema([("label", pa.int64()),
+                                 ("win", pa.int64())])
+
+        def as_win(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _win_schema.empty_table()
+            return pa.table(
+                {"label": t["label"], "win": t["src"]},
+                schema=_win_schema,
+            )
+
+        _loser_schema = pa.schema([("doc_id", pa.int64())])
+
+        def losers_batch(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _loser_schema.empty_table()
+            keep = pc.invert(pc.equal(t["src"], t["win"]))
+            return pa.table({"doc_id": t["src"].filter(keep)})
+
+        loser_ids = (
+            cogroup_join(
+                members.select_columns(["src", "label"]),
+                winners.map_batches(as_win, batch_format="pyarrow"),
+                on=("label",), num_partitions=num_partitions,
+            )
+            .map_batches(losers_batch, batch_format="pyarrow")
+            .to_pandas()["doc_id"]
+        )
+    losers_ref = ray.put(pa.array(loser_ids, pa.int64()))
+
+    class SurvivorFilter:
+        def __init__(self) -> None:
+            self.losers = ray.get(losers_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t["doc_id"], value_set=self.losers))
+            return pa.table({"doc_id": t["doc_id"].filter(mask)})
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        SurvivorFilter, batch_format="pyarrow", concurrency=2
+    )

@@ -275,3 +275,63 @@ def test_neardup_cluster_sizes_tiers_agree(ray_session):
     got_dist = rows(neardup_cluster_sizes(docs, driver_cc_max_pairs=0))
     assert got == got_dist
     assert got and all(s >= 2 for s, _ in got)
+
+
+def test_neardup_keep_best_matches_bruteforce(ray_session):
+    """Keep-best dedup: per cluster the survivor is the member with the
+    MOST words (tie -> smallest doc_id); both tiers must agree with a
+    brute-force union-find + argmax, and the winner rule must actually
+    differ from keep-one's min-id rule somewhere on the fixture (else
+    the test proves nothing)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.dedup import (
+        neardup_keep_best,
+        neardup_keep_one,
+    )
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = sorted(
+        r["doc_id"] for r in neardup_keep_best(docs).take_all()
+    )
+    got_dist = sorted(
+        r["doc_id"]
+        for r in neardup_keep_best(docs, driver_cc_max_pairs=0).take_all()
+    )
+    assert got == got_dist
+
+    pairs = _brute_jaccard_pairs(0.6)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    nw = {
+        i: len(sentence_token_stream(x or ""))
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    clusters: dict[int, list[int]] = {}
+    for m in parent:
+        clusters.setdefault(find(m), []).append(m)
+    losers: set[int] = set()
+    for mem in clusters.values():
+        win = min(mem, key=lambda d: (-nw[d], d))
+        losers.update(m for m in mem if m != win)
+    want = sorted(i for i in t["doc_id"].to_pylist() if i not in losers)
+    assert got == want
+    keep_one = sorted(
+        r["doc_id"] for r in neardup_keep_one(docs).take_all()
+    )
+    assert got != keep_one  # the quality rule must flip >=1 winner

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 263 and len(sqls) == 244
+    assert len(qs) == 264 and len(sqls) == 245
     import subprocess
     import sys
 
