@@ -977,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_crawl_frontier": webgraph.link_crawl_frontier,
         "pages_link_scc": webgraph.link_scc,
         "pages_link_bowtie": webgraph.link_bowtie,
+        "pages_link_diameter": webgraph.link_diameter,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
         "docs_bpe_learn_merges": lambda sf: bpe.learn_bpe_merges(
@@ -3626,6 +3627,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('CORE'), ('IN'), ('OUT'), ('TENDRIL'),
                          ('DISCONNECTED')) c(component)
             LEFT JOIN agg a USING (component)
+        """,
+        "pages_link_diameter": f"""
+            WITH RECURSIVE {_LINKS_CTE},
+            und AS MATERIALIZED (
+                SELECT src AS u, dst AS v FROM links
+                UNION SELECT dst, src FROM links
+            ),
+            start AS (SELECT MIN(u) AS s FROM und),
+            bfs1(node, d) AS (
+                SELECT s, 0 FROM start
+                UNION
+                SELECT e.v, bfs1.d + 1
+                FROM bfs1 JOIN und e ON e.u = bfs1.node
+                WHERE bfs1.d + 1 <= 64
+            ),
+            d1 AS (SELECT node, MIN(d) AS d FROM bfs1 GROUP BY node),
+            peri AS (
+                SELECT node FROM d1 ORDER BY d DESC, node ASC LIMIT 1
+            ),
+            bfs2(node, d) AS (
+                SELECT node, 0 FROM peri
+                UNION
+                SELECT e.v, bfs2.d + 1
+                FROM bfs2 JOIN und e ON e.u = bfs2.node
+                WHERE bfs2.d + 1 <= 64
+            ),
+            d2 AS (SELECT node, MIN(d) AS d FROM bfs2 GROUP BY node)
+            SELECT (SELECT s FROM start) AS start_page,
+                   (SELECT node FROM peri) AS peripheral_page,
+                   CAST((SELECT MAX(d) FROM d2) AS BIGINT) AS diameter_lb
         """,
         "pages_url_canonical_map":
             urltools_mod.url_canonical_map_oracle_sql(),

@@ -2367,3 +2367,98 @@ def bowtie_census(edges_ds, driver_max_edges: int = 2_000_000,
             "DISCONNECTED": n_all - n_weak,
         }
     )
+
+
+def double_sweep_diameter(edges_ds, driver_max_edges: int = 2_000_000,
+                          max_depth: int = 64):
+    """Deterministic double-sweep diameter LOWER BOUND of the
+    undirected graph (Magnien/Latapy/Habib's classic heuristic — exact
+    on trees, near-exact on real web graphs): BFS from the smallest
+    node id, then BFS again from the farthest node found (ties ->
+    smallest id); the second sweep's eccentricity bounds the diameter
+    from below. One row: (start_node, peripheral_node, diameter_lb).
+    Both sweeps cap at ``max_depth`` — same cap as the recursive-CTE
+    oracle, exact whenever the true eccentricities fit under it.
+
+    Tiers (the :func:`scc` contract): numpy-CSR level BFS under
+    ``driver_max_edges``; above it two :func:`bfs_distances` Dataset
+    fixpoints whose peripheral/diameter reductions are two tiny
+    aggregates (max dist, then min id at that dist) — the corpus-sized
+    dist table never reaches the driver."""
+    schema = edges_ds.schema()
+    node_type = schema.types[schema.names.index("subj")]
+    out_schema = pa.schema(
+        [("start_node", node_type), ("peripheral_node", node_type),
+         ("diameter_lb", pa.int64())]
+    )
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return out_schema.empty_table()
+
+    if n_edges <= driver_max_edges:
+        df = edges.to_pandas()
+        s_raw = df["subj"].to_numpy()
+        d_raw = df["obj"].to_numpy()
+        nodes, inv = np.unique(
+            np.concatenate([s_raw, d_raw]), return_inverse=True
+        )
+        src = inv[: len(s_raw)].astype(np.int64)
+        dst = inv[len(s_raw):].astype(np.int64)
+        n = len(nodes)
+        us = np.concatenate([src, dst])
+        ud = np.concatenate([dst, src])
+        order = np.argsort(us, kind="stable")
+        us, ud = us[order], ud[order]
+        starts = np.searchsorted(us, np.arange(n + 1))
+
+        def level_bfs(root: int) -> np.ndarray:
+            dist = np.full(n, -1, np.int64)
+            dist[root] = 0
+            frontier = np.array([root], np.int64)
+            for depth in range(1, max_depth + 1):
+                if not len(frontier):
+                    break
+                neigh = np.unique(np.concatenate(
+                    [ud[starts[f]:starts[f + 1]] for f in frontier]
+                )) if len(frontier) else np.array([], np.int64)
+                frontier = neigh[dist[neigh] < 0]
+                dist[frontier] = depth
+            return dist
+
+        d1 = level_bfs(0)  # compacted index 0 == smallest node id
+        reach = np.flatnonzero(d1 >= 0)
+        peri = int(reach[np.lexsort((reach, -d1[reach]))[0]])
+        d2 = level_bfs(peri)
+        return pa.table(
+            {
+                "start_node": pa.array([nodes[0]], node_type),
+                "peripheral_node": pa.array([nodes[peri]], node_type),
+                "diameter_lb": pa.array([int(d2.max())], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    # ---- distributed tier: two bfs_distances fixpoints
+    def ends(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema([("v", node_type)]).empty_table()
+        return pa.table(
+            {"v": pa.chunked_array(t["subj"].chunks + t["obj"].chunks)}
+        )
+
+    start = edges.map_batches(ends, batch_format="pyarrow").min("v")
+    d1 = bfs_distances(edges, source=start, max_depth=max_depth,
+                       directed=False).materialize()
+    ecc1 = d1.max("dist")
+    peri = d1.filter(expr=f"dist == {int(ecc1)}").min("entity")
+    d2 = bfs_distances(edges, source=peri, max_depth=max_depth,
+                       directed=False)
+    return pa.table(
+        {
+            "start_node": pa.array([start], node_type),
+            "peripheral_node": pa.array([peri], node_type),
+            "diameter_lb": pa.array([int(d2.max("dist"))], pa.int64()),
+        },
+        schema=out_schema,
+    )

@@ -340,3 +340,32 @@ def link_bowtie(sf_dir: str, driver_max_edges: int = 2_000_000,
         link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
         driver_max_edges=driver_max_edges, max_depth=max_depth,
     )
+
+
+def link_diameter(sf_dir: str, driver_max_edges: int = 2_000_000,
+                  max_depth: int = 64):
+    """Double-sweep diameter lower bound of the UNDIRECTED hyperlink
+    graph — the crawl-reach companion to :func:`link_bowtie` (how many
+    hops a frontier needs to cross the crawl). One row:
+    (start_page, peripheral_page, diameter_lb); see
+    ``graph.double_sweep_diameter`` for the sweep/tier contract."""
+    from autoner_ray.stages.graph import double_sweep_diameter
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("subj", pa.int64()), ("obj", pa.int64())]
+            ).empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]})
+
+    out = double_sweep_diameter(
+        link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
+        driver_max_edges=driver_max_edges, max_depth=max_depth,
+    )
+    return pa.table(
+        {
+            "start_page": out["start_node"],
+            "peripheral_page": out["peripheral_node"],
+            "diameter_lb": out["diameter_lb"],
+        }
+    )

@@ -144,3 +144,79 @@ def test_bowtie_distributed_tier_equality(ray_session):
     t = bowtie_census(_edges_ds(edges), driver_max_edges=0)
     got = dict(zip(t["component"].to_pylist(), t["n_pages"].to_pylist()))
     assert got == expected
+
+
+def _brute_diameter(pairs, max_depth=64):
+    nodes = sorted({v for e in pairs for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(root):
+        dist = {root: 0}
+        frontier = [root]
+        d = 0
+        while frontier and d < max_depth:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        return dist
+
+    d1 = bfs(nodes[0])
+    ecc = max(d1.values())
+    peri = min(v for v, d in d1.items() if d == ecc)
+    return nodes[0], peri, max(bfs(peri).values())
+
+
+def test_double_sweep_diameter_tiers(ray_session):
+    from autoner_ray.stages.graph import double_sweep_diameter
+
+    # path + branch + isolated cycle: peripheral tie-break matters
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 7), (8, 9), (9, 8)]
+    want = _brute_diameter(pairs)
+    drv = double_sweep_diameter(_edges_ds(pairs))
+    got = (
+        drv["start_node"][0].as_py(),
+        drv["peripheral_node"][0].as_py(),
+        drv["diameter_lb"][0].as_py(),
+    )
+    assert got == want
+    dist = double_sweep_diameter(_edges_ds(pairs), driver_max_edges=0)
+    got_d = (
+        dist["start_node"][0].as_py(),
+        dist["peripheral_node"][0].as_py(),
+        dist["diameter_lb"][0].as_py(),
+    )
+    assert got_d == want
+
+
+def test_double_sweep_diameter_random(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        n = int(rng.integers(4, 25))
+        m = int(rng.integers(3, 50))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        pairs = [
+            (int(a), int(b)) for a, b in zip(src, dst) if a != b
+        ]
+        if not pairs:
+            continue
+        from autoner_ray.stages.graph import double_sweep_diameter
+
+        want = _brute_diameter(pairs)
+        t = double_sweep_diameter(_edges_ds(pairs))
+        got = (
+            t["start_node"][0].as_py(),
+            t["peripheral_node"][0].as_py(),
+            t["diameter_lb"][0].as_py(),
+        )
+        assert got == want
