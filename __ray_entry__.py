@@ -978,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_scc": webgraph.link_scc,
         "pages_link_bowtie": webgraph.link_bowtie,
         "pages_link_diameter": webgraph.link_diameter,
+        "pages_link_reciprocity": webgraph.link_reciprocity,
+        "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
         "docs_bpe_learn_merges": lambda sf: bpe.learn_bpe_merges(
@@ -3627,6 +3629,48 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('CORE'), ('IN'), ('OUT'), ('TENDRIL'),
                          ('DISCONNECTED')) c(component)
             LEFT JOIN agg a USING (component)
+        """,
+        "pages_link_reciprocity": f"""
+            WITH {_LINKS_CTE},
+            pairs AS (
+                SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+                       COUNT(*) AS n_dir
+                FROM links GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT CAST(SUM(n_dir) AS BIGINT) AS n_edges,
+                       CAST(2 * COUNT(*) FILTER (WHERE n_dir = 2)
+                            AS BIGINT) AS n_reciprocal
+                FROM pairs
+            )
+            SELECT n_edges, n_reciprocal,
+                   CAST((n_reciprocal * 1000000) // n_edges AS BIGINT)
+                       AS reciprocity_ppm
+            FROM tot
+        """,
+        "pages_link_wcc_stats": f"""
+            WITH RECURSIVE {_LINKS_CTE},
+            und AS MATERIALIZED (
+                SELECT src AS u, dst AS v FROM links
+                UNION SELECT dst, src FROM links
+            ),
+            reach(a, b) AS (
+                SELECT u, u FROM und
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN und e ON e.u = r.b
+            ),
+            labels AS (
+                SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a
+            ),
+            sizes AS (
+                SELECT comp, COUNT(*) AS sz FROM labels GROUP BY comp
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+                   CAST(MAX(sz) AS BIGINT) AS giant_size,
+                   CAST((MAX(sz) * 1000000)
+                        // (SELECT COUNT(*) FROM labels) AS BIGINT)
+                       AS giant_fraction_ppm
+            FROM sizes
         """,
         "pages_link_diameter": f"""
             WITH RECURSIVE {_LINKS_CTE},

@@ -241,6 +241,9 @@ def pagerank_distributed(edges_ds, damping: float = 0.85, iters: int = 20,
             .groupby("dst")
             .aggregate(Sum("c", alias_name="c"))
             .map_batches(finish, batch_format="pyarrow")
+            # coalesce: join output inherits summed input block counts
+            # (rank table grows blocks(trans) per step otherwise)
+            .repartition(num_partitions)
             .materialize()  # cut lineage: 20 chained joins would recompute
         )
     out = rank.to_pandas().sort_values(
@@ -348,7 +351,14 @@ def connected_components_distributed(edges_ds,
             .materialize()
         )
         n_changed = merged.sum("changed")
-        labels = merged.select_columns(["src", "label"]).materialize()
+        # coalesce: the groupby shuffle PRESERVES input block count, so
+        # a fed-back label table would double its blocks every round
+        # (16 -> 48 -> 112 -> ... — superlinear wall time); bound it
+        labels = (
+            merged.select_columns(["src", "label"])
+            .repartition(num_partitions)
+            .materialize()
+        )
         if not n_changed:
             break
     else:  # loop exhausted max_iters with labels still moving
@@ -498,7 +508,12 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
             .materialize()
         )
         n_changed = merged.sum("changed")
-        dist = merged.select_columns(["src", "dist"]).materialize()
+        # same block-count coalesce as connected_components_distributed
+        dist = (
+            merged.select_columns(["src", "dist"])
+            .repartition(num_partitions)
+            .materialize()
+        )
         if not n_changed:
             break
 
@@ -1134,6 +1149,8 @@ def pagerank_personalized_distributed(edges_ds, seed: str | None = None,
             .groupby("dst")
             .aggregate(Sum("c", alias_name="c"))
             .map_batches(finish, batch_format="pyarrow")
+            # same block-count coalesce as pagerank_distributed
+            .repartition(num_partitions)
             .materialize()  # cut lineage: chained joins would recompute
         )
     out = rank.to_pandas().sort_values(
@@ -1237,6 +1254,9 @@ def kcore_distributed(edges_ds, k: int = 2, max_iters: int = 50,
                 surv, on=("src",), num_partitions=num_partitions,
             )
             .map_batches(keep_src, batch_format="pyarrow")
+            # coalesce: join output inherits summed input block counts;
+            # the fed-back edge table would grow blocks every round
+            .repartition(num_partitions)
             .materialize()
         )
         remaining = bidir.count()
@@ -1614,7 +1634,7 @@ def ktruss_distributed(edges_ds, k: int = 4, rounds: int = 3,
 
         cur = sup.map_batches(
             survivors, batch_format="pyarrow"
-        ).materialize()
+        ).repartition(P).materialize()
         remaining = cur.count()
         if remaining == n_edges:
             break
@@ -2002,7 +2022,12 @@ def _directed_min_label_fixpoint(prop, labels, num_partitions: int,
             .materialize()
         )
         n_changed = merged.sum("changed")
-        labels = merged.select_columns(["src", "label"]).materialize()
+        # same block-count coalesce as connected_components_distributed
+        labels = (
+            merged.select_columns(["src", "label"])
+            .repartition(num_partitions)
+            .materialize()
+        )
         if not n_changed:
             break
     return labels
@@ -2140,7 +2165,7 @@ def scc_distributed(edges_ds, num_partitions: int | None = None,
             assigned.append(done)
         remaining_nodes = fb.map_batches(
             uncertified, batch_format="pyarrow"
-        ).materialize()
+        ).repartition(num_partitions).materialize()
         if remaining_nodes.count() == 0:
             break
         # shrink the edge sets to the unassigned subgraph: semi-join
@@ -2156,12 +2181,16 @@ def scc_distributed(edges_ds, num_partitions: int | None = None,
             cogroup_join(fwd_edges, remaining_nodes, on=("src",),
                          num_partitions=num_partitions)
             .map_batches(swap, batch_format="pyarrow")
+            .repartition(num_partitions)
             .materialize()
         )
         fwd_edges = (
             cogroup_join(fwd_edges, remaining_nodes, on=("src",),
                          num_partitions=num_partitions)
             .map_batches(swap, batch_format="pyarrow")
+            # coalesce both fed-back tables per peel (see
+            # connected_components_distributed block-growth note)
+            .repartition(num_partitions)
             .materialize()
         )
         bwd_edges = fwd_edges.map_batches(
@@ -2459,6 +2488,84 @@ def double_sweep_diameter(edges_ds, driver_max_edges: int = 2_000_000,
             "start_node": pa.array([start], node_type),
             "peripheral_node": pa.array([peri], node_type),
             "diameter_lb": pa.array([int(d2.max("dist"))], pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def wcc_census(edges_ds, driver_max_edges: int = 2_000_000):
+    """Weak-connectivity census of a (subj, obj) edge Dataset: one row
+    (n_components, giant_size, giant_fraction_ppm) over the undirected
+    edge set (node set = both endpoints). Giant fraction is integer
+    ppm of ALL nodes.
+
+    TIERED on the component labels (the :func:`scc` contract): numpy
+    union-find under ``driver_max_edges``, else
+    :func:`connected_components_distributed` with the census derived
+    from a label-grouped count — only the (component, size) table,
+    never the node table, feeds the final single-row reduce."""
+    out_schema = pa.schema(
+        [("n_components", pa.int64()), ("giant_size", pa.int64()),
+         ("giant_fraction_ppm", pa.int64())]
+    )
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(
+            {
+                "n_components": pa.array([0], pa.int64()),
+                "giant_size": pa.array([0], pa.int64()),
+                "giant_fraction_ppm": pa.array([0], pa.int64()),
+            },
+            schema=out_schema,
+        )
+    if n_edges <= driver_max_edges:
+        df = edges.to_pandas()
+        s = df["subj"].to_numpy()
+        d = df["obj"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([s, d]),
+                               return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        a = inv[: len(s)]
+        b = inv[len(s):]
+        for i in range(len(a)):
+            ra, rb = find(int(a[i])), find(int(b[i]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter(
+            (find(int(i)) for i in range(len(nodes))), np.int64,
+            count=len(nodes),
+        )
+        _, sizes = np.unique(roots, return_counts=True)
+        n_nodes = len(nodes)
+        n_comp = len(sizes)
+        giant = int(sizes.max())
+    else:
+        from ray.data.aggregate import Count
+
+        labels = connected_components_distributed(
+            edges, as_dataset=True
+        )
+        sizes_ds = labels.groupby("label").aggregate(
+            Count(alias_name="sz")
+        ).materialize()
+        n_comp = sizes_ds.count()
+        giant = int(sizes_ds.max("sz"))
+        n_nodes = labels.count()
+    return pa.table(
+        {
+            "n_components": pa.array([int(n_comp)], pa.int64()),
+            "giant_size": pa.array([giant], pa.int64()),
+            "giant_fraction_ppm": pa.array(
+                [(giant * 1_000_000) // n_nodes], pa.int64()
+            ),
         },
         schema=out_schema,
     )

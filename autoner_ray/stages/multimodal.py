@@ -440,9 +440,11 @@ def y4m_video_features(
 
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
-    """documents -> deterministic media rows: REAL BMP / WAV payloads
-    derived from the doc content (fixture for the codec pipeline), plus
-    a fake-video row class for the declared-stub path."""
+    """documents -> deterministic media rows: REAL BMP/PPM image,
+    WAV/AIFF audio and AVI/Y4M video payloads derived from the doc
+    content (containers alternate within each class so every codec is
+    exercised); the declared-stub fake-video path is covered by its
+    own test fixture."""
     ids, types, payloads, ws, hs, ds = [], [], [], [], [], []
     for doc_id, text in zip(
         batch["doc_id"].to_pylist(), batch["text"].to_pylist()
@@ -456,7 +458,11 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
         types.append(kind)
         if kind == "image/bmp":
             px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            payloads.append(encode_bmp(px))
+            if (doc_id // 3) % 2:  # alternating containers, like video
+                types[-1] = "image/ppm"
+                payloads.append(encode_ppm(px))
+            else:
+                payloads.append(encode_bmp(px))
             ws.append(64)
             hs.append(48)
             ds.append(-1)
@@ -466,9 +472,12 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
             t = np.arange(n) / _WAV_RATE
             f = 100 + (seed % 400)
             wave = 0.5 * np.sin(2 * np.pi * f * t) + 0.1 * rng.standard_normal(n)
-            payloads.append(
-                encode_wav((wave * 20000).clip(-32768, 32767).astype(np.int16))
-            )
+            pcm = (wave * 20000).clip(-32768, 32767).astype(np.int16)
+            if (doc_id // 3) % 2:  # alternating containers, like video
+                types[-1] = "audio/aiff"
+                payloads.append(encode_aiff(pcm))
+            else:
+                payloads.append(encode_wav(pcm))
             ws.append(-1)
             hs.append(-1)
             ds.append(dur_ms)
@@ -513,9 +522,9 @@ class DecodeMedia:
     this is where PIL/ffmpeg/torchvision load); ``__call__`` decodes
     each payload and emits fixed-width features:
 
-    - image/bmp, audio/wav, video/avi, video/y4m: REAL decode via the
-      pure-python codecs above (both video codecs decode only the
-      stride-sampled frames);
+    - image/bmp, image/ppm, audio/wav, audio/aiff, video/avi,
+      video/y4m: REAL decode via the pure-python codecs above (both
+      video codecs decode only the stride-sampled frames);
     - other video/*: frame-sample plumbing is real, per-frame decode
       FAILS LOUDLY by default (NotImplementedError — real frames need
       ffmpeg); opt into the deterministic stand-in with
@@ -547,8 +556,15 @@ class DecodeMedia:
             if mtype == "image/bmp":
                 feats.append(image_features(decode_bmp(payload)))
                 n_frames.append(1)
+            elif mtype == "image/ppm":
+                feats.append(image_features(decode_ppm(payload)))
+                n_frames.append(1)
             elif mtype == "audio/wav":
                 _, samples = decode_wav(payload)
+                feats.append(audio_features(samples))
+                n_frames.append(self._n_frames(dur))
+            elif mtype == "audio/aiff":
+                _, samples = decode_aiff(payload)
                 feats.append(audio_features(samples))
                 n_frames.append(self._n_frames(dur))
             elif mtype == "video/avi":
@@ -595,3 +611,95 @@ def media_features(docs_ds, concurrency: int = 2, batch_size: int = 64):
         batch_size=batch_size,  # small: payload bytes bound the heap
         concurrency=concurrency,
     )
+
+
+# -- pure-python PPM (P6 binary) image codec ---------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 RGB (h, w, 3) -> binary PPM (P6, maxval 255)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> uint8 RGB (h, w, 3). Handles comment lines
+    and arbitrary whitespace in the header per the netpbm spec."""
+    assert payload[:2] == b"P6", "not P6 PPM"
+    fields: list[int] = []
+    off = 2
+    while len(fields) < 3:
+        while off < len(payload) and payload[off : off + 1].isspace():
+            off += 1
+        if payload[off : off + 1] == b"#":  # comment to end of line
+            off = payload.index(b"\n", off) + 1
+            continue
+        end = off
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        fields.append(int(payload[off:end]))
+        off = end
+    off += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    assert maxval == 255, "8-bit PPM only"
+    n = w * h * 3
+    return np.frombuffer(payload[off : off + n], np.uint8).reshape(h, w, 3)
+
+
+# -- pure-python AIFF (big-endian PCM16 mono) codec --------------------------
+
+
+def _f80_encode(x: int) -> bytes:
+    """Positive integer -> 80-bit IEEE 754 extended float (the AIFF
+    COMM sampleRate field)."""
+    if x == 0:
+        return b"\x00" * 10
+    e = x.bit_length() - 1
+    mant = x << (63 - e)  # explicit leading-1 mantissa
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    """80-bit extended float -> nearest integer (sample rates are
+    integral in practice)."""
+    se, mant = struct.unpack(">HQ", b)
+    if se == 0 and mant == 0:
+        return 0
+    e = (se & 0x7FFF) - 16383
+    val = mant / float(1 << 63) * (2.0 ** e)
+    return int(round(-val if se & 0x8000 else val))
+
+
+def encode_aiff(samples: np.ndarray, rate: int = _WAV_RATE) -> bytes:
+    """int16 mono samples -> AIFF (FORM/COMM/SSND, big-endian PCM)."""
+    data = samples.astype(">i2").tobytes()
+    comm = struct.pack(">HIH", 1, len(samples), 16) + _f80_encode(rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + struct.pack(">4sI", b"COMM", len(comm)) + comm
+        + struct.pack(">4sI", b"SSND", len(ssnd)) + ssnd
+    )
+    return struct.pack(">4sI", b"FORM", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
+    """AIFF PCM16 mono bytes -> (rate, int16 samples)."""
+    assert payload[:4] == b"FORM" and payload[8:12] == b"AIFF", "not AIFF"
+    off = 12
+    rate, samples = None, None
+    while off + 8 <= len(payload):
+        tag, size = struct.unpack_from(">4sI", payload, off)
+        body = payload[off + 8 : off + 8 + size]
+        if tag == b"COMM":
+            ch, _, bits = struct.unpack_from(">HIH", body)
+            assert ch == 1 and bits == 16, "PCM16 mono only"
+            rate = _f80_decode(body[8:18])
+        elif tag == b"SSND":
+            data_off, _ = struct.unpack_from(">II", body)
+            samples = np.frombuffer(body[8 + data_off :], ">i2").astype(
+                np.int16
+            )
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    assert rate is not None and samples is not None, "missing COMM/SSND"
+    return rate, samples

@@ -369,3 +369,112 @@ def link_diameter(sf_dir: str, driver_max_edges: int = 2_000_000,
             "diameter_lb": out["diameter_lb"],
         }
     )
+
+
+def link_reciprocity(sf_dir: str, num_partitions: int | None = None):
+    """Reciprocity of the directed hyperlink graph: the fraction of
+    directed edges whose reverse edge also exists (a↔b both present) —
+    the classic webgraph symmetry measure. One row:
+    (n_edges, n_reciprocal, reciprocity_ppm) with the ratio in integer
+    parts-per-million (exact at any parallelism; the oracle computes
+    the same integer).
+
+    Scale shape: each directed edge maps to its UNORDERED pair key and
+    a direction bit; a pair-key-partitioned sum counts directions per
+    pair (1 = one way, 2 = both, self-pair-free by construction), and
+    the reciprocal total is a bounded combine over the tiny
+    (n_directions, n_pairs) histogram — the edge set never lands on
+    the driver."""
+    import pyarrow.compute as pc
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+
+    _pair_schema = pa.schema(
+        [("lo", pa.int64()), ("hi", pa.int64()), ("n_dir", pa.int64())]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _pair_schema.empty_table()
+        import numpy as np
+
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "n_dir": pa.array(np.ones(len(lo), np.int64), pa.int64()),
+            },
+            schema=_pair_schema,
+        )
+
+    per_pair = partitioned_key_sum(
+        link_graph(sf_dir).map_batches(
+            pair_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["lo", "hi"], sum_cols=["n_dir"], part_on=("lo",),
+        num_partitions=num_partitions,
+    )
+
+    _h_schema = pa.schema([("n_dir", pa.int64()), ("n_pairs", pa.int64())])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _h_schema.empty_table()
+        vc = pc.value_counts(t["n_dir"])
+        return pa.table(
+            {
+                "n_dir": vc.field("values"),
+                "n_pairs": pc.cast(vc.field("counts"), pa.int64()),
+            },
+            schema=_h_schema,
+        )
+
+    hist = bounded_key_sum(
+        per_pair.map_batches(hist_partial, batch_format="pyarrow"),
+        keys=["n_dir"], sum_cols=["n_pairs"],
+    ).to_pandas()
+    counts = dict(zip(hist["n_dir"], hist["n_pairs"]))
+    n_recip_pairs = int(counts.get(2, 0))
+    n_edges = sum(int(k) * int(v) for k, v in counts.items())
+    n_reciprocal = 2 * n_recip_pairs
+    ppm = (n_reciprocal * 1_000_000) // n_edges if n_edges else 0
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_reciprocal], pa.int64()),
+            "reciprocity_ppm": pa.array([ppm], pa.int64()),
+        }
+    )
+
+
+def link_wcc_stats(sf_dir: str, driver_max_edges: int = 2_000_000):
+    """Weak-connectivity census of the hyperlink graph: one row
+    (n_components, giant_size, giant_fraction_ppm) over the undirected
+    edge set (node set = both endpoints, dangling targets included).
+    Giant fraction is integer ppm of ALL nodes.
+
+    TIERED on the component labels (the :func:`link_scc` contract):
+    driver union-find under ``driver_max_edges``, else
+    ``graph.connected_components_distributed`` with the census derived
+    from a label-grouped count — only the (component, size) table,
+    never the node table, feeds the final single-row reduce."""
+    from autoner_ray.stages.graph import wcc_census
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("subj", pa.int64()), ("obj", pa.int64())]
+            ).empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]})
+
+    return wcc_census(
+        link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
+        driver_max_edges=driver_max_edges,
+    )

@@ -263,3 +263,60 @@ def test_y4m_rejects_unsupported_colorspace():
     bad = b"YUV4MPEG2 W2 H2 F2:1 Ip A1:1 C420\nFRAME\n" + b"\x00" * 6
     with pytest.raises(NotImplementedError):
         decode_y4m(bad)
+
+
+def test_ppm_aiff_codecs_roundtrip():
+    """PPM (P6, incl. header comments) and AIFF (80-bit-float sample
+    rate) codecs: encode -> decode exact; synth alternates containers
+    within each media class and every row decodes for real."""
+    from autoner_ray.stages.multimodal import (
+        DecodeMedia,
+        _f80_decode,
+        _f80_encode,
+        decode_aiff,
+        decode_ppm,
+        encode_aiff,
+        encode_ppm,
+        synth_media_batch,
+    )
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # header with a comment line still parses
+    commented = b"P6\n# made by hand\n23 17\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented), px)
+    samples = (rng.standard_normal(4321) * 10000).astype(np.int16)
+    rate, back = decode_aiff(encode_aiff(samples, rate=2000))
+    assert rate == 2000 and np.array_equal(back, samples)
+    for r in (1, 2000, 8000, 44100, 48000, 96000):
+        assert _f80_decode(_f80_encode(r)) == r
+
+    # synth: doc_ids 0..11 cover both containers of all three classes
+    docs = pa.table(
+        {
+            "doc_id": list(range(12)),
+            "text": [f"doc {i}" for i in range(12)],
+        }
+    )
+    media = synth_media_batch(docs)
+    kinds = set(media["media_type"].to_pylist())
+    assert kinds == {
+        "image/bmp", "image/ppm", "audio/wav", "audio/aiff",
+        "video/avi", "video/y4m",
+    }
+    out = DecodeMedia(allow_fake_video=False)(media)
+    assert all(len(f) == 64 for f in out["features"].to_pylist())
+    # container choice must not change the features: same content seed,
+    # only the encoding differs between wav and aiff rows of one doc
+    from autoner_ray.stages.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    wav_payload = encode_wav(samples, rate=2000)
+    aiff_payload = encode_aiff(samples, rate=2000)
+    fa = audio_features(decode_wav(wav_payload)[1])
+    fb = audio_features(decode_aiff(aiff_payload)[1])
+    assert np.array_equal(fa, fb)

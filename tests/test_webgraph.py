@@ -175,3 +175,80 @@ def test_directed_bfs_survives_indegree_zero_ancestry(ray_session):
     )
     want = pd.DataFrame({"entity": [0, 1, 2], "dist": [0, 1, 2]})
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_link_reciprocity_counts(ray_session):
+    """Hand-check on sf0.001: reciprocal edges are exactly the a<->b
+    pairs where both directions were parsed; recompute from the raw
+    edge list."""
+    from autoner_ray.stages.webgraph import link_graph, link_reciprocity
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in link_graph("/root/testdata/sf0.001").take_all()
+    }
+    n_recip = sum(1 for (a, b) in edges if (b, a) in edges)
+    t = link_reciprocity("/root/testdata/sf0.001")
+    assert t["n_edges"][0].as_py() == len(edges)
+    assert t["n_reciprocal"][0].as_py() == n_recip
+    assert (
+        t["reciprocity_ppm"][0].as_py()
+        == (n_recip * 1_000_000) // len(edges)
+    )
+
+
+def test_link_wcc_stats_driver(ray_session):
+    from autoner_ray.stages.webgraph import link_graph, link_wcc_stats
+
+    # brute-force union-find over the raw edge list
+    edges = [
+        (r["src"], r["dst"])
+        for r in link_graph("/root/testdata/sf0.001").take_all()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    import collections
+
+    sizes = collections.Counter(find(v) for v in parent)
+    t = link_wcc_stats("/root/testdata/sf0.001")
+    assert t["n_components"][0].as_py() == len(sizes)
+    assert t["giant_size"][0].as_py() == max(sizes.values())
+    assert (
+        t["giant_fraction_ppm"][0].as_py()
+        == max(sizes.values()) * 1_000_000 // len(parent)
+    )
+
+
+def test_wcc_census_tier_equality(ray_session):
+    # tiny two-component graph: the distributed-CC census tier must
+    # match the union-find tier exactly (full-size graphs would pay
+    # O(diameter) fixpoint rounds of pure Ray overhead in the suite)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoner_ray.stages.graph import wcc_census
+
+    pairs = [(0, 1), (1, 2), (5, 6)]
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([a for a, _ in pairs], pa.int64()),
+                "obj": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    drv = wcc_census(eds)
+    dist = wcc_census(eds, driver_max_edges=0)
+    assert drv.to_pydict() == dist.to_pydict()
+    assert drv["n_components"][0].as_py() == 2
+    assert drv["giant_size"][0].as_py() == 3
