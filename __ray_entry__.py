@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
         "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
         "events_sessionize": lambda sf: windows.sessionize(_events(sf)),
+        "events_hourly_ffill": lambda sf: windows.hourly_ffill(_events(sf)),
         "events_sliding_window": lambda sf: windows.sliding_hourly(
             _events(sf)
         ),
@@ -1996,6 +1997,30 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_hourly_ffill": """
+            WITH spans AS (
+                SELECT user_id,
+                       date_trunc('hour', MIN(ts)) AS lo,
+                       date_trunc('hour', MAX(ts)) AS hi
+                FROM events GROUP BY user_id
+            ),
+            grid AS (
+                SELECT s.user_id, g.h
+                FROM spans s,
+                     UNNEST(generate_series(s.lo, s.hi,
+                                            INTERVAL 1 HOUR)) AS g(h)
+            ),
+            ranked AS (
+                SELECT g.user_id, g.h AS hour, e.value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g.user_id, g.h
+                           ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                FROM grid g JOIN events e
+                  ON e.user_id = g.user_id
+                 AND e.ts < g.h + INTERVAL 1 HOUR
+            )
+            SELECT user_id, hour, value FROM ranked WHERE rn = 1
         """,
         "events_sessionize": """
             WITH gaps AS (

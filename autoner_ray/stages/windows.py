@@ -2085,3 +2085,43 @@ def hourly_top_type_oracle_sql() -> str:
         SELECT hour, event_type AS top_type, n_events
         FROM r WHERE rk = 1
     """
+
+
+def hourly_ffill(events_ds):
+    """Regular-grid resampling with forward fill — the
+    feature-engineering staple that turns an irregular event stream
+    into a fixed hourly series: per user, one row per hour from the
+    hour of their first event to the hour of their last, carrying the
+    value of the LATEST event seen by the end of that hour (ties on
+    ``ts`` broken by highest ``event_id`` — deterministic at any
+    parallelism). Output (user_id, hour, value); values are copied,
+    never recomputed, so the driver's float hash is bit-stable.
+
+    Scale shape: the same per-user hash-partitioned ``map_groups`` as
+    :func:`sessionize` — a user's grid is bounded by their own activity
+    span, the per-group fill is one sort + one vectorized searchsorted,
+    and nothing corpus-sized converges on the driver."""
+    import numpy as np
+
+    _HOUR_US = 3_600 * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo = (ts_us[0] // _HOUR_US) * _HOUR_US
+        hi = (ts_us[-1] // _HOUR_US) * _HOUR_US
+        hours = np.arange(lo, hi + _HOUR_US, _HOUR_US, dtype=np.int64)
+        # latest event with ts < hour_end == index (searchsorted left)-1
+        idx = np.searchsorted(ts_us, hours + _HOUR_US, side="left") - 1
+        # first grid hour contains the first event, so idx >= 0 always
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].iloc[0],
+                "hour": hours.astype("datetime64[us]"),
+                "value": df["value"].to_numpy()[idx],
+            }
+        )
+
+    return events_ds.select_columns(
+        ["user_id", "ts", "event_id", "value"]
+    ).groupby("user_id").map_groups(per_user, batch_format="pandas")

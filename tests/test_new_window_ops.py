@@ -140,3 +140,47 @@ def test_user_streaks_islands(ray_session):
         for r in user_streaks(rd.from_arrow(t)).take_all()
     }
     assert got == {1: (3, 5), 2: (1, 1)}
+
+
+def test_hourly_ffill_properties(ray_session):
+    """Forward-fill grid: contiguous hourly grid per user spanning
+    first->last event hour; each value equals the latest event at or
+    before that hour's end (ties by event_id) — checked by brute force
+    on sf0.001."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from autoner_ray.stages.windows import hourly_ffill
+
+    got = (
+        hourly_ffill(
+            rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        )
+        .to_pandas()
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).to_pandas()
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        lo = g["ts"].min().floor("h")
+        hi = g["ts"].max().floor("h")
+        for h in pd.date_range(lo, hi, freq="h"):
+            sel = g[g["ts"] < h + pd.Timedelta(hours=1)]
+            rows.append(
+                (uid, h.to_datetime64(), float(sel["value"].iloc[-1]))
+            )
+    want = pd.DataFrame(rows, columns=["user_id", "hour", "value"])
+    want["hour"] = want["hour"].astype("datetime64[us]")
+    got["hour"] = got["hour"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # grid contiguity: per user, hours step exactly 1h
+    for _, g in got.groupby("user_id"):
+        dh = np.diff(g["hour"].to_numpy().astype("datetime64[h]").astype(int))
+        assert (dh == 1).all()
