@@ -393,6 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
         "events_sessionize": lambda sf: windows.sessionize(_events(sf)),
         "events_hourly_ffill": lambda sf: windows.hourly_ffill(_events(sf)),
+        "events_trimmed_mean": lambda sf: windows.trimmed_mean_by_type(
+            _events(sf)
+        ),
         "events_sliding_window": lambda sf: windows.sliding_hourly(
             _events(sf)
         ),
@@ -1997,6 +2000,26 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_trimmed_mean": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ),
+            k AS (
+                SELECT event_type, n, (n * 50000) // 1000000 AS k
+                FROM c GROUP BY event_type, n
+            )
+            SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   round(SUM(c.cents) / COUNT(*) / 100.0, 6)
+                       AS trimmed_mean
+            FROM c JOIN k USING (event_type)
+            WHERE c.rn > k.k AND c.rn <= c.n - k.k
+            GROUP BY c.event_type
         """,
         "events_hourly_ffill": """
             WITH spans AS (

@@ -2125,3 +2125,87 @@ def hourly_ffill(events_ds):
     return events_ds.select_columns(
         ["user_id", "ts", "event_id", "value"]
     ).groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def trimmed_mean_by_type(events_ds, trim: float = 0.05):
+    """EXACT per-group trimmed mean of ``value`` per event_type: drop
+    the ``floor(trim * n)`` lowest and highest values (by value rank;
+    equal values are interchangeable so no row tie-break is needed) and
+    average the rest — the robust location estimate reporting pipelines
+    use when a few outlier rows would swamp a plain mean. Output
+    (event_type, n_kept, trimmed_mean) with the mean derived from an
+    integer cents sum (round-half-up at the 6th dp like the quantile
+    op) so the value-hash is engine-independent.
+
+    Scale shape: identical to :func:`value_quantiles_by_type` — the
+    shuffle moves per-batch (event_type, cents, n) histogram partials,
+    never rows; each group merges its (bounded-domain) histogram and
+    trims by cumulative-count arithmetic, slicing partial counts at
+    the two cut bins exactly."""
+    import numpy as np
+
+    k_num = int(round(trim * 1_000_000))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = _value_cents(t)
+        agg = (
+            t.select(["event_type", "value_cents"])
+            .group_by(["event_type", "value_cents"])
+            .aggregate([("value_cents", "count")])
+        )
+        return agg.rename_columns(["event_type", "cents", "n"])
+
+    def group_trim(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "n_kept": pd.Series(dtype="int64"),
+                    "trimmed_mean": pd.Series(dtype="float64"),
+                }
+            )
+        h = df.groupby("cents", sort=True)["n"].sum().reset_index()
+        vals = h["cents"].to_numpy(np.int64)
+        cnt = h["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        k = (n * k_num) // 1_000_000  # floor(trim * n), exact in ints
+        # drop k lowest: walk bins from the left, slicing the cut bin
+        keep = cnt.copy()
+        rem = k
+        for i in range(len(keep)):
+            take = min(rem, int(keep[i]))
+            keep[i] -= take
+            rem -= take
+            if rem == 0:
+                break
+        rem = k
+        for i in range(len(keep) - 1, -1, -1):
+            take = min(rem, int(keep[i]))
+            keep[i] -= take
+            rem -= take
+            if rem == 0:
+                break
+        n_kept = int(keep.sum())
+        total = int((vals * keep).sum())
+        mean = round(total / n_kept / 100.0, 6) if n_kept else 0.0
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_kept": np.array([n_kept], np.int64),
+                "trimmed_mean": [mean],
+            }
+        )
+
+    return (
+        events_ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(group_trim, batch_format="pandas")
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 268 and len(sqls) == 249
+    assert len(qs) == 269 and len(sqls) == 250
     import subprocess
     import sys
 

@@ -184,3 +184,39 @@ def test_hourly_ffill_properties(ray_session):
     for _, g in got.groupby("user_id"):
         dh = np.diff(g["hour"].to_numpy().astype("datetime64[h]").astype(int))
         assert (dh == 1).all()
+
+
+def test_trimmed_mean_bruteforce(ray_session):
+    """Histogram-partial trimmed mean == brute-force sort-and-slice on
+    cents, across several trim fractions (incl. 0 = plain mean)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from autoner_ray.stages.windows import trimmed_mean_by_type
+
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_type", "value"],
+    ).to_pandas()
+    for trim in (0.0, 0.05, 0.25):
+        got = (
+            trimmed_mean_by_type(
+                rd.read_parquet("/root/testdata/sf0.001/events.parquet"),
+                trim=trim,
+            )
+            .to_pandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+        for et, g in ev.groupby("event_type"):
+            cents = np.sort(
+                np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+            )
+            n = len(cents)
+            k = (n * int(round(trim * 1_000_000))) // 1_000_000
+            kept = cents[k : n - k]
+            assert got.loc[et, "n_kept"] == len(kept)
+            assert got.loc[et, "trimmed_mean"] == round(
+                kept.sum() / len(kept) / 100.0, 6
+            )
