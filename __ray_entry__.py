@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed_mean": lambda sf: windows.trimmed_mean_by_type(
             _events(sf)
         ),
+        "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "events_sliding_window": lambda sf: windows.sliding_hourly(
             _events(sf)
         ),
@@ -3754,6 +3757,29 @@ def oracle_sql() -> dict[str, str]:
             urltools_mod.url_canonical_map_oracle_sql(),
         "pages_url_canonical_dedup":
             urltools_mod.url_canonical_dedup_oracle_sql(),
+        "docs_postings_delta": f"""
+            WITH toks AS (SELECT doc_id, {WORDS} AS w FROM documents),
+            dw AS (
+                SELECT DISTINCT doc_id, t.word
+                FROM toks, UNNEST(w) AS t(word)
+            ),
+            g AS (
+                SELECT word, doc_id,
+                       doc_id - COALESCE(LAG(doc_id) OVER (
+                           PARTITION BY word ORDER BY doc_id), 0) AS gap
+                FROM dw
+            )
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap,
+                   CAST(SUM(CASE WHEN gap < 128 THEN 1
+                                 WHEN gap < 16384 THEN 2
+                                 WHEN gap < 2097152 THEN 3
+                                 WHEN gap < 268435456 THEN 4
+                                 WHEN gap < 34359738368 THEN 5
+                                 ELSE 6 END) AS BIGINT) AS varint_bytes
+            FROM g GROUP BY word
+        """,
         "docs_bpe_learn_merges": _bpe_merges_sql(),
         "docs_bpe_source_compression": _bpe_compression_sql(),
         "pages_warc_roundtrip": """

@@ -4685,3 +4685,76 @@ def linear_probe_oracle_sql(dict_words: list[str] | None = None,
                     AS BIGINT) AS score_milli
         FROM p
     """
+
+
+def postings_delta_encoding(docs_ds, num_partitions: int | None = None):
+    """Delta-encoded postings audit — the storage kernel behind
+    inverted-index compaction: per term, the sorted doc-id posting list
+    becomes a gap list (first id, then successive differences) and the
+    exact LEB128/varint byte cost of those gaps. Output
+    (word, df, first_doc, max_gap, varint_bytes): the sizing numbers an
+    index shard planner needs, with the gap construction itself pinned
+    by the SQL twin's list reconstruction.
+
+    Scale shape: the (word, doc_id) explode pre-dedups per batch, the
+    single hash shuffle is word-partitioned (``map_groups`` on the
+    term key — posting lists co-locate by construction), and the
+    per-group gap/varint math is one numpy diff + digitize. Varint
+    bytes use exact integer THRESHOLD compares (1 byte under 2^7, 2
+    under 2^14, ...), never float log2."""
+    import numpy as np
+
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    _th = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28, 1 << 35],
+                   dtype=np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words, docs = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for w in set(sentence_token_stream(text or "")):
+                words.append(w)
+                docs.append(did)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+            }
+        )
+
+    def per_word(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(df) == 0 or "word" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series(dtype="object"),
+                    "df": pd.Series(dtype="int64"),
+                    "first_doc": pd.Series(dtype="int64"),
+                    "max_gap": pd.Series(dtype="int64"),
+                    "varint_bytes": pd.Series(dtype="int64"),
+                }
+            )
+        out = []
+        for w, g in df.groupby("word", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy(np.int64))
+            gaps = np.diff(ids, prepend=np.int64(0))
+            nbytes = int(
+                (np.digitize(gaps, _th, right=False) + 1).sum()
+            )
+            out.append(
+                (w, len(ids), int(ids[0]), int(gaps.max()), nbytes)
+            )
+        return pd.DataFrame(
+            out,
+            columns=["word", "df", "first_doc", "max_gap",
+                     "varint_bytes"],
+        )
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(per_word, batch_format="pandas")
+    )

@@ -211,3 +211,35 @@ def test_bounded_key_sum_property_matches_pandas(ray_session=None):
         assert dict(zip(got["k"], got["v"])) == dict(zip(want["k"], want["v"]))
 
     check()
+
+
+def test_postings_delta_varint_thresholds(ray_session):
+    """Varint byte costs use integer threshold compares: craft doc ids
+    that land exactly on the LEB128 boundaries (127/128, 16383/16384)
+    and check the per-word audit against hand-coded LEB128 lengths."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoner_ray.stages.analysis import postings_delta_encoding
+
+    def leb128_len(x: int) -> int:
+        n = 1
+        while x >= 0x80:
+            x >>= 7
+            n += 1
+        return n
+
+    ids = [0, 127, 255, 16638, 33022]  # gaps: 0,127,128,16383,16384
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["boundary word"] * len(ids), pa.string()),
+        }
+    )
+    out = postings_delta_encoding(rd.from_arrow(docs)).to_pandas()
+    row = out[out["word"] == "boundary"].iloc[0]
+    gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+    assert row["df"] == len(ids)
+    assert row["first_doc"] == 0
+    assert row["max_gap"] == max(gaps)
+    assert row["varint_bytes"] == sum(leb128_len(g) for g in gaps)
