@@ -399,6 +399,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
+        "vocab_negative_samples": lambda sf: kg.negative_samples(
+            webtext.bigram_graph(
+                _docs(sf, ["doc_id", "text"]), min_count=75
+            )
+        ),
         "events_sliding_window": lambda sf: windows.sliding_hourly(
             _events(sf)
         ),
@@ -3757,6 +3762,49 @@ def oracle_sql() -> dict[str, str]:
             urltools_mod.url_canonical_map_oracle_sql(),
         "pages_url_canonical_dedup":
             urltools_mod.url_canonical_dedup_oracle_sql(),
+        "vocab_negative_samples": """
+            WITH ws AS MATERIALIZED (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            bg AS (
+                SELECT least(ws[i], ws[i + 1]) AS a,
+                       greatest(ws[i], ws[i + 1]) AS b
+                FROM ws, unnest(range(1, len(ws))) AS t(i)
+                WHERE ws[i] <> ws[i + 1]
+            ),
+            tri AS MATERIALIZED (
+                SELECT a AS subj, b AS obj FROM bg
+                GROUP BY 1, 2 HAVING COUNT(*) >= 75
+            ),
+            vocab AS (
+                SELECT entity,
+                       ROW_NUMBER() OVER (ORDER BY entity) - 1 AS idx
+                FROM (SELECT subj AS entity FROM tri
+                      UNION SELECT obj FROM tri)
+            ),
+            nv AS (SELECT CAST(COUNT(*) AS UBIGINT) AS n FROM vocab),
+            cands AS (
+                SELECT t.subj, t.obj, i.i AS neg_i,
+                       CAST(CAST(('0x' || substring(
+                           md5(t.subj || '|' || t.obj || '|'
+                               || CAST(i.i AS VARCHAR)), 1, 16))
+                           AS UBIGINT) % (SELECT n FROM nv)
+                           AS BIGINT) AS idx
+                FROM tri t CROSS JOIN (VALUES (1), (2)) i(i)
+            ),
+            named AS (
+                SELECT c.subj, c.obj, v.entity AS neg_obj, c.neg_i
+                FROM cands c JOIN vocab v ON v.idx = c.idx
+            )
+            SELECT subj, obj, neg_obj, CAST(neg_i AS BIGINT) AS neg_i
+            FROM named x
+            WHERE x.neg_obj <> x.subj AND x.neg_obj <> x.obj
+              AND NOT EXISTS (
+                  SELECT 1 FROM tri t
+                  WHERE t.subj = LEAST(x.subj, x.neg_obj)
+                    AND t.obj = GREATEST(x.subj, x.neg_obj))
+        """,
         "docs_postings_delta": f"""
             WITH toks AS (SELECT doc_id, {WORDS} AS w FROM documents),
             dw AS (

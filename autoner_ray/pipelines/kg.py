@@ -1885,3 +1885,138 @@ def unigram_triples_temporal(sf_dir: str):
         )
 
     return agg_ds.map_batches(finish, batch_format="pyarrow")
+
+
+def negative_samples(edges_ds, k: int = 2,
+                     num_partitions: int | None = None):
+    """Corrupted-triple negative sampling — the training-data generator
+    a KG/graph-embedding stage (TransE/DistMult) consumes: for every
+    positive (subj, obj) edge (subj < obj, caller-supplied — e.g. the
+    thresholded bigram collocation graph; the dense unigram entity
+    graph on the test corpus is COMPLETE, leaving no valid negatives),
+    ``k`` deterministic candidate corruptions of
+    the object side, filtered so the corruption is neither endpoint of
+    the positive nor itself a true edge. Candidate index =
+    ``md5_64(subj|obj|i) % |vocab|`` over the ascending entity vocab —
+    a pure content hash, identical at any parallelism, mirrored bit-
+    for-bit by the SQL twin. Output (subj, obj, neg_obj, neg_i);
+    filtered candidates simply emit no row (standard practice — the
+    trainer resamples next epoch via a different ``i`` base).
+
+    Scale shape: the entity vocab is DICTIONARY-BOUNDED (the same
+    contract as the trie state), so the ascending-vocab array is a
+    one-time ``ray.put`` broadcast; the true-edge membership test is a
+    left-outer ``cogroup_join`` anti-join on the unordered pair key —
+    the (possibly vocab^2-sized) edge table co-partitions instead of
+    broadcasting."""
+    import numpy as np
+
+    import ray
+
+    from autoner_ray.functions.hashing import md5_64
+    from autoner_ray.stages.joins import cogroup_join
+
+    positives = edges_ds.materialize()
+    # dictionary-bounded vocab: ascending entity order -> stable index
+    ents = sorted(
+        set(
+            positives.select_columns(["subj"]).to_pandas()["subj"]
+        ) | set(
+            positives.select_columns(["obj"]).to_pandas()["obj"]
+        )
+    )
+    vocab_ref = ray.put(np.array(ents, dtype=object))
+
+    # single combined pair key: the one-column string path of the
+    # stable partitioner is memoized + vectorized (the multi-column
+    # fallback is a per-row loop — ADVICE r3)
+    _cand_schema = pa.schema(
+        [
+            ("pair", pa.string()),
+            ("subj", pa.string()), ("obj", pa.string()),
+            ("neg_obj", pa.string()), ("neg_i", pa.int64()),
+        ]
+    )
+
+    class Corrupt:
+        def __init__(self) -> None:
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _cand_schema.empty_table()
+            n = len(self.vocab)
+            lo, subj, obj, neg, idx = [], [], [], [], []
+            for s, o in zip(t["subj"].to_pylist(), t["obj"].to_pylist()):
+                for i in range(1, k + 1):
+                    cand = self.vocab[md5_64(f"{s}|{o}|{i}") % n]
+                    if cand == s or cand == o:
+                        continue
+                    a, b = (s, cand) if s < cand else (cand, s)
+                    lo.append(f"{a}|{b}")
+                    subj.append(s)
+                    obj.append(o)
+                    neg.append(cand)
+                    idx.append(i)
+            return pa.table(
+                {
+                    "pair": pa.array(lo, pa.string()),
+                    "subj": pa.array(subj, pa.string()),
+                    "obj": pa.array(obj, pa.string()),
+                    "neg_obj": pa.array(neg, pa.string()),
+                    "neg_i": pa.array(idx, pa.int64()),
+                },
+                schema=_cand_schema,
+            )
+
+    _edge_schema = pa.schema(
+        [("pair", pa.string()), ("hit", pa.int64())]
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _edge_schema.empty_table()
+        import pyarrow.compute as pc
+
+        # positives keep subj < obj by construction
+        return pa.table(
+            {
+                "pair": pc.binary_join_element_wise(
+                    t["subj"], t["obj"], "|"
+                ),
+                "hit": pa.array([1] * len(t), pa.int64()),
+            },
+            schema=_edge_schema,
+        )
+
+    cands = positives.map_batches(
+        Corrupt, batch_format="pyarrow", concurrency=2
+    )
+    edges = positives.map_batches(edge_keys, batch_format="pyarrow")
+    _out_schema = pa.schema(
+        [
+            ("subj", pa.string()), ("obj", pa.string()),
+            ("neg_obj", pa.string()), ("neg_i", pa.int64()),
+        ]
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        keep = pc.is_null(t["hit"])
+        return pa.table(
+            {
+                "subj": t["subj"].filter(keep),
+                "obj": t["obj"].filter(keep),
+                "neg_obj": t["neg_obj"].filter(keep),
+                "neg_i": t["neg_i"].filter(keep),
+            },
+            schema=_out_schema,
+        )
+
+    return cogroup_join(
+        cands, edges, on=("pair",), num_partitions=num_partitions,
+        join_type="left outer",
+    ).map_batches(survivors, batch_format="pyarrow")
