@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed_mean": lambda sf: windows.trimmed_mean_by_type(
             _events(sf)
         ),
+        "events_survival_km": lambda sf: windows.survival_km(_events(sf)),
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -2008,6 +2009,53 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_survival_km": """
+            WITH RECURSIVE spans AS (
+                SELECT user_id,
+                       MIN(epoch_us(ts)) AS first_us,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS death_us,
+                       MAX(epoch_us(ts)) AS last_us
+                FROM events GROUP BY user_id
+            ),
+            lives AS (
+                SELECT CASE WHEN death_us IS NULL
+                            THEN (last_us - first_us) // 3600000000
+                            ELSE (death_us - first_us) // 3600000000
+                       END AS lifetime,
+                       CASE WHEN death_us IS NULL THEN 1 ELSE 0 END
+                           AS censored
+                FROM spans
+            ),
+            at_tbl AS (
+                SELECT lifetime, COUNT(*) AS n_all,
+                       SUM(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS d
+                FROM lives GROUP BY lifetime
+            ),
+            risk AS (
+                SELECT lifetime, d,
+                       SUM(n_all) OVER (ORDER BY lifetime DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS n_risk
+                FROM at_tbl
+            ),
+            steps AS (
+                SELECT lifetime, d, n_risk,
+                       ROW_NUMBER() OVER (ORDER BY lifetime) AS rn
+                FROM risk WHERE d > 0
+            ),
+            km(rn, s) AS (
+                SELECT 0, CAST(1000000 AS BIGINT)
+                UNION ALL
+                SELECT st.rn, km.s * (st.n_risk - st.d) // st.n_risk
+                FROM km JOIN steps st ON st.rn = km.rn + 1
+            )
+            SELECT st.lifetime AS t_hours,
+                   CAST(st.n_risk AS BIGINT) AS n_at_risk,
+                   CAST(st.d AS BIGINT) AS n_events,
+                   CAST(km.s AS BIGINT) AS survival_ppm
+            FROM steps st JOIN km ON km.rn = st.rn
         """,
         "events_trimmed_mean": """
             WITH c AS (

@@ -2209,3 +2209,138 @@ def trimmed_mean_by_type(events_ds, trim: float = 0.05):
         .groupby("event_type")
         .map_groups(group_trim, batch_format="pandas")
     )
+
+
+def survival_km(events_ds, death_type: str = "purchase"):
+    """Kaplan–Meier time-to-conversion curve — the survival analysis a
+    growth team runs on an event stream: per user, the DEATH event is
+    their first ``death_type`` event and the clock starts at their
+    first event of any kind; lifetime = whole HOURS in between. Users
+    with no ``death_type`` event are right-CENSORED at their last
+    observed event (they count at risk up to that hour, never as a
+    conversion). One row per conversion hour: (t_hours, n_at_risk,
+    n_events, survival_ppm) with the product limit in EXACT integer ppm
+    (``S_i = S_{i-1} * (n_i - d_i) // n_i``, floor) so the value-hash
+    is engine-independent — the SQL twin replays the identical
+    recurrence in a recursive CTE.
+
+    Scale shape: per-user (first, first-death, last) come from one
+    user-partitioned min/min/max combine (the conditional min rides a
+    sentinel); the curve lives on the bounded whole-hour domain —
+    (lifetime, censored, n) histogram partials feed one bounded
+    combine and the cumulative product is a tiny driver loop."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_agg,
+    )
+
+    _HOUR_US = 3_600 * 1_000_000
+    _SENT = (1 << 62)
+
+    _p_schema = pa.schema(
+        [("user_id", pa.int64()), ("first_us", pa.int64()),
+         ("death_us", pa.int64()), ("last_us", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _p_schema.empty_table()
+        import pandas as pd
+
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        is_death = np.asarray(
+            [x == death_type for x in t["event_type"].to_pylist()]
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "first_us": ts,
+                "death_us": np.where(is_death, ts, _SENT),
+                "last_us": ts,
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            first_us=("first_us", "min"),
+            death_us=("death_us", "min"),
+            last_us=("last_us", "max"),
+        )
+        return pa.Table.from_pandas(g, schema=_p_schema,
+                                    preserve_index=False)
+
+    spans = partitioned_key_agg(
+        events_ds.select_columns(["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=65536),
+        keys=["user_id"],
+        aggs=[("first_us", "min"), ("death_us", "min"),
+              ("last_us", "max")],
+        part_on=("user_id",),
+    )
+
+    _h_schema = pa.schema(
+        [("lifetime", pa.int64()), ("censored", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _h_schema.empty_table()
+        import pandas as pd
+
+        first = t["first_us"].to_numpy()
+        death = t["death_us"].to_numpy()
+        last = t["last_us"].to_numpy()
+        cens = (death >= _SENT).astype(np.int64)
+        end = np.where(cens == 1, last, death)
+        life = (end - first) // _HOUR_US
+        g = (
+            pd.DataFrame({"lifetime": life, "censored": cens})
+            .groupby(["lifetime", "censored"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "lifetime": pa.array(g["lifetime"].to_numpy(), pa.int64()),
+                "censored": pa.array(g["censored"].to_numpy(), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(), pa.int64()),
+            },
+            schema=_h_schema,
+        )
+
+    hist = bounded_key_sum(
+        spans.map_batches(hist_partial, batch_format="pyarrow"),
+        keys=["lifetime", "censored"], sum_cols=["n"],
+    ).to_pandas().sort_values("lifetime")
+    total = int(hist["n"].sum())
+    deaths = {
+        int(r.lifetime): int(r.n)
+        for r in hist[hist["censored"] == 0].itertuples()
+    }
+    all_at = hist.groupby("lifetime")["n"].sum()
+    days = sorted(all_at.index)
+    at_risk_after: dict[int, int] = {}
+    run = total
+    for d in days:
+        at_risk_after[d] = run
+        run -= int(all_at[d])
+    s = 1_000_000
+    out_t, out_r, out_d, out_s = [], [], [], []
+    for d in sorted(deaths):
+        n_i = at_risk_after[d]
+        d_i = deaths[d]
+        s = s * (n_i - d_i) // n_i
+        out_t.append(d)
+        out_r.append(n_i)
+        out_d.append(d_i)
+        out_s.append(s)
+    return pa.table(
+        {
+            "t_hours": pa.array(out_t, pa.int64()),
+            "n_at_risk": pa.array(out_r, pa.int64()),
+            "n_events": pa.array(out_d, pa.int64()),
+            "survival_ppm": pa.array(out_s, pa.int64()),
+        }
+    )

@@ -220,3 +220,43 @@ def test_trimmed_mean_bruteforce(ray_session):
             assert got.loc[et, "trimmed_mean"] == round(
                 kept.sum() / len(kept) / 100.0, 6
             )
+
+
+def test_survival_km_censoring(ray_session):
+    """KM with real right-censoring on a hand fixture: censored users
+    count at risk but never convert; exact integer-ppm product."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoner_ray.stages.windows import survival_km
+
+    H = 3_600_000_000  # us per hour
+
+    def ev(uid, hour_us, etype):
+        return (uid, hour_us, etype)
+
+    rows = [
+        # u1 converts at t=1h
+        ev(1, 0, "view"), ev(1, 1 * H, "purchase"),
+        # u2 converts at t=3h
+        ev(2, 0, "view"), ev(2, 3 * H + 5, "purchase"),
+        # u3 never converts, last seen t=2h (censored at 2)
+        ev(3, 0, "view"), ev(3, 2 * H, "click"),
+        # u4 converts at t=1h too
+        ev(4, 0, "view"), ev(4, 1 * H + 7, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = survival_km(rd.from_arrow(t)).to_pandas()
+    # t=1h: 4 at risk, 2 deaths -> 500000; u3 censored at 2h (drops
+    # from risk without a step); t=3h: 1 at risk, 1 death -> 0
+    assert out[["t_hours", "n_at_risk", "n_events",
+                "survival_ppm"]].values.tolist() == [
+        [1, 4, 2, 500000],
+        [3, 1, 1, 0],
+    ]
