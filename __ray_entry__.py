@@ -992,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_bowtie": webgraph.link_bowtie,
         "pages_link_diameter": webgraph.link_diameter,
         "pages_link_reciprocity": webgraph.link_reciprocity,
+        "pages_link_rich_club": webgraph.link_rich_club,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
@@ -3733,6 +3734,42 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('CORE'), ('IN'), ('OUT'), ('TENDRIL'),
                          ('DISCONNECTED')) c(component)
             LEFT JOIN agg a USING (component)
+        """,
+        "pages_link_rich_club": f"""
+            WITH {_LINKS_CTE},
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src, dst) AS u,
+                                GREATEST(src, dst) AS v
+                FROM links
+            ),
+            deg AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT u AS node FROM und
+                    UNION ALL SELECT v FROM und
+                ) GROUP BY node
+            ),
+            e AS MATERIALIZED (
+                SELECT LEAST(a.deg, b.deg) AS md
+                FROM und JOIN deg a ON a.node = und.u
+                         JOIN deg b ON b.node = und.v
+            ),
+            ks(k) AS (VALUES (1), (2), (4), (8)),
+            agg AS (
+                SELECT k.k AS k,
+                       (SELECT COUNT(*) FROM deg WHERE deg > k.k)
+                           AS n_nodes,
+                       (SELECT COUNT(*) FROM e WHERE md > k.k)
+                           AS n_edges
+                FROM ks k
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN n_nodes >= 2
+                             THEN (2 * n_edges * 1000000)
+                                  // (n_nodes * (n_nodes - 1))
+                             ELSE 0 END AS BIGINT) AS phi_ppm
+            FROM agg
         """,
         "pages_link_reciprocity": f"""
             WITH {_LINKS_CTE},

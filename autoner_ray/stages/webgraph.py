@@ -478,3 +478,190 @@ def link_wcc_stats(sf_dir: str, driver_max_edges: int = 2_000_000):
         link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
         driver_max_edges=driver_max_edges,
     )
+
+
+def link_rich_club(sf_dir: str, ks: tuple = (1, 2, 4, 8),
+                   num_partitions: int | None = None):
+    """Rich-club coefficient of the undirected hyperlink graph at
+    degree thresholds ``ks``: φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    subgraph induced by nodes with degree > k (Colizza et al. 2006 —
+    do high-degree pages preferentially link each other?). One row per
+    k: (k, n_nodes, n_edges, phi_ppm) with φ in integer ppm (0 when
+    N_k < 2).
+
+    Scale shape: degrees come from the dst/src-partitioned count
+    combine; each (undirected-deduped) edge joins the degree table
+    twice (both endpoints co-partition by node key) and carries
+    ``min(deg_u, deg_v)`` forward, so ALL thresholds are answered by
+    ONE two-join pass + a tiny histogram — no per-k passes, nothing
+    node-set-sized on the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+    from autoner_ray.stages.joins import cogroup_join
+
+    edges = link_graph(sf_dir).materialize()
+
+    _und_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def undirected(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _und_schema.empty_table()
+        import numpy as np
+
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d), pa.int64()),
+                "v": pa.array(np.maximum(s, d), pa.int64()),
+            },
+            schema=_und_schema,
+        )
+
+    # dedup unordered pairs (a<->b parsed both ways counts once)
+    und = partitioned_key_sum(
+        edges.map_batches(undirected, batch_format="pyarrow")
+        .map_batches(
+            lambda t: (
+                pa.table(
+                    {
+                        "u": t["u"], "v": t["v"],
+                        "one": pa.array([1] * len(t), pa.int64()),
+                    }
+                )
+                if t.num_columns else
+                pa.schema(
+                    [("u", pa.int64()), ("v", pa.int64()),
+                     ("one", pa.int64())]
+                ).empty_table()
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["u", "v"], sum_cols=["one"], part_on=("u",),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    _deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def ends(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "u" not in t.schema.names:
+            return _deg_schema.empty_table()
+        import numpy as np
+
+        nodes = np.concatenate(
+            [t["u"].to_numpy(zero_copy_only=False),
+             t["v"].to_numpy(zero_copy_only=False)]
+        )
+        vals, counts = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(vals, pa.int64()),
+                "deg": pa.array(counts.astype(np.int64), pa.int64()),
+            },
+            schema=_deg_schema,
+        )
+
+    degrees = partitioned_key_sum(
+        und.map_batches(ends, batch_format="pyarrow"),
+        keys=["node"], sum_cols=["deg"], part_on=("node",),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # join side A: key on u
+    _ea_schema = pa.schema(
+        [("node", pa.int64()), ("v", pa.int64())]
+    )
+
+    def key_u(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "u" not in t.schema.names:
+            return _ea_schema.empty_table()
+        return pa.table({"node": t["u"], "v": t["v"]}, schema=_ea_schema)
+
+    _eb_schema = pa.schema(
+        [("node", pa.int64()), ("deg_u", pa.int64())]
+    )
+
+    def carry_u(t: pa.Table) -> pa.Table:
+        # after join on node: (node, v, deg) -> key on v, carry deg_u
+        if t.num_columns == 0 or len(t) == 0 or "v" not in t.schema.names:
+            return _eb_schema.empty_table()
+        return pa.table(
+            {"node": t["v"], "deg_u": t["deg"]}, schema=_eb_schema
+        )
+
+    joined_u = cogroup_join(
+        und.map_batches(key_u, batch_format="pyarrow"),
+        degrees, on=("node",), num_partitions=num_partitions,
+    ).map_batches(carry_u, batch_format="pyarrow")
+    _min_schema = pa.schema([("min_deg", pa.int64()), ("n", pa.int64())])
+
+    def min_hist(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "deg_u" not in (
+            t.schema.names
+        ):
+            return _min_schema.empty_table()
+        import numpy as np
+
+        md = np.minimum(
+            t["deg_u"].to_numpy(zero_copy_only=False),
+            t["deg"].to_numpy(zero_copy_only=False),
+        )
+        vals, counts = np.unique(md, return_counts=True)
+        return pa.table(
+            {
+                "min_deg": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            },
+            schema=_min_schema,
+        )
+
+    edge_hist = bounded_key_sum(
+        cogroup_join(
+            joined_u, degrees, on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(min_hist, batch_format="pyarrow"),
+        keys=["min_deg"], sum_cols=["n"],
+    ).to_pandas()
+    deg_hist = bounded_key_sum(
+        degrees.map_batches(
+            lambda t: (
+                pa.table(
+                    {
+                        "deg": t["deg"],
+                        "n_nodes": pa.array([1] * len(t), pa.int64()),
+                    }
+                )
+                if t.num_columns and "deg" in t.schema.names else
+                pa.schema(
+                    [("deg", pa.int64()), ("n_nodes", pa.int64())]
+                ).empty_table()
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["deg"], sum_cols=["n_nodes"],
+    ).to_pandas()
+    out_k, out_n, out_e, out_p = [], [], [], []
+    for k in ks:
+        n_k = int(deg_hist[deg_hist["deg"] > k]["n_nodes"].sum())
+        e_k = int(edge_hist[edge_hist["min_deg"] > k]["n"].sum())
+        phi = (
+            (2 * e_k * 1_000_000) // (n_k * (n_k - 1))
+            if n_k >= 2 else 0
+        )
+        out_k.append(int(k))
+        out_n.append(n_k)
+        out_e.append(e_k)
+        out_p.append(phi)
+    return pa.table(
+        {
+            "k": pa.array(out_k, pa.int64()),
+            "n_nodes": pa.array(out_n, pa.int64()),
+            "n_edges": pa.array(out_e, pa.int64()),
+            "phi_ppm": pa.array(out_p, pa.int64()),
+        }
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 272 and len(sqls) == 253
+    assert len(qs) == 273 and len(sqls) == 254
     import subprocess
     import sys
 

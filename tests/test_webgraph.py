@@ -252,3 +252,30 @@ def test_wcc_census_tier_equality(ray_session):
     assert drv.to_pydict() == dist.to_pydict()
     assert drv["n_components"][0].as_py() == 2
     assert drv["giant_size"][0].as_py() == 3
+
+
+def test_link_rich_club_bruteforce(ray_session):
+    from autoner_ray.stages.webgraph import link_graph, link_rich_club
+
+    edges = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in link_graph("/root/testdata/sf0.001").take_all()
+    }
+    import collections
+
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    t = link_rich_club("/root/testdata/sf0.001").to_pandas()
+    for _, row in t.iterrows():
+        k = row["k"]
+        rich = {n for n, d in deg.items() if d > k}
+        e_k = sum(1 for u, v in edges if u in rich and v in rich)
+        assert row["n_nodes"] == len(rich)
+        assert row["n_edges"] == e_k
+        want = (
+            (2 * e_k * 1_000_000) // (len(rich) * (len(rich) - 1))
+            if len(rich) >= 2 else 0
+        )
+        assert row["phi_ppm"] == want
