@@ -993,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_diameter": webgraph.link_diameter,
         "pages_link_reciprocity": webgraph.link_reciprocity,
         "pages_link_rich_club": webgraph.link_rich_club,
+        "pages_link_attack_tolerance": webgraph.link_attack_tolerance,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
@@ -1081,6 +1082,75 @@ _LINKS_CTE = """
             WHERE dst <> doc_id
         )
 """
+
+
+def _attack_tolerance_sql(ks=(0, 1, 2, 4, 8)) -> str:
+    """Per-k recursive weak-closure over the hub-removed hyperlink
+    graph; hubs ranked by deduped undirected degree desc, id asc.
+    Isolated survivors count as size-1 components (GREATEST guard)."""
+    blocks = []
+    selects = []
+    for k in ks:
+        blocks.append(f"""
+        surv{k} AS MATERIALIZED (
+            SELECT u, v FROM und
+            WHERE u NOT IN (SELECT node FROM hubs WHERE rn <= {k})
+              AND v NOT IN (SELECT node FROM hubs WHERE rn <= {k})
+        ),
+        bi{k} AS (
+            SELECT u AS a, v AS b FROM surv{k}
+            UNION SELECT v, u FROM surv{k}
+        ),
+        reach{k}(a, b) AS (
+            SELECT a, a FROM bi{k}
+            UNION
+            SELECT r.a, e.b FROM reach{k} r JOIN bi{k} e ON e.a = r.b
+        ),
+        comp{k} AS (
+            SELECT a AS node, MIN(b) AS c FROM reach{k} GROUP BY a
+        ),
+        giant{k} AS (
+            SELECT COALESCE(MAX(sz), 0) AS g FROM (
+                SELECT COUNT(*) AS sz FROM comp{k} GROUP BY c
+            )
+        )""")
+        selects.append(f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM deg) - {k} AS BIGINT)
+                   AS n_nodes,
+               CAST(GREATEST((SELECT g FROM giant{k}),
+                    CASE WHEN (SELECT COUNT(*) FROM deg) - {k}
+                              > (SELECT g FROM giant{k})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS giant_size,
+               CAST(GREATEST((SELECT g FROM giant{k}),
+                    CASE WHEN (SELECT COUNT(*) FROM deg) - {k}
+                              > (SELECT g FROM giant{k})
+                         THEN 1 ELSE 0 END) * 1000000
+                    // ((SELECT COUNT(*) FROM deg) - {k}) AS BIGINT)
+                   AS giant_fraction_ppm""")
+    chain = ",".join(blocks)
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH RECURSIVE {_LINKS_CTE},
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u,
+                            GREATEST(src, dst) AS v
+            FROM links
+        ),
+        deg AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und
+            ) GROUP BY node
+        ),
+        hubs AS MATERIALIZED (
+            SELECT node,
+                   ROW_NUMBER() OVER (ORDER BY deg DESC, node ASC) AS rn
+            FROM deg
+        ),
+        {chain}
+        {union}
+    """
+
 
 
 def _link_pagerank_sql(damping=0.85, iters=20) -> str:
@@ -3735,6 +3805,7 @@ def oracle_sql() -> dict[str, str]:
                          ('DISCONNECTED')) c(component)
             LEFT JOIN agg a USING (component)
         """,
+        "pages_link_attack_tolerance": _attack_tolerance_sql(),
         "pages_link_rich_club": f"""
             WITH {_LINKS_CTE},
             und AS MATERIALIZED (

@@ -665,3 +665,187 @@ def link_rich_club(sf_dir: str, ks: tuple = (1, 2, 4, 8),
             "phi_ppm": pa.array(out_p, pa.int64()),
         }
     )
+
+
+def link_attack_tolerance(sf_dir: str, ks: tuple = (0, 1, 2, 4, 8),
+                          driver_max_edges: int = 2_000_000):
+    """Attack-tolerance curve of the hyperlink graph (Albert/Jeong/
+    Barabási 2000): remove the ``k`` highest-degree pages (undirected
+    degree, ties -> smallest page id) and measure how the giant weak
+    component shrinks. One row per k: (k, n_nodes, giant_size,
+    giant_fraction_ppm) over the REMAINING node set (isolated
+    survivors count as size-1 components).
+
+    Scale shape: degrees come from the node-partitioned combine and
+    the hub list is top-k of it (tiny, broadcast); each k's surviving
+    edge set is a vectorized anti-filter. The census itself is TIERED
+    like :func:`link_wcc_stats` — numpy union-find per k under
+    ``driver_max_edges``, else the distributed CC census per k (few
+    ks; each pays O(diameter) fixpoint rounds)."""
+    import numpy as np
+
+    edges = link_graph(sf_dir).materialize()
+    df = edges.to_pandas() if edges.count() <= driver_max_edges else None
+    if df is None:
+        # distributed tier: derive hubs from the degree combine, then
+        # run the wcc census per k on the anti-filtered edge Dataset
+        from autoner_ray.stages.combine import partitioned_key_sum
+        from autoner_ray.stages.graph import wcc_census
+
+        # dedup unordered pairs first: degree must match the driver
+        # tier's deduped-pair definition (a<->b counts once)
+        _und_schema = pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("one", pa.int64())]
+        )
+
+        def und_partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _und_schema.empty_table()
+            ss = t["src"].to_numpy(zero_copy_only=False)
+            dd = t["dst"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "u": pa.array(np.minimum(ss, dd), pa.int64()),
+                    "v": pa.array(np.maximum(ss, dd), pa.int64()),
+                    "one": pa.array(np.ones(len(ss), np.int64),
+                                    pa.int64()),
+                },
+                schema=_und_schema,
+            )
+
+        und = partitioned_key_sum(
+            edges.map_batches(und_partial, batch_format="pyarrow"),
+            keys=["u", "v"], sum_cols=["one"], part_on=("u",),
+        ).materialize()
+        _d_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+        def ends(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "u" not in (
+                t.schema.names
+            ):
+                return _d_schema.empty_table()
+            nodes = np.concatenate(
+                [t["u"].to_numpy(zero_copy_only=False),
+                 t["v"].to_numpy(zero_copy_only=False)]
+            )
+            vals, counts = np.unique(nodes, return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(vals, pa.int64()),
+                    "deg": pa.array(counts.astype(np.int64), pa.int64()),
+                },
+                schema=_d_schema,
+            )
+
+        degrees = partitioned_key_sum(
+            und.map_batches(ends, batch_format="pyarrow"),
+            keys=["node"], sum_cols=["deg"], part_on=("node",),
+        )
+        top = degrees.sort(
+            ["deg", "node"], descending=[True, False]
+        ).limit(max(ks)).to_pandas()
+        n_total = degrees.count()
+        hubs_all = top["node"].to_list()
+        rows = []
+        import ray
+
+        for k in ks:
+            hubs = ray.put(pa.array(hubs_all[:k], pa.int64()))
+
+            def drop(t: pa.Table, _h=hubs) -> pa.Table:
+                import pyarrow.compute as pc
+
+                if t.num_columns == 0 or len(t) == 0 or "u" not in (
+                    t.schema.names
+                ):
+                    return pa.schema(
+                        [("subj", pa.int64()), ("obj", pa.int64())]
+                    ).empty_table()
+                hv = ray.get(_h)
+                keep = pc.and_(
+                    pc.invert(pc.is_in(t["u"], value_set=hv)),
+                    pc.invert(pc.is_in(t["v"], value_set=hv)),
+                )
+                return pa.table(
+                    {
+                        "subj": t["u"].filter(keep),
+                        "obj": t["v"].filter(keep),
+                    }
+                )
+
+            cen = wcc_census(
+                und.map_batches(drop, batch_format="pyarrow"),
+                driver_max_edges=0,
+            )
+            n_rem = n_total - k
+            giant = max(
+                int(cen["giant_size"][0].as_py()),
+                1 if n_rem > int(cen["giant_size"][0].as_py()) else 0,
+            )
+            rows.append((k, n_rem, giant,
+                         (giant * 1_000_000) // n_rem if n_rem else 0))
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "n_nodes": pa.array([r[1] for r in rows], pa.int64()),
+                "giant_size": pa.array([r[2] for r in rows], pa.int64()),
+                "giant_fraction_ppm": pa.array(
+                    [r[3] for r in rows], pa.int64()
+                ),
+            }
+        )
+
+    s = df["src"].to_numpy(np.int64)
+    d = df["dst"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    a = inv[: len(s)].astype(np.int64)
+    b = inv[len(s):].astype(np.int64)
+    n = len(nodes)
+    deg = np.zeros(n, np.int64)
+    # undirected degree over DEDUPED unordered pairs
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    pair = np.unique(lo * np.int64(n) + hi)
+    pu = (pair // n).astype(np.int64)
+    pv = (pair % n).astype(np.int64)
+    np.add.at(deg, pu, 1)
+    np.add.at(deg, pv, 1)
+    hub_order = np.lexsort((np.arange(n), -deg))  # deg desc, id asc
+    out = []
+    for k in ks:
+        removed = np.zeros(n, bool)
+        removed[hub_order[:k]] = True
+        keep = ~(removed[pu] | removed[pv])
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in zip(pu[keep], pv[keep]):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        alive = ~removed
+        roots = np.fromiter(
+            (find(int(i)) for i in np.flatnonzero(alive)), np.int64
+        )
+        _, sizes = np.unique(roots, return_counts=True)
+        n_rem = int(alive.sum())
+        giant = int(sizes.max()) if len(sizes) else 0
+        out.append(
+            (int(k), n_rem, giant,
+             (giant * 1_000_000) // n_rem if n_rem else 0)
+        )
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in out], pa.int64()),
+            "n_nodes": pa.array([r[1] for r in out], pa.int64()),
+            "giant_size": pa.array([r[2] for r in out], pa.int64()),
+            "giant_fraction_ppm": pa.array(
+                [r[3] for r in out], pa.int64()
+            ),
+        }
+    )

@@ -279,3 +279,52 @@ def test_link_rich_club_bruteforce(ray_session):
             if len(rich) >= 2 else 0
         )
         assert row["phi_ppm"] == want
+
+
+def test_link_attack_tolerance_bruteforce(ray_session):
+    """Driver tier vs brute force: remove top-k degree hubs (deduped
+    undirected degree, ties min id), giant weak component over the
+    survivors, isolated nodes as singletons. (The distributed branch
+    composes the independently tier-pinned degree combine + wcc
+    census.)"""
+    import collections
+
+    from autoner_ray.stages.webgraph import (
+        link_attack_tolerance,
+        link_graph,
+    )
+
+    edges = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in link_graph("/root/testdata/sf0.001").take_all()
+    }
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    hubs = sorted(deg, key=lambda n: (-deg[n], n))
+    t = link_attack_tolerance("/root/testdata/sf0.001").to_pandas()
+    for _, row in t.iterrows():
+        k = int(row["k"])
+        rm = set(hubs[:k])
+        surv = [(u, v) for u, v in edges if u not in rm and v not in rm]
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in surv:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        alive = set(deg) - rm
+        sizes = collections.Counter(find(n) for n in alive if n in parent)
+        giant = max(sizes.values()) if sizes else 0
+        if len(alive) > giant:
+            giant = max(giant, 1)
+        assert row["n_nodes"] == len(alive)
+        assert row["giant_size"] == giant
+        assert row["giant_fraction_ppm"] == giant * 1_000_000 // len(alive)
