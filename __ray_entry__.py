@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
+        "docs_feature_hashing": lambda sf: analysis.feature_hashing_stats(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -3960,6 +3963,24 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 1 FROM tri t
                   WHERE t.subj = LEAST(x.subj, x.neg_obj)
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
+        """,
+        "docs_feature_hashing": f"""
+            WITH toks AS (SELECT doc_id, {WORDS} AS w FROM documents),
+            wc AS (
+                SELECT t.word, COUNT(*) AS c
+                FROM toks, UNNEST(w) AS t(word)
+                GROUP BY t.word
+            ),
+            buckets AS (
+                SELECT CAST(CAST(('0x' || substring(md5(word), 1, 16))
+                           AS UBIGINT) % 64 AS BIGINT) AS bucket,
+                       c
+                FROM wc
+            )
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                   CAST(SUM(c) AS BIGINT) AS total_count
+            FROM buckets GROUP BY bucket
         """,
         "docs_postings_delta": f"""
             WITH toks AS (SELECT doc_id, {WORDS} AS w FROM documents),

@@ -4758,3 +4758,77 @@ def postings_delta_encoding(docs_ds, num_partitions: int | None = None):
         .groupby("word")
         .map_groups(per_word, batch_format="pandas")
     )
+
+
+def feature_hashing_stats(docs_ds, dim: int = 64):
+    """Hashing-trick audit — the collision census you run before
+    committing to a feature-hashed bag-of-words dim: every word maps to
+    bucket ``md5_64(word) % dim``; per bucket, how many DISTINCT words
+    collide there and their total corpus occurrences. Output
+    (bucket, n_distinct_words, total_count) — one row per non-empty
+    bucket.
+
+    Scale shape: per-batch (word, count) partials feed ONE
+    word-partitioned combine (vocab never on the driver); bucket ids
+    ride along as a pure function of the word, so the final per-bucket
+    rollup is a bounded combine over ``dim`` keys. The md5 bucket map
+    is memoized per worker (Zipfian hits) and mirrored bit-for-bit by
+    the SQL twin."""
+    import numpy as np
+
+    from autoner_ray.functions.hashing import md5_64_array
+    from autoner_ray.stages.combine import (
+        bounded_key_sum,
+        partitioned_key_sum,
+    )
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    _w_schema = pa.schema([("word", pa.string()), ("c", pa.int64())])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _w_schema.empty_table()
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in t["text"].to_pylist():
+            counts.update(sentence_token_stream(text or ""))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            },
+            schema=_w_schema,
+        )
+
+    per_word = partitioned_key_sum(
+        docs_ds.map_batches(word_partial, batch_format="pyarrow",
+                            batch_size=65536),
+        keys=["word"], sum_cols=["c"], part_on=("word",),
+    )
+
+    _b_schema = pa.schema(
+        [("bucket", pa.int64()), ("n_distinct_words", pa.int64()),
+         ("total_count", pa.int64())]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "word" not in (
+            t.schema.names
+        ):
+            return _b_schema.empty_table()
+        import pandas as pd
+
+        b = (md5_64_array(t["word"].to_pylist())
+             % np.uint64(dim)).astype(np.int64)
+        df = pd.DataFrame({"bucket": b, "c": t["c"].to_numpy()})
+        g = df.groupby("bucket", as_index=False).agg(
+            n_distinct_words=("c", "size"), total_count=("c", "sum")
+        )
+        return pa.Table.from_pandas(g, schema=_b_schema,
+                                    preserve_index=False)
+
+    return bounded_key_sum(
+        per_word.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["bucket"], sum_cols=["n_distinct_words", "total_count"],
+    )
