@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_feature_hashing": lambda sf: analysis.feature_hashing_stats(
             _docs(sf, ["doc_id", "text"])
         ),
+        "embedding_zorder_buckets": similarity.zorder_buckets,
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -1085,6 +1086,42 @@ _LINKS_CTE = """
             WHERE dst <> doc_id
         )
 """
+
+
+def _zorder_sql(bits=8, bucket_shift=10) -> str:
+    hi = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((q0 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((q1 >> {i}) & 1) << {2 * i + 1})")
+    zexpr = " | ".join(terms)
+    return f"""
+        WITH dims AS (
+            SELECT CAST(embedding[1] AS DOUBLE) AS d0,
+                   CAST(embedding[2] AS DOUBLE) AS d1
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT MIN(d0) AS mn0, MAX(d0) AS mx0,
+                   MIN(d1) AS mn1, MAX(d1) AS mx1
+            FROM dims
+        ),
+        q AS (
+            SELECT LEAST(CAST(FLOOR((d0 - mn0) * {hi} / (mx0 - mn0))
+                              AS BIGINT), {hi}) AS q0,
+                   LEAST(CAST(FLOOR((d1 - mn1) * {hi} / (mx1 - mn1))
+                              AS BIGINT), {hi}) AS q1
+            FROM dims, stats
+        ),
+        z AS (SELECT q0, q1, {zexpr} AS zc FROM q)
+        SELECT zc >> {bucket_shift} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(q0) AS BIGINT) AS min_q0,
+               CAST(MAX(q0) AS BIGINT) AS max_q0,
+               CAST(MIN(q1) AS BIGINT) AS min_q1,
+               CAST(MAX(q1) AS BIGINT) AS max_q1
+        FROM z GROUP BY 1
+    """
 
 
 def _attack_tolerance_sql(ks=(0, 1, 2, 4, 8)) -> str:
@@ -3964,6 +4001,7 @@ def oracle_sql() -> dict[str, str]:
                   WHERE t.subj = LEAST(x.subj, x.neg_obj)
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
         """,
+        "embedding_zorder_buckets": _zorder_sql(),
         "docs_feature_hashing": f"""
             WITH toks AS (SELECT doc_id, {WORDS} AS w FROM documents),
             wc AS (

@@ -1618,3 +1618,97 @@ def gram_lattice_oracle_sql(dim: int = 64) -> str:
         FROM qi, ij
         GROUP BY ij.i, ij.j
     """
+
+
+def zorder_buckets(sf_dir: str, bits: int = 8, bucket_shift: int = 10):
+    """Z-order (Morton) clustering layout over the first two embedding
+    dims — the storage-layout kernel behind spatially-clustered Parquet
+    (Delta/Iceberg OPTIMIZE ZORDER): quantize each dim to ``bits`` bits
+    against its global min/max, interleave the bits into a Morton code,
+    and bucket by the code's high bits. Per bucket: row count plus the
+    quantized bounding box (min/max of both dims) — the stats a reader
+    uses to prune range queries, and the proof that Morton bucketing
+    actually co-locates nearby vectors (bbox side length shrinks with
+    bucket count).
+
+    Scale shape: pass 1 is four scalar aggregates (per-dim min/max,
+    broadcast in the closure); pass 2 is a stateless vectorized
+    quantize+interleave ``map_batches`` feeding one bounded combine
+    over the (<= 2^(2*bits - bucket_shift)) bucket keys. Quantization
+    runs in float64 with the same op order as the SQL twin, so codes
+    match bit-for-bit."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def dims_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "d0": pa.array([], pa.float64()),
+                    "d1": pa.array([], pa.float64()),
+                }
+            )
+        m = np.stack(
+            [np.asarray(x[:2], np.float64)
+             for x in t["embedding"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "d0": pa.array(m[:, 0], pa.float64()),
+                "d1": pa.array(m[:, 1], pa.float64()),
+            }
+        )
+
+    dims = emb.map_batches(dims_batch, batch_format="pyarrow").materialize()
+    mn0, mx0 = dims.min("d0"), dims.max("d0")
+    mn1, mx1 = dims.min("d1"), dims.max("d1")
+    hi = (1 << bits) - 1
+
+    _schema = pa.schema(
+        [("bucket", pa.int64()), ("n", pa.int64()),
+         ("min_q0", pa.int64()), ("max_q0", pa.int64()),
+         ("min_q1", pa.int64()), ("max_q1", pa.int64())]
+    )
+
+    def z_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _schema.empty_table()
+        import pandas as pd
+
+        q0 = np.minimum(
+            np.floor((t["d0"].to_numpy() - mn0) * hi / (mx0 - mn0)),
+            hi,
+        ).astype(np.int64)
+        q1 = np.minimum(
+            np.floor((t["d1"].to_numpy() - mn1) * hi / (mx1 - mn1)),
+            hi,
+        ).astype(np.int64)
+        z = np.zeros(len(q0), np.int64)
+        for i in range(bits):
+            z |= ((q0 >> i) & 1) << (2 * i)
+            z |= ((q1 >> i) & 1) << (2 * i + 1)
+        df = pd.DataFrame(
+            {"bucket": z >> bucket_shift, "q0": q0, "q1": q1}
+        )
+        g = df.groupby("bucket", as_index=False).agg(
+            n=("q0", "size"),
+            min_q0=("q0", "min"), max_q0=("q0", "max"),
+            min_q1=("q1", "min"), max_q1=("q1", "max"),
+        )
+        return pa.Table.from_pandas(g, schema=_schema,
+                                    preserve_index=False)
+
+    return partitioned_key_agg(
+        dims.map_batches(z_batch, batch_format="pyarrow"),
+        keys=["bucket"],
+        aggs=[("n", "sum"), ("min_q0", "min"), ("max_q0", "max"),
+              ("min_q1", "min"), ("max_q1", "max")],
+        part_on=("bucket",),
+    )

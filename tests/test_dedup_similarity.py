@@ -335,3 +335,33 @@ def test_neardup_keep_best_matches_bruteforce(ray_session):
         r["doc_id"] for r in neardup_keep_one(docs).take_all()
     )
     assert got != keep_one  # the quality rule must flip >=1 winner
+
+
+def test_zorder_buckets_locality(ray_session):
+    """Morton bucketing must co-locate: every bucket's quantized bbox
+    is a strict sub-range of the full [0, 255]^2 domain whenever there
+    are >= 4 buckets, and bucket ids reconstruct from the bbox corner
+    codes (high bits of the interleave)."""
+    from autoner_ray.stages.similarity import zorder_buckets
+
+    t = zorder_buckets("/root/testdata/sf0.001").to_pandas()
+    assert t["n"].sum() == 500
+    assert len(t) >= 4
+
+    def morton(q0, q1):
+        z = 0
+        for i in range(8):
+            z |= ((q0 >> i) & 1) << (2 * i)
+            z |= ((q1 >> i) & 1) << (2 * i + 1)
+        return z
+
+    for _, r in t.iterrows():
+        # bbox corners live in the bucket they were counted under
+        for q0, q1 in ((r["min_q0"], r["min_q1"]),
+                       (r["max_q0"], r["max_q1"])):
+            assert morton(int(q0), int(q1)) >> 10 == r["bucket"]
+        # Morton cell bboxes are bounded: a 10-bit shift leaves 10
+        # interleaved low bits -> 5 per dim, so each dim spans at most
+        # 2^5 = 32 values (vs 256 for the full domain)
+        assert r["max_q0"] - r["min_q0"] <= 31
+        assert r["max_q1"] - r["min_q1"] <= 31

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 275 and len(sqls) == 256
+    assert len(qs) == 276 and len(sqls) == 257
     import subprocess
     import sys
 
