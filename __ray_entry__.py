@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])
         ),
         "embedding_zorder_buckets": similarity.zorder_buckets,
+        "customer_k_anonymity": relational.customer_k_anonymity,
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -4002,6 +4003,22 @@ def oracle_sql() -> dict[str, str]:
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
         """,
         "embedding_zorder_buckets": _zorder_sql(),
+        "customer_k_anonymity": """
+            WITH classes AS (
+                SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                FROM customer GROUP BY 1, 2
+            ),
+            hist AS (
+                SELECT n AS size_class,
+                       CAST(COUNT(*) AS BIGINT) AS n_classes
+                FROM classes GROUP BY n
+            )
+            SELECT CAST(-1 AS BIGINT) AS size_class,
+                   CAST((SELECT MIN(n) FROM classes) AS BIGINT)
+                       AS n_classes
+            UNION ALL
+            SELECT CAST(size_class AS BIGINT), n_classes FROM hist
+        """,
         "docs_feature_hashing": f"""
             WITH toks AS (SELECT doc_id, {WORDS} AS w FROM documents),
             wc AS (

@@ -5068,3 +5068,58 @@ def q2_oracle_sql(region: str = "EUROPE", p_type: str = "SMALL",
         ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p_partkey
         LIMIT {k}
     """
+
+
+def customer_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the customer quasi-identifier pair
+    (c_nationkey, c_mktsegment) — the privacy census a release
+    pipeline runs before publishing a table: for each equivalence-class
+    size, how many classes have exactly that size, plus the global k
+    (the smallest class) as a separate row with size_class = -1. A
+    release is k-anonymous iff every row's QI combination is shared by
+    >= k rows; the histogram shows how far the table is from a target
+    k and which tail classes need suppression.
+
+    Scale shape: per-batch (nation, segment, n) partials feed the
+    bounded combine (QI domain is tiny: 25 nations x 5 segments); the
+    histogram tail and global min run on that bounded table."""
+    import pyarrow.compute as pc
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _p_schema = pa.schema(
+        [("c_nationkey", pa.int64()), ("c_mktsegment", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def qi_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _p_schema.empty_table()
+        agg = (
+            t.select(["c_nationkey", "c_mktsegment"])
+            .group_by(["c_nationkey", "c_mktsegment"])
+            .aggregate([("c_nationkey", "count")])
+        )
+        return agg.rename_columns(
+            ["c_nationkey", "c_mktsegment", "n"]
+        ).cast(_p_schema)
+
+    classes = bounded_key_sum(
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+        .map_batches(qi_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        keys=["c_nationkey", "c_mktsegment"], sum_cols=["n"],
+    ).to_pandas()
+    hist = classes.groupby("n").size().reset_index(name="n_classes")
+    k = int(classes["n"].min())
+    return pa.table(
+        {
+            "size_class": pa.array(
+                [-1] + hist["n"].astype("int64").tolist(), pa.int64()
+            ),
+            "n_classes": pa.array(
+                [k] + hist["n_classes"].astype("int64").tolist(),
+                pa.int64(),
+            ),
+        }
+    )
