@@ -250,6 +250,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["lang"], ["n"],
         )
 
+    def _docs_spearman(sf_dir):
+        from autoner_ray.stages.stats import spearman_corr
+
+        return spearman_corr(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
+
     def docs_token_stats(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             analysis.token_stats_batch, batch_format="pyarrow"
@@ -405,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "embedding_zorder_buckets": similarity.zorder_buckets,
         "customer_k_anonymity": relational.customer_k_anonymity,
+        "docs_spearman_len_tokens": _docs_spearman,
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -4003,6 +4009,32 @@ def oracle_sql() -> dict[str, str]:
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
         """,
         "embedding_zorder_buckets": _zorder_sql(),
+        "docs_spearman_len_tokens": f"""
+            WITH base AS (
+                SELECT CAST(n_chars AS BIGINT) AS x,
+                       CAST(len({WORDS}) AS BIGINT) AS y
+                FROM documents
+            ),
+            rk AS (
+                SELECT 2 * RANK() OVER (ORDER BY x)
+                           + COUNT(*) OVER (PARTITION BY x) - 1 AS dx,
+                       2 * RANK() OVER (ORDER BY y)
+                           + COUNT(*) OVER (PARTITION BY y) - 1 AS dy
+                FROM base
+            ),
+            m AS (
+                SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+                       SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+                       SUM(dx * dy) AS sxy
+                FROM rk
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                       AS spearman
+            FROM m
+        """,
         "customer_k_anonymity": """
             WITH classes AS (
                 SELECT c_nationkey, c_mktsegment, COUNT(*) AS n

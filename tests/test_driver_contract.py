@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 277 and len(sqls) == 258
+    assert len(qs) == 278 and len(sqls) == 259
     import subprocess
     import sys
 

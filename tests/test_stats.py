@@ -44,3 +44,44 @@ def test_grouped_fit_matches_numpy_across_splits():
             assert abs(got[g]["slope"] - slope) < 1e-4
             assert abs(got[g]["intercept"] - intercept) < 1e-4
             assert abs(got[g]["corr"] - corr) < 1e-6
+
+
+def test_spearman_matches_scipy_free_reference(ray_session):
+    """Tie-corrected Spearman == Pearson over average ranks, checked
+    against a pure-numpy reference (no scipy in this env)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from autoner_ray.stages.stats import spearman_corr
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    got = spearman_corr(
+        rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text", "n_chars"])
+    ).to_pandas()
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text", "n_chars"]).to_pandas()
+    x = t["n_chars"].to_numpy(np.int64)
+    y = np.array(
+        [len(sentence_token_stream(s or "")) for s in t["text"]],
+        np.int64,
+    )
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v), np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j - 1) / 2.0 + 1.0
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert got["n"].iloc[0] == len(x)
+    assert abs(got["spearman"].iloc[0] - rho) < 1e-6  # engine rounds 6 dp
