@@ -402,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf)
         ),
         "events_survival_km": lambda sf: windows.survival_km(_events(sf)),
+        "events_encoding_advisor": lambda sf: windows.encoding_advisor(
+            _events(sf)
+        ),
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -2127,6 +2130,40 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_encoding_advisor": """
+            WITH ordered AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            runs AS (
+                SELECT COUNT(*) AS n_rows,
+                       SUM(CASE WHEN prev IS NULL
+                                  OR prev <> event_type
+                                THEN 1 ELSE 0 END) AS n_runs,
+                       SUM(length(event_type)) AS val_bytes
+                FROM ordered
+            ),
+            d AS (
+                SELECT COUNT(*) AS nd, SUM(length(v)) AS db
+                FROM (SELECT DISTINCT event_type AS v FROM events)
+            ),
+            bits AS (
+                SELECT GREATEST(1, CAST(CEIL(LOG2(nd)) AS BIGINT))
+                           AS code_bits
+                FROM d
+            )
+            SELECT CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(nd AS BIGINT) AS n_distinct,
+                   CAST(n_runs AS BIGINT) AS n_runs,
+                   CAST(8 * val_bytes AS BIGINT) AS plain_bits,
+                   CAST(n_rows * code_bits + 8 * db AS BIGINT)
+                       AS dict_bits,
+                   CAST(n_runs * (code_bits + 32) AS BIGINT) AS rle_bits
+            FROM runs, d, bits
         """,
         "events_survival_km": """
             WITH RECURSIVE spans AS (

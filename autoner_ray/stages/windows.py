@@ -2344,3 +2344,90 @@ def survival_km(events_ds, death_type: str = "purchase"):
             "survival_ppm": pa.array(out_s, pa.int64()),
         }
     )
+
+
+def encoding_advisor(events_ds):
+    """Columnar encoding advisor for ``event_type`` under the engine's
+    real layout (hash-partitioned by user, time-sorted within user —
+    runs therefore never span users, which is what makes the run count
+    EXACTLY partitionable): one row of integer sizing facts a writer
+    uses to pick an encoding —
+      n_rows, n_distinct, n_runs,
+      plain_bits = 8 * total value bytes,
+      dict_bits  = n_rows * ceil(log2(n_distinct)) + 8 * dict bytes,
+      rle_bits   = n_runs * (ceil(log2(n_distinct)) + 32)
+    (32-bit run lengths; pure-integer formulas so the value-hash is
+    engine-independent).
+
+    Scale shape: per-user run/byte partials ride the same
+    user-partitioned ``map_groups`` as sessionize; the distinct-value
+    set is the tiny event-type domain via the bounded combine."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        runs = 1 + int((et[1:] != et[:-1]).sum()) if len(et) else 0
+        return pd.DataFrame(
+            {
+                "n_rows": [len(et)],
+                "n_runs": [runs],
+                "val_bytes": [int(sum(len(x) for x in et))],
+            }
+        )
+
+    partials = (
+        events_ds.select_columns(["user_id", "ts", "event_id",
+                                  "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    tot = partials.aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_runs", alias_name="n_runs"),
+        Sum("val_bytes", alias_name="val_bytes"),
+    )
+    n_rows = int(tot["n_rows"])
+    n_runs = int(tot["n_runs"])
+    val_bytes = int(tot["val_bytes"])
+
+    _d_schema = pa.schema([("v", pa.string()), ("one", pa.int64())])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _d_schema.empty_table()
+        import pyarrow.compute as pc
+
+        u = pc.unique(t["event_type"])
+        return pa.table(
+            {"v": u, "one": pa.array([1] * len(u), pa.int64())},
+            schema=_d_schema,
+        )
+
+    dvals = bounded_key_sum(
+        events_ds.select_columns(["event_type"]).map_batches(
+            distinct_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["v"], sum_cols=["one"],
+    ).to_pandas()
+    n_distinct = len(dvals)
+    dict_bytes = int(dvals["v"].str.len().sum())
+    code_bits = max(1, (n_distinct - 1).bit_length()) if n_distinct else 0
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_distinct": pa.array([n_distinct], pa.int64()),
+            "n_runs": pa.array([n_runs], pa.int64()),
+            "plain_bits": pa.array([8 * val_bytes], pa.int64()),
+            "dict_bits": pa.array(
+                [n_rows * code_bits + 8 * dict_bytes], pa.int64()
+            ),
+            "rle_bits": pa.array(
+                [n_runs * (code_bits + 32)], pa.int64()
+            ),
+        }
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 278 and len(sqls) == 259
+    assert len(qs) == 279 and len(sqls) == 260
     import subprocess
     import sys
 
