@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_zorder_buckets": similarity.zorder_buckets,
         "customer_k_anonymity": relational.customer_k_anonymity,
         "docs_spearman_len_tokens": _docs_spearman,
+        "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
+            _docs(sf, ["doc_id"])
+        ),
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -4046,6 +4049,9 @@ def oracle_sql() -> dict[str, str]:
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
         """,
         "embedding_zorder_buckets": _zorder_sql(),
+        "docs_consistent_hash_ring": (
+            sketches_mod.consistent_hash_ring_oracle_sql()
+        ),
         "docs_spearman_len_tokens": f"""
             WITH base AS (
                 SELECT CAST(n_chars AS BIGINT) AS x,

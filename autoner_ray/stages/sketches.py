@@ -648,3 +648,154 @@ def kmv_distinct_words_oracle_sql(k: int = 64) -> str:
                END AS BIGINT) AS est_distinct
         FROM sel
     """
+
+
+def consistent_hash_ring(docs_ds, n_nodes: int = 8, vnodes: int = 4):
+    """Consistent-hashing shard assignment audit — the resharding
+    planner's proof that adding a node moves only ~1/(N+1) of the keys
+    (classic Karger ring): ``n_nodes`` nodes × ``vnodes`` virtual
+    points at ``md5_64('node{n}#v{j}')`` on the 64-bit ring; a doc key
+    ``md5_64(str(doc_id))`` belongs to the first ring point clockwise.
+    One row per node of the ENLARGED ring (0..n_nodes):
+    (node, n_docs_before, n_docs_after) — under consistent hashing
+    every relocated key lands on the NEW node, so nodes 0..N-1 only
+    ever shrink and `n_docs_after[new]` IS the movement count; the
+    driver's value-hash pins the whole assignment.
+
+    Scale shape: both rings are tiny broadcast arrays; assignment is a
+    vectorized ``searchsorted`` per batch and the per-node counts ride
+    one bounded combine over <= (n_nodes+1) keys."""
+    import numpy as np
+
+    from autoner_ray.functions.hashing import md5_64, md5_64_array
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def ring(n: int):
+        pos, owner = [], []
+        for node in range(n):
+            for j in range(vnodes):
+                pos.append(md5_64(f"node{node}#v{j}"))
+                owner.append(node)
+        pos = np.array(pos, np.uint64)
+        owner = np.array(owner, np.int64)
+        order = np.argsort(pos)
+        return pos[order], owner[order]
+
+    p8, o8 = ring(n_nodes)
+    p9, o9 = ring(n_nodes + 1)
+
+    _schema = pa.schema(
+        [("node", pa.int64()), ("n_docs_before", pa.int64()),
+         ("n_docs_after", pa.int64())]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _schema.empty_table()
+        keys = md5_64_array(
+            [str(i) for i in t["doc_id"].to_pylist()]
+        )
+
+        def owners(pos, own):
+            idx = np.searchsorted(pos, keys, side="left")
+            idx[idx == len(pos)] = 0  # wraparound
+            return own[idx]
+
+        a = owners(p8, o8)
+        b = owners(p9, o9)
+        rows = {}
+        for node, cnt in zip(*np.unique(a, return_counts=True)):
+            rows.setdefault(int(node), [0, 0])[0] += int(cnt)
+        for node, cnt in zip(*np.unique(b, return_counts=True)):
+            rows.setdefault(int(node), [0, 0])[1] += int(cnt)
+        ns = sorted(rows)
+        return pa.table(
+            {
+                "node": pa.array(ns, pa.int64()),
+                "n_docs_before": pa.array(
+                    [rows[n][0] for n in ns], pa.int64()
+                ),
+                "n_docs_after": pa.array(
+                    [rows[n][1] for n in ns], pa.int64()
+                ),
+            },
+            schema=_schema,
+        )
+
+    counts = bounded_key_sum(
+        docs_ds.select_columns(["doc_id"]).map_batches(
+            assign, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["node"], sum_cols=["n_docs_before", "n_docs_after"],
+    ).to_pandas().set_index("node")
+    all_nodes = list(range(n_nodes + 1))
+    return pa.table(
+        {
+            "node": pa.array(all_nodes, pa.int64()),
+            "n_docs_before": pa.array(
+                [int(counts["n_docs_before"].get(n, 0))
+                 for n in all_nodes], pa.int64()
+            ),
+            "n_docs_after": pa.array(
+                [int(counts["n_docs_after"].get(n, 0))
+                 for n in all_nodes], pa.int64()
+            ),
+        }
+    )
+
+
+def consistent_hash_ring_oracle_sql(n_nodes: int = 8,
+                                    vnodes: int = 4) -> str:
+    """SQL twin: ring positions are embedded as literals (pure
+    constants of the node/vnode labels); doc keys re-derive in SQL via
+    the same big-endian md5 prefix, and ownership is the wraparound
+    first-clockwise-point lookup."""
+    from autoner_ray.functions.hashing import md5_64
+
+    def ring_rows(n):
+        rows = []
+        for node in range(n):
+            for j in range(vnodes):
+                rows.append(f"({md5_64(f'node{node}#v{j}')}, {node})")
+        return ", ".join(rows)
+
+    r8 = ring_rows(n_nodes)
+    r9 = ring_rows(n_nodes + 1)
+    return f"""
+        WITH keys AS (
+            SELECT CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) AS k
+            FROM documents
+        ),
+        ring8(pos, node) AS (VALUES {r8}),
+        ring9(pos, node) AS (VALUES {r9}),
+        a AS (
+            SELECT k,
+                   COALESCE(
+                       (SELECT node FROM ring8
+                        WHERE CAST(pos AS UBIGINT) >= keys.k
+                        ORDER BY pos LIMIT 1),
+                       (SELECT node FROM ring8 ORDER BY pos LIMIT 1)
+                   ) AS n8,
+                   COALESCE(
+                       (SELECT node FROM ring9
+                        WHERE CAST(pos AS UBIGINT) >= keys.k
+                        ORDER BY pos LIMIT 1),
+                       (SELECT node FROM ring9 ORDER BY pos LIMIT 1)
+                   ) AS n9
+            FROM keys
+        ),
+        nodes AS (
+            SELECT UNNEST(range(0, {n_nodes + 1})) AS node
+        )
+        SELECT CAST(n.node AS BIGINT) AS node,
+               CAST(COALESCE(SUM(CASE WHEN a.n8 = n.node
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_docs_before,
+               CAST(COALESCE(SUM(CASE WHEN a.n9 = n.node
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_docs_after
+        FROM nodes n LEFT JOIN a ON a.n8 = n.node OR a.n9 = n.node
+        GROUP BY n.node
+    """

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 279 and len(sqls) == 260
+    assert len(qs) == 280 and len(sqls) == 261
     import subprocess
     import sys
 

@@ -206,3 +206,29 @@ def test_quantile_sketch_error_bound_compacted():
         assert abs(true_rank - pos) <= tol_rank, (
             p, est, true_rank, pos, tol_rank,
         )
+
+
+def test_consistent_hash_minimal_movement(ray_session):
+    """Adding one node must only MOVE keys to the new node: every old
+    node's count is non-increasing and the total relocation equals the
+    new node's count (the Karger minimal-resharding property)."""
+    import ray.data as rd
+
+    from autoner_ray.stages.sketches import consistent_hash_ring
+
+    t = consistent_hash_ring(
+        rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id"])
+    ).to_pandas().set_index("node")
+    total = int(t["n_docs_before"].sum())
+    assert total == int(t["n_docs_after"].sum()) == 500
+    new_node = t.index.max()
+    assert t.loc[new_node, "n_docs_before"] == 0
+    moved = 0
+    for n in t.index:
+        if n == new_node:
+            continue
+        assert t.loc[n, "n_docs_after"] <= t.loc[n, "n_docs_before"]
+        moved += t.loc[n, "n_docs_before"] - t.loc[n, "n_docs_after"]
+    assert moved == t.loc[new_node, "n_docs_after"]
+    assert 0 < moved < total // 2  # a bounded fraction actually moved
