@@ -405,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_encoding_advisor": lambda sf: windows.encoding_advisor(
             _events(sf)
         ),
+        "events_late_arrivals": lambda sf: windows.late_arrivals(
+            _events(sf)
+        ),
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -2133,6 +2136,23 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_late_arrivals": """
+            WITH w AS (
+                SELECT user_id, ts, event_id,
+                       MAX(ts) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm
+                FROM events
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(COALESCE(MAX(CASE WHEN ts < wm
+                            THEN epoch_us(wm) - epoch_us(ts) END), 0)
+                        AS BIGINT) AS max_lag_us
+            FROM w
         """,
         "events_encoding_advisor": """
             WITH ordered AS (

@@ -2431,3 +2431,53 @@ def encoding_advisor(events_ds):
             ),
         }
     )
+
+
+def late_arrivals(events_ds):
+    """Watermark / out-of-orderness audit — the streaming-ingest health
+    check: replay each user's stream in ARRIVAL order (``event_id``)
+    and count events whose timestamp is behind the running event-time
+    watermark (max ts seen so far), plus the worst lag. One row:
+    (n_events, n_late, max_lag_us). An engine sizing its
+    allowed-lateness window reads max_lag_us directly.
+
+    Scale shape: per-user partials (count/late/max-lag are all
+    re-associative across users) via the sessionize-style
+    user-partitioned ``map_groups``; one tiny global sum."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id", kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wm = np.maximum.accumulate(ts)
+        # an event is late when it arrives behind the PRIOR watermark
+        prior = np.concatenate([[np.iinfo(np.int64).min], wm[:-1]])
+        late = ts < prior
+        lag = int((prior[late] - ts[late]).max()) if late.any() else 0
+        return pd.DataFrame(
+            {
+                "n_events": [len(ts)],
+                "n_late": [int(late.sum())],
+                "max_lag_us": [lag],
+            }
+        )
+
+    partials = (
+        events_ds.select_columns(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    tot = partials.aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_late", alias_name="n_late"),
+        Max("max_lag_us", alias_name="max_lag_us"),
+    )
+    return pa.table(
+        {
+            "n_events": pa.array([int(tot["n_events"])], pa.int64()),
+            "n_late": pa.array([int(tot["n_late"])], pa.int64()),
+            "max_lag_us": pa.array([int(tot["max_lag_us"])], pa.int64()),
+        }
+    )
