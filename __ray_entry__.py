@@ -420,6 +420,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
             _docs(sf, ["doc_id"])
         ),
+        "docs_quantile_normalize": lambda sf: (
+            analysis.quantile_normalize_lengths(
+                _docs(sf, ["doc_id", "source", "n_chars"])
+            )
+        ),
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -4069,6 +4074,28 @@ def oracle_sql() -> dict[str, str]:
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
         """,
         "embedding_zorder_buckets": _zorder_sql(),
+        "docs_quantile_normalize": """
+            WITH src_rank AS (
+                SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                       2 * RANK() OVER (PARTITION BY source
+                                        ORDER BY n_chars)
+                           + COUNT(*) OVER (PARTITION BY source, n_chars)
+                           - 1 AS r2,
+                       COUNT(*) OVER (PARTITION BY source) AS ns
+                FROM documents
+            ),
+            g AS (
+                SELECT n_chars AS val,
+                       ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS idx
+                FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT s.doc_id, s.source, s.n_chars,
+                   CAST(g.val AS BIGINT) AS n_chars_norm
+            FROM src_rank s CROSS JOIN tot
+            JOIN g ON g.idx = LEAST((s.r2 - 1) * tot.n // (2 * s.ns),
+                                    tot.n - 1)
+        """,
         "docs_consistent_hash_ring": (
             sketches_mod.consistent_hash_ring_oracle_sql()
         ),

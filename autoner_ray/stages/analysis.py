@@ -4832,3 +4832,125 @@ def feature_hashing_stats(docs_ds, dim: int = 64):
         per_word.map_batches(bucketize, batch_format="pyarrow"),
         keys=["bucket"], sum_cols=["n_distinct_words", "total_count"],
     )
+
+
+def quantile_normalize_lengths(docs_ds):
+    """Quantile normalization of per-source doc-length distributions
+    onto the GLOBAL length distribution — the distribution-matching
+    pass that makes sources comparable before mixing (the same method
+    microarray pipelines made standard): a doc at within-source
+    (average-rank) quantile q is assigned the global length at
+    quantile q. Ties share an average rank, so equal lengths in one
+    source map to equal targets and the result is deterministic at any
+    parallelism. Output (doc_id, source, n_chars, n_chars_norm), all
+    integers: target index = ((r2 - 1) * N) // (2 * n_s) into the
+    ascending global multiset (r2 = doubled average rank).
+
+    Scale shape: NO global sort — per-source and global value
+    histograms (bounded length domain) feed the bounded combine; both
+    rank maps and the global order-statistic array derive from
+    cumulative sums and broadcast; the rewrite is one vectorized
+    gather per batch."""
+    import numpy as np
+
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _h_schema = pa.schema(
+        [("source", pa.string()), ("val", pa.int64()), ("n", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _h_schema.empty_table()
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "source": t["source"].to_pylist(),
+                    "val": t["n_chars"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["source", "val"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "val": pa.array(g["val"].to_numpy(), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(), pa.int64()),
+            },
+            schema=_h_schema,
+        )
+
+    hists = bounded_key_sum(
+        docs_ds.select_columns(["source", "n_chars"]).map_batches(
+            hist_partial, batch_format="pyarrow", batch_size=65536,
+        ),
+        keys=["source", "val"], sum_cols=["n"],
+    ).to_pandas()
+    # global ascending multiset as (values, cumulative counts)
+    gl = hists.groupby("val", as_index=False)["n"].sum().sort_values("val")
+    g_vals = gl["val"].to_numpy(np.int64)
+    g_cum = gl["n"].to_numpy(np.int64).cumsum()
+    n_total = int(g_cum[-1])
+    # per-source doubled-average-rank map and source sizes
+    rank_maps: dict = {}
+    sizes: dict = {}
+    for src, g in hists.groupby("source"):
+        g = g.sort_values("val")
+        cnt = g["n"].to_numpy(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        rank_maps[src] = dict(
+            zip(g["val"], (2 * below + cnt + 1).astype(np.int64))
+        )
+        sizes[src] = int(cnt.sum())
+    state = ray.put((rank_maps, sizes, g_vals, g_cum, n_total))
+
+    _o_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("n_chars", pa.int64()), ("n_chars_norm", pa.int64())]
+    )
+
+    class Rewrite:
+        def __init__(self) -> None:
+            (self.rank_maps, self.sizes, self.g_vals, self.g_cum,
+             self.n_total) = ray.get(state)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _o_schema.empty_table()
+            import pandas as pd
+
+            src = t["source"].to_pylist()
+            val = t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            r2 = np.fromiter(
+                (self.rank_maps[s][v] for s, v in zip(src, val)),
+                np.int64, count=len(val),
+            )
+            ns = np.fromiter(
+                (self.sizes[s] for s in src), np.int64, count=len(val)
+            )
+            idx = (r2 - 1) * self.n_total // (2 * ns)
+            idx = np.minimum(idx, self.n_total - 1)
+            # order statistic: first value whose cumcount exceeds idx
+            pos = np.searchsorted(self.g_cum, idx, side="right")
+            norm = self.g_vals[pos]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "source": t["source"],
+                    "n_chars": pa.array(val, pa.int64()),
+                    "n_chars_norm": pa.array(norm, pa.int64()),
+                },
+                schema=_o_schema,
+            )
+
+    return docs_ds.select_columns(
+        ["doc_id", "source", "n_chars"]
+    ).map_batches(Rewrite, batch_format="pyarrow", batch_size=65536,
+                  concurrency=2)
