@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])
         ),
         "embedding_zorder_buckets": similarity.zorder_buckets,
+        "embedding_label_spread": similarity.label_spread,
         "customer_k_anonymity": relational.customer_k_anonymity,
         "docs_spearman_len_tokens": _docs_spearman,
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
@@ -4074,6 +4075,41 @@ def oracle_sql() -> dict[str, str]:
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
         """,
         "embedding_zorder_buckets": _zorder_sql(),
+        "embedding_label_spread": """
+            WITH sims AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb, b.label AS lb,
+                       CAST(floor(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+                            * 1000000 + 0.5) AS BIGINT) AS simq
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+            ),
+            top3 AS (
+                SELECT va, lb FROM (
+                    SELECT va, lb,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY va
+                               ORDER BY simq DESC, vb ASC) AS rn
+                    FROM sims
+                ) WHERE rn <= 3
+            ),
+            votes AS (
+                SELECT va, lb, COUNT(*) AS c FROM top3 GROUP BY va, lb
+            ),
+            win AS (
+                SELECT va, lb FROM (
+                    SELECT va, lb,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY va
+                               ORDER BY c DESC, lb ASC) AS rn
+                    FROM votes
+                ) WHERE rn = 1
+            )
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                   CAST(w.lb AS BIGINT) AS label_spread
+            FROM embeddings e JOIN win w ON w.va = e.vec_id
+        """,
         "docs_quantile_normalize": """
             WITH src_rank AS (
                 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,

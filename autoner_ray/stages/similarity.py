@@ -1712,3 +1712,82 @@ def zorder_buckets(sf_dir: str, bits: int = 8, bucket_shift: int = 10):
               ("min_q1", "min"), ("max_q1", "max")],
         part_on=("bucket",),
     )
+
+
+def label_spread(sf_dir: str, k: int = 3):
+    """One round of kNN label spreading over the embedding table — the
+    label-denoising pass semi-supervised curation runs: each vector
+    takes the majority label of its ``k`` nearest cosine neighbors
+    (self excluded; similarity quantized to integer micro-units before
+    ranking so neighbor order is engine-independent; ties on count
+    break to the smallest label, on similarity to the smallest
+    vec_id). Output (vec_id, label, label_spread).
+
+    Scale shape: the brute-force-matmul baseline the ANN family
+    documents — batches stream against the broadcast normalized
+    matrix; per batch one matmul + argsort. The IVF-bucketed variant
+    (`ivf_topk`) is the at-scale neighbor source, same vote tail."""
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).materialize()
+    full = emb.to_pandas().sort_values("vec_id")
+    ids = full["vec_id"].to_numpy(np.int64)
+    mat = np.array(full["embedding"].to_list(), np.float64)
+    labels = full["label"].to_numpy(np.int64)
+    normed = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+    state = ray.put((ids, normed, labels))
+
+    _schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()),
+         ("label_spread", pa.int64())]
+    )
+
+    class Vote:
+        def __init__(self) -> None:
+            self.ids, self.normed, self.labels = ray.get(state)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _schema.empty_table()
+            bids, bmat = _batch_matrix(t)
+            bn = bmat / (
+                np.linalg.norm(bmat, axis=1, keepdims=True) + 1e-30
+            )
+            simq = np.floor(
+                (bn @ self.normed.T) * 1_000_000 + 0.5
+            ).astype(np.int64)
+            # self gets a floor sentinel; order by (simq desc, vec_id
+            # asc). NOT int64-min: lexsort negates the key and
+            # -INT64_MIN overflows back to itself, sorting self FIRST
+            self_mask = bids[:, None] == self.ids[None, :]
+            simq[self_mask] = -(1 << 62)
+            order = np.lexsort(
+                (np.broadcast_to(self.ids, simq.shape), -simq), axis=1
+            )[:, :k]
+            neigh_labels = self.labels[order]
+            out = np.empty(len(bids), np.int64)
+            for i in range(len(bids)):
+                vals, counts = np.unique(
+                    neigh_labels[i], return_counts=True
+                )
+                out[i] = int(vals[np.lexsort((vals, -counts))[0]])
+            blabels = t["label"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "vec_id": pa.array(bids, pa.int64()),
+                    "label": pa.array(blabels, pa.int64()),
+                    "label_spread": pa.array(out, pa.int64()),
+                },
+                schema=_schema,
+            )
+
+    return emb.map_batches(Vote, batch_format="pyarrow",
+                           batch_size=128, concurrency=2)
