@@ -421,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
             _docs(sf, ["doc_id"])
         ),
+        "docs_shard_parity": lambda sf: sketches.shard_parity(
+            _docs(sf, ["doc_id"])
+        ),
         "docs_quantile_normalize": lambda sf: (
             analysis.quantile_normalize_lengths(
                 _docs(sf, ["doc_id", "source", "n_chars"])
@@ -4109,6 +4112,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
                    CAST(w.lb AS BIGINT) AS label_spread
             FROM embeddings e JOIN win w ON w.va = e.vec_id
+        """,
+        "docs_shard_parity": """
+            WITH h AS (
+                SELECT CAST(('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT) AS k
+                FROM documents
+            ),
+            fp AS (
+                SELECT CAST(k % 8 AS BIGINT) AS shard, bit_xor(k) AS x
+                FROM h GROUP BY 1
+            ),
+            all_shards AS (
+                SELECT UNNEST(range(0, 8)) AS shard
+            ),
+            filled AS (
+                SELECT a.shard,
+                       COALESCE(f.x, CAST(0 AS UBIGINT)) AS x
+                FROM all_shards a LEFT JOIN fp f USING (shard)
+            ),
+            par AS (
+                SELECT shard, x,
+                       (SELECT bit_xor(x) FROM filled f2
+                        WHERE f2.shard // 4 = filled.shard // 4) AS p
+                FROM filled
+            ),
+            rec AS (
+                SELECT shard, x,
+                       (SELECT bit_xor(v) FROM (
+                            SELECT f3.x AS v FROM filled f3
+                            WHERE f3.shard // 4 = par.shard // 4
+                              AND f3.shard <> par.shard
+                            UNION ALL SELECT par.p
+                       )) AS r
+                FROM par
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(CAST(x AS HUGEINT)
+                        - CASE WHEN x >= 9223372036854775808
+                               THEN 18446744073709551616 ELSE 0 END
+                        AS BIGINT) AS fingerprint,
+                   CAST(CAST(r AS HUGEINT)
+                        - CASE WHEN r >= 9223372036854775808
+                               THEN 18446744073709551616 ELSE 0 END
+                        AS BIGINT) AS reconstructed
+            FROM rec
         """,
         "docs_quantile_normalize": """
             WITH src_rank AS (

@@ -799,3 +799,98 @@ def consistent_hash_ring_oracle_sql(n_nodes: int = 8,
         FROM nodes n LEFT JOIN a ON a.n8 = n.node OR a.n9 = n.node
         GROUP BY n.node
     """
+
+
+def shard_parity(docs_ds, n_shards: int = 8, group: int = 4):
+    """XOR shard-parity audit — the erasure-coding-style integrity
+    check a content-addressed store runs: docs hash-partition into
+    ``n_shards`` shards; each shard's fingerprint is the XOR of its
+    doc content hashes (order-insensitive, so any block layout yields
+    the same value); shards group by ``group`` and each parity strip
+    is the XOR of its member fingerprints — losing any one member is
+    recoverable as parity XOR the others, and the driver query proves
+    it by emitting, per shard, the fingerprint RECONSTRUCTED from its
+    parity strip next to the direct one. Output
+    (shard, fingerprint, reconstructed) with fingerprint ==
+    reconstructed as the integrity invariant (both int64 from the
+    uint64 XOR, same reinterpret both sides).
+
+    Scale shape: per-batch (shard, xor) partials are re-associative
+    (XOR is a group op) — at scale this would ride a tiny bounded
+    combine; the parity math is driver arithmetic over n_shards rows."""
+    import numpy as np
+
+    from autoner_ray.functions.hashing import md5_64_array
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _p_schema = pa.schema(
+        [("shard", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())]
+    )
+
+    def xor_partial(t: pa.Table) -> pa.Table:
+        # bounded_key_sum only SUMS, so carry the xor as two int32
+        # halves? XOR is not a sum — do the xor per batch and emit one
+        # row per (shard); the final xor folds in pandas on the tiny
+        # (shards x blocks) table instead of a sum combine.
+        if t.num_columns == 0 or len(t) == 0:
+            return _p_schema.empty_table()
+        h = md5_64_array(
+            [str(i) for i in t["doc_id"].to_pylist()]
+        )
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        rows_s, rows_lo, rows_hi = [], [], []
+        for sh in np.unique(shard):
+            x = np.bitwise_xor.reduce(h[shard == sh])
+            rows_s.append(int(sh))
+            rows_lo.append(int(x & np.uint64(0xFFFFFFFF)))
+            rows_hi.append(int(x >> np.uint64(32)))
+        return pa.table(
+            {
+                "shard": pa.array(rows_s, pa.int64()),
+                "lo": pa.array(rows_lo, pa.int64()),
+                "hi": pa.array(rows_hi, pa.int64()),
+            },
+            schema=_p_schema,
+        )
+
+    parts = docs_ds.select_columns(["doc_id"]).map_batches(
+        xor_partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    fps = {}
+    for sh, g in parts.groupby("shard"):
+        x = np.uint64(0)
+        for lo, hi in zip(g["lo"], g["hi"]):
+            x ^= (np.uint64(hi) << np.uint64(32)) | np.uint64(lo)
+        fps[int(sh)] = x
+    shards = list(range(n_shards))
+    parity = {}
+    for g0 in range(0, n_shards, group):
+        members = shards[g0:g0 + group]
+        x = np.uint64(0)
+        for m in members:
+            x ^= fps.get(m, np.uint64(0))
+        for m in members:
+            parity[m] = x
+    # reconstructed(m) = parity XOR all other members = fingerprint(m)
+    recon = {}
+    for g0 in range(0, n_shards, group):
+        members = shards[g0:g0 + group]
+        for m in members:
+            x = parity[m]
+            for o in members:
+                if o != m:
+                    x ^= fps.get(o, np.uint64(0))
+            recon[m] = x
+    to_i64 = lambda u: int(np.uint64(u).astype(np.int64))
+    return pa.table(
+        {
+            "shard": pa.array(shards, pa.int64()),
+            "fingerprint": pa.array(
+                [to_i64(fps.get(s, np.uint64(0))) for s in shards],
+                pa.int64(),
+            ),
+            "reconstructed": pa.array(
+                [to_i64(recon[s]) for s in shards], pa.int64()
+            ),
+        }
+    )
