@@ -429,6 +429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _docs(sf, ["doc_id", "source", "n_chars"])
             )
         ),
+        "docs_fair_token_budget": lambda sf: analysis.fair_token_budget(
+            _docs(sf, ["doc_id", "source", "text"])
+        ),
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -4112,6 +4115,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
                    CAST(w.lb AS BIGINT) AS label_spread
             FROM embeddings e JOIN win w ON w.va = e.vec_id
+        """,
+        "docs_fair_token_budget": f"""
+            WITH toks AS (
+                SELECT source, CAST(SUM(len({WORDS})) AS BIGINT) AS n
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT SUM(n) AS total, COUNT(*) AS s FROM toks),
+            b AS (SELECT CAST(FLOOR(total * 1000000 * 0.5) AS BIGINT)
+                             // 1000000 AS bb FROM tot),
+            ord AS (
+                SELECT source, n,
+                       ROW_NUMBER() OVER (ORDER BY n, source) AS i,
+                       COALESCE(SUM(n) OVER (ORDER BY n, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS pre
+                FROM toks
+            ),
+            cond AS (
+                SELECT o.*,
+                       (o.n <= (b.bb - o.pre) // (t.s - o.i + 1)) AS ok
+                FROM ord o, b, tot t
+            ),
+            m AS (
+                SELECT COALESCE((SELECT MIN(i) - 1 FROM cond
+                                 WHERE NOT ok),
+                                (SELECT s FROM tot)) AS m
+            ),
+            pm AS (
+                SELECT COALESCE(SUM(n) FILTER (
+                           WHERE i <= (SELECT m FROM m)), 0) AS pm
+                FROM cond
+            ),
+            capv AS (
+                SELECT CASE WHEN (SELECT m FROM m) = t.s THEN 0
+                            ELSE (b.bb - (SELECT pm FROM pm))
+                                 // (t.s - (SELECT m FROM m)) END AS cap,
+                       CASE WHEN (SELECT m FROM m) = t.s THEN 0
+                            ELSE (b.bb - (SELECT pm FROM pm))
+                                 - ((b.bb - (SELECT pm FROM pm))
+                                    // (t.s - (SELECT m FROM m)))
+                                   * (t.s - (SELECT m FROM m)) END AS rem
+                FROM b, tot t
+            ),
+            big AS (
+                SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS j
+                FROM cond WHERE i > (SELECT m FROM m)
+            )
+            SELECT c.source, c.n AS n_tokens,
+                   CAST(CASE WHEN c.i <= (SELECT m FROM m) THEN c.n
+                             ELSE (SELECT cap FROM capv)
+                                  + CASE WHEN bg.j <= (SELECT rem
+                                                       FROM capv)
+                                         THEN 1 ELSE 0 END
+                        END AS BIGINT) AS allocation,
+                   CAST(CASE WHEN c.i <= (SELECT m FROM m)
+                             THEN 0 ELSE 1 END AS BIGINT) AS capped
+            FROM cond c LEFT JOIN big bg USING (source)
         """,
         "docs_shard_parity": """
             WITH h AS (

@@ -4954,3 +4954,105 @@ def quantile_normalize_lengths(docs_ds):
         ["doc_id", "source", "n_chars"]
     ).map_batches(Rewrite, batch_format="pyarrow", batch_size=65536,
                   concurrency=2)
+
+
+def fair_token_budget(docs_ds, budget_ratio: float = 0.5):
+    """Max-min fair (water-filling) token-budget allocation across
+    sources — the mixing-schedule solver: given per-source token
+    counts and a global budget ``B = floor(total * budget_ratio)``,
+    find the fair cap ``t`` so every source gets
+    ``min(tokens_s, t)`` and the budget is exactly exhausted; the
+    integer remainder goes +1 each to the alphabetically-first uncapped
+    sources (fully deterministic). Output per source:
+    (source, n_tokens, allocation, capped) — small sources keep
+    everything, big sources share the leftovers equally, Σ allocation
+    == B exactly.
+
+    Scale shape: per-source token counts ride the bounded combine
+    (source domain is small); the water-filling solve is driver
+    arithmetic over that bounded table, mirrored step-for-step by the
+    SQL twin (sorted prefix sums + threshold window)."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    _t_schema = pa.schema(
+        [("source", pa.string()), ("n", pa.int64())]
+    )
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _t_schema.empty_table()
+        import pandas as pd
+
+        n = [len(sentence_token_stream(s or ""))
+             for s in t["text"].to_pylist()]
+        g = (
+            pd.DataFrame({"source": t["source"].to_pylist(), "n": n})
+            .groupby("source", as_index=False)["n"].sum()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            },
+            schema=_t_schema,
+        )
+
+    counts = bounded_key_sum(
+        docs_ds.select_columns(["source", "text"]).map_batches(
+            tok_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["source"], sum_cols=["n"],
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    total = int(counts["n"].sum())
+    B = int(total * 1_000_000 * budget_ratio) // 1_000_000
+    # water-filling: ascending by size, sources smaller than the cap
+    # keep everything; the rest split the remainder equally
+    by_size = counts.sort_values(
+        ["n", "source"], kind="mergesort"
+    ).reset_index(drop=True)
+    ns = by_size["n"].to_numpy(np.int64)
+    S = len(ns)
+    spent = 0
+    cap = None
+    for i in range(S):
+        remaining = S - i
+        # if every remaining source got the equal split, would the
+        # current (smallest) still be under it? then it keeps all.
+        share = (B - spent) // remaining
+        if ns[i] <= share:
+            spent += int(ns[i])
+        else:
+            cap = share
+            rem = (B - spent) - share * remaining
+            break
+    alloc = {}
+    capped = {}
+    if cap is None:
+        for src, n in zip(by_size["source"], ns):
+            alloc[src] = int(n)
+            capped[src] = 0
+    else:
+        uncapped = by_size.iloc[:i]
+        for src, n in zip(uncapped["source"], ns[:i]):
+            alloc[src] = int(n)
+            capped[src] = 0
+        big = sorted(by_size["source"].iloc[i:])
+        for j, src in enumerate(big):
+            alloc[src] = cap + (1 if j < rem else 0)
+            capped[src] = 1
+    out = counts
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_tokens": pa.array(out["n"].to_numpy(), pa.int64()),
+            "allocation": pa.array(
+                [alloc[s] for s in out["source"]], pa.int64()
+            ),
+            "capped": pa.array(
+                [capped[s] for s in out["source"]], pa.int64()
+            ),
+        }
+    )
