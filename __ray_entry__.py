@@ -1026,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_reciprocity": webgraph.link_reciprocity,
         "pages_link_rich_club": webgraph.link_rich_club,
         "pages_link_attack_tolerance": webgraph.link_attack_tolerance,
+        "pages_link_random_failure": webgraph.link_random_failure,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
@@ -1149,6 +1150,73 @@ def _zorder_sql(bits=8, bucket_shift=10) -> str:
                CAST(MIN(q1) AS BIGINT) AS min_q1,
                CAST(MAX(q1) AS BIGINT) AS max_q1
         FROM z GROUP BY 1
+    """
+
+
+def _random_failure_sql(ps=(250_000, 500_000, 750_000)) -> str:
+    """Per-p recursive weak-closure over the hash-filtered edge set;
+    thresholds precomputed as literals (same ``p*2^32//1e6 << 32``
+    scaling as the engine)."""
+    blocks, selects = [], []
+    for p in ps:
+        thr = (p * (1 << 32) // 1_000_000) << 32
+        blocks.append(f"""
+        keep{p} AS MATERIALIZED (
+            SELECT u, v FROM und
+            WHERE CAST(('0x' || substring(md5(
+                      CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)),
+                      1, 16)) AS UBIGINT) >= {thr}
+        ),
+        bi{p} AS (
+            SELECT u AS a, v AS b FROM keep{p}
+            UNION SELECT v, u FROM keep{p}
+        ),
+        reach{p}(a, b) AS (
+            SELECT a, a FROM bi{p}
+            UNION
+            SELECT r.a, e.b FROM reach{p} r JOIN bi{p} e ON e.a = r.b
+        ),
+        comp{p} AS (
+            SELECT a AS node, MIN(b) AS c FROM reach{p} GROUP BY a
+        ),
+        giant{p} AS (
+            SELECT COALESCE(MAX(sz), 0) AS g FROM (
+                SELECT COUNT(*) AS sz FROM comp{p} GROUP BY c
+            )
+        )""")
+        selects.append(f"""
+        SELECT CAST({p} AS BIGINT) AS p_ppm,
+               CAST((SELECT COUNT(*) FROM keep{p}) AS BIGINT)
+                   AS n_edges_kept,
+               CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+               CAST(GREATEST((SELECT g FROM giant{p}),
+                    CASE WHEN (SELECT COUNT(*) FROM nodes)
+                              > (SELECT g FROM giant{p})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS giant_size,
+               CAST(GREATEST((SELECT g FROM giant{p}),
+                    CASE WHEN (SELECT COUNT(*) FROM nodes)
+                              > (SELECT g FROM giant{p})
+                         THEN 1 ELSE 0 END) * 1000000
+                    // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+                   AS giant_fraction_ppm""")
+    chain = ",".join(blocks)
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH RECURSIVE {_LINKS_CTE},
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u,
+                            GREATEST(src, dst) AS v
+            FROM links
+        ),
+        nodes AS MATERIALIZED (
+            -- NOT a bare UNION: under WITH RECURSIVE DuckDB fails to
+            -- dedup a union CTE (measured: 2992 vs 751 rows)
+            SELECT DISTINCT n FROM (
+                SELECT u AS n FROM und UNION ALL SELECT v FROM und
+            )
+        ),
+        {chain}
+        {union}
     """
 
 
@@ -3925,6 +3993,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN agg a USING (component)
         """,
         "pages_link_attack_tolerance": _attack_tolerance_sql(),
+        "pages_link_random_failure": _random_failure_sql(),
         "pages_link_rich_club": f"""
             WITH {_LINKS_CTE},
             und AS MATERIALIZED (

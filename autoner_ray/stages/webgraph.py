@@ -849,3 +849,127 @@ def link_attack_tolerance(sf_dir: str, ks: tuple = (0, 1, 2, 4, 8),
             ),
         }
     )
+
+
+def link_random_failure(sf_dir: str, ps=(250_000, 500_000, 750_000),
+                        driver_max_edges: int = 2_000_000):
+    """Random-failure tolerance of the hyperlink graph — the companion
+    curve to :func:`link_attack_tolerance` (Albert/Jeong/Barabási:
+    scale-free graphs survive random failure but crumble under
+    targeted attack): at each failure rate p (in ppm), KEEP the
+    deduped undirected edges whose content hash
+    ``md5_64('{u}|{v}')`` lands >= p on the 32-bit-scaled ring — a
+    deterministic stand-in for "each edge fails with probability p" —
+    and report the surviving giant weak component. One row per p:
+    (p_ppm, n_edges_kept, n_nodes, giant_size, giant_fraction_ppm)
+    over the ORIGINAL node set (failed-away nodes count as isolated
+    singletons, exactly how a crawler sees unreachable-but-known
+    pages).
+
+    Scale shape: the edge filter is a vectorized memoized-md5
+    threshold per batch; the census per p is the tiered
+    :func:`graph.wcc_census` driver/distributed split."""
+    import numpy as np
+
+    from autoner_ray.functions.hashing import md5_64_array
+    from autoner_ray.stages.combine import partitioned_key_sum
+    from autoner_ray.stages.graph import wcc_census
+
+    edges = link_graph(sf_dir).materialize()
+    _und_schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("one", pa.int64())]
+    )
+
+    def und_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _und_schema.empty_table()
+        ss = t["src"].to_numpy(zero_copy_only=False)
+        dd = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(ss, dd), pa.int64()),
+                "v": pa.array(np.maximum(ss, dd), pa.int64()),
+                "one": pa.array(np.ones(len(ss), np.int64), pa.int64()),
+            },
+            schema=_und_schema,
+        )
+
+    und = partitioned_key_sum(
+        edges.map_batches(und_partial, batch_format="pyarrow"),
+        keys=["u", "v"], sum_cols=["one"],
+        part_on=("u",),
+    ).materialize()
+
+    def node_count(ds) -> int:
+        import ray.data  # noqa: F401
+
+        def ends(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "u" not in (
+                t.schema.names
+            ):
+                return pa.schema([("n", pa.int64())]).empty_table()
+            return pa.table(
+                {
+                    "n": pa.chunked_array(
+                        [t["u"].combine_chunks(),
+                         t["v"].combine_chunks()]
+                    )
+                }
+            )
+
+        from ray.data.aggregate import Count
+
+        return (
+            ds.map_batches(ends, batch_format="pyarrow")
+            .groupby("n").aggregate(Count(alias_name="_c")).count()
+        )
+
+    n_total = node_count(und)
+    rows = []
+    for p in ps:
+        thr = np.uint64(int(p * (1 << 32) // 1_000_000) << 32)
+
+        _e_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+
+        def keep(t: pa.Table, _thr=thr) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "u" not in (
+                t.schema.names
+            ):
+                return _e_schema.empty_table()
+            uu = t["u"].to_pylist()
+            vv = t["v"].to_pylist()
+            h = md5_64_array([f"{a}|{b}" for a, b in zip(uu, vv)])
+            mask = h >= _thr
+            return pa.table(
+                {
+                    "subj": pa.array(
+                        np.asarray(uu, np.int64)[mask], pa.int64()
+                    ),
+                    "obj": pa.array(
+                        np.asarray(vv, np.int64)[mask], pa.int64()
+                    ),
+                },
+                schema=_e_schema,
+            )
+
+        kept = und.map_batches(keep, batch_format="pyarrow").materialize()
+        n_kept = kept.count()
+        cen = wcc_census(kept, driver_max_edges=driver_max_edges)
+        giant = int(cen["giant_size"][0].as_py())
+        if n_total > giant:
+            giant = max(giant, 1)
+        rows.append(
+            (int(p), n_kept, n_total, giant,
+             (giant * 1_000_000) // n_total if n_total else 0)
+        )
+    return pa.table(
+        {
+            "p_ppm": pa.array([r[0] for r in rows], pa.int64()),
+            "n_edges_kept": pa.array([r[1] for r in rows], pa.int64()),
+            "n_nodes": pa.array([r[2] for r in rows], pa.int64()),
+            "giant_size": pa.array([r[3] for r in rows], pa.int64()),
+            "giant_fraction_ppm": pa.array(
+                [r[4] for r in rows], pa.int64()
+            ),
+        }
+    )
