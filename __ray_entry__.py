@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "embedding_zorder_buckets": similarity.zorder_buckets,
         "embedding_label_spread": similarity.label_spread,
+        "embedding_single_link_ladder": similarity.single_link_ladder,
         "customer_k_anonymity": relational.customer_k_anonymity,
         "docs_spearman_len_tokens": _docs_spearman,
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
@@ -1115,6 +1116,57 @@ _LINKS_CTE = """
             WHERE dst <> doc_id
         )
 """
+
+
+def _single_link_sql(thresholds=(0.4, 0.6, 0.8)) -> str:
+    """Shared rounded-sim pair CTE + one recursive closure per rung."""
+    blocks, selects = [], []
+    for t in thresholds:
+        tag = str(int(round(t * 1_000_000)))
+        blocks.append(f"""
+        sub{tag} AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM pairs WHERE sim >= {t}
+        ),
+        bi{tag} AS (
+            SELECT vec_a AS a, vec_b AS b FROM sub{tag}
+            UNION SELECT vec_b, vec_a FROM sub{tag}
+        ),
+        reach{tag}(a, b) AS (
+            SELECT a, a FROM bi{tag}
+            UNION
+            SELECT r.a, e.b FROM reach{tag} r JOIN bi{tag} e
+              ON e.a = r.b
+        ),
+        comp{tag} AS (
+            SELECT a AS node, MIN(b) AS c FROM reach{tag} GROUP BY a
+        )""")
+        selects.append(f"""
+        SELECT CAST({tag} AS BIGINT) AS threshold_ppm,
+               CAST((SELECT COUNT(*) FROM sub{tag}) AS BIGINT)
+                   AS n_pairs,
+               CAST((SELECT COUNT(DISTINCT c) FROM comp{tag})
+                    AS BIGINT) AS n_clusters,
+               CAST((SELECT COUNT(*) FROM comp{tag}) AS BIGINT)
+                   AS n_clustered_vecs""")
+    chain = ",".join(blocks)
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            -- base filter on RAW sim (the engine's pair emit does),
+            -- rungs above filter the ROUNDED value on both sides
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[]))
+                  >= {min(thresholds)}
+        ),
+        {chain}
+        {union}
+    """
 
 
 def _zorder_sql(bits=8, bucket_shift=10) -> str:
@@ -4150,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
                     AND t.obj = GREATEST(x.subj, x.neg_obj))
         """,
         "embedding_zorder_buckets": _zorder_sql(),
+        "embedding_single_link_ladder": _single_link_sql(),
         "embedding_label_spread": """
             WITH sims AS (
                 SELECT a.vec_id AS va, b.vec_id AS vb, b.label AS lb,

@@ -1791,3 +1791,108 @@ def label_spread(sf_dir: str, k: int = 3):
 
     return emb.map_batches(Vote, batch_format="pyarrow",
                            batch_size=128, concurrency=2)
+
+
+def single_link_ladder(sf_dir: str,
+                       thresholds=(0.4, 0.6, 0.8),
+                       driver_cc_max_pairs: int = 2_000_000):
+    """Single-link agglomerative clustering cut census — the dendrogram
+    ladder a dedup tuner reads: at each cosine threshold t, clusters
+    are the connected components of the >=t pair graph (exact
+    single-link HAC cuts; raising t can only split clusters). One row
+    per threshold: (threshold_ppm, n_pairs, n_clusters,
+    n_clustered_vecs) — clusters have >= 2 members by construction.
+    Thresholds compare against the 6-dp-ROUNDED similarity on both
+    engine and twin, so the cut is engine-independent.
+
+    Scale shape: the exact grid pair join (:func:`embedding_neardup`)
+    runs ONCE at the lowest threshold; each rung is a vectorized
+    re-filter of that pair set plus the tiered component labeling
+    (driver union-find under ``driver_cc_max_pairs``, distributed
+    min-label CC above — the ``neardup_keep_one`` contract)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_neardup(
+        emb, threshold=min(thresholds)
+    ).materialize()
+    pdf = None
+    if pairs.count() <= driver_cc_max_pairs:
+        pdf = pairs.to_pandas()
+    rows = []
+    for t in thresholds:
+        if pdf is not None:
+            sub = pdf[pdf["sim"] >= t]
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(sub["vec_a"], sub["vec_b"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comps = {}
+            for m in parent:
+                comps.setdefault(find(m), []).append(m)
+            n_clusters = len(comps)
+            n_clustered = sum(len(v) for v in comps.values())
+            n_pairs = len(sub)
+        else:
+            from ray.data.aggregate import Count
+
+            from autoner_ray.stages.graph import (
+                connected_components_distributed,
+            )
+
+            _e_schema = pa.schema(
+                [("subj", pa.int64()), ("obj", pa.int64())]
+            )
+
+            def to_edges(tb: pa.Table, _t=t) -> pa.Table:
+                if tb.num_columns == 0 or len(tb) == 0:
+                    return _e_schema.empty_table()
+                import pyarrow.compute as pc
+
+                keep = pc.greater_equal(tb["sim"], _t)
+                return pa.table(
+                    {
+                        "subj": tb["vec_a"].filter(keep),
+                        "obj": tb["vec_b"].filter(keep),
+                    },
+                    schema=_e_schema,
+                )
+
+            sub_ds = pairs.map_batches(
+                to_edges, batch_format="pyarrow"
+            ).materialize()
+            n_pairs = sub_ds.count()
+            labels = connected_components_distributed(
+                sub_ds, as_dataset=True
+            )
+            sizes = labels.groupby("label").aggregate(
+                Count(alias_name="sz")
+            ).materialize()
+            n_clusters = sizes.count()
+            n_clustered = labels.count()
+        rows.append(
+            (int(round(t * 1_000_000)), int(n_pairs),
+             int(n_clusters), int(n_clustered))
+        )
+    return pa.table(
+        {
+            "threshold_ppm": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_clusters": pa.array([r[2] for r in rows], pa.int64()),
+            "n_clustered_vecs": pa.array(
+                [r[3] for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 286 and len(sqls) == 267
+    assert len(qs) == 287 and len(sqls) == 268
     import subprocess
     import sys
 
