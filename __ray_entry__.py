@@ -1028,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_rich_club": webgraph.link_rich_club,
         "pages_link_attack_tolerance": webgraph.link_attack_tolerance,
         "pages_link_random_failure": webgraph.link_random_failure,
+        "pages_link_densification": webgraph.link_densification,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
@@ -1202,6 +1203,50 @@ def _zorder_sql(bits=8, bucket_shift=10) -> str:
                CAST(MIN(q1) AS BIGINT) AS min_q1,
                CAST(MAX(q1) AS BIGINT) AS max_q1
         FROM z GROUP BY 1
+    """
+
+
+def _densification_sql(fractions=(250_000, 500_000, 750_000,
+                                  1_000_000)) -> str:
+    selects = []
+    for f in fractions:
+        selects.append(f"""
+        SELECT CAST({f} AS BIGINT) AS fraction_ppm,
+               CAST(LEAST(cut{f}.c, (SELECT COUNT(*) FROM documents))
+                    AS BIGINT) AS n_pages_crawled,
+               CAST((SELECT COUNT(*) FROM (
+                        SELECT DISTINCT n FROM (
+                            SELECT u AS n FROM und{f}
+                            UNION ALL SELECT v FROM und{f}
+                        )
+                    )) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM und{f}) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM und{f}) * 1000000
+                    // (SELECT COUNT(*) FROM (
+                            SELECT DISTINCT n FROM (
+                                SELECT u AS n FROM und{f}
+                                UNION ALL SELECT v FROM und{f}
+                            )
+                        )) AS BIGINT) AS edges_per_node_ppm
+        FROM cut{f}""")
+    cuts = ",".join(
+        f"""
+        cut{f} AS (
+            SELECT ((SELECT MAX(doc_id) + 1 FROM documents) * {f})
+                       // 1000000 AS c
+        ),
+        und{f} AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u,
+                            GREATEST(src, dst) AS v
+            FROM links WHERE src < (SELECT c FROM cut{f})
+        )"""
+        for f in fractions
+    )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH {_LINKS_CTE},
+        {cuts}
+        {union}
     """
 
 
@@ -4046,6 +4091,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_link_attack_tolerance": _attack_tolerance_sql(),
         "pages_link_random_failure": _random_failure_sql(),
+        "pages_link_densification": _densification_sql(),
         "pages_link_rich_club": f"""
             WITH {_LINKS_CTE},
             und AS MATERIALIZED (

@@ -973,3 +973,102 @@ def link_random_failure(sf_dir: str, ps=(250_000, 500_000, 750_000),
             ),
         }
     )
+
+
+def link_densification(sf_dir: str, fractions=(250_000, 500_000,
+                                               750_000, 1_000_000)):
+    """Densification-law curve (Leskovec/Kleinberg/Faloutsos: e(t)
+    grows superlinearly in n(t)): for each crawl PREFIX (first
+    ``f/1e6`` of pages by doc_id — crawl order IS id order in this
+    corpus), the node and deduped-undirected-edge counts of the
+    induced outlink graph, plus edges-per-node in integer ppm. One
+    row per fraction: (fraction_ppm, n_pages_crawled, n_nodes,
+    n_edges, edges_per_node_ppm).
+
+    Scale shape: one pass per prefix — a doc_id threshold filter at
+    the read feeds the same pair-dedup combine as
+    :func:`link_reciprocity`; node counts ride the endpoint-distinct
+    combine. Nothing driver-sized."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+    from autoner_ray.sources.pages import read_pages
+
+    # max doc id once (cheap aggregate over the id column)
+    import ray.data as rd
+
+    ids = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    max_id = ids.max("doc_id")
+    n_docs = ids.count()
+    rows = []
+    edges_all = link_graph(sf_dir).materialize()
+    for f in fractions:
+        cutoff = (max_id + 1) * f // 1_000_000  # doc_id < cutoff
+
+        _e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                               ("one", pa.int64())])
+
+        def prefix_pairs(t: pa.Table, _c=cutoff) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _e_schema.empty_table()
+            import pyarrow.compute as pc
+
+            keep = pc.less(t["src"], _c)
+            s = t["src"].filter(keep).to_numpy(zero_copy_only=False)
+            d = t["dst"].filter(keep).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "u": pa.array(np.minimum(s, d), pa.int64()),
+                    "v": pa.array(np.maximum(s, d), pa.int64()),
+                    "one": pa.array(np.ones(len(s), np.int64),
+                                    pa.int64()),
+                },
+                schema=_e_schema,
+            )
+
+        und = partitioned_key_sum(
+            edges_all.map_batches(prefix_pairs, batch_format="pyarrow"),
+            keys=["u", "v"], sum_cols=["one"], part_on=("u",),
+        ).materialize()
+        n_edges = und.count()
+
+        def ends(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or "u" not in (
+                t.schema.names
+            ):
+                return pa.schema([("n", pa.int64())]).empty_table()
+            return pa.table(
+                {
+                    "n": pa.chunked_array(
+                        [t["u"].combine_chunks(),
+                         t["v"].combine_chunks()]
+                    )
+                }
+            )
+
+        n_nodes = (
+            und.map_batches(ends, batch_format="pyarrow")
+            .groupby("n").aggregate(Count(alias_name="_c")).count()
+        )
+        n_crawled = min(int(cutoff), n_docs)
+        rows.append(
+            (int(f), n_crawled, int(n_nodes), int(n_edges),
+             (n_edges * 1_000_000) // n_nodes if n_nodes else 0)
+        )
+    return pa.table(
+        {
+            "fraction_ppm": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pages_crawled": pa.array(
+                [r[1] for r in rows], pa.int64()
+            ),
+            "n_nodes": pa.array([r[2] for r in rows], pa.int64()),
+            "n_edges": pa.array([r[3] for r in rows], pa.int64()),
+            "edges_per_node_ppm": pa.array(
+                [r[4] for r in rows], pa.int64()
+            ),
+        }
+    )
