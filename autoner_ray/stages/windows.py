@@ -2481,3 +2481,46 @@ def late_arrivals(events_ds):
             "max_lag_us": pa.array([int(tot["max_lag_us"])], pa.int64()),
         }
     )
+
+
+def last_touch_attribution(events_ds):
+    """Last-touch conversion attribution — the marketing-analytics
+    staple: every ``purchase`` is credited to the LATEST preceding
+    non-purchase event of the same user (ties on ts break by highest
+    event_id, matching the stream's arrival order); purchases with no
+    preceding touch credit the synthetic channel ``(none)``. Output
+    (touch_type, n_conversions) over all crediting channels.
+
+    Scale shape: the per-user scan is one sort + searchsorted inside
+    the sessionize-style user-partitioned ``map_groups``; channel
+    counts ride the bounded combine over the tiny event-type domain."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        is_p = et == "purchase"
+        touches = np.flatnonzero(~is_p)
+        out: dict = {}
+        for i in np.flatnonzero(is_p):
+            j = np.searchsorted(touches, i, side="left") - 1
+            ch = et[touches[j]] if j >= 0 else "(none)"
+            out[ch] = out.get(ch, 0) + 1
+        return pd.DataFrame(
+            {
+                "touch_type": list(out.keys()),
+                "n_conversions": np.array(
+                    list(out.values()), np.int64
+                ),
+            }
+        )
+
+    return bounded_key_sum(
+        events_ds.select_columns(["user_id", "ts", "event_id",
+                                  "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas"),
+        keys=["touch_type"], sum_cols=["n_conversions"],
+    )
