@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fair_token_budget": lambda sf: analysis.fair_token_budget(
             _docs(sf, ["doc_id", "source", "text"])
         ),
+        "docs_schema_evolution": text_formats.schema_evolution_read,
         "vocab_negative_samples": lambda sf: kg.negative_samples(
             webtext.bigram_graph(
                 _docs(sf, ["doc_id", "text"]), min_count=75
@@ -4312,6 +4313,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
                    CAST(w.lb AS BIGINT) AS label_spread
             FROM embeddings e JOIN win w ON w.va = e.vec_id
+        """,
+        "docs_schema_evolution": """
+            SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                        AS BIGINT) AS schema_version,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_lang,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum
+            FROM documents GROUP BY 1
         """,
         "docs_fair_token_budget": f"""
             WITH toks AS (

@@ -19,6 +19,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pyarrow as pa
+
 
 def fresh_dir(path: str) -> str:
     """Delete-and-recreate ``path`` (idempotent re-runs; /tmp scratch)."""
@@ -370,3 +372,101 @@ def bucketed_parquet_stats_oracle_sql(n_buckets: int = 16) -> str:
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1
     """
+
+
+def schema_evolution_read(sf_dir: str,
+                          out_dir: str = "/tmp/schema_evo_shards"):
+    """Schema-evolution ingestion proof — the v1/v2 shard mix every
+    long-lived crawl store accumulates: even doc_ids write as a V1
+    shard (doc_id, text — no ``lang`` column yet), odd doc_ids as a V2
+    shard (doc_id, text, lang); the reader unifies both under the V2
+    schema with nulls for the missing column. Output one row per
+    schema version: (schema_version, n_docs, n_null_lang, n_chars_sum)
+    — the null count proving the fill and the char sum proving no row
+    was lost or duplicated through the roundtrip.
+
+    Scale shape: shard writes/reads stream block-wise
+    (``write_parquet`` per split); the census is a stateless partial +
+    bounded combine keyed by the 2-value version column."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    v1_dir = fresh_dir(f"{out_dir}/v1")
+    v2_dir = fresh_dir(f"{out_dir}/v2")
+
+    def v1_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(keep),
+                "text": t["text"].filter(keep),
+            }
+        )
+
+    def v2_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)
+        return t.filter(keep)
+
+    docs.map_batches(v1_rows, batch_format="pyarrow").write_parquet(v1_dir)
+    docs.map_batches(v2_rows, batch_format="pyarrow").write_parquet(v2_dir)
+    # unified read: V1 blocks gain a null lang column, then both
+    # shard streams union under one schema
+    v1 = rd.read_parquet(v1_dir).map_batches(
+        lambda t: t.append_column(
+            "lang", pa.nulls(len(t), pa.string())
+        ).append_column(
+            "schema_version", pa.array([1] * len(t), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    v2 = rd.read_parquet(v2_dir).map_batches(
+        lambda t: t.select(["doc_id", "text", "lang"]).append_column(
+            "schema_version", pa.array([2] * len(t), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    unified = v1.union(v2)
+
+    _c_schema = pa.schema(
+        [("schema_version", pa.int64()), ("n_docs", pa.int64()),
+         ("n_null_lang", pa.int64()), ("n_chars_sum", pa.int64())]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _c_schema.empty_table()
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "schema_version": t["schema_version"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "null_lang": pc.is_null(t["lang"]).to_numpy(
+                    zero_copy_only=False
+                ).astype("int64"),
+                "n_chars": pc.utf8_length(t["text"]).to_numpy(
+                    zero_copy_only=False
+                ).astype("int64"),
+            }
+        )
+        g = df.groupby("schema_version", as_index=False).agg(
+            n_docs=("null_lang", "size"),
+            n_null_lang=("null_lang", "sum"),
+            n_chars_sum=("n_chars", "sum"),
+        )
+        return pa.Table.from_pandas(g, schema=_c_schema,
+                                    preserve_index=False)
+
+    return bounded_key_sum(
+        unified.map_batches(census, batch_format="pyarrow",
+                            batch_size=65536),
+        keys=["schema_version"],
+        sum_cols=["n_docs", "n_null_lang", "n_chars_sum"],
+    )
