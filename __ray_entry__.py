@@ -1033,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_attack_tolerance": webgraph.link_attack_tolerance,
         "pages_link_random_failure": webgraph.link_random_failure,
         "pages_link_densification": webgraph.link_densification,
+        "pages_link_core_numbers": webgraph.link_core_numbers,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
@@ -1207,6 +1208,51 @@ def _zorder_sql(bits=8, bucket_shift=10) -> str:
                CAST(MIN(q1) AS BIGINT) AS min_q1,
                CAST(MAX(q1) AS BIGINT) AS max_q1
         FROM z GROUP BY 1
+    """
+
+
+def _core_numbers_sql(rounds_per_k={1: 3, 2: 6, 3: 6, 4: 20}) -> str:
+    """Unrolled per-k peels over the deduped undirected link graph;
+    core_number = max k whose peel kept the node. Round budgets carry
+    a ~1.5x margin over the measured convergence (k=4 fully empties in
+    14 rounds here) — a future corpus needing more fails loudly via
+    the value-hash, the bigram_kcore convention."""
+    blocks, selects = [], []
+    for k, R in rounds_per_k.items():
+        prev = "und"
+        for r in range(1, R + 1):
+            blocks.append(f"""
+        d{k}_{r} AS MATERIALIZED (
+            SELECT src, COUNT(*) AS deg FROM (
+                SELECT u AS src FROM {prev}
+                UNION ALL SELECT v FROM {prev}
+            ) GROUP BY src HAVING COUNT(*) >= {k}
+        ),
+        e{k}_{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM {prev} e
+            JOIN d{k}_{r} a ON e.u = a.src
+            JOIN d{k}_{r} b ON e.v = b.src
+        )""")
+            prev = f"e{k}_{r}"
+        selects.append(f"""
+        SELECT n AS page, {k} AS k FROM (
+            SELECT DISTINCT n FROM (
+                SELECT u AS n FROM {prev}
+                UNION ALL SELECT v FROM {prev}
+            )
+        )""")
+    chain = ",".join(blocks)
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH {_LINKS_CTE},
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u,
+                            GREATEST(src, dst) AS v
+            FROM links
+        ),
+        {chain}
+        SELECT page, CAST(MAX(k) AS BIGINT) AS core_number
+        FROM ({union}) GROUP BY page
     """
 
 
@@ -4122,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_attack_tolerance": _attack_tolerance_sql(),
         "pages_link_random_failure": _random_failure_sql(),
         "pages_link_densification": _densification_sql(),
+        "pages_link_core_numbers": _core_numbers_sql(),
         "pages_link_rich_club": f"""
             WITH {_LINKS_CTE},
             und AS MATERIALIZED (

@@ -1072,3 +1072,100 @@ def link_densification(sf_dir: str, fractions=(250_000, 500_000,
             ),
         }
     )
+
+
+def link_core_numbers(sf_dir: str, driver_max_edges: int = 2_000_000,
+                      max_k: int = 8):
+    """Full k-core decomposition of the undirected hyperlink graph:
+    (page, core_number) where core_number(v) = the largest k whose
+    k-core still contains v (0 for nodes whose every neighbor peels
+    away at k=1 — dangling-only endpoints keep core 1 via their one
+    edge). The per-node coreness is THE standard web-graph centrality
+    for crawl prioritization (denser shells first).
+
+    Tiers: under ``driver_max_edges`` the textbook iterative peel runs
+    on numpy adjacency (O(E · max_core)); above it, the Dataset path
+    calls :func:`graph.kcore_distributed` for k = 1..``max_k`` and
+    takes the largest k that kept each node (few shells; each peel is
+    the independently-pinned distributed kernel). The SQL twin unrolls
+    the same per-k peels."""
+    import numpy as np
+
+    edges = link_graph(sf_dir).materialize()
+    _named = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _named.empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]},
+                        schema=_named)
+
+    n_edges = edges.count()
+    if n_edges > driver_max_edges:
+        from autoner_ray.stages.graph import kcore_distributed
+
+        named = edges.map_batches(
+            to_named, batch_format="pyarrow"
+        ).materialize()
+        core: dict[int, int] = {}
+        for k in range(1, max_k + 1):
+            kept = kcore_distributed(named, k=k)
+            kt = kept.to_pandas() if not isinstance(kept, pa.Table) else (
+                kept.to_pandas()
+            )
+            if len(kt) == 0:
+                break
+            for node in kt["entity"]:
+                core[int(node)] = k
+        nodes = sorted(core)
+        return pa.table(
+            {
+                "page": pa.array(nodes, pa.int64()),
+                "core_number": pa.array(
+                    [core[n] for n in nodes], pa.int64()
+                ),
+            }
+        )
+
+    df = edges.to_pandas()
+    s = df["src"].to_numpy(np.int64)
+    d = df["dst"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    a = inv[: len(s)].astype(np.int64)
+    b = inv[len(s):].astype(np.int64)
+    # dedup unordered pairs
+    n = len(nodes)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    pair = np.unique(lo * np.int64(n) + hi)
+    pu = (pair // n).astype(np.int64)
+    pv = (pair % n).astype(np.int64)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, pu, 1)
+    np.add.at(deg, pv, 1)
+    alive_edge = np.ones(len(pu), bool)
+    core_no = np.zeros(n, np.int64)
+    k = 1
+    while alive_edge.any():
+        # peel at k: repeatedly drop nodes with degree < k
+        while True:
+            weak = deg < k
+            drop = alive_edge & (weak[pu] | weak[pv])
+            if not drop.any():
+                break
+            np.subtract.at(deg, pu[drop], 1)
+            np.subtract.at(deg, pv[drop], 1)
+            alive_edge &= ~drop
+        survivors = np.unique(
+            np.concatenate([pu[alive_edge], pv[alive_edge]])
+        )
+        core_no[survivors] = k
+        k += 1
+        if k > max_k:
+            break
+    return pa.table(
+        {
+            "page": pa.array(nodes[core_no > 0], pa.int64()),
+            "core_number": pa.array(core_no[core_no > 0], pa.int64()),
+        }
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 290 and len(sqls) == 271
+    assert len(qs) == 291 and len(sqls) == 272
     import subprocess
     import sys
 
