@@ -933,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_propagation": lambda sf: (
             kg.unigram_label_propagation(sf)
         ),
+        "kg_community_modularity": kg.community_modularity,
         "q15_top_supplier": relational.q15_top_supplier,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
         "docs_ccnet_buckets": lambda sf: analysis.ccnet_buckets(
@@ -1630,6 +1631,49 @@ def _lpa_sql(dict_values: str, rounds: int = 4) -> str:
         ),
         {",".join(steps)}
         SELECT src AS entity, label AS community FROM {prev}
+    """
+
+
+def _modularity_sql(dict_values: str, rounds: int = 4) -> str:
+    """Modularity twin: the unrolled LPA community query nests as a
+    CTE (its inner WITH shadows the outer pair CTEs safely); the
+    integer formula Q*4m^2 = sum_c(4m*W_c - S_c^2) floors to ppm."""
+    lpa = _lpa_sql(dict_values, rounds=rounds)
+    return f"""
+        WITH comm AS MATERIALIZED ( {lpa} ),
+        {_unigram_graph_ctes(dict_values)},
+        wsum AS (SELECT CAST(SUM(weight) AS BIGINT) AS m FROM pairs),
+        labeled AS (
+            SELECT p.weight, a.community AS ca, b.community AS cb
+            FROM pairs p
+            JOIN comm a ON a.entity = p.subj
+            JOIN comm b ON b.entity = p.obj
+        ),
+        wc AS (
+            SELECT ca AS community, CAST(SUM(weight) AS BIGINT) AS w_c
+            FROM labeled WHERE ca = cb GROUP BY 1
+        ),
+        sc AS (
+            SELECT community, CAST(SUM(w) AS BIGINT) AS s_c FROM (
+                SELECT ca AS community, weight AS w FROM labeled
+                UNION ALL SELECT cb, weight FROM labeled
+            ) GROUP BY 1
+        ),
+        terms AS (
+            SELECT s.community,
+                   4 * (SELECT m FROM wsum) * COALESCE(w.w_c, 0)
+                       - s.s_c * s.s_c AS term,
+                   COALESCE(w.w_c, 0) AS w_c
+            FROM sc s LEFT JOIN wc w USING (community)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(SUM(w_c) AS BIGINT) AS intra_weight,
+               CAST((SELECT m FROM wsum) AS BIGINT) AS total_weight,
+               CAST((SUM(term) * 1000000)
+                    // (4 * (SELECT m FROM wsum)
+                          * (SELECT m FROM wsum)) AS BIGINT)
+                   AS modularity_ppm
+        FROM terms
     """
 
 
@@ -3888,6 +3932,7 @@ def oracle_sql() -> dict[str, str]:
             similarity_mod.int8_quantize_oracle_sql()
         ),
         "kg_label_propagation": _lpa_sql(dict_values),
+        "kg_community_modularity": _modularity_sql(dict_values),
         "q15_top_supplier": relational_mod.q15_oracle_sql(),
         "q22_sales_opportunity": relational_mod.q22_oracle_sql(),
         "docs_ccnet_buckets": analysis_mod.ccnet_buckets_oracle_sql(),

@@ -2020,3 +2020,57 @@ def negative_samples(edges_ds, k: int = 2,
         cands, edges, on=("pair",), num_partitions=num_partitions,
         join_type="left outer",
     ).map_batches(survivors, batch_format="pyarrow")
+
+
+def community_modularity(sf_dir: str, rounds: int = 4):
+    """Exact Newman modularity of the label-propagation communities
+    over the unigram co-occurrence graph — the quality number that
+    tells you whether the partition is better than chance. Computed in
+    EXACT integers: with m = total edge weight, W_c = intra-community
+    weight and S_c = community weighted degree,
+    ``Q * 4m^2 = Σ_c (4m·W_c − S_c²)`` is an integer, and the emitted
+    ``modularity_ppm`` is its floor-scaled ppm — bit-identical to the
+    SQL twin, which reuses the unrolled vote-argmax community CTE. One
+    row: (n_communities, intra_weight, total_weight, modularity_ppm).
+
+    Scale shape: the community table is vocab-bounded (the
+    label-propagation contract); edge sums are single passes over the
+    aggregated pair table."""
+    import numpy as np
+
+    from autoner_ray.stages.graph import label_propagation
+
+    edges = unigram_triples(sf_dir).materialize()
+    comm_t = label_propagation(edges, rounds=rounds)
+    comm = dict(zip(comm_t["entity"].to_pylist(),
+                    comm_t["community"].to_pylist()))
+    pdf = edges.to_pandas()
+    w = pdf["weight"].to_numpy(np.int64)
+    m = int(w.sum())
+    ca = pdf["subj"].map(comm)
+    cb = pdf["obj"].map(comm)
+    intra_mask = (ca == cb).to_numpy()
+    intra = int(w[intra_mask].sum())
+    import collections
+
+    W_c: dict = collections.Counter()
+    for c, wt in zip(ca[intra_mask], w[intra_mask]):
+        W_c[c] += int(wt)
+    S_c: dict = collections.Counter()
+    for c, wt in zip(ca, w):
+        S_c[c] += int(wt)
+    for c, wt in zip(cb, w):
+        S_c[c] += int(wt)
+    communities = set(comm.values())
+    q_num = sum(
+        4 * m * W_c.get(c, 0) - S_c.get(c, 0) ** 2 for c in communities
+    )
+    modularity_ppm = (q_num * 1_000_000) // (4 * m * m) if m else 0
+    return pa.table(
+        {
+            "n_communities": pa.array([len(communities)], pa.int64()),
+            "intra_weight": pa.array([intra], pa.int64()),
+            "total_weight": pa.array([m], pa.int64()),
+            "modularity_ppm": pa.array([modularity_ppm], pa.int64()),
+        }
+    )
