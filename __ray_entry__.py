@@ -1035,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_random_failure": webgraph.link_random_failure,
         "pages_link_densification": webgraph.link_densification,
         "pages_link_core_numbers": webgraph.link_core_numbers,
+        "pages_link_hits": webgraph.link_hits,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
@@ -1209,6 +1210,47 @@ def _zorder_sql(bits=8, bucket_shift=10) -> str:
                CAST(MIN(q1) AS BIGINT) AS min_q1,
                CAST(MAX(q1) AS BIGINT) AS max_q1
         FROM z GROUP BY 1
+    """
+
+
+def _link_hits_sql(iters: int = 8, scale: int = 1_000_000) -> str:
+    """Hyperlink twin of ``_hits_sql``: same unrolled HUGEINT lattice,
+    edges re-derived arithmetically (weight 1 per distinct edge)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        a{k}r AS MATERIALIZED (
+            SELECT e.ent, SUM(e.w * h.h) AS r
+            FROM ledges e JOIN h{k - 1} h ON h.src = e.src
+            GROUP BY e.ent
+        ),
+        a{k} AS MATERIALIZED (
+            SELECT ent, r * {scale} // (SELECT SUM(r) FROM a{k}r) AS a
+            FROM a{k}r
+        ),
+        h{k}r AS MATERIALIZED (
+            SELECT e.src, SUM(e.w * a.a) AS r
+            FROM ledges e JOIN a{k} a ON a.ent = e.ent
+            GROUP BY e.src
+        ),
+        h{k} AS MATERIALIZED (
+            SELECT src, r * {scale} // (SELECT SUM(r) FROM h{k}r) AS h
+            FROM h{k}r
+        )""")
+    return f"""
+        WITH {_LINKS_CTE},
+        ledges AS MATERIALIZED (
+            SELECT src, dst AS ent, CAST(1 AS HUGEINT) AS w FROM links
+        ),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src, CAST({scale} AS HUGEINT) AS h
+            FROM ledges
+        ),
+        {", ".join(steps)}
+        SELECT src AS page, 'hub' AS kind, CAST(h AS BIGINT) AS score
+        FROM h{iters}
+        UNION ALL
+        SELECT ent, 'authority', CAST(a AS BIGINT) FROM a{iters}
     """
 
 
@@ -4214,6 +4256,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_random_failure": _random_failure_sql(),
         "pages_link_densification": _densification_sql(),
         "pages_link_core_numbers": _core_numbers_sql(),
+        "pages_link_hits": _link_hits_sql(),
         "pages_link_rich_club": f"""
             WITH {_LINKS_CTE},
             und AS MATERIALIZED (

@@ -1169,3 +1169,49 @@ def link_core_numbers(sf_dir: str, driver_max_edges: int = 2_000_000,
             "core_number": pa.array(core_no[core_no > 0], pa.int64()),
         }
     )
+
+
+def link_hits(sf_dir: str, iters: int = 8, scale: int = 1_000_000):
+    """Kleinberg HITS over the DIRECTED hyperlink graph — hub scores
+    for pages that point at good authorities and authority scores for
+    pages good hubs point at, on the exact integer lattice of
+    ``graph.hits_lattice`` (L1 floor-normalization per iteration; the
+    SQL twin replays the identical HUGEINT arithmetic). Output
+    (page, kind, score) with kind in {hub, authority}; a page can
+    carry both rows.
+
+    Scale shape: the parsed edge list is already globally distinct;
+    the lattice matvec runs on the aggregated edge table (the
+    vocab-bounded default of the hits family, with the
+    join-per-step Dataset variant the documented unbounded path)."""
+    from autoner_ray.stages.graph import hits_lattice
+
+    _b_schema = pa.schema(
+        [("src", pa.string()), ("ent", pa.string()), ("w", pa.int64())]
+    )
+
+    def to_bipartite(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _b_schema.empty_table()
+        return pa.table(
+            {
+                "src": t["src"].cast(pa.string()),
+                "ent": t["dst"].cast(pa.string()),
+                "w": pa.array([1] * len(t), pa.int64()),
+            },
+            schema=_b_schema,
+        )
+
+    out = hits_lattice(
+        link_graph(sf_dir).map_batches(
+            to_bipartite, batch_format="pyarrow"
+        ),
+        iters=iters, scale=scale,
+    )
+    return pa.table(
+        {
+            "page": out["node"].cast(pa.int64()),
+            "kind": out["kind"],
+            "score": out["score"],
+        }
+    )
