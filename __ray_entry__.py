@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_infix_relations": lambda sf: kg.unigram_infix_relations(sf),
         "kg_hash_walks": lambda sf: kg.unigram_hash_walks(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
+        "kg_c4_count": lambda sf: kg.unigram_c4(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
         ),
@@ -2128,6 +2129,22 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_distances": _bfs_distances_sql(dict_values),
         # pairs is subj<obj-unique, so each triangle appears exactly
         # once with a<b<c and credits all three corners
+        "kg_c4_count": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            c4bidir AS MATERIALIZED (
+                SELECT subj AS c, obj AS x FROM pairs
+                UNION ALL SELECT obj, subj FROM pairs
+            ),
+            cn AS (
+                SELECT e1.x AS u, e2.x AS v, COUNT(*) AS c
+                FROM c4bidir e1 JOIN c4bidir e2
+                  ON e1.c = e2.c AND e1.x < e2.x
+                GROUP BY 1, 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_with_wedges,
+                   CAST(SUM(c * (c - 1) // 2) // 2 AS BIGINT) AS n_c4
+            FROM cn
+        """,
         "kg_triangle_count": f"""
             WITH {_unigram_graph_ctes(dict_values)},
             tri AS (

@@ -2074,3 +2074,11 @@ def community_modularity(sf_dir: str, rounds: int = 4):
             "modularity_ppm": pa.array([modularity_ppm], pa.int64()),
         }
     )
+
+
+def unigram_c4(sf_dir: str):
+    """4-cycle census over the unigram co-occurrence graph (see
+    ``stages/graph.py::c4_count`` for the diagonal-pair identity)."""
+    from autoner_ray.stages.graph import c4_count
+
+    return c4_count(unigram_triples(sf_dir))

@@ -2569,3 +2569,104 @@ def wcc_census(edges_ds, driver_max_edges: int = 2_000_000):
         },
         schema=out_schema,
     )
+
+
+def c4_count(edges_ds, num_partitions: int | None = None):
+    """Exact 4-cycle census of the undirected graph — the quadrilateral
+    companion to :func:`triangle_counts` (C4 density separates
+    bipartite-ish link farms from organic link structure): every
+    unordered pair (u, v) with ``c`` common neighbors closes
+    ``C(c, 2)`` quadrilaterals through its two wedge endpoints, and
+    each 4-cycle is counted once per diagonal, so
+    ``#C4 = Σ_pairs C(c, 2) // 2`` — all integer. One row:
+    (n_pairs_with_wedges, n_c4).
+
+    Scale shape: wedge enumeration per center node (the adamic-adar
+    kernel shape) emits per-batch (u, v, n) partials; one
+    pair-partitioned sum makes common-neighbor counts exact, and the
+    final combinatorial sum folds per partition before one tiny
+    driver add."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+
+    schema = edges_ds.schema()
+    node_type = schema.types[schema.names.index("subj")]
+    if not isinstance(node_type, pa.DataType):
+        # pandas-backed blocks report numpy/object classes for strings
+        node_type = pa.string()
+    _w_schema = pa.schema(
+        [("u", node_type), ("v", node_type), ("n", pa.int64())]
+    )
+
+    # NOTE: wedge partials require the center's full adjacency in one
+    # batch — materialize one block per center partition first (the
+    # triangle/adamic-adar family contract: center-partitioned shuffle)
+    def center_key(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("c", node_type), ("x", node_type)]
+            ).empty_table()
+        return pa.table(
+            {
+                "c": pa.chunked_array(t["subj"].chunks + t["obj"].chunks),
+                "x": pa.chunked_array(t["obj"].chunks + t["subj"].chunks),
+            }
+        )
+
+    import pandas as pd
+
+    def wedges_by_center(df: pd.DataFrame) -> pd.DataFrame:
+        xs = np.sort(np.unique(df["x"].to_numpy()))
+        if len(xs) < 2:
+            return pd.DataFrame({"u": [], "v": [], "n": []})
+        iu, iv = np.triu_indices(len(xs), k=1)
+        return pd.DataFrame(
+            {"u": xs[iu], "v": xs[iv],
+             "n": np.ones(len(iu), np.int64)}
+        )
+
+    pair_counts = partitioned_key_sum(
+        edges_ds.map_batches(center_key, batch_format="pyarrow")
+        .groupby("c")
+        .map_groups(wedges_by_center, batch_format="pandas"),
+        keys=["u", "v"], sum_cols=["n"], part_on=("u",),
+        num_partitions=num_partitions,
+    )
+
+    _p_schema = pa.schema(
+        [("n_pairs", pa.int64()), ("quads2", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0 or "n" not in (
+            t.schema.names
+        ):
+            return _p_schema.empty_table()
+        c = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_pairs": pa.array([len(c)], pa.int64()),
+                "quads2": pa.array(
+                    [int((c * (c - 1) // 2).sum())], pa.int64()
+                ),
+            },
+            schema=_p_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    tot = pair_counts.map_batches(
+        fold, batch_format="pyarrow"
+    ).aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                Sum("quads2", alias_name="quads2"))
+    return pa.table(
+        {
+            "n_pairs_with_wedges": pa.array(
+                [int(tot["n_pairs"] or 0)], pa.int64()
+            ),
+            "n_c4": pa.array(
+                [int((tot["quads2"] or 0) // 2)], pa.int64()
+            ),
+        }
+    )

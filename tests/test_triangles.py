@@ -64,3 +64,29 @@ def test_triangle_counts_empty_and_triangle_free(ray_session):
     )
     got = triangle_counts(ray.data.from_pandas(df)).to_pandas()
     assert len(got) == 0
+
+
+def test_c4_count_crafted(ray_session):
+    """Quadrilateral census vs hand-counted fixtures (square, chorded
+    square, triangle, diagonal-sharing double square)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoner_ray.stages.graph import c4_count
+
+    cases = [
+        ([(1, 2), (2, 3), (3, 4), (4, 1)], 1),
+        ([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], 1),
+        ([(1, 2), (2, 3), (3, 1)], 0),
+        ([(1, 2), (2, 3), (3, 4), (4, 1), (1, 5), (5, 3)], 3),
+    ]
+    for pairs, want in cases:
+        eds = rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, _ in pairs], pa.int64()),
+                    "obj": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+        assert c4_count(eds)["n_c4"][0].as_py() == want
