@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch": lambda sf: windows.last_touch_attribution(
             _events(sf)
         ),
+        "events_first_touch": lambda sf: windows.first_touch_attribution(
+            _events(sf)
+        ),
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -2466,6 +2469,32 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_first_touch": """
+            WITH ordered AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS pos
+                FROM events
+            ),
+            purchases AS (
+                SELECT user_id, pos FROM ordered
+                WHERE event_type = 'purchase'
+            ),
+            credited AS (
+                SELECT p.user_id, p.pos,
+                       COALESCE((
+                           SELECT o.event_type FROM ordered o
+                           WHERE o.user_id = p.user_id
+                             AND o.pos < p.pos
+                             AND o.event_type <> 'purchase'
+                           ORDER BY o.pos ASC LIMIT 1
+                       ), '(none)') AS touch_type
+                FROM purchases p
+            )
+            SELECT touch_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions
+            FROM credited GROUP BY touch_type
         """,
         "events_last_touch": """
             WITH ordered AS (

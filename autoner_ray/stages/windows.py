@@ -2524,3 +2524,40 @@ def last_touch_attribution(events_ds):
         .map_groups(per_user, batch_format="pandas"),
         keys=["touch_type"], sum_cols=["n_conversions"],
     )
+
+
+def first_touch_attribution(events_ds):
+    """First-touch sibling of :func:`last_touch_attribution`: every
+    purchase credits the user's EARLIEST event of any non-purchase
+    type (the acquisition channel); purchases preceded by nothing
+    credit ``(none)``. Output (touch_type, n_conversions)."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        is_p = et == "purchase"
+        touches = np.flatnonzero(~is_p)
+        out: dict = {}
+        for i in np.flatnonzero(is_p):
+            j = np.searchsorted(touches, i, side="left")
+            ch = et[touches[0]] if j > 0 else "(none)"
+            out[ch] = out.get(ch, 0) + 1
+        return pd.DataFrame(
+            {
+                "touch_type": list(out.keys()),
+                "n_conversions": np.array(
+                    list(out.values()), np.int64
+                ),
+            }
+        )
+
+    return bounded_key_sum(
+        events_ds.select_columns(["user_id", "ts", "event_id",
+                                  "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas"),
+        keys=["touch_type"], sum_cols=["n_conversions"],
+    )
