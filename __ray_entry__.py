@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hash_walks": lambda sf: kg.unigram_hash_walks(sf),
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_c4_count": lambda sf: kg.unigram_c4(sf),
+        "kg_transitivity_null": lambda sf: kg.transitivity_null_model(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
         ),
@@ -2132,6 +2133,36 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_distances": _bfs_distances_sql(dict_values),
         # pairs is subj<obj-unique, so each triangle appears exactly
         # once with a<b<c and credits all three corners
+        "kg_transitivity_null": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            tri AS (
+                SELECT COUNT(*) AS t
+                FROM pairs p1
+                JOIN pairs p2 ON p2.subj = p1.obj
+                JOIN pairs p3 ON p3.subj = p1.subj
+                            AND p3.obj = p2.obj
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS k FROM (
+                    SELECT subj AS node FROM pairs
+                    UNION ALL SELECT obj FROM pairs
+                ) GROUP BY node
+            ),
+            mom AS (
+                SELECT CAST(SUM(k) AS BIGINT) AS s1,
+                       CAST(SUM(k * k) AS BIGINT) AS s2,
+                       CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS wedges
+                FROM deg
+            )
+            SELECT CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+                   wedges AS n_wedges,
+                   CAST(3 * (SELECT t FROM tri) * 1000000 // wedges
+                        AS BIGINT) AS transitivity_ppm,
+                   CAST((s2 - s1) * (s2 - s1) * 1000000
+                        // (s1 * s1 * s1) AS BIGINT)
+                       AS config_expected_ppm
+            FROM mom
+        """,
         "kg_c4_count": f"""
             WITH {_unigram_graph_ctes(dict_values)},
             c4bidir AS MATERIALIZED (

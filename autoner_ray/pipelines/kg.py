@@ -2082,3 +2082,51 @@ def unigram_c4(sf_dir: str):
     from autoner_ray.stages.graph import c4_count
 
     return c4_count(unigram_triples(sf_dir))
+
+
+def transitivity_null_model(sf_dir: str):
+    """Global transitivity vs its configuration-model expectation —
+    the null-model test that says whether the graph's clustering is
+    structure or just degree sequence: with S1 = Σk, S2 = Σk² over the
+    deduped undirected degrees, E[C] under the configuration model is
+    the EXACT integer ratio (S2−S1)² / S1³, and actual transitivity is
+    3·Δ / wedges with Δ the triangle total and wedges = Σ C(k,2) —
+    every quantity an integer, both ratios floored to ppm. One row:
+    (n_triangles, n_wedges, transitivity_ppm, config_expected_ppm).
+
+    Scale shape: degrees/moments ride the endpoint combine (tiny
+    partials); the triangle total reuses the pinned compact-forward
+    counter."""
+    import numpy as np
+
+    from autoner_ray.stages.graph import triangle_counts
+
+    edges = unigram_triples(sf_dir).materialize()
+    tri = triangle_counts(edges)
+    tri_t = tri if isinstance(tri, pa.Table) else pa.concat_tables(
+        [b for b in tri.iter_batches(batch_format="pyarrow")]
+    )
+    n_triangles = int(sum(tri_t["triangles"].to_pylist())) // 3
+    pdf = edges.to_pandas()
+    import collections
+
+    deg: dict = collections.Counter()
+    for a, b in zip(pdf["subj"], pdf["obj"]):
+        deg[a] += 1
+        deg[b] += 1
+    ks = np.array(list(deg.values()), np.int64)
+    s1 = int(ks.sum())
+    s2 = int((ks * ks).sum())
+    wedges = int((ks * (ks - 1) // 2).sum())
+    transitivity_ppm = (3 * n_triangles * 1_000_000) // wedges if wedges else 0
+    expected_ppm = ((s2 - s1) ** 2 * 1_000_000) // (s1 ** 3) if s1 else 0
+    return pa.table(
+        {
+            "n_triangles": pa.array([n_triangles], pa.int64()),
+            "n_wedges": pa.array([wedges], pa.int64()),
+            "transitivity_ppm": pa.array(
+                [transitivity_ppm], pa.int64()
+            ),
+            "config_expected_ppm": pa.array([expected_ppm], pa.int64()),
+        }
+    )

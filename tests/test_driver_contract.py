@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 295 and len(sqls) == 276
+    assert len(qs) == 296 and len(sqls) == 277
     import subprocess
     import sys
 
