@@ -416,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch": lambda sf: windows.first_touch_attribution(
             _events(sf)
         ),
+        "events_markov_entropy": lambda sf: windows.markov_entropy_rate(
+            _events(sf)
+        ),
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -2500,6 +2503,37 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_markov_entropy": """
+            WITH t AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ),
+            c AS (
+                SELECT prev_type, event_type, COUNT(*) AS n
+                FROM t WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            ),
+            srow AS (
+                SELECT prev_type, SUM(n) AS ns FROM c GROUP BY prev_type
+            ),
+            terms AS (
+                SELECT CAST(SUM(CAST(FLOOR(LN(CAST(ns AS DOUBLE)) * ns
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                           AS a,
+                       (SELECT CAST(SUM(CAST(FLOOR(
+                            LN(CAST(n AS DOUBLE)) * n * 1000000 + 0.5)
+                            AS BIGINT)) AS BIGINT) FROM c) AS b,
+                       (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS nn,
+                       CAST(COUNT(*) AS BIGINT) AS n_states
+                FROM srow
+            )
+            SELECT nn AS n_transitions, n_states,
+                   round((a - b) / 1000000.0 / nn, 6) AS entropy_rate
+            FROM terms
         """,
         "events_first_touch": """
             WITH ordered AS (

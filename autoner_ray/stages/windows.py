@@ -2561,3 +2561,41 @@ def first_touch_attribution(events_ds):
         .map_groups(per_user, batch_format="pandas"),
         keys=["touch_type"], sum_cols=["n_conversions"],
     )
+
+
+def markov_entropy_rate(events_ds):
+    """Empirical entropy rate of the event-type Markov chain — the
+    predictability number a sequence model's achievable loss floors
+    at: H = (1/N)[Σ_s n_s ln n_s − Σ_st n_st ln n_st] over the
+    transition counts (MLE conditional entropy weighted by empirical
+    state frequency). Each ln-term quantizes to integer micro-nats
+    BEFORE summation (the ``source_word_entropy`` trick) so the sums
+    are order-independent and the SQL twin matches exactly; only the
+    final division touches floats, identically on both sides. One
+    row: (n_transitions, n_states, entropy_rate).
+
+    Scale shape: transition counts come from the bounded
+    |types|² combine of :func:`type_transitions`; the micro-nat fold
+    is driver arithmetic on that bounded table."""
+    import math
+
+    import numpy as np
+
+    trans = type_transitions(events_ds).to_pandas()
+    n_st = trans["n"].to_numpy(np.int64)
+    N = int(n_st.sum())
+    n_s = trans.groupby("prev_type")["n"].sum().to_numpy(np.int64)
+    a = int(np.floor(np.log(n_s.astype(np.float64)) * n_s * 1e6
+                     + 0.5).astype(np.int64).sum())
+    b = int(np.floor(np.log(n_st.astype(np.float64)) * n_st * 1e6
+                     + 0.5).astype(np.int64).sum())
+    rate = round((a - b) / 1e6 / float(N), 6) if N else 0.0
+    return pa.table(
+        {
+            "n_transitions": pa.array([N], pa.int64()),
+            "n_states": pa.array(
+                [int(trans["prev_type"].nunique())], pa.int64()
+            ),
+            "entropy_rate": pa.array([rate], pa.float64()),
+        }
+    )
