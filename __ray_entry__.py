@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_zorder_buckets": similarity.zorder_buckets,
         "embedding_label_spread": similarity.label_spread,
         "embedding_single_link_ladder": similarity.single_link_ladder,
+        "embedding_psi_drift": similarity.psi_drift,
         "customer_k_anonymity": relational.customer_k_anonymity,
         "docs_spearman_len_tokens": _docs_spearman,
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
@@ -4525,6 +4526,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_zorder_buckets": _zorder_sql(),
         "embedding_single_link_ladder": _single_link_sql(),
+        "embedding_psi_drift": """
+            WITH nrm AS (
+                SELECT vec_id,
+                       sqrt(list_aggregate(list_transform(
+                           CAST(embedding AS DOUBLE[]), x -> x * x),
+                           'sum')) AS nrm
+                FROM embeddings
+            ),
+            rng AS (SELECT MIN(nrm) AS lo, MAX(nrm) AS hi FROM nrm),
+            b AS (
+                SELECT LEAST(CAST(FLOOR((nrm - lo) * 8 / (hi - lo))
+                                  AS BIGINT), 7) AS bin,
+                       CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END
+                           AS base
+                FROM nrm, rng
+            ),
+            bins AS (
+                SELECT bin, SUM(base) AS n_base,
+                       SUM(1 - base) AS n_cur
+                FROM b GROUP BY bin
+            ),
+            allbins AS (SELECT UNNEST(range(0, 8)) AS bin),
+            filled AS (
+                SELECT a.bin, COALESCE(n_base, 0) AS n_base,
+                       COALESCE(n_cur, 0) AS n_cur
+                FROM allbins a LEFT JOIN bins USING (bin)
+            ),
+            tot AS (
+                SELECT SUM(n_base) AS ta, SUM(n_cur) AS tb FROM filled
+            ),
+            terms AS (
+                SELECT bin, n_base, n_cur,
+                       CAST(FLOOR(
+                           ((n_base + 1.0) / (ta + 8)
+                            - (n_cur + 1.0) / (tb + 8))
+                           * LN(((n_base + 1.0) / (ta + 8))
+                                / ((n_cur + 1.0) / (tb + 8)))
+                           * 1000000 + 0.5) AS BIGINT) AS t
+                FROM filled, tot
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   t AS psi_term_micro
+            FROM terms
+            UNION ALL
+            SELECT -1, (SELECT ta FROM tot), (SELECT tb FROM tot),
+                   (SELECT SUM(t) FROM terms)
+        """,
         "embedding_label_spread": """
             WITH sims AS (
                 SELECT a.vec_id AS va, b.vec_id AS vb, b.label AS lb,

@@ -1896,3 +1896,105 @@ def single_link_ladder(sf_dir: str,
             ),
         }
     )
+
+
+def psi_drift(sf_dir: str, n_bins: int = 8):
+    """Population-stability-index drift monitor over embedding norms —
+    the MLOps check that an embedding service hasn't shifted: even
+    vec_ids are the baseline population, odd the current one; norms
+    bin into ``n_bins`` equal-width buckets over the global range and
+    PSI = Σ (p−q)·ln(p/q) with add-one smoothing
+    (p_i = (a_i+1)/(A+n_bins)) so empty bins stay finite. Each bin's
+    term is one float expression evaluated in the twin's exact op
+    order and floored to micro units before the (fixed-order, tiny)
+    sum. Output (bin, n_base, n_cur, psi_term_micro) per bin plus the
+    total as bin = -1.
+
+    Scale shape: one scalar min/max pass, then stateless vectorized
+    bin counts into the bounded combine; the PSI fold is driver
+    arithmetic over n_bins rows."""
+    import math
+
+    import numpy as np
+
+    import ray.data as rd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def norms_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "nrm": pa.array([], pa.float64()),
+                }
+            )
+        m = np.array(t["embedding"].to_pylist(), np.float64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "nrm": pa.array(np.sqrt((m * m).sum(axis=1)),
+                                pa.float64()),
+            }
+        )
+
+    norms = emb.map_batches(
+        norms_batch, batch_format="pyarrow"
+    ).materialize()
+    lo, hi = norms.min("nrm"), norms.max("nrm")
+
+    _b_schema = pa.schema(
+        [("bin", pa.int64()), ("n_base", pa.int64()),
+         ("n_cur", pa.int64())]
+    )
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _b_schema.empty_table()
+        import pandas as pd
+
+        x = t["nrm"].to_numpy()
+        b = np.minimum(
+            np.floor((x - lo) * n_bins / (hi - lo)).astype(np.int64),
+            n_bins - 1,
+        )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        base = (ids % 2 == 0).astype(np.int64)
+        df = pd.DataFrame(
+            {"bin": b, "n_base": base, "n_cur": 1 - base}
+        )
+        g = df.groupby("bin", as_index=False).sum()
+        return pa.Table.from_pandas(g, schema=_b_schema,
+                                    preserve_index=False)
+
+    bins = bounded_key_sum(
+        norms.map_batches(bin_partial, batch_format="pyarrow"),
+        keys=["bin"], sum_cols=["n_base", "n_cur"],
+    ).to_pandas().set_index("bin")
+    A = int(bins["n_base"].sum())
+    B = int(bins["n_cur"].sum())
+    rows = []
+    total = 0
+    for i in range(n_bins):
+        a = int(bins["n_base"].get(i, 0))
+        b = int(bins["n_cur"].get(i, 0))
+        p = (a + 1) / (A + n_bins)
+        q = (b + 1) / (B + n_bins)
+        term = int(math.floor((p - q) * math.log(p / q) * 1e6 + 0.5))
+        total += term
+        rows.append((i, a, b, term))
+    rows.append((-1, A, B, total))
+    return pa.table(
+        {
+            "bin": pa.array([r[0] for r in rows], pa.int64()),
+            "n_base": pa.array([r[1] for r in rows], pa.int64()),
+            "n_cur": pa.array([r[2] for r in rows], pa.int64()),
+            "psi_term_micro": pa.array(
+                [r[3] for r in rows], pa.int64()
+            ),
+        }
+    )
