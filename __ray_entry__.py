@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_single_link_ladder": similarity.single_link_ladder,
         "embedding_psi_drift": similarity.psi_drift,
         "customer_k_anonymity": relational.customer_k_anonymity,
+        "orders_benford": relational.orders_benford,
         "docs_spearman_len_tokens": _docs_spearman,
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
             _docs(sf, ["doc_id"])
@@ -4772,6 +4773,40 @@ def oracle_sql() -> dict[str, str]:
                                 * CAST(n * syy - sy * sy AS DOUBLE)), 6)
                        AS spearman
             FROM m
+        """,
+        "orders_benford": """
+            WITH cents AS (
+                SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                            AS BIGINT) AS c
+                FROM orders
+            ),
+            first AS (
+                SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM cents
+            ),
+            obs AS (
+                SELECT digit, COUNT(*) AS n FROM first GROUP BY digit
+            ),
+            digits AS (SELECT UNNEST(range(1, 10)) AS digit),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM obs),
+            terms AS (
+                SELECT d.digit,
+                       COALESCE(o.n, 0) AS n_observed,
+                       (SELECT nn FROM tot)
+                           * (LN(1.0 + 1.0 / d.digit) / LN(10.0))
+                           AS exp_n
+                FROM digits d LEFT JOIN obs o USING (digit)
+            )
+            SELECT CAST(digit AS BIGINT) AS digit,
+                   CAST(n_observed AS BIGINT) AS n_observed,
+                   CAST(FLOOR(exp_n * 1000000 + 0.5) AS BIGINT)
+                       AS expected_micro,
+                   CAST(FLOOR((n_observed - exp_n)
+                              * (n_observed - exp_n) / exp_n
+                              * 1000000 + 0.5) AS BIGINT)
+                       AS chi2_term_micro
+            FROM terms
         """,
         "customer_k_anonymity": """
             WITH classes AS (

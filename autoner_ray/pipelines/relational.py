@@ -5123,3 +5123,76 @@ def customer_k_anonymity(sf_dir: str):
             ),
         }
     )
+
+
+def orders_benford(sf_dir: str):
+    """Benford's-law first-digit audit of order totals — the
+    data-quality/fraud screen: observed first-digit counts of the
+    integer-cents total vs the Benford expectation
+    ``ln(1+1/d)/ln(10)``. Output one row per digit 1-9:
+    (digit, n_observed, expected_micro, chi2_term_micro) where
+    expected_micro floors N·p(d)·1e6 and the chi-square term floors
+    ((obs − N·p)² / (N·p))·1e6, both in the twin's exact float op
+    order. First digit derives from the STRING image of the cents
+    integer, so there is no float-log edge at powers of ten.
+
+    Scale shape: per-batch digit counts ride the bounded 9-key
+    combine; the expectation fold is driver arithmetic."""
+    import math
+
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _d_schema = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def digit_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _d_schema.empty_table()
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        first = np.array(
+            [int(str(c)[0]) for c in cents], np.int64
+        )
+        vals, counts = np.unique(first, return_counts=True)
+        return pa.table(
+            {
+                "digit": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            },
+            schema=_d_schema,
+        )
+
+    obs = bounded_key_sum(
+        _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            digit_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["digit"], sum_cols=["n"],
+    ).to_pandas().set_index("digit")
+    N = int(obs["n"].sum())
+    rows = []
+    for d in range(1, 10):
+        n_d = int(obs["n"].get(d, 0))
+        p = math.log(1.0 + 1.0 / d) / math.log(10.0)
+        exp_n = N * p
+        chi = (n_d - exp_n) * (n_d - exp_n) / exp_n
+        rows.append(
+            (d, n_d, int(math.floor(exp_n * 1e6 + 0.5)),
+             int(math.floor(chi * 1e6 + 0.5)))
+        )
+    return pa.table(
+        {
+            "digit": pa.array([r[0] for r in rows], pa.int64()),
+            "n_observed": pa.array([r[1] for r in rows], pa.int64()),
+            "expected_micro": pa.array(
+                [r[2] for r in rows], pa.int64()
+            ),
+            "chi2_term_micro": pa.array(
+                [r[3] for r in rows], pa.int64()
+            ),
+        }
+    )

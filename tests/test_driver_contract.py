@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 298 and len(sqls) == 279
+    assert len(qs) == 299 and len(sqls) == 280
     import subprocess
     import sys
 
