@@ -419,6 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_entropy": lambda sf: windows.markov_entropy_rate(
             _events(sf)
         ),
+        "events_dispersion_index": lambda sf: windows.dispersion_index(
+            _events(sf)
+        ),
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -2505,6 +2508,31 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_dispersion_index": """
+            WITH hourly AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (
+                SELECT MAX(hour) - MIN(hour) + 1 AS n_hours FROM hourly
+            ),
+            mom AS (
+                SELECT event_type,
+                       CAST(SUM(n) AS BIGINT) AS s,
+                       CAST(SUM(n * n) AS BIGINT) AS sq
+                FROM hourly GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST((SELECT n_hours FROM span) AS BIGINT)
+                       AS n_hours,
+                   s AS n_events,
+                   CAST(((SELECT n_hours FROM span) * sq - s * s)
+                        * 1000000
+                        // ((SELECT n_hours FROM span) * s) AS BIGINT)
+                       AS dispersion_ppm
+            FROM mom
         """,
         "events_markov_entropy": """
             WITH t AS (

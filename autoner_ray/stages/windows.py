@@ -2599,3 +2599,78 @@ def markov_entropy_rate(events_ds):
             "entropy_rate": pa.array([rate], pa.float64()),
         }
     )
+
+
+def dispersion_index(events_ds):
+    """Index of dispersion (variance-to-mean ratio) of hourly event
+    counts per type — the burstiness-vs-Poisson test a capacity
+    planner runs (IoD ≈ 1 means Poisson arrivals; >> 1 means bursts):
+    counts are taken over the FULL global hour grid (zero hours
+    included — silence is signal for dispersion) and the ratio is the
+    exact integer identity ``IoD·1e6 = (n·Σx² − S²)·1e6 // (n·S)``.
+    One row per type: (event_type, n_hours, n_events, dispersion_ppm).
+
+    Scale shape: per-batch (type, hour) count partials ride the
+    bounded combine (types × span-hours is small); the moment fold is
+    driver arithmetic; the global hour span comes from two scalar
+    aggregates."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _HOUR_US = 3_600 * 1_000_000
+
+    _h_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _h_schema.empty_table()
+        import pandas as pd
+
+        h = (t["ts"].cast(pa.int64()).to_numpy() // _HOUR_US)
+        g = (
+            pd.DataFrame(
+                {"event_type": t["event_type"].to_pylist(), "hour": h}
+            )
+            .groupby(["event_type", "hour"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "hour": pa.array(g["hour"].to_numpy(), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(), pa.int64()),
+            },
+            schema=_h_schema,
+        )
+
+    hourly = bounded_key_sum(
+        events_ds.select_columns(["event_type", "ts"]).map_batches(
+            hour_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["event_type", "hour"], sum_cols=["n"],
+    ).to_pandas()
+    lo = int(hourly["hour"].min())
+    hi = int(hourly["hour"].max())
+    n_hours = hi - lo + 1
+    rows = []
+    for et, g in hourly.groupby("event_type"):
+        x = g["n"].to_numpy(np.int64)
+        s = int(x.sum())
+        sq = int((x * x).sum())  # zero hours add nothing to either sum
+        disp = ((n_hours * sq - s * s) * 1_000_000) // (n_hours * s)
+        rows.append((et, n_hours, s, disp))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+            "n_events": pa.array([r[2] for r in rows], pa.int64()),
+            "dispersion_ppm": pa.array(
+                [r[3] for r in rows], pa.int64()
+            ),
+        }
+    )
