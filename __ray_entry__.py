@@ -1049,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_densification": webgraph.link_densification,
         "pages_link_core_numbers": webgraph.link_core_numbers,
         "pages_link_hits": webgraph.link_hits,
+        "pages_link_indegree_gini": webgraph.link_indegree_gini,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
         "pages_url_canonical_map": urltools.url_canonical_map,
         "pages_url_canonical_dedup": urltools.url_canonical_dedup,
@@ -4398,6 +4399,32 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_densification": _densification_sql(),
         "pages_link_core_numbers": _core_numbers_sql(),
         "pages_link_hits": _link_hits_sql(),
+        "pages_link_indegree_gini": f"""
+            WITH {_LINKS_CTE},
+            deg AS (
+                SELECT dst AS page, COUNT(*) AS deg
+                FROM links GROUP BY dst
+            ),
+            r AS (
+                SELECT deg, ROW_NUMBER() OVER (
+                    ORDER BY deg, page
+                ) AS rank
+                FROM deg
+            ),
+            s AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(deg) AS BIGINT) AS total,
+                       CAST(SUM(rank * deg) AS BIGINT) AS rank_val_sum
+                FROM r
+            )
+            SELECT n_docs, total, rank_val_sum,
+                   CAST((2 * CAST(rank_val_sum AS HUGEINT)
+                         - (n_docs + 1) * CAST(total AS HUGEINT))
+                        * 1000000
+                        // (CAST(n_docs AS HUGEINT) * total)
+                        AS BIGINT) AS gini_ppm
+            FROM s
+        """,
         "pages_link_rich_club": f"""
             WITH {_LINKS_CTE},
             und AS MATERIALIZED (

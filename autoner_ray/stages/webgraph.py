@@ -1215,3 +1215,41 @@ def link_hits(sf_dir: str, iters: int = 8, scale: int = 1_000_000):
             "score": out["score"],
         }
     )
+
+
+def link_indegree_gini(sf_dir: str):
+    """Attention-inequality (Gini) profile of hyperlink in-degrees —
+    the "how concentrated is the link economy" number beside the
+    degree histogram and rich-club rows. One row
+    (n_docs, total, rank_val_sum, gini_ppm) over pages ranked by
+    ascending (in_degree, page); reuses the exact distributed ranking
+    pass of ``ranking.gini_inequality`` — per-dst counts come from the
+    dst-partitioned combine, nothing node-set-sized on the driver."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import partitioned_key_sum
+    from autoner_ray.stages.ranking import gini_inequality
+
+    _d_schema = pa.schema([("page", pa.int64()), ("deg", pa.int64())])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _d_schema.empty_table()
+        vals, counts = np.unique(
+            t["dst"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "page": pa.array(vals, pa.int64()),
+                "deg": pa.array(counts.astype(np.int64), pa.int64()),
+            },
+            schema=_d_schema,
+        )
+
+    per_dst = partitioned_key_sum(
+        link_graph(sf_dir).map_batches(
+            count_partial, batch_format="pyarrow", batch_size=65536
+        ),
+        keys=["page"], sum_cols=["deg"], part_on=("page",),
+    )
+    return gini_inequality(per_dst, "page", "deg")
