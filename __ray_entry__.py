@@ -250,6 +250,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["lang"], ["n"],
         )
 
+    def _docs_lorenz(sf_dir):
+        from autoner_ray.stages.ranking import lorenz_deciles
+
+        return lorenz_deciles(
+            _docs(sf_dir, ["doc_id", "n_chars"]), "doc_id", "n_chars"
+        )
+
     def _docs_spearman(sf_dir):
         from autoner_ray.stages.stats import spearman_corr
 
@@ -435,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_k_anonymity": relational.customer_k_anonymity,
         "orders_benford": relational.orders_benford,
         "docs_spearman_len_tokens": _docs_spearman,
+        "docs_lorenz_deciles": _docs_lorenz,
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
             _docs(sf, ["doc_id"])
         ),
@@ -4803,6 +4811,28 @@ def oracle_sql() -> dict[str, str]:
         "docs_consistent_hash_ring": (
             sketches_mod.consistent_hash_ring_oracle_sql()
         ),
+        "docs_lorenz_deciles": """
+            WITH r AS (
+                SELECT CAST(n_chars AS BIGINT) AS v,
+                       NTILE(10) OVER (ORDER BY n_chars, doc_id)
+                           AS decile
+                FROM documents
+            ),
+            d AS (
+                SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(v) AS BIGINT) AS decile_value
+                FROM r GROUP BY decile
+            ),
+            tot AS (SELECT SUM(decile_value) AS t FROM d)
+            SELECT decile, n_rows, decile_value,
+                   CAST(SUM(decile_value) OVER (
+                            ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) * 1000000
+                        // (SELECT t FROM tot) AS BIGINT)
+                       AS cum_value_ppm
+            FROM d
+        """,
         "docs_spearman_len_tokens": f"""
             WITH base AS (
                 SELECT CAST(n_chars AS BIGINT) AS x,

@@ -606,3 +606,69 @@ def pack_sequences(rows_ds, key_col: str, weight_col: str,
          ("first_key", "min"), ("last_key", "max")],
         part_on=("seq_id",),
     )
+
+
+def lorenz_deciles(rows_ds, key_col: str, val_col: str):
+    """Lorenz-curve decile points behind :func:`gini_inequality`: rows
+    rank ascending by (val, key), split into exact NTILE(10) buckets,
+    and each decile reports its value mass plus the cumulative share of
+    the total in integer ppm — the "bottom d deciles hold X%" curve an
+    inequality dashboard plots. Output per decile 1..10:
+    (decile, n_rows, decile_value, cum_value_ppm).
+
+    Scale shape: ranks/buckets come from the exact range-partitioned
+    NTILE pass (nothing row-sized on the driver); per-decile sums ride
+    the bounded 10-key combine and the cumulative fold is driver
+    arithmetic."""
+    import pyarrow as pa
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    ranked = exact_ntile(
+        rows_ds, key_col, val_col, n_buckets=10, descending=False
+    )
+
+    _p_schema = pa.schema(
+        [("decile", pa.int64()), ("n_rows", pa.int64()),
+         ("decile_value", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _p_schema.empty_table()
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "decile": t["ntile"].to_numpy(zero_copy_only=False),
+                "v": t[val_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("decile", as_index=False).agg(
+            n_rows=("v", "size"), decile_value=("v", "sum")
+        )
+        return pa.Table.from_pandas(g, schema=_p_schema,
+                                    preserve_index=False)
+
+    per_dec = bounded_key_sum(
+        ranked.map_batches(partial, batch_format="pyarrow"),
+        keys=["decile"], sum_cols=["n_rows", "decile_value"],
+    ).to_pandas().sort_values("decile")
+    total = int(per_dec["decile_value"].sum())
+    cum = 0
+    rows = []
+    for _, r in per_dec.iterrows():
+        cum += int(r["decile_value"])
+        rows.append(
+            (int(r["decile"]), int(r["n_rows"]),
+             int(r["decile_value"]),
+             (cum * 1_000_000) // total if total else 0)
+        )
+    return pa.table(
+        {
+            "decile": pa.array([r[0] for r in rows], pa.int64()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "decile_value": pa.array([r[2] for r in rows], pa.int64()),
+            "cum_value_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
