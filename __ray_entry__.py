@@ -250,6 +250,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["lang"], ["n"],
         )
 
+    def _docs_hoover(sf_dir):
+        from autoner_ray.stages.ranking import hoover_index
+
+        return hoover_index(_docs(sf_dir, ["doc_id", "n_chars"]),
+                            "n_chars")
+
     def _docs_lorenz(sf_dir):
         from autoner_ray.stages.ranking import lorenz_deciles
 
@@ -443,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford": relational.orders_benford,
         "docs_spearman_len_tokens": _docs_spearman,
         "docs_lorenz_deciles": _docs_lorenz,
+        "docs_hoover_index": _docs_hoover,
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
             _docs(sf, ["doc_id"])
         ),
@@ -4811,6 +4818,22 @@ def oracle_sql() -> dict[str, str]:
         "docs_consistent_hash_ring": (
             sketches_mod.consistent_hash_ring_oracle_sql()
         ),
+        "docs_hoover_index": """
+            WITH t AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(n_chars) AS BIGINT) AS s
+                FROM documents
+            ),
+            dev AS (
+                SELECT CAST(SUM(ABS(CAST(t.n AS BIGINT) * n_chars
+                                    - t.s)) AS BIGINT) AS d
+                FROM documents, t
+            )
+            SELECT CAST(t.n AS BIGINT) AS n_rows, t.s AS total,
+                   CAST(dev.d * 1000000 // (2 * t.n * t.s) AS BIGINT)
+                       AS hoover_ppm
+            FROM t, dev
+        """,
         "docs_lorenz_deciles": """
             WITH r AS (
                 SELECT CAST(n_chars AS BIGINT) AS v,
