@@ -715,3 +715,48 @@ def hoover_index(rows_ds, val_col: str):
             "hoover_ppm": pa.array([hoover_ppm], pa.int64()),
         }
     )
+
+
+def theil_index(rows_ds, val_col: str):
+    """Theil T inequality index — the decomposable entropy-based member
+    of the family (Gini, Hoover, Theil): T = Σ(x/S)·ln(x·n/S) =
+    (Σ x·ln x)/S − ln(S/n). The per-row ``x·ln x`` term quantizes to
+    integer micro-nats BEFORE summation (the ``source_word_entropy``
+    trick) so the distributed sum is order-independent; the final
+    derivation touches floats identically on both sides, rounded 6 dp.
+    One row: (n_rows, total, theil). Zero-value rows contribute
+    nothing (x·ln x → 0), matching the SQL twin's filter."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    tot = rows_ds.aggregate(Count(alias_name="n"),
+                            Sum(val_col, alias_name="s"))
+    n = int(tot["n"])
+    S = int(tot["s"] or 0)
+
+    def micro_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        x = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[x > 0]
+        micro = np.floor(np.log(x) * x * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"m": pa.array([int(micro.sum())], pa.int64())})
+
+    m = int(rows_ds.map_batches(
+        micro_partial, batch_format="pyarrow", batch_size=65536
+    ).sum("m") or 0)
+    theil = (
+        round(m / 1e6 / float(S) - math.log(float(S) / float(n)), 6)
+        if n and S else 0.0
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "total": pa.array([S], pa.int64()),
+            "theil": pa.array([theil], pa.float64()),
+        }
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 303 and len(sqls) == 284
+    assert len(qs) == 304 and len(sqls) == 285
     import subprocess
     import sys
 
