@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangle_count": lambda sf: kg.unigram_triangles(sf),
         "kg_c4_count": lambda sf: kg.unigram_c4(sf),
         "kg_transitivity_null": lambda sf: kg.transitivity_null_model(sf),
+        "kg_relation_cardinality": lambda sf: kg.relation_cardinality(sf),
         "kg_connected_components": lambda sf: (
             kg.unigram_connected_components(sf)
         ),
@@ -2164,6 +2165,46 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_distances": _bfs_distances_sql(dict_values),
         # pairs is subj<obj-unique, so each triangle appears exactly
         # once with a<b<c and credits all three corners
+        "kg_relation_cardinality": f"""
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity, dict.type
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ),
+            tri AS (
+                SELECT a.entity AS ea, a.type AS ta,
+                       b.entity AS eb, b.type AS tb
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND a.entity < b.entity
+                GROUP BY 1, 2, 3, 4
+            ),
+            bidir AS (
+                SELECT ta, tb, ea, eb FROM tri
+                UNION ALL SELECT tb, ta, eb, ea FROM tri
+            ),
+            fan AS (
+                SELECT ta, tb, ea, COUNT(DISTINCT eb) AS f
+                FROM bidir GROUP BY 1, 2, 3
+            ),
+            mx AS (
+                SELECT ta, tb, CAST(MAX(f) AS BIGINT) AS maxf,
+                       CAST(SUM(f) AS BIGINT) AS _ignore
+                FROM fan GROUP BY 1, 2
+            ),
+            np_ AS (
+                SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n
+                FROM bidir GROUP BY 1, 2
+            )
+            SELECT m.ta AS type_a, m.tb AS type_b, np_.n AS n_pairs,
+                   m.maxf AS max_fanout,
+                   CASE WHEN m.maxf = 1 AND r.maxf = 1 THEN '1:1'
+                        WHEN m.maxf > 1 AND r.maxf = 1 THEN '1:N'
+                        WHEN m.maxf = 1 AND r.maxf > 1 THEN 'N:1'
+                        ELSE 'M:N' END AS cardinality
+            FROM mx m
+            JOIN mx r ON r.ta = m.tb AND r.tb = m.ta
+            JOIN np_ ON np_.ta = m.ta AND np_.tb = m.tb
+        """,
         "kg_transitivity_null": f"""
             WITH {_unigram_graph_ctes(dict_values)},
             tri AS (

@@ -2130,3 +2130,61 @@ def transitivity_null_model(sf_dir: str):
             "config_expected_ppm": pa.array([expected_ppm], pa.int64()),
         }
     )
+
+
+def relation_cardinality(sf_dir: str):
+    """Relation-cardinality schema induction over the typed
+    co-occurrence graph — the KG-modeling question "is (TypeA,
+    cooccurs, TypeB) one-to-one, one-to-many or many-to-many?",
+    answered from data: for every ORDERED type pair, the max number of
+    distinct B-partners any single A-entity has (fwd fanout), the
+    reverse direction's max (bwd), and the derived class
+    (1:1 / 1:N / N:1 / M:N). Output (type_a, type_b, n_pairs,
+    max_fanout, cardinality).
+
+    Scale shape: the aggregated edge table is dictionary-bounded (the
+    unigram vocab contract), so the per-type-pair fanout maxes fold on
+    the driver after the standard edge collect; at open-vocab scale
+    the same maxes ride a (type_a, type_b, entity)-keyed
+    partitioned combine."""
+    import collections
+
+    from autoner_ray.dicts import UNIGRAM_DICT
+
+    edges = unigram_triples(sf_dir).to_pandas()
+    # UNIGRAM_DICT maps word -> (entity, type); derive entity -> type
+    etype = {}
+    for w, v in UNIGRAM_DICT.items():
+        ent, typ = v
+        etype[ent] = typ
+    fan: dict = collections.defaultdict(set)
+    pair_counts: dict = collections.Counter()
+    for a, b in zip(edges["subj"], edges["obj"]):
+        ta, tb = etype[a], etype[b]
+        fan[(ta, tb, a)].add(b)
+        fan[(tb, ta, b)].add(a)
+        pair_counts[(ta, tb)] += 1
+        pair_counts[(tb, ta)] += 1
+    maxf: dict = collections.Counter()
+    for (ta, tb, _), partners in fan.items():
+        maxf[(ta, tb)] = max(maxf[(ta, tb)], len(partners))
+    rows = []
+    for (ta, tb), n in sorted(pair_counts.items()):
+        fwd = maxf[(ta, tb)]
+        bwd = maxf[(tb, ta)]
+        cls = (
+            "1:1" if fwd == 1 and bwd == 1
+            else "1:N" if fwd > 1 and bwd == 1
+            else "N:1" if fwd == 1 and bwd > 1
+            else "M:N"
+        )
+        rows.append((ta, tb, int(n), int(fwd), cls))
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+            "max_fanout": pa.array([r[3] for r in rows], pa.int64()),
+            "cardinality": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )

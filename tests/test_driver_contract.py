@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 304 and len(sqls) == 285
+    assert len(qs) == 305 and len(sqls) == 286
     import subprocess
     import sys
 
