@@ -250,6 +250,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["lang"], ["n"],
         )
 
+    def _docs_atkinson(sf_dir):
+        from autoner_ray.stages.ranking import atkinson_index
+
+        return atkinson_index(_docs(sf_dir, ["doc_id", "n_chars"]),
+                              "n_chars")
+
     def _docs_theil(sf_dir):
         from autoner_ray.stages.ranking import theil_index
 
@@ -458,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lorenz_deciles": _docs_lorenz,
         "docs_hoover_index": _docs_hoover,
         "docs_theil_index": _docs_theil,
+        "docs_atkinson_index": _docs_atkinson,
         "docs_consistent_hash_ring": lambda sf: sketches.consistent_hash_ring(
             _docs(sf, ["doc_id"])
         ),
@@ -4866,6 +4873,23 @@ def oracle_sql() -> dict[str, str]:
         "docs_consistent_hash_ring": (
             sketches_mod.consistent_hash_ring_oracle_sql()
         ),
+        "docs_atkinson_index": """
+            WITH t AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(n_chars) AS BIGINT) AS s
+                FROM documents
+            ),
+            m AS (
+                SELECT CAST(SUM(CAST(FLOOR(
+                           LN(CAST(n_chars AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS mm
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT CAST(t.n AS BIGINT) AS n_rows, t.s AS total,
+                   round(1.0 - EXP(m.mm / 1000000.0 / t.n) * t.n
+                             / CAST(t.s AS DOUBLE), 6) AS atkinson
+            FROM t, m
+        """,
         "docs_theil_index": """
             WITH t AS (
                 SELECT COUNT(*) AS n,

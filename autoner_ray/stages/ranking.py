@@ -760,3 +760,48 @@ def theil_index(rows_ds, val_col: str):
             "theil": pa.array([theil], pa.float64()),
         }
     )
+
+
+def atkinson_index(rows_ds, val_col: str):
+    """Atkinson inequality index at ε=1 — the welfare-weighted member
+    of the family: A = 1 − geometric_mean/arithmetic_mean. The
+    per-row ``ln x`` quantizes to integer micro-nats before the
+    distributed sum (order-independent), and the final
+    ``1 − exp(Σln/n)·n/S`` derivation runs in the twin's float op
+    order, rounded 6 dp. One row: (n_rows, total, atkinson).
+    Zero values are excluded from the log sum on both sides (ε=1
+    Atkinson is undefined at zero; the corpus has none)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    tot = rows_ds.aggregate(Count(alias_name="n"),
+                            Sum(val_col, alias_name="s"))
+    n = int(tot["n"])
+    S = int(tot["s"] or 0)
+
+    def micro_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        x = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[x > 0]
+        micro = np.floor(np.log(x) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"m": pa.array([int(micro.sum())], pa.int64())})
+
+    m = int(rows_ds.map_batches(
+        micro_partial, batch_format="pyarrow", batch_size=65536
+    ).sum("m") or 0)
+    a = (
+        round(1.0 - math.exp(m / 1e6 / float(n)) * n / float(S), 6)
+        if n and S else 0.0
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "total": pa.array([S], pa.int64()),
+            "atkinson": pa.array([a], pa.float64()),
+        }
+    )

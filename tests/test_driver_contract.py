@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 305 and len(sqls) == 286
+    assert len(qs) == 306 and len(sqls) == 287
     import subprocess
     import sys
 
