@@ -1235,14 +1235,21 @@ def _zorder_sql(bits=8, bucket_shift=10) -> str:
             FROM embeddings
         ),
         stats AS (
-            SELECT MIN(d0) AS mn0, MAX(d0) AS mx0,
-                   MIN(d1) AS mn1, MAX(d1) AS mx1
+            -- degenerate-range guard: constant dim -> numerator 0, so
+            -- forcing the denominator to 1 maps every row to q=0 (the
+            -- engine applies the same guard)
+            SELECT MIN(d0) AS mn0,
+                   CASE WHEN MAX(d0) = MIN(d0) THEN 1.0
+                        ELSE MAX(d0) - MIN(d0) END AS rng0,
+                   MIN(d1) AS mn1,
+                   CASE WHEN MAX(d1) = MIN(d1) THEN 1.0
+                        ELSE MAX(d1) - MIN(d1) END AS rng1
             FROM dims
         ),
         q AS (
-            SELECT LEAST(CAST(FLOOR((d0 - mn0) * {hi} / (mx0 - mn0))
+            SELECT LEAST(CAST(FLOOR((d0 - mn0) * {hi} / rng0)
                               AS BIGINT), {hi}) AS q0,
-                   LEAST(CAST(FLOOR((d1 - mn1) * {hi} / (mx1 - mn1))
+                   LEAST(CAST(FLOOR((d1 - mn1) * {hi} / rng1)
                               AS BIGINT), {hi}) AS q1
             FROM dims, stats
         ),
@@ -1298,12 +1305,29 @@ def _link_hits_sql(iters: int = 8, scale: int = 1_000_000) -> str:
     """
 
 
-def _core_numbers_sql(rounds_per_k={1: 3, 2: 6, 3: 6, 4: 20}) -> str:
+def _core_numbers_sql(max_k: int | None = None) -> str:
     """Unrolled per-k peels over the deduped undirected link graph;
-    core_number = max k whose peel kept the node. Round budgets carry
-    a ~1.5x margin over the measured convergence (k=4 fully empties in
-    14 rounds here) — a future corpus needing more fails loudly via
-    the value-hash, the bigram_kcore convention."""
+    core_number = max k whose peel kept the node. ``max_k`` defaults to
+    the ENGINE's own cap (``webgraph.link_core_numbers`` max_k=8) so
+    both sides share one bound — a corpus containing a core deeper
+    than the shared cap is capped identically on both sides instead of
+    surfacing as a confusing hash diff. Round budgets carry a ~1.5x
+    margin over the measured convergence (k=4 fully empties in 14
+    rounds here; peels above the deepest real core run on an
+    already-empty edge set, so the extra unrolled rounds are ~free) —
+    a future corpus needing more ROUNDS fails loudly via the
+    value-hash, the bigram_kcore convention."""
+    if max_k is None:
+        import inspect
+
+        from autoner_ray.stages import webgraph as _wg
+
+        max_k = inspect.signature(
+            _wg.link_core_numbers
+        ).parameters["max_k"].default
+    rounds_per_k = {1: 3, 2: 6, 3: 6}
+    for k in range(4, max_k + 1):
+        rounds_per_k[k] = 20
     blocks, selects = [], []
     for k, R in rounds_per_k.items():
         prev = "und"
@@ -4660,9 +4684,16 @@ def oracle_sql() -> dict[str, str]:
                            'sum')) AS nrm
                 FROM embeddings
             ),
-            rng AS (SELECT MIN(nrm) AS lo, MAX(nrm) AS hi FROM nrm),
+            rng AS (
+                -- same degenerate-range guard as the engine: all-equal
+                -- norms bin everything at 0 instead of dividing by 0
+                SELECT MIN(nrm) AS lo,
+                       CASE WHEN MAX(nrm) = MIN(nrm) THEN 1.0
+                            ELSE MAX(nrm) - MIN(nrm) END AS span
+                FROM nrm
+            ),
             b AS (
-                SELECT LEAST(CAST(FLOOR((nrm - lo) * 8 / (hi - lo))
+                SELECT LEAST(CAST(FLOOR((nrm - lo) * 8 / span)
                                   AS BIGINT), 7) AS bin,
                        CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END
                            AS base
@@ -4737,10 +4768,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e JOIN win w ON w.va = e.vec_id
         """,
         "docs_schema_evolution": """
+            -- v1 rows (even doc_id) drop lang in the shard, so their
+            -- lang is null by construction; v2 rows keep whatever the
+            -- corpus holds — count REAL nulls there so the invariant
+            -- survives a corpus with null lang values on odd doc_ids
             SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
                         AS BIGINT) AS schema_version,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 OR lang IS NULL
+                                 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_null_lang,
                    CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum
             FROM documents GROUP BY 1

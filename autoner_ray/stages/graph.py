@@ -387,7 +387,8 @@ def connected_components_distributed(edges_ds,
 def bfs_distances(edges_ds, source=None, max_depth: int = 32,
                   num_partitions: int | None = None,
                   sources: list | None = None,
-                  directed: bool = False):
+                  directed: bool = False,
+                  to_fixpoint: bool = False):
     """Single-source shortest-path (hop) distances on the undirected
     entity graph — min-DISTANCE propagation with the dist table as a
     Dataset, the same join+groupby-min fixpoint loop as
@@ -400,6 +401,13 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
 
     ``source=None`` picks the minimum node id/string — deterministic
     at any parallelism, no driver scan of the node set.
+
+    ``to_fixpoint=True`` switches to REACHABILITY semantics: the loop
+    runs until no distance changes (not a fixed depth) and every
+    reached node is emitted regardless of hop count — exact closure,
+    matching an uncapped driver-side sweep. ``max_depth`` is ignored
+    for truncation in that mode (a generous 100k-round safety cap
+    remains, warned on if ever hit).
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Min
@@ -414,7 +422,11 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
     if not isinstance(node_type, pa.DataType):
         # pandas-backed blocks report numpy/object classes for strings
         node_type = pa.string()
-    sentinel = max_depth + 1
+    # to_fixpoint: sentinel far above any reachable hop count so the
+    # clip never truncates propagation; capped mode: the classic
+    # depth+1 sentinel (distances > max_depth cannot propagate, by
+    # design — the recursive-CTE oracle applies the same cap)
+    sentinel = (1 << 62) if to_fixpoint else max_depth + 1
 
     def expand(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -492,7 +504,9 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
             }
         )
 
-    for _ in range(max_depth):
+    iter_cap = 100_000 if to_fixpoint else max_depth
+    n_changed = 0
+    for _ in range(iter_cap):
         neigh_min = (
             cogroup_join(prop, dist, on=("src",),
                          num_partitions=num_partitions)
@@ -516,13 +530,24 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
         )
         if not n_changed:
             break
+    else:
+        if to_fixpoint and n_changed:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bfs_distances(to_fixpoint=True): frontier still moving "
+                "after %d rounds (%d dists changing) — reachability "
+                "closure is INCOMPLETE", iter_cap, n_changed,
+            )
+
+    keep_bound = (sentinel - 1) if to_fixpoint else max_depth
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             return pa.schema(
                 [("entity", node_type), ("dist", pa.int64())]
             ).empty_table()
-        keep = pc.less_equal(t["dist"], max_depth)
+        keep = pc.less_equal(t["dist"], keep_bound)
         return pa.table(
             {
                 "entity": t["src"].filter(keep),
@@ -2030,6 +2055,19 @@ def _directed_min_label_fixpoint(prop, labels, num_partitions: int,
         )
         if not n_changed:
             break
+    else:  # loop exhausted max_iters with labels still moving
+        if n_changed:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_directed_min_label_fixpoint: min-label propagation did "
+                "NOT converge in %d iterations (%d labels still changing) "
+                "— scc_distributed certification from these labels is "
+                "unreliable; raise max_iters (convergence needs "
+                "O(propagation diameter) rounds)",
+                max_iters,
+                n_changed,
+            )
     return labels
 
 
@@ -2177,6 +2215,14 @@ def scc_distributed(edges_ds, num_partitions: int | None = None,
                 return _e_schema.empty_table()
             return pa.table({"src": t["dst"], "dst": t["src"]})
 
+        def singleton(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _out_schema.empty_table()
+            return pa.table(
+                {"entity": t["src"], "scc_id": t["src"]},
+                schema=_out_schema,
+            )
+
         fwd_edges = (
             cogroup_join(fwd_edges, remaining_nodes, on=("src",),
                          num_partitions=num_partitions)
@@ -2184,6 +2230,17 @@ def scc_distributed(edges_ds, num_partitions: int | None = None,
             .repartition(num_partitions)
             .materialize()
         )
+        if fwd_edges.count() == 0:
+            # edgeless remainder after the src semi-join — a Dataset
+            # left with zero rows can also lose its schema entirely,
+            # which would crash the second cogroup_join; every
+            # surviving node is its own SCC
+            assigned.append(
+                remaining_nodes.map_batches(
+                    singleton, batch_format="pyarrow"
+                ).materialize()
+            )
+            break
         fwd_edges = (
             cogroup_join(fwd_edges, remaining_nodes, on=("src",),
                          num_partitions=num_partitions)
@@ -2193,25 +2250,17 @@ def scc_distributed(edges_ds, num_partitions: int | None = None,
             .repartition(num_partitions)
             .materialize()
         )
-        bwd_edges = fwd_edges.map_batches(
-            swap, batch_format="pyarrow"
-        ).materialize()
         if fwd_edges.count() == 0:
-            # edgeless remainder: every surviving node is its own SCC
-            def singleton(t: pa.Table) -> pa.Table:
-                if t.num_columns == 0 or len(t) == 0:
-                    return _out_schema.empty_table()
-                return pa.table(
-                    {"entity": t["src"], "scc_id": t["src"]},
-                    schema=_out_schema,
-                )
-
+            # edgeless after the dst-side semi-join too
             assigned.append(
                 remaining_nodes.map_batches(
                     singleton, batch_format="pyarrow"
                 ).materialize()
             )
             break
+        bwd_edges = fwd_edges.map_batches(
+            swap, batch_format="pyarrow"
+        ).materialize()
     else:
         if remaining_nodes.count():
             import logging
@@ -2283,11 +2332,14 @@ def bowtie_census(edges_ds, driver_max_edges: int = 2_000_000,
 
     Tiers (same contract as :func:`scc` / :func:`kcore`): numpy-CSR
     Kosaraju + three CSR sweeps under ``driver_max_edges``; above it,
-    :func:`scc_distributed` + three :func:`bfs_distances` fixpoints
-    (forward / reversed / undirected, all capped at ``max_depth``)
+    :func:`scc_distributed` + three :func:`bfs_distances` TRUE
+    fixpoints (forward / reversed / undirected, ``to_fixpoint=True`` —
+    uncapped closures, matching the driver tier and the SQL oracle)
     with the class COUNTS derived from four tiny set-size aggregates —
     no corpus-sized membership set ever reaches the driver. Tier
     equality is pytest-pinned on a fixture covering all five classes.
+    (``max_depth`` is retained for API compatibility; both tiers now
+    compute uncapped closures, so it is ignored.)
     """
     edges = edges_ds.materialize()
     n_edges = edges.count()
@@ -2377,12 +2429,16 @@ def bowtie_census(edges_ds, driver_max_edges: int = 2_000_000,
     root = root if isinstance(root, str) else int(root)
     root_lit = repr(root)
     n_core = labels.filter(expr=f"scc_id == {root_lit}").count()
-    out_d = bfs_distances(edges, source=root, max_depth=max_depth,
-                          directed=True)
-    in_d = bfs_distances(rev, source=root, max_depth=max_depth,
-                         directed=True)
-    weak_d = bfs_distances(edges, source=root, max_depth=max_depth,
-                           directed=False)
+    # reachability sweeps run to a TRUE fixpoint (to_fixpoint=True):
+    # the driver tier and the pages_link_bowtie SQL oracle both compute
+    # uncapped closures, so a fixed depth here would silently
+    # reclassify >max_depth-hop IN/OUT pages as TENDRIL/DISCONNECTED
+    out_d = bfs_distances(edges, source=root, directed=True,
+                          to_fixpoint=True)
+    in_d = bfs_distances(rev, source=root, directed=True,
+                         to_fixpoint=True)
+    weak_d = bfs_distances(edges, source=root, directed=False,
+                           to_fixpoint=True)
     n_out = out_d.count() - n_core            # forward-reachable \ CORE
     n_in = in_d.count() - n_core              # backward-reachable \ CORE
     n_weak = weak_d.count()

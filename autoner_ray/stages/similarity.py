@@ -1670,6 +1670,12 @@ def zorder_buckets(sf_dir: str, bits: int = 8, bucket_shift: int = 10):
     mn0, mx0 = dims.min("d0"), dims.max("d0")
     mn1, mx1 = dims.min("d1"), dims.max("d1")
     hi = (1 << bits) - 1
+    # degenerate (constant) dimension: every x - mn is 0, so any
+    # nonzero denominator maps all rows to quantile 0 — guard the
+    # division instead of crashing on 0/0 -> NaN in .astype (the SQL
+    # twin applies the same max(range, tiny) guard)
+    rng0 = (mx0 - mn0) or 1.0
+    rng1 = (mx1 - mn1) or 1.0
 
     _schema = pa.schema(
         [("bucket", pa.int64()), ("n", pa.int64()),
@@ -1683,11 +1689,11 @@ def zorder_buckets(sf_dir: str, bits: int = 8, bucket_shift: int = 10):
         import pandas as pd
 
         q0 = np.minimum(
-            np.floor((t["d0"].to_numpy() - mn0) * hi / (mx0 - mn0)),
+            np.floor((t["d0"].to_numpy() - mn0) * hi / rng0),
             hi,
         ).astype(np.int64)
         q1 = np.minimum(
-            np.floor((t["d1"].to_numpy() - mn1) * hi / (mx1 - mn1)),
+            np.floor((t["d1"].to_numpy() - mn1) * hi / rng1),
             hi,
         ).astype(np.int64)
         z = np.zeros(len(q0), np.int64)
@@ -1946,6 +1952,10 @@ def psi_drift(sf_dir: str, n_bins: int = 8):
         norms_batch, batch_format="pyarrow"
     ).materialize()
     lo, hi = norms.min("nrm"), norms.max("nrm")
+    # degenerate range (all norms equal): x - lo is 0 everywhere, so
+    # any nonzero denominator bins every row at 0 — guard the division
+    # (SQL twin carries the same guard)
+    rng = (hi - lo) or 1.0
 
     _b_schema = pa.schema(
         [("bin", pa.int64()), ("n_base", pa.int64()),
@@ -1959,7 +1969,7 @@ def psi_drift(sf_dir: str, n_bins: int = 8):
 
         x = t["nrm"].to_numpy()
         b = np.minimum(
-            np.floor((x - lo) * n_bins / (hi - lo)).astype(np.int64),
+            np.floor((x - lo) * n_bins / rng).astype(np.int64),
             n_bins - 1,
         )
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
