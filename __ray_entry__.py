@@ -116,15 +116,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
-    def _events(sf_dir):
+    def _events(sf_dir, columns=None):
         import ray.data as rd
 
-        return rd.read_parquet(f"{sf_dir}/events.parquet")
+        return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
-    def _emb(sf_dir):
+    def _emb(sf_dir, columns=None):
         import ray.data as rd
 
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=columns
+        )
 
     def _lineitem_discount_fit(sf_dir):
         import ray.data as rd
@@ -314,19 +316,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embeddings_label_counts(sf_dir):
         from ray.data.aggregate import Count
 
-        return _emb(sf_dir).groupby("label").aggregate(Count(alias_name="n"))
+        return _emb(sf_dir, ["label"]).groupby("label").aggregate(Count(alias_name="n"))
 
     def knn_cosine(sf_dir):
-        return similarity.brute_force_topk(_emb(sf_dir), _query_vec(sf_dir))
+        return similarity.brute_force_topk(_emb(sf_dir, ["vec_id", "embedding"]), _query_vec(sf_dir))
 
     def knn_ivf(sf_dir):
-        return similarity.ivf_topk(_emb(sf_dir), _query_vec(sf_dir))
+        return similarity.ivf_topk(_emb(sf_dir, ["vec_id", "embedding"]), _query_vec(sf_dir))
 
     def knn_pq(sf_dir):
         """PQ asymmetric-distance top-k (approximate family, like
         knn_ivf: no SQL oracle; exact-recompute pin in
         tests/test_r4_late_ops.py)."""
-        return similarity.knn_pq(_emb(sf_dir), _query_vec(sf_dir))
+        return similarity.knn_pq(_emb(sf_dir, ["vec_id", "embedding"]), _query_vec(sf_dir))
 
     def embedding_clusters(sf_dir):
         """K-means cluster assignment per vector (curation: cluster-
@@ -334,8 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast, assignment streamed."""
         from autoner_ray.stages.similarity import IVFIndex
 
-        index = IVFIndex.train(_emb(sf_dir), num_lists=8)
-        return _emb(sf_dir).map_batches(
+        index = IVFIndex.train(_emb(sf_dir, ["embedding"]), num_lists=8)
+        return _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
             index.assign_batch, batch_format="pyarrow"
         ).select_columns(["vec_id", "ivf_list"])
 
@@ -422,31 +424,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_recency": relational.customer_order_recency,
         "lineitem_discount_fit": _lineitem_discount_fit,
         # --- oracle-backed: event windows --------------------------------
-        "events_hourly": lambda sf: windows.hourly_counts(_events(sf)),
-        "events_user_stats": lambda sf: windows.user_stats(_events(sf)),
-        "events_sessionize": lambda sf: windows.sessionize(_events(sf)),
-        "events_hourly_ffill": lambda sf: windows.hourly_ffill(_events(sf)),
+        "events_hourly": lambda sf: windows.hourly_counts(_events(sf, ['ts', 'event_type', 'value'])),
+        "events_user_stats": lambda sf: windows.user_stats(_events(sf, ['ts', 'user_id', 'value'])),
+        "events_sessionize": lambda sf: windows.sessionize(_events(sf, ['event_id', 'ts', 'user_id'])),
+        "events_hourly_ffill": lambda sf: windows.hourly_ffill(_events(sf, ['event_id', 'ts', 'user_id', 'value'])),
         "events_trimmed_mean": lambda sf: windows.trimmed_mean_by_type(
-            _events(sf)
+            _events(sf, ['event_type', 'value'])
         ),
-        "events_survival_km": lambda sf: windows.survival_km(_events(sf)),
+        "events_survival_km": lambda sf: windows.survival_km(_events(sf, ['ts', 'user_id', 'event_type'])),
         "events_encoding_advisor": lambda sf: windows.encoding_advisor(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'event_type'])
         ),
         "events_late_arrivals": lambda sf: windows.late_arrivals(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id'])
         ),
         "events_last_touch": lambda sf: windows.last_touch_attribution(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'event_type'])
         ),
         "events_first_touch": lambda sf: windows.first_touch_attribution(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'event_type'])
         ),
         "events_markov_entropy": lambda sf: windows.markov_entropy_rate(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'event_type'])
         ),
         "events_dispersion_index": lambda sf: windows.dispersion_index(
-            _events(sf)
+            _events(sf, ['ts', 'event_type'])
         ),
         "docs_postings_delta": lambda sf: analysis.postings_delta_encoding(
             _docs(sf, ["doc_id", "text"])
@@ -455,8 +457,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])
         ),
         "embedding_zorder_buckets": similarity.zorder_buckets,
-        "embedding_label_spread": similarity.label_spread,
+        # driver row rides the grid-partitioned EXACT kNN tier (no
+        # driver-side corpus materialization, equal to brute by
+        # construction); brute stays as a diagnostic row against the
+        # same exact-kNN oracle; the sub-quadratic IVF tier is
+        # approximate on isotropic corpora -> rows-only row, equality
+        # pinned on a clustered fixture in tests/test_r5_fixes.py
+        "embedding_label_spread": similarity.label_spread_grid,
+        "embedding_label_spread_brute": similarity.label_spread,
+        "embedding_label_spread_ivf": similarity.label_spread_ivf,
         "embedding_single_link_ladder": similarity.single_link_ladder,
+        # at-scale tier: pairs from the IVF bucket join (approximate
+        # across list boundaries -> rows-only; tier equality is
+        # pytest-pinned on a cluster-separated fixture)
+        "embedding_single_link_ladder_ivf": lambda sf: (
+            similarity.single_link_ladder(sf, pair_source="ivf")
+        ),
         "embedding_psi_drift": similarity.psi_drift,
         "customer_k_anonymity": relational.customer_k_anonymity,
         "orders_benford": relational.orders_benford,
@@ -486,19 +502,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         ),
         "events_sliding_window": lambda sf: windows.sliding_hourly(
-            _events(sf)
+            _events(sf, ['ts', 'event_type', 'value'])
         ),
         "events_running_totals": lambda sf: windows.user_running_totals(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'value'])
         ),
         # strict-order view -> click -> purchase completion funnel
-        "events_funnel": lambda sf: windows.funnel_counts(_events(sf)),
+        "events_funnel": lambda sf: windows.funnel_counts(_events(sf, ['ts', 'user_id', 'event_type'])),
         "events_value_quantiles": lambda sf: windows.value_quantiles_by_type(
-            _events(sf)
+            _events(sf, ['event_type', 'value'])
         ),
         # first-event-day cohorts x distinct active day offsets
         "events_retention": lambda sf: windows.retention_cohorts(
-            _events(sf)
+            _events(sf, ['ts', 'user_id'])
         ),
         # wide crosstab: one row per source, doc counts per language
         "docs_source_lang_pivot": lambda sf: analysis.source_lang_pivot(
@@ -568,20 +584,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_value_geomean": lambda sf: __import__(
             "autoner_ray.stages.stats", fromlist=["grouped_geomean"]
-        ).grouped_geomean(_events(sf), key="event_type",
+        ).grouped_geomean(_events(sf, ['event_type', 'value']), key="event_type",
                           value_col="value"),
         "events_hourly_distinct_users": lambda sf: (
-            windows.hourly_distinct_users(_events(sf))
+            windows.hourly_distinct_users(_events(sf, ['ts', 'user_id']))
         ),
         "events_value_deltas": lambda sf: windows.user_value_deltas(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'value'])
         ),
-        "events_ohlc_hourly": lambda sf: windows.hourly_ohlc(_events(sf)),
+        "events_ohlc_hourly": lambda sf: windows.hourly_ohlc(_events(sf, ['event_id', 'ts', 'value'])),
         "events_user_streaks": lambda sf: windows.user_streaks(
-            _events(sf)
+            _events(sf, ['ts', 'user_id'])
         ),
         "events_seasonality": lambda sf: windows.seasonality_profile(
-            _events(sf)
+            _events(sf, ['ts', 'value'])
         ),
         "docs_rare_word_ratio": lambda sf: analysis.rare_word_ratio(
             _docs(sf, ["doc_id", "text"])
@@ -589,7 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,
         "order_ship_delay_hist": relational.order_ship_delay_hist,
         "events_type_transitions": lambda sf: windows.type_transitions(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'event_type'])
         ),
         "docs_source_lang_cube": lambda sf: analysis.source_lang_cube(
             _docs(sf, ["source", "lang", "n_chars"])
@@ -597,15 +613,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": lambda sf: __import__(
             "autoner_ray.stages.stats", fromlist=["json_int_field_stats"]
         ).json_int_field_stats(
-            _events(sf), key="event_type", json_col="props", field="k"
+            _events(sf, ['event_type', 'props']), key="event_type", json_col="props", field="k"
         ),
         "events_value_mad": lambda sf: __import__(
             "autoner_ray.stages.stats", fromlist=["grouped_mad"]
-        ).grouped_mad(_events(sf), key="event_type", value_col="value"),
+        ).grouped_mad(_events(sf, ['event_type', 'value']), key="event_type", value_col="value"),
         "events_value_outliers": lambda sf: __import__(
             "autoner_ray.stages.stats", fromlist=["grouped_zscore_outliers"]
         ).grouped_zscore_outliers(
-            _events(sf), key="event_type", value_col="value",
+            _events(sf, ['event_id', 'event_type', 'value']), key="event_type", value_col="value",
             carry_cols=["event_id"],
         ),
         "simhash_docs": simhash_docs,
@@ -613,18 +629,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-backed: embeddings / similarity ----------------------
         "embeddings_label_counts": embeddings_label_counts,
         "embedding_label_centroids": lambda sf: (
-            similarity.label_centroids(_emb(sf))
+            similarity.label_centroids(_emb(sf, ["embedding", "label"]))
         ),
         "knn_cosine": knn_cosine,
         "embedding_neardup": lambda sf: similarity.embedding_neardup(
-            _emb(sf), threshold=0.4
+            _emb(sf, ["vec_id", "embedding"]), threshold=0.4
         ),
         "embedding_neardup_keep_one": lambda sf: (
-            similarity.embedding_neardup_keep_one(_emb(sf), threshold=0.4)
+            similarity.embedding_neardup_keep_one(
+                _emb(sf, ["vec_id", "embedding", "label"]), threshold=0.4)
         ),
         "crossmodal_neardup_agreement": lambda sf: (
             similarity.crossmodal_neardup_agreement(
-                _docs(sf, ["doc_id", "text"]), _emb(sf)
+                _docs(sf, ["doc_id", "text"]),
+                _emb(sf, ["vec_id", "embedding"])
             )
         ),
         # --- oracle-backed: near-dup pairs -------------------------------
@@ -699,9 +717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         ),
         "events_asof_attribution": lambda sf: asof.events_asof(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'event_type'])
         ),
-        "events_window_count": lambda sf: asof.window_count(_events(sf)),
+        "events_window_count": lambda sf: asof.window_count(_events(sf, ['event_id', 'ts', 'user_id'])),
         "docs_distinct_words_hll": lambda sf: sketches.distinct_words_hll(
             _docs(sf, ["doc_id", "text"])
         ),
@@ -715,7 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lineitem_brand_semi_join": sketches.lineitem_brand_semi_join,
         "embedding_pca": lambda sf: similarity.pca_project(
-            _emb(sf), n_components=8
+            _emb(sf, ["vec_id", "embedding"]), n_components=8
         ),
         "docs_temperature_sample": lambda sf: analysis.temperature_sample(
             _docs(sf, ["doc_id", "lang", "text"])
@@ -771,10 +789,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["source", "lang", "n_chars"])
         ),
         "events_new_users_daily": lambda sf: windows.new_users_daily(
-            _events(sf)
+            _events(sf, ['ts', 'user_id'])
         ),
         "embedding_grid_histogram": lambda sf: similarity.grid_histogram(
-            _emb(sf)
+            _emb(sf, ["embedding"])
         ),
         "docs_lang_hot_ngrams": lambda sf: webtext.lang_hot_ngrams(
             _docs(sf, ["doc_id", "lang", "text"])
@@ -804,10 +822,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.word_length_histogram(_docs(sf, ["doc_id", "text"]))
         ),
         "events_user_lifetime_hist": lambda sf: (
-            windows.user_lifetime_histogram(_events(sf))
+            windows.user_lifetime_histogram(_events(sf, ['ts', 'user_id']))
         ),
         "events_retention_ppm": lambda sf: (
-            windows.retention_normalized(_events(sf))
+            windows.retention_normalized(_events(sf, ['ts', 'user_id']))
         ),
         "docs_source_quality": lambda sf: (
             analysis.source_quality_rollup(_docs(sf, ["source", "text"]))
@@ -864,10 +882,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.domain_cap(_docs(sf, ["doc_id", "source"]))
         ),
         "events_user_decay_scores": lambda sf: (
-            windows.user_decay_scores(_events(sf))
+            windows.user_decay_scores(_events(sf, ['ts', 'user_id']))
         ),
         "events_rolling_median": lambda sf: (
-            windows.rolling_median(_events(sf))
+            windows.rolling_median(_events(sf, ['event_id', 'ts', 'user_id', 'value']))
         ),
         "docs_kmv_distinct_words": lambda sf: (
             sketches.kmv_distinct_words(_docs(sf, ["source", "text"]))
@@ -877,13 +895,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.normalize_text(_docs(sf, ["doc_id", "text"]))
         ),
         "events_activity_bitmaps": lambda sf: (
-            windows.activity_bitmaps(_events(sf))
+            windows.activity_bitmaps(_events(sf, ['ts', 'user_id']))
         ),
         "docs_shingle_df_histogram": lambda sf: (
             dedup.shingle_df_histogram(_docs(sf, ["doc_id", "text"]))
         ),
         "events_hourly_anomalies": lambda sf: windows.hourly_anomalies(
-            _events(sf)
+            _events(sf, ['ts'])
         ),
         "pages_crawl_rate": webtext.crawl_rate,
         "docs_curation_pipeline": lambda sf: __import__(
@@ -894,13 +912,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])
         ),
         "events_dau_wau": lambda sf: windows.dau_wau_stickiness(
-            _events(sf)
+            _events(sf, ['ts', 'user_id'])
         ),
         "events_session_length_hist": lambda sf: (
-            windows.session_length_histogram(_events(sf))
+            windows.session_length_histogram(_events(sf, ['event_id', 'ts', 'user_id']))
         ),
         "events_type_stationary": lambda sf: windows.type_stationary(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'event_type'])
         ),
         "docs_train_val_test": lambda sf: analysis.train_val_test_split(
             _docs(sf, ["doc_id", "source"])
@@ -914,7 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.synthetic_snapshot(_docs(sf, ["doc_id", "text"])),
         ),
         "events_time_weighted_avg": lambda sf: windows.time_weighted_avg(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id', 'value'])
         ),
         "docs_bigram_pmi": lambda sf: webtext.bigram_collocations(
             _docs(sf, ["doc_id", "text"])
@@ -935,13 +953,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text_formats.parquet_partitioned_stats(sf)
         ),
         "embedding_head_energy": lambda sf: (
-            similarity.head_energy_ratio(_emb(sf))
+            similarity.head_energy_ratio(_emb(sf, ["embedding", "label"]))
         ),
         "embedding_kmeans_lattice": lambda sf: (
-            similarity.kmeans_lattice(_emb(sf))
+            similarity.kmeans_lattice(_emb(sf, ["vec_id", "embedding"]))
         ),
         "events_gap_histogram": lambda sf: windows.gap_histogram(
-            _events(sf)
+            _events(sf, ['event_id', 'ts', 'user_id'])
         ),
         "docs_ngram_containment": lambda sf: (
             dedup.ngram_jaccard_exact_pairs(
@@ -957,7 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["text", "lang"])
         ),
         "events_sequence_patterns": lambda sf: (
-            windows.sequence_pattern_counts(_events(sf))
+            windows.sequence_pattern_counts(_events(sf, ['event_id', 'ts', 'user_id', 'event_type']))
         ),
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q17_small_quantity_revenue": (
@@ -968,10 +986,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["lang", "text"])
         ),
         "events_hourly_top_type": lambda sf: windows.hourly_top_type(
-            _events(sf)
+            _events(sf, ['ts', 'event_type'])
         ),
         "embedding_int8_quantize": lambda sf: (
-            similarity.int8_quantize_report(_emb(sf))
+            similarity.int8_quantize_report(_emb(sf, ["embedding"]))
         ),
         "kg_label_propagation": lambda sf: (
             kg.unigram_label_propagation(sf)
@@ -997,10 +1015,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_ktruss": lambda sf: webtext.bigram_ktruss(
             _docs(sf, ["doc_id", "text"])
         ),
-        "embedding_pq_report": lambda sf: similarity.pq_report(_emb(sf)),
+        "embedding_pq_report": lambda sf: similarity.pq_report(_emb(sf, ["vec_id", "embedding"])),
         "kg_metapath_wedges": lambda sf: kg.unigram_metapath_wedges(sf),
         "embedding_gram_lattice": lambda sf: similarity.gram_lattice(
-            _emb(sf)
+            _emb(sf, ["embedding"])
         ),
         "kg_node_embedding_rp": lambda sf: (
             kg.unigram_node_embedding_rp(sf)
@@ -1219,6 +1237,43 @@ def _single_link_sql(thresholds=(0.4, 0.6, 0.8)) -> str:
         {chain}
         {union}
     """
+
+
+_LABEL_SPREAD_SQL = """
+    WITH sims AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, b.label AS lb,
+               CAST(floor(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[]))
+                    * 1000000 + 0.5) AS BIGINT) AS simq
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id
+    ),
+    top3 AS (
+        SELECT va, lb FROM (
+            SELECT va, lb,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY va
+                       ORDER BY simq DESC, vb ASC) AS rn
+            FROM sims
+        ) WHERE rn <= 3
+    ),
+    votes AS (
+        SELECT va, lb, COUNT(*) AS c FROM top3 GROUP BY va, lb
+    ),
+    win AS (
+        SELECT va, lb FROM (
+            SELECT va, lb,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY va
+                       ORDER BY c DESC, lb ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           CAST(w.lb AS BIGINT) AS label_spread
+    FROM embeddings e JOIN win w ON w.va = e.vec_id
+"""
 
 
 def _zorder_sql(bits=8, bucket_shift=10) -> str:
@@ -4732,41 +4787,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT -1, (SELECT ta FROM tot), (SELECT tb FROM tot),
                    (SELECT SUM(t) FROM terms)
         """,
-        "embedding_label_spread": """
-            WITH sims AS (
-                SELECT a.vec_id AS va, b.vec_id AS vb, b.label AS lb,
-                       CAST(floor(list_cosine_similarity(
-                                CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[]))
-                            * 1000000 + 0.5) AS BIGINT) AS simq
-                FROM embeddings a JOIN embeddings b
-                  ON a.vec_id <> b.vec_id
-            ),
-            top3 AS (
-                SELECT va, lb FROM (
-                    SELECT va, lb,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY va
-                               ORDER BY simq DESC, vb ASC) AS rn
-                    FROM sims
-                ) WHERE rn <= 3
-            ),
-            votes AS (
-                SELECT va, lb, COUNT(*) AS c FROM top3 GROUP BY va, lb
-            ),
-            win AS (
-                SELECT va, lb FROM (
-                    SELECT va, lb,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY va
-                               ORDER BY c DESC, lb ASC) AS rn
-                    FROM votes
-                ) WHERE rn = 1
-            )
-            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
-                   CAST(w.lb AS BIGINT) AS label_spread
-            FROM embeddings e JOIN win w ON w.va = e.vec_id
-        """,
+        # one exact-kNN oracle serves BOTH label-spread tiers: the
+        # IVF-bucketed driver row (exact whenever probing reaches every
+        # true neighbor — a miss fails loudly here) and the brute tier
+        "embedding_label_spread": _LABEL_SPREAD_SQL,
+        "embedding_label_spread_brute": _LABEL_SPREAD_SQL,
         "docs_schema_evolution": """
             -- v1 rows (even doc_id) drop lang in the shard, so their
             -- lang is null by construction; v2 rows keep whatever the

@@ -1799,9 +1799,356 @@ def label_spread(sf_dir: str, k: int = 3):
                            batch_size=128, concurrency=2)
 
 
+def _knn_partial_frame(pids, plabels, Q, mids, mlabels, M, k):
+    """Per-partition exact-cosine partial top-k (probe rows vs member
+    rows) under the brute tier's deterministic order: similarity
+    quantized to integer micro-units, self rows floored to the
+    sentinel, rank by (simq desc, member id asc). Returns a pandas
+    frame (vec_id, label, n_id, n_label, simq) with <= k rows per
+    probe row — the mergeable unit both distributed label-spread
+    tiers shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-30)
+    Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-30)
+    simq = np.floor((Qn @ Mn.T) * 1_000_000 + 0.5).astype(np.int64)
+    # same self sentinel as the brute tier (see its overflow note)
+    simq[pids[:, None] == mids[None, :]] = -(1 << 62)
+    kk = min(k, simq.shape[1])
+    order = np.lexsort(
+        (np.broadcast_to(mids, simq.shape), -simq), axis=1
+    )[:, :kk]
+    rows = np.arange(len(pids))[:, None]
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(pids, kk),
+            "label": np.repeat(plabels, kk),
+            "n_id": mids[order].ravel(),
+            "n_label": mlabels[order].ravel(),
+            "simq": simq[rows, order].ravel(),
+        }
+    )
+
+
+def _knn_vote_merge(partials_ds, k: int):
+    """Merge per-partition kNN partials into the final vote: group by
+    query vec_id, re-rank the union under the same (simq desc, id asc)
+    order, take the global top-k, majority vote (count desc, label
+    asc) — byte-identical tail to the brute tier whenever the partials
+    cover the true top-k."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["simq"] > -(1 << 62)]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "label_spread": []}
+            ).astype(np.int64)
+        o = np.lexsort(
+            (df["n_id"].to_numpy(), -df["simq"].to_numpy())
+        )[:k]
+        top = df.iloc[o]
+        vals, counts = np.unique(
+            top["n_label"].to_numpy(np.int64), return_counts=True
+        )
+        winner = int(vals[np.lexsort((vals, -counts))[0]])
+        return pd.DataFrame(
+            {
+                "vec_id": [int(df["vec_id"].iloc[0])],
+                "label": [int(df["label"].iloc[0])],
+                "label_spread": [winner],
+            }
+        )
+
+    _schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()),
+         ("label_spread", pa.int64())]
+    )
+    return partials_ds.groupby("vec_id").map_groups(
+        vote, batch_format="pandas"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+                "label_spread": pc.cast(t["label_spread"], pa.int64()),
+            },
+            schema=_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def label_spread_grid(sf_dir: str, k: int = 3, block_rows: int = 4096):
+    """EXACT distributed kNN label spreading with NO driver-side
+    corpus state — the grid-partitioned kNN join (the
+    :func:`embedding_neardup` block-pair scheme applied to top-k
+    instead of threshold pairs): vectors land in ``B = ceil(n /
+    block_rows)`` blocks by ``vec_id % B``; each vector is replicated
+    to the B groups ``(min(b, j), max(b, j))`` so every pair of blocks
+    meets in exactly ONE group; the per-group kernel emits a <= k
+    partial top-k per query over the opposite block only (the diagonal
+    group covers within-block pairs, with the brute tier's self
+    sentinel), so every (query, candidate) pair is scored exactly
+    once; a group-by on vec_id merges the partials and votes under
+    the identical quantized deterministic order. ALWAYS equal to the
+    brute tier — the driver gate's exact-kNN SQL oracle stays green by
+    construction.
+
+    Scale shape: replication factor is B per vector and total compute
+    is the inherent O(n^2/2) of exact kNN, but it is fully partitioned
+    (per-task memory ~ 2*block_rows vectors) and the driver holds only
+    the row count. At web scale prefer :func:`label_spread_ivf`
+    (bucketed, approximate, sub-quadratic)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    n = emb.count()
+    B = max(1, math.ceil(n / block_rows))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blocks = ids % B
+        grp_col, idx_col = [], []
+        for row, b in enumerate(blocks):
+            for j in range(B):
+                lo, hi = (b, j) if b <= j else (j, b)
+                grp_col.append(int(lo) * B + int(hi))
+                idx_col.append(row)
+        take = pa.array(idx_col, pa.int64())
+        return pa.table(
+            {
+                "grp": pa.array(grp_col, pa.int64()),
+                "vec_id": pa.array(ids[idx_col], pa.int64()),
+                "block": pa.array(blocks[idx_col].astype(np.int32),
+                                  pa.int32()),
+                "label": pa.array(labels[idx_col], pa.int64()),
+                "embedding": t["embedding"].take(take),
+            }
+        )
+
+    _p_cols = ["vec_id", "label", "n_id", "n_label", "simq"]
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        grp = int(df["grp"].iloc[0])
+        gi, gj = grp // B, grp % B
+        ids = df["vec_id"].to_numpy(np.int64)
+        labels = df["label"].to_numpy(np.int64)
+        mat = np.array(df["embedding"].to_list(), np.float64)
+        if gi == gj:
+            return _knn_partial_frame(ids, labels, mat,
+                                      ids, labels, mat, k)
+        blk = df["block"].to_numpy()
+        mi, mj = blk == gi, blk == gj
+        if not mi.any() or not mj.any():
+            # one side of the cell is empty: no cross-block candidates
+            return pd.DataFrame({c: [] for c in _p_cols}).astype(
+                {c: np.int64 for c in _p_cols}
+            )
+        f1 = _knn_partial_frame(ids[mi], labels[mi], mat[mi],
+                                ids[mj], labels[mj], mat[mj], k)
+        f2 = _knn_partial_frame(ids[mj], labels[mj], mat[mj],
+                                ids[mi], labels[mi], mat[mi], k)
+        return pd.concat([f1, f2], ignore_index=True)
+
+    partials = (
+        emb.map_batches(explode, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(per_group, batch_format="pandas")
+    )
+    return _knn_vote_merge(partials, k)
+
+
+def label_spread_ivf(sf_dir: str, k: int = 3, num_lists: int = 16,
+                     nprobe: int = 8, train_rows: int = 4096):
+    """IVF-bucketed kNN label spreading — the AT-SCALE tier of
+    :func:`label_spread` with the IDENTICAL quantized vote tail but NO
+    driver-side corpus materialization: the only driver state is the
+    ``num_lists`` x D centroid matrix trained on a bounded sample
+    (:meth:`IVFIndex.train`). Neighbor candidates come from the
+    ``ivf_topk`` bucket scheme: every vector lives in exactly ONE list
+    (argmax centroid) and probes its ``nprobe`` nearest lists, so the
+    per-list ``map_groups`` computes the bipartite cosine block
+    (probes x members) vectorized, emits a <=k partial top-k per
+    (query, list), and a second group-by on vec_id merges the partials
+    under the same deterministic order as the brute tier (similarity
+    quantized to integer micro-units; simq desc, neighbor id asc) and
+    takes the same majority vote (count desc, label asc). A list holds
+    each neighbor exactly once, so the cross-list merge of per-list
+    top-k is the exact top-k over the probed candidate set.
+
+    APPROXIMATE: exact only when every vector's true top-k lies within
+    its nprobe probe lists (real for clustered web embeddings, not for
+    isotropic noise) — pinned equal to the brute tier on a
+    cluster-separated fixture (tests/test_r5_fixes.py). The driver
+    row for the exact-kNN SQL oracle rides :func:`label_spread_grid`
+    (exact by construction); this tier is the sub-quadratic at-scale
+    alternative and carries a rows-only driver row.
+
+    Scale shape: data volume is (1 + nprobe) x corpus for the probe
+    replication, one hash shuffle on ivf_list (bounded list count —
+    size num_lists ~ sqrt(N) to balance), one on vec_id over <=
+    nprobe*k-row partials; no stage holds more than a list's members.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    index = IVFIndex.train(emb, num_lists=num_lists,
+                           train_rows=train_rows)
+    cent = index.centroids  # (C, D) float32, tiny — ships in closures
+    nprobe = min(nprobe, len(cent))
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "ivf_list": pa.array([], pa.int32()),
+                    "side": pa.array([], pa.int8()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        ids, mat = _batch_matrix(t)
+        matn = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+        order = np.argsort(
+            -(matn.astype(np.float32) @ cent.T), axis=1
+        )[:, :nprobe].astype(np.int32)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        embs = t["embedding"].to_pylist()
+        n = len(ids)
+        # member row (side 0, own argmax list) + nprobe probe rows
+        lists = np.concatenate(
+            [order[:, 0]] + [order[:, j] for j in range(nprobe)]
+        )
+        side = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(n * nprobe, np.int8)]
+        )
+        rep_ids = np.tile(ids, nprobe + 1)
+        rep_labels = np.tile(labels, nprobe + 1)
+        rep_embs = embs * (nprobe + 1)
+        return pa.table(
+            {
+                "ivf_list": pa.array(lists, pa.int32()),
+                "side": pa.array(side, pa.int8()),
+                "vec_id": pa.array(rep_ids, pa.int64()),
+                "embedding": pa.array(rep_embs, pa.list_(pa.float32())),
+                "label": pa.array(rep_labels, pa.int64()),
+            }
+        )
+
+    _p_cols = ["vec_id", "label", "n_id", "n_label", "simq"]
+
+    def per_list(df: pd.DataFrame) -> pd.DataFrame:
+        mem = df[df["side"] == 0]
+        pro = df[df["side"] == 1]
+        if len(mem) == 0 or len(pro) == 0:
+            return pd.DataFrame({c: [] for c in _p_cols}).astype(
+                {c: np.int64 for c in _p_cols}
+            )
+        mids = mem["vec_id"].to_numpy(np.int64)
+        mlabels = mem["label"].to_numpy(np.int64)
+        M = np.array(mem["embedding"].to_list(), np.float64)
+        Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-30)
+        pids = pro["vec_id"].to_numpy(np.int64)
+        plabels = pro["label"].to_numpy(np.int64)
+        Q = np.array(pro["embedding"].to_list(), np.float64)
+        Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-30)
+        simq = np.floor((Qn @ Mn.T) * 1_000_000 + 0.5).astype(np.int64)
+        # same self sentinel as the brute tier (see its overflow note)
+        simq[pids[:, None] == mids[None, :]] = -(1 << 62)
+        kk = min(k, simq.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(mids, simq.shape), -simq), axis=1
+        )[:, :kk]
+        rows = np.arange(len(pids))[:, None]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(pids, kk),
+                "label": np.repeat(plabels, kk),
+                "n_id": mids[order].ravel(),
+                "n_label": mlabels[order].ravel(),
+                "simq": simq[rows, order].ravel(),
+            }
+        )
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        # drop self-sentinel rows, order exactly like the brute tier,
+        # take the global top-k across the probed lists
+        df = df[df["simq"] > -(1 << 62)]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "label_spread": []}
+            ).astype(np.int64)
+        o = np.lexsort(
+            (df["n_id"].to_numpy(), -df["simq"].to_numpy())
+        )[:k]
+        top = df.iloc[o]
+        vals, counts = np.unique(
+            top["n_label"].to_numpy(np.int64), return_counts=True
+        )
+        winner = int(vals[np.lexsort((vals, -counts))[0]])
+        return pd.DataFrame(
+            {
+                "vec_id": [int(df["vec_id"].iloc[0])],
+                "label": [int(df["label"].iloc[0])],
+                "label_spread": [winner],
+            }
+        )
+
+    partials = (
+        emb.map_batches(expand, batch_format="pyarrow")
+        .groupby("ivf_list")
+        .map_groups(per_list, batch_format="pandas")
+    )
+    _schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()),
+         ("label_spread", pa.int64())]
+    )
+    return partials.groupby("vec_id").map_groups(
+        vote, batch_format="pandas"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc_cast_i64(t["vec_id"]),
+                "label": pc_cast_i64(t["label"]),
+                "label_spread": pc_cast_i64(t["label_spread"]),
+            },
+            schema=_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pc_cast_i64(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())
+
+
 def single_link_ladder(sf_dir: str,
                        thresholds=(0.4, 0.6, 0.8),
-                       driver_cc_max_pairs: int = 2_000_000):
+                       driver_cc_max_pairs: int = 2_000_000,
+                       pair_source: str = "exact",
+                       num_lists: int = 16):
     """Single-link agglomerative clustering cut census — the dendrogram
     ladder a dedup tuner reads: at each cosine threshold t, clusters
     are the connected components of the >=t pair graph (exact
@@ -1811,11 +2158,19 @@ def single_link_ladder(sf_dir: str,
     Thresholds compare against the 6-dp-ROUNDED similarity on both
     engine and twin, so the cut is engine-independent.
 
-    Scale shape: the exact grid pair join (:func:`embedding_neardup`)
-    runs ONCE at the lowest threshold; each rung is a vectorized
-    re-filter of that pair set plus the tiered component labeling
-    (driver union-find under ``driver_cc_max_pairs``, distributed
-    min-label CC above — the ``neardup_keep_one`` contract)."""
+    Scale shape: the candidate pair graph is built ONCE at the lowest
+    threshold; each rung is a vectorized re-filter of that pair set
+    plus the tiered component labeling (driver union-find under
+    ``driver_cc_max_pairs``, distributed min-label CC above — the
+    ``neardup_keep_one`` contract). ``pair_source`` picks the tier
+    (the ``neardup_keep_one(pair_source=)`` convention):
+    ``"exact"`` = the grid pair join (:func:`embedding_neardup`) —
+    exact but near-quadratic pair volume when the base threshold is
+    low over cluster-dense web-scale embeddings; ``"ivf"`` = the
+    IVF-bucketed join (:func:`embedding_neardup_ivf`) — pairs sought
+    only within a coarse k-means list, the at-scale default (equal to
+    exact whenever no >=min(thresholds) pair crosses a list boundary;
+    tier equality pytest-pinned on a cluster-separated fixture)."""
     import numpy as np
 
     import ray.data as rd
@@ -1823,9 +2178,16 @@ def single_link_ladder(sf_dir: str,
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pairs = embedding_neardup(
-        emb, threshold=min(thresholds)
-    ).materialize()
+    if pair_source == "exact":
+        pairs = embedding_neardup(
+            emb, threshold=min(thresholds)
+        ).materialize()
+    elif pair_source == "ivf":
+        pairs = embedding_neardup_ivf(
+            emb, threshold=min(thresholds), num_lists=num_lists
+        ).materialize()
+    else:
+        raise ValueError(f"unknown pair_source: {pair_source!r}")
     pdf = None
     if pairs.count() <= driver_cc_max_pairs:
         pdf = pairs.to_pandas()
