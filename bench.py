@@ -272,6 +272,126 @@ def run_scaling(
     }
 
 
+def _gen_stress_corpus(sf_dir: str, repeat: int, out_dir: str) -> int:
+    """Materialize a ``repeat``x stress corpus under ``out_dir``:
+    ``documents.parquet`` becomes a DIRECTORY of ``repeat`` shard
+    files (``read_parquet`` reads a directory of parts natively — and
+    many input files is exactly what a real crawl store looks like).
+    Each shard is the base table with per-shard doc_id offsets and a
+    short per-shard text salt, so downstream dedup stages see unique
+    docs instead of a pathological 50-way duplicate clique.
+    Deterministic; skipped when the shards already exist. Returns the
+    total doc count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = base.num_rows
+    shard_dir = os.path.join(out_dir, "documents.parquet")
+    os.makedirs(shard_dir, exist_ok=True)
+    ids = base["doc_id"].to_numpy()
+    texts = base["text"].to_pylist()
+    for i in range(repeat):
+        path = os.path.join(shard_dir, f"part-{i:05d}.parquet")
+        if os.path.exists(path):
+            continue
+        cols = {name: base[name] for name in base.column_names}
+        cols["doc_id"] = pa.array(ids + i * 10_000_000, pa.int64())
+        cols["text"] = pa.array(
+            [f"{t} shard{i} tail{(int(d) * 2654435761) % 99991}"
+             for t, d in zip(texts, ids)],
+            pa.string(),
+        )
+        pq.write_table(pa.table(cols), path)
+    return n * repeat
+
+
+def run_stress(sf_dir: str, num_cpus: int, repeat: int = 20,
+               out_dir: str = "/tmp/stress_sf") -> dict:
+    """Scale-stress evidence run (VERDICT r4 §next #1): the flagship
+    KG pipeline and the curation composition end-to-end over a
+    ``repeat``x materialized corpus, with the memory story measured,
+    not argued — peak driver RSS, object-store spill MB from the
+    raylet log, per-query wall, and the flagship's Ray Data stage
+    stats dumped to stderr (per-stage task counts / wall)."""
+    import resource
+
+    t_gen = time.perf_counter()
+    n_docs = _gen_stress_corpus(sf_dir, repeat, out_dir)
+    gen_sec = round(time.perf_counter() - t_gen, 1)
+
+    import ray
+
+    from autoner_ray.cluster import tune_data_context
+
+    ray.init(address="local", num_cpus=num_cpus,
+             include_dashboard=False, logging_level="ERROR",
+             log_to_driver=False)
+    tune_data_context()
+    try:
+        import ray.data
+
+        ctx = ray.data.DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.print_on_execution_start = False
+
+        from autoner_ray.pipelines import kg
+        from autoner_ray.pipelines.curation import curation_pipeline
+
+        t0 = time.perf_counter()
+        flagship = kg.triples_dataset(out_dir)
+        n_triples = _consume(flagship)
+        kg_sec = round(time.perf_counter() - t0, 3)
+        if isinstance(flagship, ray.data.Dataset):
+            sys.stderr.write(flagship.stats() + "\n")
+
+        t0 = time.perf_counter()
+        n_kept = _consume(curation_pipeline(out_dir))
+        cur_sec = round(time.perf_counter() - t0, 3)
+
+        # driver peak RSS (this process IS the driver; ru_maxrss in KB)
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        # spill evidence straight off the raylet log (no grpc here)
+        session_dir = (
+            ray._private.worker.global_worker.node.get_session_dir_path()
+        )
+        spilled_mb = 0.0
+        raylet_log = os.path.join(session_dir, "logs", "raylet.out")
+        if os.path.exists(raylet_log):
+            with open(raylet_log, errors="replace") as fh:
+                for line in fh:
+                    if "Spilled " in line:
+                        try:
+                            spilled_mb = max(
+                                spilled_mb,
+                                float(line.split("Spilled ", 1)[1]
+                                      .split()[0]),
+                            )
+                        except (IndexError, ValueError):
+                            pass
+        return {
+            "metric": "stress_run",
+            "value": kg_sec,
+            "unit": "sec",
+            "repeat": repeat,
+            "docs": n_docs,
+            "gen_sec": gen_sec,
+            "queries": {
+                "kg_triples_full_stress": kg_sec,
+                "docs_curation_pipeline_stress": cur_sec,
+            },
+            "triples": n_triples,
+            "docs_per_sec_kg": round(n_docs / max(kg_sec, 1e-9), 1),
+            "curation_docs_kept": n_kept,
+            "driver_peak_rss_mb": round(rss_mb, 1),
+            "spilled_mb": spilled_mb,
+            "num_cpus": num_cpus,
+            "sf": os.path.basename(sf_dir.rstrip("/")) + f"x{repeat}",
+        }
+    finally:
+        ray.shutdown()
+
+
 def run_stats(sf_dir: str, num_cpus: int, name: str) -> None:
     """Execute ONE query and dump its Ray Data per-operator stats
     (wall time, blocks, rows, memory per stage) to stderr — the
@@ -323,10 +443,19 @@ def main() -> None:
     ap.add_argument("--stats", default=None, metavar="QUERY",
                     help="run one query and dump its Ray Data "
                          "per-operator stats to stderr")
+    ap.add_argument("--stress", action="store_true",
+                    help="flagship + curation over a --repeat x "
+                         "materialized corpus with driver-RSS and "
+                         "spill evidence (default repeat: 20)")
     args = ap.parse_args()
 
     if args.stats:
         run_stats(args.sf_dir, args.cpus, args.stats)
+        return
+    if args.stress:
+        out = run_stress(args.sf_dir, args.cpus,
+                         repeat=args.repeat if args.repeat > 1 else 20)
+        print(json.dumps(out))
         return
     if args.scaling:
         out = run_scaling(args.sf_dir, repeat=max(args.repeat, 1024))
