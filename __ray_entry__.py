@@ -527,6 +527,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs_quality,
         "docs_md5": docs_md5,
         "docs_exact_dedup": docs_exact_dedup,
+        # Lee-et-al-style chunked exact substring dedup census:
+        # first occurrence wins corpus-wide, one chunk-hash shuffle
+        "docs_substring_dedup": lambda sf: dedup.substring_dedup_census(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        # RAG passage windows (offsets only — text gathers at embed time)
+        "docs_passage_chunks": lambda sf: analysis.passage_chunks(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        # GPT-style concat-and-chunk packing census per source
+        "docs_training_pack": lambda sf: analysis.training_pack_census(
+            _docs(sf, ["doc_id", "text", "source"])
+        ),
         "docs_union_all": docs_union_all,
         "docs_sample_seeded": docs_sample_seeded,
         "docs_quality_filter": docs_quality_filter,
@@ -3479,6 +3492,81 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id
             FROM documents GROUP BY text
+        """,
+        "docs_substring_dedup": """
+            -- chunked Lee-et-al substring dedup: 40-char aligned
+            -- chunks, first occurrence (min packed doc_id*2^20+idx)
+            -- wins corpus-wide; same packing as the engine
+            WITH chunks AS (
+                SELECT doc_id, CAST(u AS BIGINT) AS idx,
+                       substr(text, CAST(u * 40 + 1 AS BIGINT), 40)
+                           AS chunk,
+                       length(text) AS chars
+                FROM (SELECT doc_id, text,
+                             UNNEST(range(0, length(text) // 40)) AS u
+                      FROM documents)
+            ),
+            winners AS (
+                SELECT chunk, MIN(doc_id * 1048576 + idx) AS wk
+                FROM chunks GROUP BY chunk
+            ),
+            marked AS (
+                SELECT c.doc_id, c.chars,
+                       CASE WHEN c.doc_id * 1048576 + c.idx <> w.wk
+                            THEN 1 ELSE 0 END AS removed
+                FROM chunks c JOIN winners w USING (chunk)
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(removed) AS BIGINT) AS n_removed,
+                   CAST(MAX(chars) AS BIGINT) AS chars_before,
+                   CAST(MAX(chars) - 40 * SUM(removed) AS BIGINT)
+                       AS chars_after
+            FROM marked GROUP BY doc_id
+        """,
+        "docs_passage_chunks": """
+            -- window 200 / stride 150, one chunk minimum, last window
+            -- clipped to the doc end (engine: analysis.passage_chunks)
+            WITH n AS (
+                SELECT doc_id, length(text) AS len,
+                       CASE WHEN length(text) <= 200 THEN 1
+                            ELSE (length(text) - 200 + 149) // 150 + 1
+                       END AS nc
+                FROM documents
+            )
+            SELECT doc_id, CAST(u AS BIGINT) AS chunk_id,
+                   CAST(u * 150 AS BIGINT) AS start_char,
+                   CAST(LEAST(u * 150 + 200, len) AS BIGINT) AS end_char,
+                   CAST(LEAST(u * 150 + 200, len) - u * 150 AS BIGINT)
+                       AS n_chars
+            FROM (SELECT doc_id, len, UNNEST(range(0, nc)) AS u FROM n)
+        """,
+        "docs_training_pack": f"""
+            -- concat each source's docs in doc_id order, cut into
+            -- 512-token sequences; n_docs_split = docs straddling a
+            -- boundary (engine: analysis.training_pack_census)
+            WITH toks AS (
+                SELECT source, doc_id,
+                       CAST(len({WORDS}) AS BIGINT) AS n
+                FROM documents
+            ),
+            pos AS (
+                SELECT source, doc_id, n,
+                       COALESCE(SUM(n) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS start
+                FROM toks
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST((SUM(n) + 511) // 512 AS BIGINT) AS n_sequences,
+                   CAST(SUM(CASE WHEN n > 0 AND start // 512
+                                      <> (start + n - 1) // 512
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_split
+            FROM pos GROUP BY source
         """,
         "embeddings_label_counts": """
             SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label

@@ -5056,3 +5056,122 @@ def fair_token_budget(docs_ds, budget_ratio: float = 0.5):
             ),
         }
     )
+
+
+def passage_chunks(docs_ds, window: int = 200, stride: int = 150):
+    """RAG-style passage chunking with overlap — the retrieval-corpus
+    prep step: each doc splits into character windows of ``window``
+    chars at ``stride`` offsets (overlap = window - stride), one chunk
+    always emitted even for short docs, the last window clipped to the
+    doc end. Output one row per chunk: (doc_id, chunk_id, start_char,
+    end_char, n_chars) — offsets, not text, so the census is
+    value-hash-checkable and the text gather stays a cheap slice at
+    embed time.
+
+    Scale shape: stateless vectorized map (pure numpy index
+    arithmetic, np.repeat/arange — no per-row Python), no shuffle at
+    all; chunk count per doc is 1 + ceil(max(len - window, 0) /
+    stride)."""
+    import numpy as np
+
+    _schema = pa.schema(
+        [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+         ("start_char", pa.int64()), ("end_char", pa.int64()),
+         ("n_chars", pa.int64())]
+    )
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_chunks = np.where(
+            lens <= window,
+            1,
+            (lens - window + stride - 1) // stride + 1,
+        ).astype(np.int64)
+        doc_rep = np.repeat(ids, n_chunks)
+        len_rep = np.repeat(lens, n_chunks)
+        # chunk_id: 0..n_chunks-1 within each doc
+        total = int(n_chunks.sum())
+        cid = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        start = cid * stride
+        end = np.minimum(start + window, len_rep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "start_char": pa.array(start, pa.int64()),
+                "end_char": pa.array(end, pa.int64()),
+                "n_chars": pa.array(end - start, pa.int64()),
+            },
+            schema=_schema,
+        )
+
+    return docs_ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def training_pack_census(docs_ds, budget: int = 512):
+    """GPT-style training-sequence packing census — concatenate each
+    source's docs in doc_id order into one token stream, cut it into
+    fixed ``budget``-token sequences, and report per source how the
+    packing lands: (source, n_docs, total_tokens, n_sequences,
+    n_docs_split) where ``n_docs_split`` counts docs whose tokens
+    straddle a sequence boundary (the attention-mask/document-bleed
+    cost of dense packing). Token = ``string_split(text, ' ')``
+    element, the corpus convention shared with the SQL twins.
+
+    Scale shape: one hash shuffle on ``source`` (same partition key as
+    the other per-source rollups), per-group vectorized cumsum over
+    the doc_id-sorted token counts — rows shuffled are (source,
+    doc_id, n) partials, never text."""
+    import numpy as np
+    import pandas as pd
+
+    _p_schema = pa.schema(
+        [("source", pa.string()), ("doc_id", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _p_schema.empty_table()
+        n = [len((s or "").split(" ")) for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": t["doc_id"],
+                "n": pa.array(n, pa.int64()),
+            },
+            schema=_p_schema,
+        )
+
+    _o_cols = ["source", "n_docs", "total_tokens", "n_sequences",
+               "n_docs_split"]
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        n = df["n"].to_numpy(np.int64)
+        start = np.concatenate([[0], np.cumsum(n)[:-1]])
+        end = start + n - 1
+        split = ((n > 0) & (start // budget != end // budget)).sum()
+        total = int(n.sum())
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "n_docs": [len(df)],
+                "total_tokens": [total],
+                "n_sequences": [(total + budget - 1) // budget],
+                "n_docs_split": [int(split)],
+            }
+        )
+
+    return (
+        docs_ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pack, batch_format="pandas")
+    )

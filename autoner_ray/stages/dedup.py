@@ -2029,3 +2029,134 @@ def neardup_keep_best(
     return docs_ds.select_columns(["doc_id"]).map_batches(
         SurvivorFilter, batch_format="pyarrow", concurrency=2
     )
+
+
+def substring_dedup_census(docs_ds, chunk_len: int = 40,
+                           num_partitions: int | None = None):
+    """EXACT chunked substring dedup census — the Lee-et-al-2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    semantics at chunk granularity: split every doc into non-overlapping
+    ``chunk_len``-char chunks (full chunks only), and corpus-wide the
+    FIRST occurrence of each distinct chunk wins (smallest
+    ``(doc_id, chunk_idx)``); every other occurrence is a duplicated
+    span a cleaner would strip. Output one row per doc that has at
+    least one full chunk: (doc_id, n_chunks, n_removed, chars_before,
+    chars_after) with ``chars_after = chars_before - chunk_len *
+    n_removed`` — the integer census the value-hash can certify.
+
+    Scale shape: chunk rows carry a PACKED occurrence key
+    ``doc_id * 2^20 + idx`` (idx < 2^20 = 40 MB docs at the default
+    chunk_len; at web scale bump the shift); ONE hash shuffle on the
+    chunk content co-locates all occurrences of a chunk, the
+    per-partition pandas pass marks losers (packed key != group min)
+    and pre-reduces to per-doc partials, and the per-doc rollup is the
+    hash-partitioned :func:`combine.partitioned_key_agg` — no
+    driver-side state anywhere, no chunk ever compared across
+    partitions (equal chunks hash equal). The suffix-array full
+    generality (duplicated spans at ARBITRARY offsets) trades recall
+    for this operator's exactness-at-chunk-alignment; winnowing
+    fingerprints (``analysis``) cover the unaligned case
+    approximately.
+    """
+    import pandas as pd
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.combine import partitioned_key_agg
+    from autoner_ray.stages.joins import _stable_part_col
+
+    P = num_partitions or default_num_partitions()
+    _c_schema = pa.schema(
+        [("chunk", pa.string()), ("packed", pa.int64()),
+         ("doc_id", pa.int64()), ("chars", pa.int64()),
+         ("part", pa.int32())]
+    )
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _c_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        c_chunk, c_packed, c_doc, c_chars = [], [], [], []
+        for did, text in zip(ids, texts):
+            text = text or ""
+            n_full = len(text) // chunk_len
+            base = int(did) << 20
+            for i in range(n_full):
+                c_chunk.append(text[i * chunk_len:(i + 1) * chunk_len])
+                c_packed.append(base + i)
+                c_doc.append(int(did))
+                c_chars.append(len(text))
+        out = pa.table(
+            {
+                "chunk": pa.array(c_chunk, pa.string()),
+                "packed": pa.array(c_packed, pa.int64()),
+                "doc_id": pa.array(c_doc, pa.int64()),
+                "chars": pa.array(c_chars, pa.int64()),
+            }
+        )
+        return out.append_column(
+            "part", _stable_part_col(out, ("chunk",), P)
+        )
+
+    def mark_losers(df: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a chunk are in this partition; loser =
+        # packed key above the group min. Pre-reduce straight to
+        # per-doc partials so the shuffle out is doc-sized, not
+        # chunk-sized.
+        wk = df.groupby("chunk")["packed"].transform("min")
+        removed = (df["packed"] != wk).astype("int64")
+        g = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chunks": 1,
+                "n_removed": removed,
+                "chars_before": df["chars"],
+            }
+        ).groupby("doc_id", as_index=False).agg(
+            n_chunks=("n_chunks", "sum"),
+            n_removed=("n_removed", "sum"),
+            chars_before=("chars_before", "max"),
+        )
+        return g
+
+    partials = (
+        docs_ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark_losers, batch_format="pandas")
+    )
+    rolled = partitioned_key_agg(
+        partials,
+        keys=["doc_id"],
+        aggs=[("n_chunks", "sum"), ("n_removed", "sum"),
+              ("chars_before", "max")],
+        part_on=("doc_id",),
+        num_partitions=P,
+    )
+
+    _o_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_chunks", pa.int64()),
+         ("n_removed", pa.int64()), ("chars_before", pa.int64()),
+         ("chars_after", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or len(t) == 0:
+            return _o_schema.empty_table()
+        after = pc.subtract(
+            t["chars_before"],
+            pc.multiply(t["n_removed"], pa.scalar(chunk_len, pa.int64())),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chunks": pc.cast(t["n_chunks"], pa.int64()),
+                "n_removed": pc.cast(t["n_removed"], pa.int64()),
+                "chars_before": pc.cast(t["chars_before"], pa.int64()),
+                "chars_after": pc.cast(after, pa.int64()),
+            },
+            schema=_o_schema,
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
