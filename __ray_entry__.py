@@ -540,6 +540,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_training_pack": lambda sf: analysis.training_pack_census(
             _docs(sf, ["doc_id", "text", "source"])
         ),
+        # DSIR importance weights (target domain = lang 'en')
+        "docs_dsir_weights": lambda sf: analysis.dsir_importance(
+            _docs(sf, ["doc_id", "text", "lang"])
+        ),
+        # exact >=0.5% heavy hitters, candidates via local thresholds
+        "docs_heavy_hitters": lambda sf: analysis.heavy_hitter_words(
+            _docs(sf, ["doc_id", "text"])
+        ),
         "docs_union_all": docs_union_all,
         "docs_sample_seeded": docs_sample_seeded,
         "docs_quality_filter": docs_quality_filter,
@@ -3567,6 +3575,54 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_docs_split
             FROM pos GROUP BY source
+        """,
+        "docs_dsir_weights": f"""
+            -- DSIR unigram importance: per-word micro-nat LN ratio of
+            -- add-one-smoothed target ('en') vs corpus likelihood,
+            -- summed over each doc's tokens (engine:
+            -- analysis.dsir_importance — same float expression)
+            WITH tok AS (
+                SELECT doc_id, lang, UNNEST({WORDS}) AS word
+                FROM documents
+            ),
+            counts AS (
+                SELECT word,
+                       CAST(COUNT(*) AS BIGINT) AS n_c,
+                       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_t
+                FROM tok GROUP BY word
+            ),
+            tot AS (
+                SELECT SUM(n_c) AS nc, SUM(n_t) AS nt,
+                       COUNT(*) AS v
+                FROM counts
+            ),
+            terms AS (
+                SELECT word,
+                       CAST(FLOOR(LN(((n_t + 1.0) / (nt + v))
+                                    / ((n_c + 1.0) / (nc + v)))
+                                  * 1000000 + 0.5) AS BIGINT) AS term
+                FROM counts, tot
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(term) AS BIGINT) AS dsir_microweight
+            FROM tok t JOIN terms USING (word)
+            GROUP BY t.doc_id
+        """,
+        "docs_heavy_hitters": f"""
+            -- exact heavy hitters: words with count * 200 >= total
+            -- tokens (engine: analysis.heavy_hitter_words — the
+            -- local-threshold candidate pass never leaks into the
+            -- answer, so the exact filter is the whole contract)
+            WITH tok AS (
+                SELECT UNNEST({WORDS}) AS word FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n_total FROM tok)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok, tot
+            GROUP BY word, n_total
+            HAVING COUNT(*) * 200 >= n_total
         """,
         "embeddings_label_counts": """
             SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label

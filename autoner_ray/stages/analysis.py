@@ -5175,3 +5175,281 @@ def training_pack_census(docs_ds, budget: int = 512):
         .groupby("source")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def dsir_importance(docs_ds, target_lang: str = "en"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how much more likely its unigrams are under the TARGET domain (here
+    the ``lang == target_lang`` slice) than under the whole corpus —
+    the weight a curation pass resamples by to steer the mixture
+    toward the target. Add-one smoothing over the corpus vocab V:
+    per-word micro-nat term ``t(w) = floor(ln(((c_t(w)+1)/(N_t+V)) /
+    ((c_c(w)+1)/(N_c+V))) * 1e6 + 0.5)`` (identical float expression
+    in the SQL twin — the established LN-twin convention), and the doc
+    weight is the INTEGER sum of its tokens' terms — order-independent
+    by construction. Output (doc_id, n_tokens, dsir_microweight).
+    Token = ``string_split(text, ' ')`` element, the corpus
+    convention.
+
+    Scale shape: word-count tables ride the word-partitioned
+    :func:`combine.partitioned_key_agg` (vocab is corpus-sized, NEVER
+    a driver dict); target and corpus counts meet in a word-keyed
+    cogroup join; per-doc scoring is a second word-partitioned join of
+    (word, doc_id, k) occurrence partials against the term table,
+    pre-reduced per doc in the join partition; the doc rollup is
+    doc-partitioned. Three hash shuffles total (word x2 co-keyed,
+    doc), scalars N_t/N_c/V are tiny Dataset aggregates.
+    """
+    import math
+
+    import pandas as pd
+
+    from autoner_ray.stages.combine import partitioned_key_agg
+    from autoner_ray.stages.joins import cogroup_join
+
+    _w_schema = pa.schema(
+        [("word", pa.string()), ("n_c", pa.int64()),
+         ("n_t", pa.int64())]
+    )
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _w_schema.empty_table()
+        import collections
+
+        cc: collections.Counter = collections.Counter()
+        ct: collections.Counter = collections.Counter()
+        for text, lang in zip(t["text"].to_pylist(),
+                              t["lang"].to_pylist()):
+            words = (text or "").split(" ")
+            cc.update(words)
+            if lang == target_lang:
+                ct.update(words)
+        keys = list(cc)
+        return pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "n_c": pa.array([cc[k] for k in keys], pa.int64()),
+                "n_t": pa.array([ct.get(k, 0) for k in keys],
+                                pa.int64()),
+            },
+            schema=_w_schema,
+        )
+
+    counts = partitioned_key_agg(
+        docs_ds.map_batches(word_partials, batch_format="pyarrow"),
+        keys=["word"],
+        aggs=[("n_c", "sum"), ("n_t", "sum")],
+        part_on=("word",),
+    ).materialize()
+    n_c_total = counts.sum("n_c")
+    n_t_total = counts.sum("n_t")
+    vocab = counts.count()
+    denom_t = float(n_t_total + vocab)
+    denom_c = float(n_c_total + vocab)
+
+    _t_schema = pa.schema(
+        [("word", pa.string()), ("term", pa.int64())]
+    )
+
+    def term_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _t_schema.empty_table()
+        import numpy as np
+
+        ct = t["n_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = t["n_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = ((ct + 1.0) / denom_t) / ((cc + 1.0) / denom_c)
+        term = np.floor(np.log(ratio) * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {"word": t["word"], "term": pa.array(term, pa.int64())},
+            schema=_t_schema,
+        )
+
+    terms = counts.map_batches(term_batch, batch_format="pyarrow")
+
+    _o_schema = pa.schema(
+        [("word", pa.string()), ("doc_id", pa.int64()),
+         ("k", pa.int64())]
+    )
+
+    def occ_partials(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _o_schema.empty_table()
+        import collections
+
+        w_col, d_col, k_col = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            c = collections.Counter((text or "").split(" "))
+            for w, k in c.items():
+                w_col.append(w)
+                d_col.append(int(did))
+                k_col.append(int(k))
+        return pa.table(
+            {
+                "word": pa.array(w_col, pa.string()),
+                "doc_id": pa.array(d_col, pa.int64()),
+                "k": pa.array(k_col, pa.int64()),
+            },
+            schema=_o_schema,
+        )
+
+    occ = docs_ds.map_batches(occ_partials, batch_format="pyarrow")
+    joined = cogroup_join(occ, terms, on=("word",))
+
+    _p_cols = ["doc_id", "n_tokens", "wsum"]
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in _p_cols}
+            )
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "n_tokens": t["k"].to_numpy(zero_copy_only=False),
+                "wsum": (
+                    t["k"].to_numpy(zero_copy_only=False)
+                    * t["term"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        ).groupby("doc_id", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rolled = partitioned_key_agg(
+        joined.map_batches(per_doc_partial, batch_format="pyarrow"),
+        keys=["doc_id"],
+        aggs=[("n_tokens", "sum"), ("wsum", "sum")],
+        part_on=("doc_id",),
+    )
+
+    _f_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("dsir_microweight", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _f_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "dsir_microweight": pc.cast(t["wsum"], pa.int64()),
+            },
+            schema=_f_schema,
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def heavy_hitter_words(docs_ds, phi_denom: int = 200, slack: int = 4):
+    """Corpus heavy hitters — every word with frequency >= 1/phi_denom
+    of all tokens (default 0.5%) with EXACT counts, found WITHOUT a
+    corpus-wide word shuffle: the two-pass local-threshold scheme
+    (the Misra-Gries guarantee in its batch form).
+
+    Pass 1 (candidates): each batch counts its own words exactly and
+    emits only those with ``c_b * slack * phi_denom >= N_b`` (batch
+    token count N_b) plus a token-total partial. Pigeonhole: a word
+    with global count >= N/phi_denom must clear that bar in at least
+    one batch (if it cleared none, summing gives c < N/phi_denom — a
+    contradiction for slack >= 1), so the candidate union is a
+    guaranteed superset. Candidate volume per batch is bounded by
+    slack * phi_denom rows — tiny, whatever the corpus size.
+
+    Pass 2 (verify): candidates broadcast via ``ray.put``; each batch
+    counts ONLY candidate words; a bounded combine sums them and the
+    exact integer filter ``n * phi_denom >= N`` emits the final
+    (word, n) rows — the sketch never leaks into the answer, it only
+    prunes the shuffle down to candidate rows.
+    """
+    import collections
+
+    import ray
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _c_schema = pa.schema(
+        [("word", pa.string()), ("n", pa.int64())]
+    )
+
+    def candidates_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _c_schema.empty_table()
+        c: collections.Counter = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update((text or "").split(" "))
+        n_b = sum(c.values())
+        keys = [w for w, k in c.items()
+                if k * slack * phi_denom >= n_b]
+        out = pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "n": pa.array([0] * len(keys), pa.int64()),
+            },
+            schema=_c_schema,
+        )
+        # token-total partial rides the same stream under a reserved key
+        return pa.concat_tables([
+            out,
+            pa.table(
+                {
+                    "word": pa.array(["\x00__total__"], pa.string()),
+                    "n": pa.array([n_b], pa.int64()),
+                },
+                schema=_c_schema,
+            ),
+        ])
+
+    partials = bounded_key_sum(
+        docs_ds.map_batches(candidates_batch, batch_format="pyarrow"),
+        keys=["word"], sum_cols=["n"],
+    ).to_pandas()
+    total = int(partials.loc[
+        partials["word"] == "\x00__total__", "n"
+    ].iloc[0])
+    cand = sorted(
+        w for w in partials["word"] if w != "\x00__total__"
+    )
+    cand_ref = ray.put(set(cand))
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _c_schema.empty_table()
+        want = ray.get(cand_ref)
+        c: collections.Counter = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update(w for w in (text or "").split(" ") if w in want)
+        keys = list(c)
+        return pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            },
+            schema=_c_schema,
+        )
+
+    counts = bounded_key_sum(
+        docs_ds.map_batches(verify_batch, batch_format="pyarrow"),
+        keys=["word"], sum_cols=["n"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _c_schema.empty_table()
+        keep = pc.greater_equal(
+            pc.multiply(t["n"], pa.scalar(phi_denom, pa.int64())),
+            pa.scalar(total, pa.int64()),
+        )
+        return pa.table(
+            {
+                "word": t["word"].filter(keep),
+                "n": t["n"].filter(keep),
+            },
+            schema=_c_schema,
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")

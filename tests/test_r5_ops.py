@@ -93,3 +93,54 @@ def test_training_pack_split_count(ray_session):
     assert row["total_tokens"] == 1036
     assert row["n_sequences"] == 3
     assert row["n_docs_split"] == 2
+
+
+def test_heavy_hitters_exact_and_spread_word_found(ray_session):
+    """A word spread THIN across every batch (never locally heavy at
+    the full threshold, but above threshold/slack) is still found with
+    its exact count — the pigeonhole guarantee; rare words are not."""
+    from autoner_ray.stages.analysis import heavy_hitter_words
+
+    # 10 docs x 100 tokens = 1000 tokens; threshold = 1/200 -> n >= 5.
+    # "hh" appears once per doc (10 total, spread thin); "rare" 4x.
+    docs = []
+    for i in range(10):
+        filler = [f"u{i}_{j}" for j in range(98)]
+        toks = ["hh"] + filler + (["rare"] if i < 4 else ["pad"])
+        docs.append((i, " ".join(toks)))
+    out = {
+        r["word"]: r["n"]
+        for r in heavy_hitter_words(_docs(docs)).take_all()
+    }
+    assert out.get("hh") == 10
+    assert "rare" not in out
+    assert all(n * 200 >= 1000 for n in out.values())
+
+
+def test_dsir_weights_favor_target_lang(ray_session, tmp_path):
+    """Docs made of target-language-only words score higher than docs
+    of words absent from the target slice."""
+    import pyarrow.parquet as pq
+
+    from autoner_ray.stages.analysis import dsir_importance
+
+    rows = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta beta alpha", "fr"),   # target-ish words, non-en
+        (3, "gamma delta gamma delta", "fr"),  # words never in target
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["dsir_microweight"]
+        for r in dsir_importance(ds).take_all()
+    }
+    assert out[2] > out[3]          # target-aligned vocab wins
+    assert out[1] == out[2]         # weight depends on words, not lang
