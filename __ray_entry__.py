@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate on isotropic corpora -> rows-only row, equality
         # pinned on a clustered fixture in tests/test_r5_fixes.py
         "embedding_label_spread": similarity.label_spread_grid,
+        # contrastive hard negatives: nearest different-label vector
+        "embedding_hard_negatives": similarity.hard_negatives,
         "embedding_label_spread_brute": similarity.label_spread,
         "embedding_label_spread_ivf": similarity.label_spread_ivf,
         "embedding_single_link_ladder": similarity.single_link_ladder,
@@ -546,6 +548,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # exact >=0.5% heavy hitters, candidates via local thresholds
         "docs_heavy_hitters": lambda sf: analysis.heavy_hitter_words(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        # recrawl snapshot delta: added/removed/changed/unchanged
+        "pages_snapshot_diff": lambda sf: webtext.snapshot_diff(
             _docs(sf, ["doc_id", "text"])
         ),
         "docs_union_all": docs_union_all,
@@ -3624,6 +3630,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word, n_total
             HAVING COUNT(*) * 200 >= n_total
         """,
+        "pages_snapshot_diff": """
+            -- same deterministic snapshot views as the engine:
+            -- A = id%3!=0, B = id%3!=1 with id%5==0 texts mutated
+            WITH a AS (
+                SELECT doc_id, md5(text) AS h FROM documents
+                WHERE doc_id % 3 <> 0
+            ),
+            b AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 5 = 0
+                                THEN text || ' updated'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 3 <> 1
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.h <> b.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
         "embeddings_label_counts": """
             SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
         """,
@@ -4930,6 +4957,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1, (SELECT ta FROM tot), (SELECT tb FROM tot),
                    (SELECT SUM(t) FROM terms)
+        """,
+        "embedding_hard_negatives": """
+            WITH sims AS (
+                SELECT a.vec_id AS va, a.label AS la,
+                       b.vec_id AS vb, b.label AS lb,
+                       CAST(floor(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+                            * 1000000 + 0.5) AS BIGINT) AS simq
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id AND a.label <> b.label
+            )
+            SELECT va AS vec_id, CAST(la AS BIGINT) AS label,
+                   vb AS neg_id, CAST(lb AS BIGINT) AS neg_label,
+                   simq AS sim_micro
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY va ORDER BY simq DESC, vb ASC) AS rn
+                FROM sims
+            ) WHERE rn = 1
         """,
         # one exact-kNN oracle serves BOTH label-spread tiers: the
         # IVF-bucketed driver row (exact whenever probing reaches every

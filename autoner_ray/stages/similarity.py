@@ -1799,14 +1799,16 @@ def label_spread(sf_dir: str, k: int = 3):
                            batch_size=128, concurrency=2)
 
 
-def _knn_partial_frame(pids, plabels, Q, mids, mlabels, M, k):
+def _knn_partial_frame(pids, plabels, Q, mids, mlabels, M, k,
+                       mask_same_label: bool = False):
     """Per-partition exact-cosine partial top-k (probe rows vs member
     rows) under the brute tier's deterministic order: similarity
     quantized to integer micro-units, self rows floored to the
     sentinel, rank by (simq desc, member id asc). Returns a pandas
     frame (vec_id, label, n_id, n_label, simq) with <= k rows per
     probe row — the mergeable unit both distributed label-spread
-    tiers shuffle."""
+    tiers shuffle. ``mask_same_label=True`` additionally sentinels
+    every same-label pair (the hard-negative-mining restriction)."""
     import numpy as np
     import pandas as pd
 
@@ -1815,6 +1817,8 @@ def _knn_partial_frame(pids, plabels, Q, mids, mlabels, M, k):
     simq = np.floor((Qn @ Mn.T) * 1_000_000 + 0.5).astype(np.int64)
     # same self sentinel as the brute tier (see its overflow note)
     simq[pids[:, None] == mids[None, :]] = -(1 << 62)
+    if mask_same_label:
+        simq[plabels[:, None] == mlabels[None, :]] = -(1 << 62)
     kk = min(k, simq.shape[1])
     order = np.lexsort(
         (np.broadcast_to(mids, simq.shape), -simq), axis=1
@@ -1903,17 +1907,27 @@ def label_spread_grid(sf_dir: str, k: int = 3, block_rows: int = 4096):
     (per-task memory ~ 2*block_rows vectors) and the driver holds only
     the row count. At web scale prefer :func:`label_spread_ivf`
     (bucketed, approximate, sub-quadratic)."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-
     import ray.data as rd
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding", "label"],
     )
+    partials = _grid_knn_partials(emb, k, block_rows)
+    return _knn_vote_merge(partials, k)
+
+
+def _grid_knn_partials(emb, k: int, block_rows: int,
+                       mask_same_label: bool = False):
+    """The grid block-pair kNN partial stage shared by
+    :func:`label_spread_grid` and :func:`hard_negatives`: every pair of
+    blocks meets in exactly one group, per-group <=k partials under the
+    deterministic quantized order (see :func:`_knn_partial_frame`)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     n = emb.count()
     B = max(1, math.ceil(n / block_rows))
 
@@ -1949,7 +1963,8 @@ def label_spread_grid(sf_dir: str, k: int = 3, block_rows: int = 4096):
         mat = np.array(df["embedding"].to_list(), np.float64)
         if gi == gj:
             return _knn_partial_frame(ids, labels, mat,
-                                      ids, labels, mat, k)
+                                      ids, labels, mat, k,
+                                      mask_same_label=mask_same_label)
         blk = df["block"].to_numpy()
         mi, mj = blk == gi, blk == gj
         if not mi.any() or not mj.any():
@@ -1958,17 +1973,81 @@ def label_spread_grid(sf_dir: str, k: int = 3, block_rows: int = 4096):
                 {c: np.int64 for c in _p_cols}
             )
         f1 = _knn_partial_frame(ids[mi], labels[mi], mat[mi],
-                                ids[mj], labels[mj], mat[mj], k)
+                                ids[mj], labels[mj], mat[mj], k,
+                                mask_same_label=mask_same_label)
         f2 = _knn_partial_frame(ids[mj], labels[mj], mat[mj],
-                                ids[mi], labels[mi], mat[mi], k)
+                                ids[mi], labels[mi], mat[mi], k,
+                                mask_same_label=mask_same_label)
         return pd.concat([f1, f2], ignore_index=True)
 
-    partials = (
+    return (
         emb.map_batches(explode, batch_format="pyarrow")
         .groupby("grp")
         .map_groups(per_group, batch_format="pandas")
     )
-    return _knn_vote_merge(partials, k)
+
+
+def hard_negatives(sf_dir: str, block_rows: int = 4096):
+    """Contrastive hard-negative mining over the embedding table: for
+    every vector, the MOST similar vector carrying a DIFFERENT label —
+    the negative a contrastive/triplet trainer pairs it with. Exact,
+    via the same grid block-pair kNN join as
+    :func:`label_spread_grid` (every pair scored exactly once, no
+    driver-side corpus state) with same-label pairs sentineled out of
+    the partial top-1; ties on quantized similarity break to the
+    smallest negative id, the twin's ROW_NUMBER order. Output
+    (vec_id, label, neg_id, neg_label, sim_micro); vectors whose every
+    other vector shares their label emit no row."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    partials = _grid_knn_partials(emb, 1, block_rows,
+                                  mask_same_label=True)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["simq"] > -(1 << 62)]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: [] for c in ["vec_id", "label", "neg_id",
+                                 "neg_label", "sim_micro"]}
+            ).astype(np.int64)
+        o = np.lexsort((df["n_id"].to_numpy(), -df["simq"].to_numpy()))[0]
+        row = df.iloc[o]
+        return pd.DataFrame(
+            {
+                "vec_id": [int(row["vec_id"])],
+                "label": [int(row["label"])],
+                "neg_id": [int(row["n_id"])],
+                "neg_label": [int(row["n_label"])],
+                "sim_micro": [int(row["simq"])],
+            }
+        )
+
+    _schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()),
+         ("neg_id", pa.int64()), ("neg_label", pa.int64()),
+         ("sim_micro", pa.int64())]
+    )
+
+    def to_arrow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or len(t) == 0:
+            return _schema.empty_table()
+        return pa.table(
+            {f.name: pc.cast(t[f.name], f.type) for f in _schema},
+            schema=_schema,
+        )
+
+    return partials.groupby("vec_id").map_groups(
+        best, batch_format="pandas"
+    ).map_batches(to_arrow, batch_format="pyarrow")
 
 
 def label_spread_ivf(sf_dir: str, k: int = 3, num_lists: int = 16,

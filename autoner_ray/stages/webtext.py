@@ -1583,3 +1583,73 @@ def prefix_dup_groups_oracle_sql(k: int = 2) -> str:
         FROM p GROUP BY prefix
         HAVING COUNT(*) >= 2
     """
+
+
+def snapshot_diff(docs_ds):
+    """Incremental-crawl snapshot delta — the change feed a recrawl
+    pipeline computes before reprocessing anything: two deterministic
+    snapshot views of the corpus (A = doc_id % 3 != 0; B = doc_id % 3
+    != 1, with every doc_id % 5 == 0 page's text mutated — the
+    recrawled-and-changed case) diff by page into
+    (doc_id, status in {added, removed, changed, unchanged}). Content
+    equality is by md5 of the text, never the text itself.
+
+    Scale shape: the two snapshot streams union with a side tag and
+    ONE hash shuffle on doc_id co-locates each page's <=2 rows; the
+    per-group classify is a vectorized pandas pass (the
+    schema-evolution / wide-diff family pattern). Rows shuffled carry
+    (doc_id, side, md5) only — text is dropped at the map."""
+    import hashlib
+
+    _r_schema = pa.schema(
+        [("doc_id", pa.int64()), ("side", pa.int8()),
+         ("h", pa.string())]
+    )
+
+    def snapshot_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _r_schema.empty_table()
+        ids, sides, hs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            did = int(did)
+            text = text or ""
+            if did % 3 != 0:  # snapshot A
+                ids.append(did)
+                sides.append(0)
+                hs.append(hashlib.md5(text.encode()).hexdigest())
+            if did % 3 != 1:  # snapshot B, possibly recrawl-changed
+                b_text = text + " updated" if did % 5 == 0 else text
+                ids.append(did)
+                sides.append(1)
+                hs.append(hashlib.md5(b_text.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "side": pa.array(sides, pa.int8()),
+                "h": pa.array(hs, pa.string()),
+            },
+            schema=_r_schema,
+        )
+
+    _o_cols = ["doc_id", "status"]
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        did = int(df["doc_id"].iloc[0])
+        if len(a) == 0:
+            status = "added"
+        elif len(b) == 0:
+            status = "removed"
+        elif a["h"].iloc[0] != b["h"].iloc[0]:
+            status = "changed"
+        else:
+            status = "unchanged"
+        return pd.DataFrame({"doc_id": [did], "status": [status]})
+
+    return (
+        docs_ds.map_batches(snapshot_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(classify, batch_format="pandas")
+    )

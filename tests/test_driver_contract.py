@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 314 and len(sqls) == 293
+    assert len(qs) == 316 and len(sqls) == 295
     import subprocess
     import sys
 

@@ -144,3 +144,51 @@ def test_dsir_weights_favor_target_lang(ray_session, tmp_path):
     }
     assert out[2] > out[3]          # target-aligned vocab wins
     assert out[1] == out[2]         # weight depends on words, not lang
+
+
+def test_hard_negatives_excludes_same_label(ray_session, tmp_path):
+    """The mined negative is the most-similar DIFFERENT-label vector
+    even when a same-label vector is closer; all-same-label corpora
+    emit no rows."""
+    import pyarrow.parquet as pq
+
+    from autoner_ray.stages.similarity import hard_negatives
+
+    vecs = [
+        ([1.0, 0.0, 0.0], 0),   # 0: query
+        ([0.99, 0.14, 0.0], 0),  # 1: closest overall, SAME label
+        ([0.9, 0.43, 0.0], 1),   # 2: closest different-label
+        ([0.0, 1.0, 0.0], 1),    # 3
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v for v, _ in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([l for _, l in vecs], pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    out = {
+        r["vec_id"]: r for r in hard_negatives(str(tmp_path)).take_all()
+    }
+    assert out[0]["neg_id"] == 2 and out[0]["neg_label"] == 1
+    assert out[1]["neg_id"] == 2
+
+
+def test_snapshot_diff_statuses(ray_session):
+    """doc_id 0: A-absent -> added (0%5==0 mutation irrelevant);
+    1: B-absent -> removed; 5: in both, text mutated -> changed;
+    2: in both, same -> unchanged."""
+    from autoner_ray.stages.webtext import snapshot_diff
+
+    rows = [(0, "t0"), (1, "t1"), (2, "t2"), (5, "t5")]
+    out = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(_docs(rows)).take_all()
+    }
+    assert out == {0: "added", 1: "removed", 2: "unchanged",
+                   5: "changed"}
