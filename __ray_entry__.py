@@ -1123,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_random_failure": webgraph.link_random_failure,
         "pages_link_densification": webgraph.link_densification,
         "pages_link_core_numbers": webgraph.link_core_numbers,
+        "pages_link_mis": webgraph.link_mis,
         "pages_link_hits": webgraph.link_hits,
         "pages_link_indegree_gini": webgraph.link_indegree_gini,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
@@ -1343,6 +1344,75 @@ def _zorder_sql(bits=8, bucket_shift=10) -> str:
                CAST(MIN(q1) AS BIGINT) AS min_q1,
                CAST(MAX(q1) AS BIGINT) AS max_q1
         FROM z GROUP BY 1
+    """
+
+
+def _link_mis_sql(max_rounds: int = 12) -> str:
+    """Unrolled deterministic Luby rounds over the deduped undirected
+    link graph — same hash priority, packed (p, id) comparison, and
+    round budget as ``graph.luby_mis`` (which RAISES if the budget is
+    short, so both sides share one bound)."""
+    blocks, wins = [], []
+    prev_und, prev_live = "und0", "live0"
+    for r in range(1, max_rounds + 1):
+        blocks.append(f"""
+        bi{r} AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM {prev_live}
+            UNION ALL SELECT v, u FROM {prev_live}
+        ),
+        best{r} AS MATERIALIZED (
+            SELECT bi.a AS node,
+                   MAX(n.p * 2147483648 + n.node) AS best
+            FROM bi{r} bi JOIN {prev_und} n ON n.node = bi.b
+            GROUP BY bi.a
+        ),
+        win{r} AS MATERIALIZED (
+            SELECT u.node FROM {prev_und} u
+            LEFT JOIN best{r} b ON b.node = u.node
+            WHERE u.p * 2147483648 + u.node > COALESCE(b.best, -1)
+        ),
+        out{r} AS MATERIALIZED (
+            SELECT node FROM win{r}
+            UNION
+            SELECT bi.a FROM bi{r} bi JOIN win{r} w ON w.node = bi.b
+        ),
+        und{r} AS MATERIALIZED (
+            SELECT u.node, u.p FROM {prev_und} u
+            WHERE u.node NOT IN (SELECT node FROM out{r})
+        ),
+        live{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM {prev_live} e
+            JOIN und{r} x ON x.node = e.u
+            JOIN und{r} y ON y.node = e.v
+        )""")
+        prev_und, prev_live = f"und{r}", f"live{r}"
+        wins.append(f"SELECT node FROM win{r}")
+    mis_union = " UNION ALL ".join(wins)
+    chain = ",".join(blocks)
+    return f"""
+        WITH {_LINKS_CTE},
+        und_edges AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u,
+                            GREATEST(src, dst) AS v
+            FROM links WHERE src <> dst
+        ),
+        live0 AS MATERIALIZED (SELECT u, v FROM und_edges),
+        allnodes AS MATERIALIZED (
+            SELECT DISTINCT n AS node FROM (
+                SELECT u AS n FROM und_edges
+                UNION ALL SELECT v FROM und_edges
+            )
+        ),
+        und0 AS MATERIALIZED (
+            SELECT node, (node * 2654435761) % 2147483647 AS p
+            FROM allnodes
+        ),
+        {chain},
+        mis AS MATERIALIZED ({mis_union})
+        SELECT a.node AS page,
+               CAST(CASE WHEN m.node IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS in_mis
+        FROM allnodes a LEFT JOIN mis m ON m.node = a.node
     """
 
 
@@ -4718,6 +4788,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_random_failure": _random_failure_sql(),
         "pages_link_densification": _densification_sql(),
         "pages_link_core_numbers": _core_numbers_sql(),
+        "pages_link_mis": _link_mis_sql(),
         "pages_link_hits": _link_hits_sql(),
         "pages_link_indegree_gini": f"""
             WITH {_LINKS_CTE},

@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 
 
 def curation_pipeline(sf_dir: str, neardup_threshold: float = 0.6,
-                      decontam_n: int = 8):
+                      decontam_n: int = 8,
+                      pair_source: str = "exact"):
     import ray.data as rd
 
     from autoner_ray.cluster import default_num_partitions
@@ -104,8 +105,11 @@ def curation_pipeline(sf_dir: str, neardup_threshold: float = 0.6,
     ).map_batches(strip_extra, batch_format="pyarrow").materialize()
 
     # -- stage 3: near-dup keep-one over the deduped stream -----------
+    # pair_source="exact" keeps the oracle-checkable shared-shingle
+    # join (the driver row); "lsh" is the sub-quadratic at-scale tier
+    # the stress bench exercises (bench.py --stress)
     survivors = neardup_keep_one(
-        deduped, threshold=neardup_threshold
+        deduped, threshold=neardup_threshold, pair_source=pair_source
     ).materialize()
     surv_docs = cogroup_join(
         deduped, survivors, on=("doc_id",), num_partitions=P

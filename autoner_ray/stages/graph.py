@@ -2726,3 +2726,399 @@ def c4_count(edges_ds, num_partitions: int | None = None):
             ),
         }
     )
+
+
+# -- Luby maximal independent set (deterministic hash priorities) -----------
+
+_MIS_MUL = 2654435761
+_MIS_MOD = 2147483647
+
+
+def _mis_prio(ids):
+    """Deterministic per-node priority (Knuth multiplicative hash mod a
+    Mersenne prime) — shared verbatim with the SQL twin; ties break on
+    the raw id, so the comparison is the lexicographic (prio, id)."""
+    import numpy as np
+
+    return (ids.astype(np.int64) * _MIS_MUL) % _MIS_MOD
+
+
+def luby_mis(edges_ds, max_rounds: int = 12,
+             driver_max_edges: int = 2_000_000,
+             num_partitions: int | None = None):
+    """Luby's maximal-independent-set over an undirected int64 graph —
+    THE textbook symmetry-breaking primitive behind distributed
+    coloring / scheduling / landmark selection: each round, every
+    undecided node whose (hash-priority, id) beats every undecided
+    neighbor's joins the MIS; it and its neighbors leave the game.
+    Deterministic (fixed hash, no RNG), so the unrolled SQL twin
+    value-hash-matches; converges in O(log n) rounds w.h.p. —
+    ``max_rounds`` carries margin and a leftover after the budget
+    fails loudly (raise, mirroring the kcore round-budget convention).
+    Output (page, in_mis) for every node of the edge set.
+
+    Tiers (the :func:`scc` / :func:`kcore` contract): numpy adjacency
+    under ``driver_max_edges``; above it the same rounds run
+    Dataset-resident — per round one cogroup join ships each node's
+    (prio, undecided) to its neighbors and a group-max decides, so the
+    shuffle volume is the SURVIVING edge set, which collapses
+    geometrically. Isolated nodes (no surviving neighbor) enter the
+    MIS by definition of maximality.
+    """
+    import numpy as np
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+
+    if n_edges <= driver_max_edges:
+        df = edges.to_pandas()
+        a = df["subj"].to_numpy(np.int64)
+        b = df["obj"].to_numpy(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        u = inv[: len(a)]
+        v = inv[len(a):]
+        # dedup undirected pairs, drop self loops
+        keep = u != v
+        lo = np.minimum(u[keep], v[keep])
+        hi = np.maximum(u[keep], v[keep])
+        pair = np.unique(lo * np.int64(len(nodes)) + hi)
+        pu = (pair // len(nodes)).astype(np.int64)
+        pv = (pair % len(nodes)).astype(np.int64)
+        prio = _mis_prio(nodes)
+        undecided = np.ones(len(nodes), bool)
+        in_mis = np.zeros(len(nodes), bool)
+        for _ in range(max_rounds):
+            if not undecided.any():
+                break
+            live = undecided[pu] & undecided[pv]
+            # beaten[x] = some live neighbor outranks x
+            beaten = np.zeros(len(nodes), bool)
+            lu, lv = pu[live], pv[live]
+            better_v = (
+                (prio[lv] > prio[lu])
+                | ((prio[lv] == prio[lu]) & (nodes[lv] > nodes[lu]))
+            )
+            np.logical_or.at(beaten, lu, better_v)
+            np.logical_or.at(beaten, lv, ~better_v)
+            winners = undecided & ~beaten
+            in_mis |= winners
+            # winners and their neighbors leave
+            out = np.zeros(len(nodes), bool)
+            out[pu[live & winners[pv]]] = True
+            out[pv[live & winners[pu]]] = True
+            undecided &= ~(winners | out)
+        if undecided.any():
+            raise RuntimeError(
+                f"luby_mis: {int(undecided.sum())} nodes undecided "
+                f"after {max_rounds} rounds — raise max_rounds"
+            )
+        return pa.table(
+            {
+                "page": pa.array(nodes, pa.int64()),
+                "in_mis": pa.array(in_mis.astype(np.int64), pa.int64()),
+            }
+        )
+
+    # ---- distributed tier: same rounds, Dataset-resident ----------------
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from autoner_ray.cluster import default_num_partitions
+    from autoner_ray.stages.joins import cogroup_join
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    _e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def und(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _e_schema.empty_table()
+        keep = pc.not_equal(t["subj"], t["obj"])
+        s = t["subj"].filter(keep)
+        o = t["obj"].filter(keep)
+        return pa.table(
+            {
+                "u": pc.min_element_wise(s, o),
+                "v": pc.max_element_wise(s, o),
+            },
+            schema=_e_schema,
+        )
+
+    live_edges = (
+        edges.map_batches(und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("u", alias_name="_d"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        # both directions: (node, neighbor)
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("src", pa.int64()), ("nb", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "src": pa.chunked_array(t["u"].chunks + t["v"].chunks),
+                "nb": pa.chunked_array(t["v"].chunks + t["u"].chunks),
+            }
+        )
+
+    def node_prio(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("src", pa.int64()), ("p", pa.int64())]
+            ).empty_table()
+        ids = t["src"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": t["src"],
+                "p": pa.array(_mis_prio(ids), pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    mis_parts = []
+    # universe of nodes currently undecided (with priorities)
+    nodes_t = (
+        live_edges.map_batches(expand, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Max("nb", alias_name="_m"))
+        .select_columns(["src"])
+        .map_batches(node_prio, batch_format="pyarrow")
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        if nodes_t.count() == 0:
+            break
+        if live_edges.count() == 0:
+            # every survivor is isolated -> all join the MIS
+            mis_parts.append(
+                nodes_t.select_columns(["src"]).materialize()
+            )
+            nodes_t = rd.from_arrow(
+                pa.schema(
+                    [("src", pa.int64()), ("p", pa.int64())]
+                ).empty_table()
+            ).materialize()
+            break
+        # ship each undecided node's (prio,id) to its neighbors
+        nbr = live_edges.map_batches(expand, batch_format="pyarrow")
+        sent = cogroup_join(
+            nbr, nodes_t, on=("src",), num_partitions=num_partitions
+        ).map_batches(
+            lambda t: pa.table(
+                {"src": t["nb"], "np": t["p"], "nid": t["src"]}
+            )
+            if len(t) else pa.schema(
+                [("src", pa.int64()), ("np", pa.int64()),
+                 ("nid", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        # per node: the best neighbor (prio, id), lexicographic via
+        # a packed key (p * 2^31 + id) — p < 2^31 by the Mersenne mod,
+        # so the product stays under 2^62; ids must fit 31 bits (true
+        # for page ids here; at larger id spaces switch to a two-pass
+        # max). The SQL twin packs identically — a wider shift
+        # overflows BIGINT there and fails loudly, not silently
+        def pack(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("src", pa.int64()), ("bk", pa.int64())]
+                ).empty_table()
+            return pa.table(
+                {
+                    "src": t["src"],
+                    "bk": pc.add(
+                        pc.multiply(t["np"],
+                                    pa.scalar(1 << 31, pa.int64())),
+                        t["nid"],
+                    ),
+                }
+            )
+
+        best_nb = (
+            sent.map_batches(pack, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Max("bk", alias_name="best"))
+        )
+        merged = cogroup_join(
+            nodes_t, best_nb, on=("src",),
+            num_partitions=num_partitions, join_type="left outer",
+        ).materialize()
+
+        def decide(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("src", pa.int64()), ("win", pa.int64())]
+                ).empty_table()
+            mine = pc.add(
+                pc.multiply(t["p"], pa.scalar(1 << 31, pa.int64())),
+                t["src"],
+            )
+            best = pc.fill_null(t["best"], pa.scalar(-1, pa.int64()))
+            return pa.table(
+                {
+                    "src": t["src"],
+                    "win": pc.cast(pc.greater(mine, best), pa.int64()),
+                }
+            )
+
+        decided = merged.map_batches(
+            decide, batch_format="pyarrow"
+        ).materialize()
+        winners = decided.filter(expr="win == 1").select_columns(
+            ["src"]
+        ).materialize()
+        mis_parts.append(winners)
+        # out = winners + their neighbors
+        w_tag = winners.map_batches(
+            lambda t: t.append_column(
+                "w", pa.array([1] * len(t), pa.int64())
+            )
+            if len(t) else pa.schema(
+                [("src", pa.int64()), ("w", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        touched = cogroup_join(
+            nbr, w_tag, on=("src",), num_partitions=num_partitions
+        ).map_batches(
+            lambda t: pa.table({"src": t["nb"]})
+            if len(t) else pa.schema(
+                [("src", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        out_nodes = (
+            touched.union(winners)
+            .groupby("src")
+            .aggregate(Max("src", alias_name="_m"))
+            .select_columns(["src"])
+            .map_batches(
+                lambda t: t.append_column(
+                    "o", pa.array([1] * len(t), pa.int64())
+                )
+                if len(t) else pa.schema(
+                    [("src", pa.int64()), ("o", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        nodes_t = (
+            cogroup_join(nodes_t, out_nodes, on=("src",),
+                         num_partitions=num_partitions,
+                         join_type="left outer")
+            .map_batches(
+                lambda t: t.filter(pc.is_null(t["o"])).select(
+                    ["src", "p"]
+                )
+                if len(t) else pa.schema(
+                    [("src", pa.int64()), ("p", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+        # shrink the live edge set to undecided endpoints; an empty
+        # side would reach cogroup_join with a schemaless zero-block
+        # Dataset, so short-circuit — the loop-top checks terminate
+        if nodes_t.count() == 0 or live_edges.count() == 0:
+            live_edges = rd.from_arrow(
+                _e_schema.empty_table()
+            ).materialize()
+            continue
+        live_tag = nodes_t.map_batches(
+            lambda t: pa.table({"u": t["src"],
+                                "lu": pa.array([1] * len(t),
+                                               pa.int64())})
+            if len(t) else pa.schema(
+                [("u", pa.int64()), ("lu", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ).materialize()
+        live_edges = (
+            cogroup_join(live_edges, live_tag, on=("u",),
+                         num_partitions=num_partitions)
+            .map_batches(
+                lambda t: pa.table({"u": t["v"], "v": t["u"]})
+                if len(t) else _e_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        live_edges = (
+            cogroup_join(live_edges, live_tag, on=("u",),
+                         num_partitions=num_partitions)
+            .map_batches(
+                lambda t: pa.table({"u": t["v"], "v": t["u"]})
+                if len(t) else _e_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+    if nodes_t.count():
+        raise RuntimeError(
+            f"luby_mis (distributed): {nodes_t.count()} nodes "
+            f"undecided after {max_rounds} rounds — raise max_rounds"
+        )
+    # assemble (page, in_mis) over the original node universe
+    universe = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.chunked_array(
+                        t["subj"].chunks + t["obj"].chunks
+                    )
+                }
+            )
+            if len(t) else pa.schema(
+                [("src", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Max("src", alias_name="_m"))
+        .select_columns(["src"])
+    )
+    mis_all = mis_parts[0] if mis_parts else rd.from_arrow(
+        pa.schema([("src", pa.int64())]).empty_table()
+    )
+    for more in mis_parts[1:]:
+        mis_all = mis_all.union(more)
+    mis_tag = mis_all.map_batches(
+        lambda t: t.append_column(
+            "m", pa.array([1] * len(t), pa.int64())
+        )
+        if len(t) else pa.schema(
+            [("src", pa.int64()), ("m", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    return cogroup_join(
+        universe, mis_tag, on=("src",),
+        num_partitions=num_partitions, join_type="left outer",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "page": t["src"],
+                "in_mis": pc.cast(
+                    pc.is_valid(t["m"]), pa.int64()
+                ),
+            }
+        )
+        if len(t) else pa.schema(
+            [("page", pa.int64()), ("in_mis", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )

@@ -1253,3 +1253,24 @@ def link_indegree_gini(sf_dir: str):
         keys=["page"], sum_cols=["deg"], part_on=("page",),
     )
     return gini_inequality(per_dst, "page", "deg")
+
+
+def link_mis(sf_dir: str, driver_max_edges: int = 2_000_000,
+             max_rounds: int = 12):
+    """Maximal independent set of the undirected hyperlink graph via
+    deterministic Luby rounds (:func:`graph.luby_mis`) — the
+    symmetry-breaking primitive behind distributed page-coloring /
+    landmark selection. (page, in_mis) for every linked page."""
+    from autoner_ray.stages.graph import luby_mis
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("subj", pa.int64()), ("obj", pa.int64())]
+            ).empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]})
+
+    return luby_mis(
+        link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
+        max_rounds=max_rounds, driver_max_edges=driver_max_edges,
+    )

@@ -349,6 +349,14 @@ def run_stress(sf_dir: str, num_cpus: int, repeat: int = 20,
         n_kept = _consume(curation_pipeline(out_dir))
         cur_sec = round(time.perf_counter() - t0, 3)
 
+        # the at-scale tier: LSH candidate pairs instead of the exact
+        # shared-shingle join (which sweats the near-identical shard
+        # replicas quadratically — the honest worst case)
+        t0 = time.perf_counter()
+        n_kept_lsh = _consume(curation_pipeline(out_dir,
+                                                pair_source="lsh"))
+        cur_lsh_sec = round(time.perf_counter() - t0, 3)
+
         # driver peak RSS (this process IS the driver; ru_maxrss in KB)
         rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         # spill evidence straight off the raylet log (no grpc here)
@@ -379,7 +387,9 @@ def run_stress(sf_dir: str, num_cpus: int, repeat: int = 20,
             "queries": {
                 "kg_triples_full_stress": kg_sec,
                 "docs_curation_pipeline_stress": cur_sec,
+                "docs_curation_pipeline_stress_lsh": cur_lsh_sec,
             },
+            "curation_docs_kept_lsh": n_kept_lsh,
             "triples": n_triples,
             "docs_per_sec_kg": round(n_docs / max(kg_sec, 1e-9), 1),
             "curation_docs_kept": n_kept,

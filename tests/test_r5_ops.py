@@ -192,3 +192,47 @@ def test_snapshot_diff_statuses(ray_session):
     }
     assert out == {0: "added", 1: "removed", 2: "unchanged",
                    5: "changed"}
+
+
+def _edges_named(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([a for a, _ in pairs], pa.int64()),
+                "obj": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    ).repartition(2)
+
+
+def test_luby_mis_properties_and_tier_equality(ray_session):
+    """MIS output is independent (no edge inside the set), maximal
+    (every out-node has an in-neighbor), and the distributed tier
+    matches the driver tier exactly."""
+    import numpy as np
+
+    from autoner_ray.stages.graph import luby_mis
+
+    rng = np.random.default_rng(23)
+    n = 40
+    pairs = {tuple(sorted(rng.choice(n, 2, replace=False)))
+             for _ in range(80)}
+    pairs = [(int(a), int(b)) for a, b in pairs]
+    drv = luby_mis(_edges_named(pairs))
+    got = {r["page"]: r["in_mis"] for r in drv.to_pylist()}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence
+    for a, b in pairs:
+        assert not (got[a] == 1 and got[b] == 1), (a, b)
+    # maximality
+    for v, nbrs in adj.items():
+        if got[v] == 0:
+            assert any(got[u] == 1 for u in nbrs), v
+
+    dist = luby_mis(_edges_named(pairs), driver_max_edges=0)
+    got_d = {r["page"]: r["in_mis"] for r in dist.take_all()}
+    assert got_d == got
