@@ -1124,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_densification": webgraph.link_densification,
         "pages_link_core_numbers": webgraph.link_core_numbers,
         "pages_link_mis": webgraph.link_mis,
+        "pages_link_edgecut": webgraph.link_edgecut,
         "pages_link_hits": webgraph.link_hits,
         "pages_link_indegree_gini": webgraph.link_indegree_gini,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
@@ -4789,6 +4790,29 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_densification": _densification_sql(),
         "pages_link_core_numbers": _core_numbers_sql(),
         "pages_link_mis": _link_mis_sql(),
+        "pages_link_edgecut": f"""
+            WITH {_LINKS_CTE},
+            h AS (
+                SELECT (src * 2654435761) % 2147483648 % 16 AS hs,
+                       (dst * 2654435761) % 2147483648 % 16 AS hd
+                FROM links
+            )
+            SELECT 'cut' AS kind, CAST(c AS BIGINT) AS key,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n
+            FROM (SELECT UNNEST([0, 1]) AS c)
+            LEFT JOIN (
+                SELECT CASE WHEN hs <> hd THEN 1 ELSE 0 END AS c2,
+                       COUNT(*) AS n
+                FROM h GROUP BY 1
+            ) ON c = c2
+            UNION ALL
+            SELECT 'load', CAST(s AS BIGINT),
+                   CAST(COALESCE(n, 0) AS BIGINT)
+            FROM (SELECT UNNEST(range(0, 16)) AS s)
+            LEFT JOIN (
+                SELECT hs, COUNT(*) AS n FROM h GROUP BY hs
+            ) ON s = hs
+        """,
         "pages_link_hits": _link_hits_sql(),
         "pages_link_indegree_gini": f"""
             WITH {_LINKS_CTE},

@@ -1274,3 +1274,59 @@ def link_mis(sf_dir: str, driver_max_edges: int = 2_000_000,
         link_graph(sf_dir).map_batches(to_named, batch_format="pyarrow"),
         max_rounds=max_rounds, driver_max_edges=driver_max_edges,
     )
+
+
+def link_edgecut(sf_dir: str, num_shards: int = 16):
+    """Partitioning-quality census for the materialized adjacency
+    shards: with pages assigned to ``num_shards`` shards by the
+    deterministic Knuth hash (``(page * 2654435761) % 2^31 %
+    num_shards`` — the same arithmetic the SQL twin applies), report
+    per shard-pair class how the edges land: (cut, n_edges) with cut=0
+    for intra-shard edges and 1 for cross-shard ones, plus per-shard
+    load rows (shard, n_src_edges) — the numbers a layout planner
+    reads before choosing hash vs range vs METIS-style placement.
+    Output (kind, key, n): kind='cut' key in {0,1}; kind='load'
+    key=shard id.
+
+    Scale shape: stateless vectorized map over the edge stream +
+    bounded combine (2 + num_shards keys)."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _schema = pa.schema(
+        [("kind", pa.string()), ("key", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _schema.empty_table()
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = (s * 2654435761) % (1 << 31) % num_shards
+        hd = (d * 2654435761) % (1 << 31) % num_shards
+        cut = (hs != hd).astype(np.int64)
+        kinds, keys, ns = [], [], []
+        for c in (0, 1):
+            kinds.append("cut")
+            keys.append(c)
+            ns.append(int((cut == c).sum()))
+        binc = np.bincount(hs, minlength=num_shards)
+        for sh in range(num_shards):
+            kinds.append("load")
+            keys.append(sh)
+            ns.append(int(binc[sh]))
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            },
+            schema=_schema,
+        )
+
+    return bounded_key_sum(
+        link_graph(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["kind", "key"], sum_cols=["n"],
+    )

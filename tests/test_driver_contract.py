@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 317 and len(sqls) == 296
+    assert len(qs) == 318 and len(sqls) == 297
     import subprocess
     import sys
 
