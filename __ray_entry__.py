@@ -1478,9 +1478,13 @@ def _core_numbers_sql(max_k: int | None = None) -> str:
         max_k = inspect.signature(
             _wg.link_core_numbers
         ).parameters["max_k"].default
-    rounds_per_k = {1: 3, 2: 6, 3: 6}
+    rounds_per_k = {1: 3, 2: 6, 3: 8}
     for k in range(4, max_k + 1):
-        rounds_per_k[k] = 20
+        # sf0.01's k=4 peel empties in 14 rounds; sf0.1's needs > 20
+        # (under-peeling left a spurious 4-core — caught by the sf0.1
+        # gate sweep); 48 carries margin and the post-convergence
+        # rounds run on an empty edge set, ~free
+        rounds_per_k[k] = 48
     blocks, selects = [], []
     for k, R in rounds_per_k.items():
         prev = "und"
@@ -3166,9 +3170,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_value_geomean": """
             WITH b AS (
+                -- positive-only (geomean's domain); rows rounding to
+                -- <= 0 cents are excluded on BOTH sides
                 SELECT event_type,
                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
                 FROM events
+                WHERE floor(value * 100 + 0.5) >= 1
             ), m AS (
                 SELECT event_type, COUNT(*) AS n,
                        SUM(CAST(floor(

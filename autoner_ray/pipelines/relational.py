@@ -4727,6 +4727,16 @@ def q11_important_parts(sf_dir: str, region: str = "EUROPE",
     out = per_part.map_batches(
         keep, batch_format="pyarrow"
     ).to_pandas()
+    if "cents" not in out.columns:
+        # a fully-filtered HAVING (no part clears 1/frac_denom of the
+        # total — seen at sf0.1) comes back as a schemaless empty
+        # frame; restore the contract columns
+        out = pd.DataFrame(
+            {
+                "l_partkey": pd.Series([], dtype=np.int64),
+                "cents": pd.Series([], dtype=np.int64),
+            }
+        )
     out["value"] = out.pop("cents").to_numpy(np.int64) / 100.0
     return out.sort_values(
         ["value", "l_partkey"], ascending=[False, True], kind="mergesort"

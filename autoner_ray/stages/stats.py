@@ -220,10 +220,17 @@ def grouped_geomean(ds, key: str, value_col: str, value_scale: int = 100):
         c = np.floor(
             t[value_col].to_numpy(zero_copy_only=False) * value_scale + 0.5
         )
+        # geometric mean is defined over POSITIVE values: rows that
+        # round to <= 0 scaled units are excluded (n counts only the
+        # included rows; ln(0) would otherwise poison the integer sum
+        # — first seen on the sf0.1 corpus). SQL twin filters the same.
+        pos = c >= 1
+        keys_arr = t[key].filter(pa.array(pos))
+        c = c[pos]
         l_micro = np.floor(np.log(c) * 1e6 + 0.5).astype(np.int64)
         part = pa.table(
             {
-                key: t[key],
+                key: keys_arr,
                 "n": pa.array(np.ones(len(c), np.int64)),
                 "s": pa.array(l_micro),
             }
