@@ -550,6 +550,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": lambda sf: analysis.heavy_hitter_words(
             _docs(sf, ["doc_id", "text"])
         ),
+        # perceptual image dedup over the REAL BMP/PPM decode path
+        "media_image_dhash": lambda sf: multimodal.media_image_dhash(
+            _docs(sf, ["doc_id", "text"])
+        ),
+        "media_image_dhash_pairs": lambda sf: (
+            multimodal.media_image_dhash_pairs(
+                _docs(sf, ["doc_id", "text"])
+            )
+        ),
         # recrawl snapshot delta: added/removed/changed/unchanged
         "pages_snapshot_diff": lambda sf: webtext.snapshot_diff(
             _docs(sf, ["doc_id", "text"])
@@ -3707,6 +3716,26 @@ def oracle_sql() -> dict[str, str]:
             FROM tok, tot
             GROUP BY word, n_total
             HAVING COUNT(*) * 200 >= n_total
+        """,
+        "media_image_dhash_pairs": """
+            -- images are sha256(text)-seeded and every doc also gets a
+            -- recrawl variant (doc_id + 1e9) within 2 dHash bits of
+            -- its original, so the <=2-bit pair set is exactly all
+            -- pairs inside each {same-text originals} x
+            -- {original, variant} cluster — enumerable without
+            -- decoding a byte; the value-hash certifies
+            -- decode -> dHash -> banding -> verify end-to-end
+            WITH imgs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            ),
+            boths AS (
+                SELECT doc_id, text FROM imgs
+                UNION ALL
+                SELECT doc_id + 1000000000, text FROM imgs
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM boths a JOIN boths b
+              ON a.text = b.text AND a.doc_id < b.doc_id
         """,
         "pages_snapshot_diff": """
             -- same deterministic snapshot views as the engine:

@@ -776,3 +776,175 @@ def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
         off += 8 + size + (size & 1)  # chunks are word-aligned
     assert rate is not None and samples is not None, "missing COMM/SSND"
     return rate, samples
+
+
+def image_dhash(pixels: np.ndarray) -> int:
+    """64-bit perceptual difference hash (dHash) — pure integer: RGB ->
+    BT.601 integer grayscale -> nearest-neighbor resize to 8x9 ->
+    horizontal-gradient sign bits, row-major MSB-first. Deterministic
+    across platforms (no floats anywhere)."""
+    px = pixels.astype(np.int64)
+    gray = (
+        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    ) // 1000
+    h, w = gray.shape
+    # nearest-neighbor sample to 8 rows x 9 cols (same index math as
+    # resize_nearest, applied to the single channel)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    small = gray[np.ix_(ys, xs)]
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).ravel()
+    acc = np.uint64(0)
+    for b in bits:
+        acc = (acc << np.uint64(1)) | b
+    return int(acc.astype(np.int64))
+
+
+VARIANT_OFFSET = 1_000_000_000
+
+
+def media_image_dhash(docs_ds, concurrency: int = 2,
+                      batch_size: int = 64, variants: bool = False):
+    """Per-image perceptual hash census over the synthetic media
+    corpus: documents -> media rows -> REAL BMP/PPM decode -> dHash.
+    Output (doc_id, dhash) for every image-kind doc. The decode step
+    is the real pure-python codec — no SQL twin can follow it, so this
+    row is rows-only; the PAIR query built on top recovers a full
+    value-hash oracle (see :func:`media_image_dhash_pairs`).
+
+    ``variants=True`` additionally emits a deterministic "recrawl
+    variant" per image (doc_id + VARIANT_OFFSET): the decoded pixels
+    with one SAMPLED cell perturbed — dHash distance <= 2 from its
+    original by construction, the near-duplicate the pair stage must
+    recover."""
+
+    class HashImages:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            media = synth_media_batch(batch)
+            ids, hashes = [], []
+            for mid, mtype, payload in zip(
+                media["media_id"].to_pylist(),
+                media["media_type"].to_pylist(),
+                media["payload"].to_pylist(),
+            ):
+                if mtype == "image/bmp":
+                    px = decode_bmp(payload)
+                elif mtype == "image/ppm":
+                    px = decode_ppm(payload)
+                else:
+                    continue
+                did = int(mid.split("-")[1])
+                ids.append(did)
+                hashes.append(image_dhash(px))
+                if variants:
+                    vx = px.copy()
+                    # pixel (0,0) is on the 8x9 sample grid: flipping
+                    # the R high bit moves one gradient comparison at
+                    # most two bits
+                    vx[0, 0, 0] ^= 0x80
+                    ids.append(did + VARIANT_OFFSET)
+                    hashes.append(image_dhash(vx))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "dhash": pa.array(hashes, pa.int64()),
+                }
+            )
+
+    return docs_ds.map_batches(
+        HashImages, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def media_image_dhash_pairs(docs_ds, max_hamming: int = 2,
+                            concurrency: int = 2):
+    """Perceptual near-duplicate image pairs: dHash the images PLUS
+    their deterministic recrawl variants (``media_image_dhash(
+    variants=True)``), band the 64-bit hash into 4x16-bit keys (any
+    shared band -> candidate, the SimHash banding scheme), verify
+    exact hamming distance, emit (doc_a, doc_b) for distance <=
+    ``max_hamming`` (hamming itself stays engine-internal — it is not
+    SQL-derivable through the decoder).
+
+    ORACLE: images are sha256(text)-seeded and each variant is <= 2
+    dHash bits from its original, so at the default budget the
+    qualifying pair set is EXACTLY all pairs within each
+    {same-text originals} x {original, variant} cluster — enumerable
+    in SQL without decoding a byte; unrelated 64-bit noise hashes land
+    within 2 bits with probability ~2^-53 per pair, far below the
+    value-hash's resolution. The twin therefore certifies
+    decode -> dHash -> banding -> verify end-to-end.
+
+    Scale shape: one hash shuffle on the band key; buckets hold hash
+    values only (8 bytes/row), pairs verified vectorized per bucket."""
+    import pandas as pd
+
+    hashes = media_image_dhash(docs_ds, concurrency=concurrency,
+                               variants=True)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "band_key": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "dhash": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = t["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b_key, b_doc, b_hash = [], [], []
+        for band in range(4):
+            part = (hs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+            for i in range(len(ids)):
+                b_key.append(f"{band}:{int(part[i])}")
+                b_doc.append(int(ids[i]))
+                b_hash.append(int(np.int64(hs[i])))
+        return pa.table(
+            {
+                "band_key": pa.array(b_key, pa.string()),
+                "doc_id": pa.array(b_doc, pa.int64()),
+                "dhash": pa.array(b_hash, pa.int64()),
+            }
+        )
+
+    _p_cols = ["doc_a", "doc_b"]
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({c: [] for c in _p_cols}).astype(
+                np.int64
+            )
+        ids = df["doc_id"].to_numpy(np.int64)
+        hs = df["dhash"].to_numpy(np.int64).astype(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = hs[ii] ^ hs[jj]
+        ham = np.zeros(len(x), np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    pairs = (
+        hashes.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def dedup_pair(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair can match in several bands — keep one row
+        return df.drop_duplicates().head(1)
+
+    out = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        dedup_pair, batch_format="pandas"
+    ).materialize()
+    if out.count() == 0:
+        # schema'd empty (Ray's to_pandas drops columns otherwise)
+        return pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        ).empty_table()
+    return out

@@ -236,3 +236,32 @@ def test_luby_mis_properties_and_tier_equality(ray_session):
     dist = luby_mis(_edges_named(pairs), driver_max_edges=0)
     got_d = {r["page"]: r["in_mis"] for r in dist.take_all()}
     assert got_d == got
+
+
+def test_image_dhash_invariance_and_pairs():
+    """dHash is invariant to container roundtrip, within 2 bits of a
+    one-pixel perturbation, and far from an unrelated image."""
+    import numpy as np
+
+    from autoner_ray.stages.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        encode_ppm,
+        decode_ppm,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    h0 = image_dhash(px)
+    assert image_dhash(decode_bmp(encode_bmp(px))) == h0
+    assert image_dhash(decode_ppm(encode_ppm(px))) == h0
+
+    vx = px.copy()
+    vx[0, 0, 0] ^= 0x80
+    hv = image_dhash(vx)
+    assert bin((h0 & (2**64 - 1)) ^ (hv & (2**64 - 1))).count("1") <= 2
+
+    other = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    ho = image_dhash(other)
+    assert bin((h0 & (2**64 - 1)) ^ (ho & (2**64 - 1))).count("1") > 10
