@@ -877,7 +877,14 @@ def media_image_dhash_pairs(docs_ds, max_hamming: int = 2,
     decode -> dHash -> banding -> verify end-to-end.
 
     Scale shape: one hash shuffle on the band key; buckets hold hash
-    values only (8 bytes/row), pairs verified vectorized per bucket."""
+    values only (8 bytes/row), pairs verified vectorized per bucket.
+    Band width is the web-scale dial: 4x16-bit bands put ~n/65536
+    images per bucket (quadratic verify within a bucket), so a 1e9-
+    image corpus should run 2x32-bit bands — recall drops to hamming
+    <= 1-per-half but bucket loads stay ~n/4e9 — plus the minhash-LSH
+    hot-bucket cap (count -> broadcast anti-filter) for adversarial
+    monochrome clusters; the banding/verify split itself is
+    unchanged."""
     import pandas as pd
 
     hashes = media_image_dhash(docs_ds, concurrency=concurrency,
