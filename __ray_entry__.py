@@ -1134,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_core_numbers": webgraph.link_core_numbers,
         "pages_link_mis": webgraph.link_mis,
         "pages_link_edgecut": webgraph.link_edgecut,
+        "pages_neighbor_sample": webgraph.link_neighbor_sample,
         "pages_link_hits": webgraph.link_hits,
         "pages_link_indegree_gini": webgraph.link_indegree_gini,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
@@ -4826,6 +4827,41 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_densification": _densification_sql(),
         "pages_link_core_numbers": _core_numbers_sql(),
         "pages_link_mis": _link_mis_sql(),
+        "pages_neighbor_sample": f"""
+            -- same hash ranking as the engine: hop-1 = k smallest
+            -- ((u*31+v)*2654435761)%%2147483647 neighbors; hop-2 =
+            -- union of the neighbors' hop-1 samples minus the root
+            -- and its own hop-1 set
+            WITH {_LINKS_CTE},
+            nbrs AS (
+                SELECT DISTINCT node, nb FROM (
+                    SELECT src AS node, dst AS nb FROM links
+                    UNION ALL SELECT dst, src FROM links
+                )
+            ),
+            ranked AS (
+                SELECT node, nb, ROW_NUMBER() OVER (
+                    PARTITION BY node
+                    ORDER BY ((node * 31 + nb) * 2654435761)
+                                 % 2147483647, nb
+                ) AS rn
+                FROM nbrs
+            ),
+            s1 AS (SELECT node, nb FROM ranked WHERE rn <= 3),
+            h2 AS (
+                SELECT DISTINCT a.node, b.nb
+                FROM s1 a JOIN s1 b ON b.node = a.nb
+                WHERE b.nb <> a.node
+            ),
+            h2x AS (
+                SELECT h.node, h.nb FROM h2 h
+                LEFT JOIN s1 s ON s.node = h.node AND s.nb = h.nb
+                WHERE s.node IS NULL
+            )
+            SELECT node, CAST(1 AS BIGINT) AS hop, nb FROM s1
+            UNION ALL
+            SELECT node, CAST(2 AS BIGINT), nb FROM h2x
+        """,
         "pages_link_edgecut": f"""
             WITH {_LINKS_CTE},
             h AS (

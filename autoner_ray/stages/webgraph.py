@@ -1330,3 +1330,141 @@ def link_edgecut(sf_dir: str, num_shards: int = 16):
         link_graph(sf_dir).map_batches(partial, batch_format="pyarrow"),
         keys=["kind", "key"], sum_cols=["n"],
     )
+
+
+def link_neighbor_sample(sf_dir: str, k: int = 3):
+    """GraphSAGE-style 2-hop neighborhood sampling over the undirected
+    hyperlink graph — the data-prep step a GNN trainer consumes, made
+    DETERMINISTIC so the twin can verify it: each node's hop-1 sample
+    is its k neighbors with the smallest ``((u*31 + v) * 2654435761)
+    % 2147483647`` edge hash (ties -> smallest neighbor id); the hop-2
+    sample is the UNION of the hop-1 samples of those neighbors, minus
+    the root and its own hop-1 set. Output (node, hop, nb) rows.
+
+    Scale shape: one groupby on the node for the per-node top-k (rows
+    carried are (node, nb, h) — 24 bytes), one cogroup join expands
+    hop-2 (volume <= k^2 per node), one distinct pass; no driver
+    state. The SQL twin ranks with ROW_NUMBER over the identical hash
+    expression."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from autoner_ray.stages.joins import cogroup_join
+
+    edges = link_graph(sf_dir).materialize()
+
+    _n_schema = pa.schema([("node", pa.int64()), ("nb", pa.int64())])
+
+    def bidir(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _n_schema.empty_table()
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    t["src"].chunks + t["dst"].chunks
+                ),
+                "nb": pa.chunked_array(
+                    t["dst"].chunks + t["src"].chunks
+                ),
+            },
+            schema=_n_schema,
+        )
+
+    _s_cols = ["node", "nb"]
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        u = df["node"].to_numpy(np.int64)
+        v = df["nb"].to_numpy(np.int64)
+        h = ((u * 31 + v) * 2654435761) % 2147483647
+        o = np.lexsort((v, h))[:k]
+        return pd.DataFrame({"node": u[o], "nb": v[o]})
+
+    s1 = (
+        edges.map_batches(bidir, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(topk, batch_format="pandas")
+        .materialize()
+    )
+
+    # hop-2 expand: join s1's neighbor column onto s1's node column
+    def as_mid(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("nb", pa.int64()), ("node2", pa.int64())]
+            ).empty_table()
+        return pa.table({"nb": t["node"], "node2": t["nb"]})
+
+    expanded = cogroup_join(
+        s1, s1.map_batches(as_mid, batch_format="pyarrow"),
+        on=("nb",),
+    )
+
+    def hop2_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _n_schema.empty_table()
+        keep = pc.not_equal(t["node"], t["node2"])
+        return pa.table(
+            {
+                "node": t["node"].filter(keep),
+                "nb": t["node2"].filter(keep),
+            },
+            schema=_n_schema,
+        )
+
+    h2_raw = (
+        expanded.map_batches(hop2_rows, batch_format="pyarrow")
+        .groupby(["node", "nb"])
+        .aggregate(Max("nb", alias_name="_m"))
+        .select_columns(["node", "nb"])
+    )
+    # anti-join: drop hop-2 rows already in the hop-1 sample
+    s1_tag = s1.map_batches(
+        lambda t: t.append_column(
+            "in1", pa.array([1] * len(t), pa.int64())
+        )
+        if len(t) else pa.schema(
+            [("node", pa.int64()), ("nb", pa.int64()),
+             ("in1", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    h2 = cogroup_join(
+        h2_raw, s1_tag, on=("node", "nb"), join_type="left outer"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].filter(pc.is_null(t["in1"])),
+                "nb": t["nb"].filter(pc.is_null(t["in1"])),
+            },
+            schema=_n_schema,
+        )
+        if len(t) else _n_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+
+    _o_schema = pa.schema(
+        [("node", pa.int64()), ("hop", pa.int64()), ("nb", pa.int64())]
+    )
+
+    def with_hop(hop):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _o_schema.empty_table()
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "hop": pa.array([hop] * len(t), pa.int64()),
+                    "nb": t["nb"],
+                },
+                schema=_o_schema,
+            )
+
+        return fn
+
+    return s1.map_batches(with_hop(1), batch_format="pyarrow").union(
+        h2.map_batches(with_hop(2), batch_format="pyarrow")
+    )

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 320 and len(sqls) == 298
+    assert len(qs) == 321 and len(sqls) == 299
     import subprocess
     import sys
 
