@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kg.unigram_degree_distribution(sf)
         ),
         "kg_adamic_adar": lambda sf: kg.unigram_adamic_adar(sf),
+        "kg_local_clustering": lambda sf: kg.unigram_local_clustering(sf),
         "kg_entity_jaccard": lambda sf: kg.unigram_entity_jaccard(sf),
         "kg_assoc_rules": lambda sf: kg.unigram_assoc_rules(sf),
         "kg_proximity_edges": lambda sf: kg.unigram_proximity_edges(sf),
@@ -2358,6 +2359,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, COUNT(*) AS n_common,
                    CAST(SUM(m) AS BIGINT) AS aa_micro
             FROM t GROUP BY a, b
+        """,
+        "kg_local_clustering": f"""
+            WITH {_unigram_graph_ctes(dict_values)},
+            deg AS (SELECT src, COUNT(*) AS d FROM bidir GROUP BY src),
+            tri AS (
+                SELECT v, COUNT(*) AS t FROM (
+                    SELECT w.src AS v
+                    FROM (
+                        SELECT e1.src, e1.dst AS a, e2.dst AS b
+                        FROM bidir e1 JOIN bidir e2
+                          ON e1.src = e2.src AND e1.dst < e2.dst
+                    ) w
+                    JOIN pairs p ON p.subj = w.a AND p.obj = w.b
+                ) GROUP BY v
+            )
+            SELECT d.src AS entity, CAST(d.d AS BIGINT) AS degree,
+                   CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+                   CAST(CASE WHEN d.d >= 2
+                             THEN (2000000 * COALESCE(t.t, 0))
+                                      // (d.d * (d.d - 1))
+                             ELSE 0 END AS BIGINT) AS lcc_ppm
+            FROM deg d LEFT JOIN tri t ON t.v = d.src
         """,
         "kg_connected_components": _connected_components_sql(dict_values),
         "kg_bfs_distances": _bfs_distances_sql(dict_values),

@@ -38,7 +38,7 @@ def test_no_ray_init_in_library():
     m = _entry_module()
     qs = m.queries()
     sqls = m.oracle_sql()
-    assert len(qs) == 321 and len(sqls) == 299
+    assert len(qs) == 322 and len(sqls) == 300
     import subprocess
     import sys
 
