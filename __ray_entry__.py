@@ -626,6 +626,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_distinct_users": lambda sf: (
             windows.hourly_distinct_users(_events(sf, ['ts', 'user_id']))
         ),
+        "events_trailing_distinct_users": lambda sf: (
+            windows.trailing_distinct_users(
+                _events(sf, ['ts', 'user_id'])
+            )
+        ),
         "events_value_deltas": lambda sf: windows.user_value_deltas(
             _events(sf, ['event_id', 'ts', 'user_id', 'value'])
         ),
@@ -3232,6 +3237,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour,
                    COUNT(DISTINCT user_id) AS users
             FROM events GROUP BY 1
+        """,
+        "events_trailing_distinct_users": """
+            -- same window expansion as the engine: each distinct
+            -- (user, active hour) supports every PRESENT anchor hour
+            -- in [h, h+23]; anchors are hours that appear at all
+            WITH uh AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('hour', ts) AS hour
+                FROM events
+            ),
+            anchors AS (SELECT DISTINCT hour FROM uh)
+            SELECT a.hour,
+                   CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+            FROM anchors a JOIN uh u
+              ON u.hour <= a.hour
+             AND u.hour > a.hour - INTERVAL 24 HOURS
+            GROUP BY a.hour
         """,
         "top_word_per_source": f"""
             WITH w AS (

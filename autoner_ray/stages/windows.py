@@ -2674,3 +2674,116 @@ def dispersion_index(events_ds):
             ),
         }
     )
+
+
+def trailing_distinct_users(events_ds, window_hours: int = 24):
+    """Exact trailing-window distinct users per hour — the rolling
+    DAU/WAU curve computed exactly: for every hour h present in the
+    stream, the count of users with >= 1 event in
+    (h - window_hours, h]. EXACT via window expansion, not a sketch:
+    each distinct (user, active-hour) row expands to the
+    ``window_hours`` window rows it supports, a second distinct pass
+    collapses multi-hour users per window, and a bounded combine
+    counts — the same arithmetic the SQL twin runs, so the value-hash
+    certifies it. Output (hour, n_users) restricted to hours that
+    actually appear in the stream (no zero-fill — trailing windows of
+    silent hours are a different product question).
+
+    Scale shape: volume is window_hours x |distinct (user, hour)|
+    (bounded by users x hours, far below the event stream); two hash
+    shuffles ((user, hour) distinct, then (user, window) distinct via
+    groupby) and one bounded combine keyed by the hour domain."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _uh_schema = pa.schema(
+        [("user_id", pa.int64()), ("hour", pa.timestamp("us"))]
+    )
+
+    def user_hours(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _uh_schema.empty_table()
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        out = pa.table(
+            {"user_id": t["user_id"], "hour": hour}, schema=_uh_schema
+        )
+        # per-batch distinct shrinks the expansion input
+        return out.group_by(["user_id", "hour"]).aggregate(
+            []
+        ).rename_columns(["user_id", "hour"])
+
+    distinct_uh = (
+        events_ds.map_batches(user_hours, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["user_id", "hour"])
+        .materialize()
+    )
+    # the hour domain actually present (windows only anchor there)
+    present = set(
+        r["hour"]
+        for r in distinct_uh.groupby("hour")
+        .aggregate(Max("user_id", alias_name="_m"))
+        .select_columns(["hour"])
+        .take_all()
+    )
+    import ray
+
+    present_ref = ray.put(np.array(sorted(present), "datetime64[us]"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _uh_schema.empty_table()
+        anchors = ray.get(present_ref)
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        hours = t["hour"].to_numpy(zero_copy_only=False)
+        one_h = np.timedelta64(1, "h")
+        # windows anchored at h .. h + window-1 that are PRESENT —
+        # fully vectorized: searchsorted ranges + grouped arange
+        lo = np.searchsorted(anchors, hours, side="left")
+        hi = np.searchsorted(
+            anchors, hours + (window_hours - 1) * one_h, side="right"
+        )
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return _uh_schema.empty_table()
+        u_out = np.repeat(users.astype(np.int64), counts)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        idx = np.repeat(lo, counts) + within
+        return pa.table(
+            {
+                "user_id": pa.array(u_out, pa.int64()),
+                "hour": pa.array(anchors[idx], pa.timestamp("us")),
+            },
+            schema=_uh_schema,
+        )
+
+    per_window = (
+        distinct_uh.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["hour"])
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by("hour").aggregate([("hour", "count")])
+        return agg.rename_columns(["hour", "n_users"])
+
+    return bounded_key_sum(
+        per_window.map_batches(count_partial, batch_format="pyarrow"),
+        keys=["hour"], sum_cols=["n_users"],
+    )
