@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_adamic_adar": lambda sf: kg.unigram_adamic_adar(sf),
         "kg_local_clustering": lambda sf: kg.unigram_local_clustering(sf),
+        "kg_bipartite_projection": lambda sf: (
+            kg.unigram_bipartite_projection(sf)
+        ),
         "kg_entity_jaccard": lambda sf: kg.unigram_entity_jaccard(sf),
         "kg_assoc_rules": lambda sf: kg.unigram_assoc_rules(sf),
         "kg_proximity_edges": lambda sf: kg.unigram_proximity_edges(sf),
@@ -2386,6 +2389,27 @@ def oracle_sql() -> dict[str, str]:
                                       // (d.d * (d.d - 1))
                              ELSE 0 END AS BIGINT) AS lcc_ppm
             FROM deg d LEFT JOIN tri t ON t.v = d.src
+        """,
+        "kg_bipartite_projection": f"""
+            -- Newman 1/(k-1) weighting, integer micro-units per doc
+            -- BEFORE the sum (identical quantization to the engine)
+            WITH words AS (
+                SELECT DISTINCT d.doc_id, dict.entity
+                FROM documents d, UNNEST({WORDS}) AS t(word)
+                JOIN {dict_values} ON t.word = dict.word
+            ),
+            dk AS (
+                SELECT doc_id, COUNT(*) AS k FROM words GROUP BY doc_id
+            )
+            SELECT a.entity AS subj, b.entity AS obj,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(1000000 // (dk.k - 1)) AS BIGINT)
+                       AS w_micro
+            FROM words a
+            JOIN words b ON a.doc_id = b.doc_id AND a.entity < b.entity
+            JOIN dk ON dk.doc_id = a.doc_id
+            WHERE dk.k >= 2
+            GROUP BY 1, 2
         """,
         "kg_connected_components": _connected_components_sql(dict_values),
         "kg_bfs_distances": _bfs_distances_sql(dict_values),

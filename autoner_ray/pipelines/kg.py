@@ -2241,3 +2241,64 @@ def unigram_local_clustering(sf_dir: str):
             "lcc_ppm": pa.array(lcc, pa.int64()),
         }
     )
+
+
+def unigram_bipartite_projection(sf_dir: str):
+    """Newman-weighted one-mode projection of the doc-entity bipartite
+    graph: each doc with k >= 2 entities contributes weight
+    ``1/(k-1)`` to every entity pair it contains (Newman 2001's
+    collaboration weighting — a doc mentioning 20 entities says less
+    about any one pair than a doc mentioning 2), quantized to integer
+    micro-units per doc BEFORE summation so partials merge
+    order-independently and match the SQL twin exactly. Output
+    (subj, obj, n_docs, w_micro) with subj < obj.
+
+    Scale shape: per-batch pair partials pre-aggregate (the
+    pair_counts_batch pattern with a weight column), then the one
+    subj-keyed shuffle of :func:`triples.aggregate_edges`'s combine
+    shape — no new machinery, no driver state."""
+    import pandas as pd
+
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    docs = unigram_doc_entities(sf_dir)
+
+    _p_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()),
+         ("n_docs", pa.int64()), ("w_micro", pa.int64())]
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _p_schema.empty_table()
+        s_col, o_col, w_col = [], [], []
+        for ents in t["entities"].to_pylist():
+            k = len(ents)
+            if k < 2:
+                continue
+            w = int(1_000_000 // (k - 1))
+            for i in range(k):
+                for j in range(i + 1, k):
+                    s_col.append(ents[i])
+                    o_col.append(ents[j])
+                    w_col.append(w)
+        part = pa.table(
+            {
+                "subj": pa.array(s_col, pa.string()),
+                "obj": pa.array(o_col, pa.string()),
+                "n_docs": pa.array([1] * len(s_col), pa.int64()),
+                "w_micro": pa.array(w_col, pa.int64()),
+            },
+            schema=_p_schema,
+        )
+        agg = part.group_by(["subj", "obj"]).aggregate(
+            [("n_docs", "sum"), ("w_micro", "sum")]
+        )
+        return agg.rename_columns(["subj", "obj", "n_docs", "w_micro"])
+
+    return partitioned_key_agg(
+        docs.map_batches(pair_partials, batch_format="pyarrow"),
+        keys=["subj", "obj"],
+        aggs=[("n_docs", "sum"), ("w_micro", "sum")],
+        part_on=("subj",),
+    )
