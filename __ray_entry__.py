@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_distances": lambda sf: kg.unigram_bfs_distances(sf),
         # --- oracle-backed: relational operator probes -------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q1_incremental_maintenance": (
+            relational.q1_incremental_maintenance
+        ),
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "brand_revenue": relational.brand_revenue,
         "region_supplier_count": relational.region_supplier_count,
@@ -4286,6 +4289,30 @@ def oracle_sql() -> dict[str, str]:
         "events_time_weighted_avg": (
             windows_mod.time_weighted_avg_oracle_sql()
         ),
+        "q1_incremental_maintenance": """
+            -- RECOMPUTE over the modified view; the engine maintains
+            -- the same aggregate algebraically in one weighted pass —
+            -- hash equality proves the IVM algebra
+            WITH modified AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS q,
+                       CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT) AS cents
+                FROM lineitem WHERE l_orderkey % 10 <> 0
+                UNION ALL
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) + 1,
+                       CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT)
+                FROM lineitem WHERE l_orderkey % 7 = 0
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(q) AS BIGINT) AS sum_qty,
+                   round(CAST(SUM(cents) AS DOUBLE) / 100, 2)
+                       AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM modified GROUP BY 1, 2
+        """,
         "q4_order_priority": """
             SELECT o_orderpriority, COUNT(*) AS n_orders
             FROM orders o

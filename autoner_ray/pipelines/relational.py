@@ -5206,3 +5206,96 @@ def orders_benford(sf_dir: str):
             ),
         }
     )
+
+
+def q1_incremental_maintenance(sf_dir: str):
+    """Incremental view maintenance of the Q1-style pricing aggregate
+    under a deterministic base-table delta — the algebra a
+    materialized-view refresher runs instead of recomputing:
+    DELETE every row with ``l_orderkey % 10 == 0`` and INSERT a
+    modified copy (quantity + 1) of every ORIGINAL row with
+    ``l_orderkey % 7 == 0``. For the distributive aggregates
+    (SUM/COUNT) the maintained view is exactly
+    ``agg(base) - agg(deleted) + agg(inserted)``, so the engine folds
+    all three into ONE weighted pass over the unchanged base table:
+    each row contributes ``[kept] * row + [insert-source] * modified``
+    to its (returnflag, linestatus) group, pre-combined per batch,
+    bounded-combined globally. The oracle RECOMPUTES over the
+    modified view directly — value-hash equality IS the proof that
+    the maintenance algebra lands on the recompute.
+
+    Output (l_returnflag, l_linestatus, sum_qty, sum_disc_price,
+    n_rows) with the integer-cents discipline."""
+    import numpy as np
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _p_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+         ("sum_qty", pa.int64()), ("cents", pa.int64()),
+         ("n_rows", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _p_schema.empty_table()
+        import pandas as pd
+
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100 + 0.5
+        ).astype(np.int64)
+        kept = (ok % 10 != 0).astype(np.int64)
+        ins = (ok % 7 == 0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pylist(),
+                "l_linestatus": t["l_linestatus"].to_pylist(),
+                # kept copy + modified insert copy (quantity + 1)
+                "sum_qty": kept * qty.astype(np.int64)
+                + ins * (qty.astype(np.int64) + 1),
+                "cents": (kept + ins) * cents,
+                "n_rows": kept + ins,
+            }
+        ).groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(df, schema=_p_schema,
+                                    preserve_index=False)
+
+    agg = bounded_key_sum(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_quantity", "l_extendedprice",
+               "l_discount", "l_returnflag", "l_linestatus"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty", "cents", "n_rows"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_disc_price": pa.array([], pa.float64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"],
+                "sum_disc_price": pc2.divide(
+                    pc2.cast(t["cents"], pa.float64()), 100.0
+                ),
+                "n_rows": t["n_rows"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
