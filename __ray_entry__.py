@@ -1147,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_mis": webgraph.link_mis,
         "pages_link_edgecut": webgraph.link_edgecut,
         "pages_neighbor_sample": webgraph.link_neighbor_sample,
+        "pages_link_bipartite": webgraph.link_bipartite_check,
         "pages_link_hits": webgraph.link_hits,
         "pages_link_indegree_gini": webgraph.link_indegree_gini,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
@@ -4923,6 +4924,45 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_densification": _densification_sql(),
         "pages_link_core_numbers": _core_numbers_sql(),
         "pages_link_mis": _link_mis_sql(),
+        "pages_link_bipartite": f"""
+            -- parity of min hop dist from each component's min node
+            -- (capped closure, cap 96 >> link-graph eccentricity)
+            WITH RECURSIVE {_LINKS_CTE},
+            und AS MATERIALIZED (
+                SELECT src AS u, dst AS v FROM links
+                UNION SELECT dst, src FROM links
+            ),
+            reach(a, b) AS (
+                SELECT u, u FROM und
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN und e ON e.u = r.b
+            ),
+            labels AS (
+                SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a
+            ),
+            bfs(node, d) AS (
+                SELECT DISTINCT comp, 0 FROM labels
+                UNION
+                SELECT e.v, bfs.d + 1
+                FROM bfs JOIN und e ON e.u = bfs.node
+                WHERE bfs.d + 1 <= 96
+            ),
+            mind AS (
+                SELECT node, MIN(d) AS d FROM bfs GROUP BY node
+            )
+            SELECT CAST((SELECT COUNT(*) FROM links) AS BIGINT)
+                       AS n_edges,
+                   CAST(SUM(CASE WHEN a.d % 2 = b.d % 2
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_parity_conflicts,
+                   CAST(CASE WHEN SUM(CASE WHEN a.d % 2 = b.d % 2
+                                           THEN 1 ELSE 0 END) = 0
+                             THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_bipartite
+            FROM links l
+            JOIN mind a ON a.node = l.src
+            JOIN mind b ON b.node = l.dst
+        """,
         "pages_neighbor_sample": f"""
             -- same hash ranking as the engine: hop-1 = k smallest
             -- ((u*31+v)*2654435761)%%2147483647 neighbors; hop-2 =

@@ -388,7 +388,8 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
                   num_partitions: int | None = None,
                   sources: list | None = None,
                   directed: bool = False,
-                  to_fixpoint: bool = False):
+                  to_fixpoint: bool = False,
+                  sources_ds=None):
     """Single-source shortest-path (hop) distances on the undirected
     entity graph — min-DISTANCE propagation with the dist table as a
     Dataset, the same join+groupby-min fixpoint loop as
@@ -448,29 +449,69 @@ def bfs_distances(edges_ds, source=None, max_depth: int = 32,
         ).materialize()
     else:
         prop = bidir
-    if sources is None:
-        if source is None:
-            source = bidir.min("src")
-        sources = [source]
-    # multi-source frontier (``sources``): min-hop distance to the
-    # NEAREST seed — same fixpoint loop, seed set broadcast in the
-    # closure (seed lists are small by construction)
-    seed_arr = pa.array(list(sources), node_type)
+    universe = bidir.groupby("src").aggregate(Count(alias_name="_n"))
+    if sources_ds is not None:
+        # seed table as a DATASET (corpus-scale seed sets — e.g. one
+        # root per component — must not broadcast through a closure):
+        # mark seeds with a left-outer cogroup join instead
+        def tag_seed(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("src", node_type), ("_seed", pa.int64())]
+                ).empty_table()
+            return pa.table(
+                {
+                    "src": t["src"],
+                    "_seed": pa.array([1] * len(t), pa.int64()),
+                }
+            )
 
-    def init_dist(t: pa.Table) -> pa.Table:
-        d = pc.if_else(
-            pc.is_in(t["src"], value_set=seed_arr),
-            pa.scalar(0, pa.int64()),
-            pa.scalar(sentinel, pa.int64()),
+        def init_join(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("src", node_type), ("dist", pa.int64())]
+                ).empty_table()
+            d = pc.if_else(
+                pc.is_valid(t["_seed"]),
+                pa.scalar(0, pa.int64()),
+                pa.scalar(sentinel, pa.int64()),
+            )
+            return pa.table({"src": t["src"], "dist": d})
+
+        dist = (
+            cogroup_join(
+                universe.select_columns(["src"]).map_batches(
+                    lambda t: t, batch_format="pyarrow"
+                ),
+                sources_ds.map_batches(tag_seed, batch_format="pyarrow"),
+                on=("src",), num_partitions=num_partitions,
+                join_type="left outer",
+            )
+            .map_batches(init_join, batch_format="pyarrow")
+            .materialize()
         )
-        return pa.table({"src": t["src"], "dist": d})
+    else:
+        if sources is None:
+            if source is None:
+                source = bidir.min("src")
+            sources = [source]
+        # multi-source frontier (``sources``): min-hop distance to the
+        # NEAREST seed — same fixpoint loop, seed set broadcast in the
+        # closure (seed lists are small by construction)
+        seed_arr = pa.array(list(sources), node_type)
 
-    dist = (
-        bidir.groupby("src")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(init_dist, batch_format="pyarrow")
-        .materialize()
-    )
+        def init_dist(t: pa.Table) -> pa.Table:
+            d = pc.if_else(
+                pc.is_in(t["src"], value_set=seed_arr),
+                pa.scalar(0, pa.int64()),
+                pa.scalar(sentinel, pa.int64()),
+            )
+            return pa.table({"src": t["src"], "dist": d})
+
+        dist = (
+            universe.map_batches(init_dist, batch_format="pyarrow")
+            .materialize()
+        )
     _nd_schema = pa.schema([("src", node_type), ("nd", pa.int64())])
 
     def neighbor_dists(t: pa.Table) -> pa.Table:

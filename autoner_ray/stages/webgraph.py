@@ -1468,3 +1468,143 @@ def link_neighbor_sample(sf_dir: str, k: int = 3):
     return s1.map_batches(with_hop(1), batch_format="pyarrow").union(
         h2.map_batches(with_hop(2), batch_format="pyarrow")
     )
+
+
+def link_bipartite_check(sf_dir: str, driver_max_edges: int = 2_000_000):
+    """Bipartiteness / odd-cycle census of the undirected hyperlink
+    graph — the 2-colorability question behind crawl frontier
+    partitioning and conflict-free scheduling: color every node by the
+    PARITY of its shortest-hop distance from its component's root (the
+    component's smallest node id — both well-defined and
+    deterministic), then count edges whose endpoints share a parity;
+    zero conflicts <=> the graph is bipartite. One row:
+    (n_edges, n_parity_conflicts, is_bipartite).
+
+    Tiers (the :func:`scc` contract): numpy BFS parity under
+    ``driver_max_edges``; above it, min-label distributed CC supplies
+    one root per component as a DATASET of seeds (never a driver
+    list — components can be corpus-scale) into the multi-seed
+    ``bfs_distances(sources_ds=..., to_fixpoint=True)`` fixpoint, and
+    two cogroup joins stamp each edge's endpoint parities. The SQL
+    twin runs the same parity arithmetic over a depth-capped recursive
+    closure (cap 96 — beyond any real link-graph eccentricity; a
+    deeper graph fails loudly via the value-hash)."""
+    import numpy as np
+    from collections import deque
+
+    edges = link_graph(sf_dir).materialize()
+    n_edges = edges.count()
+
+    _named = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _named.empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]},
+                        schema=_named)
+
+    def counts_row(conflicts: int) -> pa.Table:
+        return pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_parity_conflicts": pa.array([conflicts], pa.int64()),
+                "is_bipartite": pa.array(
+                    [1 if conflicts == 0 else 0], pa.int64()
+                ),
+            }
+        )
+
+    if n_edges <= driver_max_edges:
+        df = edges.to_pandas()
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        nodes, inv = np.unique(np.concatenate([s, d]),
+                               return_inverse=True)
+        u = inv[: len(s)]
+        v = inv[len(s):]
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(u, v):
+            adj.setdefault(int(a), []).append(int(b))
+            adj.setdefault(int(b), []).append(int(a))
+        dist = np.full(len(nodes), -1, np.int64)
+        for start in range(len(nodes)):  # ascending = per-component min
+            if dist[start] >= 0:
+                continue
+            dist[start] = 0
+            q = deque([start])
+            while q:
+                x = q.popleft()
+                for y in adj.get(x, ()):
+                    if dist[y] < 0:
+                        dist[y] = dist[x] + 1
+                        q.append(y)
+        conflicts = int(((dist[u] % 2) == (dist[v] % 2)).sum())
+        return counts_row(conflicts)
+
+    # ---- distributed tier
+    import pyarrow.compute as pc
+
+    from autoner_ray.stages.graph import (
+        bfs_distances,
+        connected_components_distributed,
+    )
+    from autoner_ray.stages.joins import cogroup_join
+
+    named = edges.map_batches(to_named, batch_format="pyarrow")
+    labels = connected_components_distributed(
+        named, as_dataset=True
+    ).materialize()
+    roots = labels.filter(expr="src == label").select_columns(["src"])
+    dist = bfs_distances(
+        named, sources_ds=roots, to_fixpoint=True
+    ).materialize()
+
+    def dist_as(colname):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [(colname, pa.int64()),
+                     (f"p_{colname}", pa.int64())]
+                ).empty_table()
+            return pa.table(
+                {
+                    colname: t["entity"],
+                    f"p_{colname}": pc.bit_wise_and(
+                        t["dist"], pa.scalar(1, pa.int64())
+                    ),
+                }
+            )
+
+        return fn
+
+    e1 = cogroup_join(
+        edges.map_batches(
+            lambda t: pa.table({"src": t["src"], "dst": t["dst"]})
+            if len(t) else pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ),
+        dist.map_batches(dist_as("src"), batch_format="pyarrow"),
+        on=("src",),
+    )
+    e2 = cogroup_join(
+        e1, dist.map_batches(dist_as("dst"), batch_format="pyarrow"),
+        on=("dst",),
+    )
+
+    def conflict_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"c": pa.array([], pa.int64())})
+        eq = pc.equal(t["p_src"], t["p_dst"])
+        return pa.table(
+            {"c": pa.array([int(pc.sum(pc.cast(eq, pa.int64())).as_py()
+                            or 0)], pa.int64())}
+        )
+
+    conflicts = sum(
+        r["c"] for r in e2.map_batches(
+            conflict_partial, batch_format="pyarrow"
+        ).take_all()
+    )
+    return counts_row(int(conflicts))

@@ -265,3 +265,39 @@ def test_image_dhash_invariance_and_pairs():
     other = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
     ho = image_dhash(other)
     assert bin((h0 & (2**64 - 1)) ^ (ho & (2**64 - 1))).count("1") > 10
+
+
+def test_link_bipartite_tiers_and_semantics(ray_session, monkeypatch):
+    """Driver and distributed tiers agree on a graph mixing an odd
+    cycle, a bipartite even cycle, and a disconnected edge; the odd
+    cycle forces >= 1 parity conflict."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from autoner_ray.stages import webgraph as wg
+
+    # triangle {1,2,3} (odd), square {10,11,12,13} (even),
+    # island edge {20,21}
+    edges = [(1, 2), (2, 3), (1, 3),
+             (10, 11), (11, 12), (12, 13), (10, 13),
+             (20, 21)]
+
+    def fake_link_graph(sf_dir):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        ).repartition(2)
+
+    monkeypatch.setattr(wg, "link_graph", fake_link_graph)
+    drv = wg.link_bipartite_check("ignored").to_pylist()[0]
+    dist = wg.link_bipartite_check(
+        "ignored", driver_max_edges=0
+    ).to_pylist()[0]
+    assert drv == dist
+    assert drv["n_edges"] == len(edges)
+    assert drv["is_bipartite"] == 0
+    assert drv["n_parity_conflicts"] >= 1
