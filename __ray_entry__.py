@@ -557,6 +557,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": lambda sf: analysis.heavy_hitter_words(
             _docs(sf, ["doc_id", "text"])
         ),
+        # per-doc inter-document 5-gram overlap (diversity census)
+        "docs_ngram_overlap": lambda sf: analysis.ngram_overlap_census(
+            _docs(sf, ["doc_id", "text"])
+        ),
         # perceptual image dedup over the REAL BMP/PPM decode path
         "media_image_dhash": lambda sf: multimodal.media_image_dhash(
             _docs(sf, ["doc_id", "text"])
@@ -3831,6 +3835,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.h <> b.h THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        "docs_ngram_overlap": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(
+                           ws[CAST(i AS BIGINT):CAST(i AS BIGINT) + 4],
+                           ' ') AS g
+                FROM ws, unnest(range(1, len(ws) - 3)) AS t(i)
+            ),
+            df AS (
+                SELECT g, COUNT(DISTINCT doc_id) AS d
+                FROM grams GROUP BY g
+            )
+            SELECT gr.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   CAST((1000000 * SUM(CASE WHEN df.d >= 2
+                                            THEN 1 ELSE 0 END))
+                        // COUNT(*) AS BIGINT) AS overlap_ppm
+            FROM grams gr JOIN df USING (g)
+            GROUP BY gr.doc_id
         """,
         "embeddings_label_counts": """
             SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label

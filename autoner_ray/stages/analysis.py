@@ -5453,3 +5453,108 @@ def heavy_hitter_words(docs_ds, phi_denom: int = 200, slack: int = 4):
         )
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_overlap_census(docs_ds, n: int = 5):
+    """Per-doc inter-document n-gram overlap — the diversity /
+    memorization census a corpus audit reads: for each doc, the
+    fraction (ppm) of its DISTINCT word n-grams that also appear in at
+    least one OTHER doc. High overlap = boilerplate / near-dup / heavy
+    quotation; the per-doc companion of the corpus-level shingle-df
+    histogram. Output (doc_id, n_grams, n_shared, overlap_ppm).
+
+    Scale shape: (gram-hash, doc_id) distinct rows shuffle ONCE on the
+    gram hash; the per-gram group marks rows whose gram has document
+    frequency >= 2, pre-reduces to per-doc partials, and a
+    doc-partitioned sum finishes — the substring-dedup shape with df
+    semantics. Gram identity is a 64-bit content hash both sides
+    compute identically (md5-derived)."""
+    import pandas as pd
+
+    from autoner_ray.functions.hashing import md5_64
+    from autoner_ray.stages.combine import partitioned_key_agg
+    from autoner_ray.stages.joins import _stable_part_col
+    from autoner_ray.stages.tokenize import sentence_token_stream
+
+    from autoner_ray.cluster import default_num_partitions
+
+    P = default_num_partitions()
+    _g_schema = pa.schema(
+        [("g", pa.int64()), ("doc_id", pa.int64()),
+         ("part", pa.int32())]
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _g_schema.empty_table()
+        g_col, d_col = [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = sentence_token_stream(text or "")
+            grams = {
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)
+            }
+            for gm in grams:
+                g_col.append(md5_64(gm) - (1 << 63))
+                d_col.append(int(did))
+        out = pa.table(
+            {
+                "g": pa.array(g_col, pa.int64()),
+                "doc_id": pa.array(d_col, pa.int64()),
+            }
+        )
+        return out.append_column(
+            "part", _stable_part_col(out, ("g",), P)
+        )
+
+    _p_cols = ["doc_id", "n_grams", "n_shared"]
+
+    def mark_shared(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in _p_cols}).astype("int64")
+        df_count = df.groupby("g")["doc_id"].transform("nunique")
+        shared = (df_count >= 2).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_grams": 1,
+                "n_shared": shared,
+            }
+        ).groupby("doc_id", as_index=False).sum()
+        return out
+
+    rolled = partitioned_key_agg(
+        docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark_shared, batch_format="pandas"),
+        keys=["doc_id"],
+        aggs=[("n_grams", "sum"), ("n_shared", "sum")],
+        part_on=("doc_id",),
+    )
+
+    _o_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+         ("n_shared", pa.int64()), ("overlap_ppm", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _o_schema.empty_table()
+        import numpy as np
+
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.where(ng > 0, (1_000_000 * ns) // np.maximum(ng, 1),
+                       0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_grams": pa.array(ng, pa.int64()),
+                "n_shared": pa.array(ns, pa.int64()),
+                "overlap_ppm": pa.array(ppm, pa.int64()),
+            },
+            schema=_o_schema,
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
