@@ -636,6 +636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_distinct_users": lambda sf: (
             windows.hourly_distinct_users(_events(sf, ['ts', 'user_id']))
         ),
+        "events_bot_regularity": lambda sf: windows.bot_regularity(
+            _events(sf, ['event_id', 'ts', 'user_id'])
+        ),
         "events_trailing_distinct_users": lambda sf: (
             windows.trailing_distinct_users(
                 _events(sf, ['ts', 'user_id'])
@@ -3269,6 +3272,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour,
                    COUNT(DISTINCT user_id) AS users
             FROM events GROUP BY 1
+        """,
+        "events_bot_regularity": """
+            -- same integer identity as the engine: gaps via LAG over
+            -- (ts, event_id) order; disp_ppm = (n*S2 - S1^2)*1e6
+            -- // (n*S1)
+            WITH g AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS BIGINT) AS gap
+                FROM events
+            ),
+            m AS (
+                SELECT user_id,
+                       COUNT(*) AS n_gaps,
+                       SUM(CAST(gap AS HUGEINT)) AS s1,
+                       SUM(CAST(gap AS HUGEINT)
+                           * CAST(gap AS HUGEINT)) AS s2
+                FROM g WHERE gap IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(n_gaps + 1 AS BIGINT) AS n_events,
+                   CAST(CASE WHEN s1 > 0 THEN
+                       ((n_gaps * s2 - s1 * s1) * 1000000)
+                           // (n_gaps * s1)
+                        ELSE 0 END AS BIGINT) AS iat_dispersion_ppm,
+                   CAST(CASE WHEN (CASE WHEN s1 > 0 THEN
+                       ((n_gaps * s2 - s1 * s1) * 1000000)
+                           // (n_gaps * s1) ELSE 0 END) <= 100000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+            FROM m WHERE n_gaps + 1 >= 5
         """,
         "events_trailing_distinct_users": """
             -- same window expansion as the engine: each distinct

@@ -2787,3 +2787,57 @@ def trailing_distinct_users(events_ds, window_hours: int = 24):
         per_window.map_batches(count_partial, batch_format="pyarrow"),
         keys=["hour"], sum_cols=["n_users"],
     )
+
+
+def bot_regularity(events_ds, min_events: int = 5,
+                   bot_max_dispersion_ppm: int = 100_000):
+    """Bot-likeness census from inter-arrival regularity — the
+    traffic-hygiene filter a log pipeline runs before user analytics:
+    human arrivals are bursty (index of dispersion of inter-arrival
+    gaps >> 0), schedulers are metronomes (dispersion ~ 0). Per user
+    with >= ``min_events`` events: the integer-exact variance-to-mean
+    ratio of the microsecond inter-arrival gaps, in ppm, and the flag
+    ``is_bot = dispersion_ppm <= bot_max_dispersion_ppm``. Output
+    (user_id, n_events, iat_dispersion_ppm, is_bot).
+
+    Exact integer identity (the dispersion_index convention): with
+    gaps g_i (n of them), S1 = Σg, S2 = Σg², the ratio
+    var/mean = (n·S2 − S1²) / (n·S1) and the emitted ppm is its floor
+    scale — order-independent, matched by the LAG-window twin.
+
+    Scale shape: one hash shuffle on user_id (the sessionize
+    partition key), vectorized diff/moment per group."""
+    import numpy as np
+    import pandas as pd
+
+    _o_cols = ["user_id", "n_events", "iat_dispersion_ppm", "is_bot"]
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        if len(df) < min_events:
+            return pd.DataFrame({c: [] for c in _o_cols}).astype(
+                "int64"
+            )
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        g = np.diff(ts)
+        n = len(g)
+        s1 = int(g.sum())
+        s2 = int((g.astype(object) ** 2).sum())  # py ints: no overflow
+        disp_ppm = (
+            ((n * s2 - s1 * s1) * 1_000_000) // (n * s1) if s1 else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_events": [len(df)],
+                "iat_dispersion_ppm": [int(disp_ppm)],
+                "is_bot": [
+                    1 if disp_ppm <= bot_max_dispersion_ppm else 0
+                ],
+            }
+        )
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
