@@ -1155,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_edgecut": webgraph.link_edgecut,
         "pages_neighbor_sample": webgraph.link_neighbor_sample,
         "pages_link_bipartite": webgraph.link_bipartite_check,
+        "pages_kcenter_landmarks": webgraph.link_kcenter_landmarks,
         "pages_link_hits": webgraph.link_hits,
         "pages_link_indegree_gini": webgraph.link_indegree_gini,
         "pages_link_wcc_stats": webgraph.link_wcc_stats,
@@ -1444,6 +1445,69 @@ def _link_mis_sql(max_rounds: int = 12) -> str:
                CAST(CASE WHEN m.node IS NULL THEN 0 ELSE 1 END
                     AS BIGINT) AS in_mis
         FROM allnodes a LEFT JOIN mis m ON m.node = a.node
+    """
+
+
+def _kcenter_sql(k: int = 4, cap: int = 96) -> str:
+    """Unrolled greedy farthest-first rounds: each round's capped
+    recursive BFS closure seeds from the landmark set chosen so far;
+    the pick is the min unreached node when one exists (dist -1), else
+    the (max dist, min id) argmax — the engine's exact rule."""
+    parts = []
+    picks = ["SELECT 1 AS rank, (SELECT v FROM l1) AS page, 0 AS d"]
+    for r in range(1, k):
+        prev_seeds = " UNION ALL ".join(
+            [f"SELECT v FROM l{j}" for j in range(1, r + 1)]
+        )
+        parts.append(f"""
+        bfs{r}(node, d) AS (
+            SELECT v, 0 FROM ({prev_seeds})
+            UNION
+            SELECT e.v, b.d + 1
+            FROM bfs{r} b JOIN und e ON e.u = b.node
+            WHERE b.d + 1 <= {cap}
+        ),
+        mind{r} AS (
+            SELECT node, MIN(d) AS d FROM bfs{r} GROUP BY node
+        ),
+        unr{r} AS (
+            SELECT MIN(a.node) AS v FROM allnodes a
+            LEFT JOIN mind{r} m ON m.node = a.node
+            WHERE m.node IS NULL
+        ),
+        far{r} AS (
+            SELECT node AS v, d FROM mind{r}
+            ORDER BY d DESC, node ASC LIMIT 1
+        ),
+        l{r + 1} AS (
+            SELECT COALESCE((SELECT v FROM unr{r}),
+                            (SELECT v FROM far{r})) AS v
+        ),
+        d{r + 1} AS (
+            SELECT CASE WHEN (SELECT v FROM unr{r}) IS NOT NULL
+                        THEN -1 ELSE (SELECT d FROM far{r}) END AS d
+        )""")
+        picks.append(
+            f"SELECT {r + 1}, (SELECT v FROM l{r + 1}), "
+            f"(SELECT d FROM d{r + 1})"
+        )
+    chain = ",".join(parts)
+    union = " UNION ALL ".join(picks)
+    return f"""
+        WITH RECURSIVE {_LINKS_CTE},
+        und AS MATERIALIZED (
+            SELECT src AS u, dst AS v FROM links
+            UNION SELECT dst, src FROM links
+        ),
+        allnodes AS MATERIALIZED (
+            SELECT DISTINCT u AS node FROM und
+        ),
+        l1 AS (SELECT MIN(node) AS v FROM allnodes),
+        {chain}
+        SELECT CAST(rank AS BIGINT) AS rank,
+               CAST(page AS BIGINT) AS page,
+               CAST(d AS BIGINT) AS dist_when_chosen
+        FROM ({union})
     """
 
 
@@ -4988,6 +5052,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_link_densification": _densification_sql(),
         "pages_link_core_numbers": _core_numbers_sql(),
         "pages_link_mis": _link_mis_sql(),
+        "pages_kcenter_landmarks": _kcenter_sql(),
         "pages_link_bipartite": f"""
             -- parity of min hop dist from each component's min node
             -- (capped closure, cap 96 >> link-graph eccentricity)

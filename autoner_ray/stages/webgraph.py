@@ -1608,3 +1608,167 @@ def link_bipartite_check(sf_dir: str, driver_max_edges: int = 2_000_000):
         ).take_all()
     )
     return counts_row(int(conflicts))
+
+
+def link_kcenter_landmarks(sf_dir: str, k: int = 4,
+                           driver_max_edges: int = 2_000_000):
+    """Greedy farthest-first k-center landmark selection over the
+    undirected hyperlink graph — the classic 2-approximation every
+    landmark-embedding / routing-sketch pipeline starts with, made
+    deterministic: landmark 1 is the smallest node id; each next
+    landmark is the node FARTHEST (shortest-hop distance) from the
+    current landmark set, unreachable nodes counting as infinitely far
+    (ties -> smallest id). Output (rank, page, dist_when_chosen) with
+    dist -1 standing for "unreachable from the previous set" (the
+    disconnected-component pick).
+
+    Tiers (the :func:`scc` contract): numpy multi-source BFS under
+    ``driver_max_edges``; above it k-1 multi-seed BFS fixpoints
+    (:func:`graph.bfs_distances` ``sources=... to_fixpoint=True`` —
+    seed list is the k-bounded landmark set, safely broadcast); the
+    argmax each round is a tiny (max dist, min id) aggregate, never a
+    node-set materialization. The SQL twin unrolls the same k-1
+    capped-closure BFS rounds."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from autoner_ray.stages.graph import bfs_distances
+
+    edges = link_graph(sf_dir).materialize()
+
+    if edges.count() <= driver_max_edges:
+        from collections import deque
+
+        df = edges.to_pandas()
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        nodes, inv = np.unique(np.concatenate([s, d]),
+                               return_inverse=True)
+        u = inv[: len(s)]
+        v = inv[len(s):]
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(u, v):
+            adj.setdefault(int(a), []).append(int(b))
+            adj.setdefault(int(b), []).append(int(a))
+        lms = [0]  # index of min node (nodes sorted ascending)
+        dd = [0]
+        for _ in range(k - 1):
+            dist = np.full(len(nodes), -1, np.int64)
+            q = deque(lms)
+            for x in lms:
+                dist[x] = 0
+            while q:
+                x = q.popleft()
+                for y in adj.get(x, ()):
+                    if dist[y] < 0:
+                        dist[y] = dist[x] + 1
+                        q.append(y)
+            unreached = np.nonzero(dist < 0)[0]
+            if len(unreached):
+                pick = int(unreached[0])  # nodes ascending -> min id
+                lms.append(pick)
+                dd.append(-1)
+                continue
+            dmax = int(dist.max())
+            cand = np.nonzero(dist == dmax)[0]
+            pick = int(cand[0])
+            lms.append(pick)
+            dd.append(dmax)
+        return pa.table(
+            {
+                "rank": pa.array(range(1, len(lms) + 1), pa.int64()),
+                "page": pa.array(
+                    [int(nodes[i]) for i in lms], pa.int64()
+                ),
+                "dist_when_chosen": pa.array(dd, pa.int64()),
+            }
+        )
+
+    _named = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+
+    def to_named(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _named.empty_table()
+        return pa.table({"subj": t["src"], "obj": t["dst"]},
+                        schema=_named)
+
+    named = edges.map_batches(to_named, batch_format="pyarrow")
+    first = int(
+        min(edges.min("src"), edges.min("dst"))
+    )
+    landmarks = [first]
+    dists = [0]
+    for _ in range(k - 1):
+        dist = bfs_distances(
+            named, sources=list(landmarks), to_fixpoint=True
+        ).materialize()
+        # candidate 1: unreachable node (not in dist) -> smallest id
+        reached = dist.count()
+        total_nodes = (
+            named.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": pa.chunked_array(
+                            t["subj"].chunks + t["obj"].chunks
+                        )
+                    }
+                )
+                if len(t) else pa.schema(
+                    [("src", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            )
+            .groupby("src")
+            .aggregate(Max("src", alias_name="_m"))
+            .select_columns(["src"])
+            .materialize()
+        )
+        if total_nodes.count() > reached:
+            # anti-join: smallest unreached id
+            import pyarrow.compute as pc2
+
+            from autoner_ray.stages.joins import cogroup_join
+
+            tagged = dist.map_batches(
+                lambda t: pa.table(
+                    {"src": t["entity"],
+                     "r": pa.array([1] * len(t), pa.int64())}
+                )
+                if len(t) else pa.schema(
+                    [("src", pa.int64()), ("r", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            )
+            unreached_min = (
+                cogroup_join(total_nodes, tagged, on=("src",),
+                             join_type="left outer")
+                .map_batches(
+                    lambda t: pa.table(
+                        {"src": t["src"].filter(pc2.is_null(t["r"]))}
+                    )
+                    if len(t) else pa.schema(
+                        [("src", pa.int64())]
+                    ).empty_table(),
+                    batch_format="pyarrow",
+                )
+                .min("src")
+            )
+            landmarks.append(int(unreached_min))
+            dists.append(-1)
+            continue
+        # farthest reached node; tie -> smallest id at the max dist
+        dmax = dist.max("dist")
+        pick = (
+            dist.filter(expr=f"dist == {int(dmax)}")
+            .min("entity")
+        )
+        landmarks.append(int(pick))
+        dists.append(int(dmax))
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(landmarks) + 1), pa.int64()),
+            "page": pa.array(landmarks, pa.int64()),
+            "dist_when_chosen": pa.array(dists, pa.int64()),
+        }
+    )

@@ -301,3 +301,34 @@ def test_link_bipartite_tiers_and_semantics(ray_session, monkeypatch):
     assert drv["n_edges"] == len(edges)
     assert drv["is_bipartite"] == 0
     assert drv["n_parity_conflicts"] >= 1
+
+
+def test_kcenter_tier_equality(ray_session, monkeypatch):
+    """Driver and distributed k-center tiers agree, including the
+    disconnected-component pick (dist -1)."""
+    from autoner_ray.stages import webgraph as wg
+
+    # path 1-2-3-4-5 plus island {50, 51}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (50, 51)]
+
+    def fake_link_graph(sf_dir):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        ).repartition(2)
+
+    monkeypatch.setattr(wg, "link_graph", fake_link_graph)
+    drv = wg.link_kcenter_landmarks("x", k=3).to_pylist()
+    dist = wg.link_kcenter_landmarks(
+        "x", k=3, driver_max_edges=0
+    ).to_pylist()
+    assert drv == dist
+    assert drv[0] == {"rank": 1, "page": 1, "dist_when_chosen": 0}
+    # island unreachable from node 1 -> second pick is min island node
+    assert drv[1] == {"rank": 2, "page": 50, "dist_when_chosen": -1}
+    # now everything reachable; farthest from {1, 50} is node 5 (d 4)
+    assert drv[2] == {"rank": 3, "page": 5, "dist_when_chosen": 4}
