@@ -2680,23 +2680,25 @@ def trailing_distinct_users(events_ds, window_hours: int = 24):
     """Exact trailing-window distinct users per hour — the rolling
     DAU/WAU curve computed exactly: for every hour h present in the
     stream, the count of users with >= 1 event in
-    (h - window_hours, h]. EXACT via window expansion, not a sketch:
-    each distinct (user, active-hour) row expands to the
-    ``window_hours`` window rows it supports, a second distinct pass
-    collapses multi-hour users per window, and a bounded combine
-    counts — the same arithmetic the SQL twin runs, so the value-hash
-    certifies it. Output (hour, n_users) restricted to hours that
-    actually appear in the stream (no zero-fill — trailing windows of
-    silent hours are a different product question).
+    (h - window_hours, h]. EXACT, not a sketch: one user-keyed group
+    pass turns each user's active-hour set into the DISTINCT set of
+    present anchor hours it covers (vectorized searchsorted ranges +
+    np.unique — a user active in several hours of one window counts
+    once, deduped inside the group), and a bounded combine keyed by
+    the hour domain sums the per-user covers. Output (hour, n_users)
+    restricted to hours that actually appear (no zero-fill).
 
-    Scale shape: volume is window_hours x |distinct (user, hour)|
-    (bounded by users x hours, far below the event stream); two hash
-    shuffles ((user, hour) distinct, then (user, window) distinct via
-    groupby) and one bounded combine keyed by the hour domain."""
+    Scale shape: ONE hash shuffle on user_id (the sessionize key) over
+    distinct (user, hour) partials; per-group output is bounded by the
+    hour domain; the count is the bounded combine. (The first cut ran
+    a second corpus-sized (user, window) distinct shuffle — 28 s at
+    sf0.1; this shape is ~5x cheaper.)"""
     import numpy as np
     import pandas as pd
 
-    from ray.data.aggregate import Count, Max
+    import ray
+
+    from ray.data.aggregate import Max
 
     from autoner_ray.stages.combine import bounded_key_sum
 
@@ -2711,18 +2713,14 @@ def trailing_distinct_users(events_ds, window_hours: int = 24):
         out = pa.table(
             {"user_id": t["user_id"], "hour": hour}, schema=_uh_schema
         )
-        # per-batch distinct shrinks the expansion input
+        # per-batch distinct shrinks the shuffle input
         return out.group_by(["user_id", "hour"]).aggregate(
             []
         ).rename_columns(["user_id", "hour"])
 
-    distinct_uh = (
-        events_ds.map_batches(user_hours, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["user_id", "hour"])
-        .materialize()
-    )
+    distinct_uh = events_ds.map_batches(
+        user_hours, batch_format="pyarrow"
+    ).materialize()
     # the hour domain actually present (windows only anchor there)
     present = set(
         r["hour"]
@@ -2731,19 +2729,12 @@ def trailing_distinct_users(events_ds, window_hours: int = 24):
         .select_columns(["hour"])
         .take_all()
     )
-    import ray
-
     present_ref = ray.put(np.array(sorted(present), "datetime64[us]"))
 
-    def expand(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return _uh_schema.empty_table()
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
         anchors = ray.get(present_ref)
-        users = t["user_id"].to_numpy(zero_copy_only=False)
-        hours = t["hour"].to_numpy(zero_copy_only=False)
+        hours = np.unique(df["hour"].to_numpy("datetime64[us]"))
         one_h = np.timedelta64(1, "h")
-        # windows anchored at h .. h + window-1 that are PRESENT —
-        # fully vectorized: searchsorted ranges + grouped arange
         lo = np.searchsorted(anchors, hours, side="left")
         hi = np.searchsorted(
             anchors, hours + (window_hours - 1) * one_h, side="right"
@@ -2751,41 +2742,29 @@ def trailing_distinct_users(events_ds, window_hours: int = 24):
         counts = hi - lo
         total = int(counts.sum())
         if total == 0:
-            return _uh_schema.empty_table()
-        u_out = np.repeat(users.astype(np.int64), counts)
+            return pd.DataFrame(
+                {
+                    "hour": pd.Series([], dtype="datetime64[us]"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
         within = np.arange(total) - np.repeat(
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
         )
         idx = np.repeat(lo, counts) + within
-        return pa.table(
+        covered = np.unique(anchors[idx])
+        return pd.DataFrame(
             {
-                "user_id": pa.array(u_out, pa.int64()),
-                "hour": pa.array(anchors[idx], pa.timestamp("us")),
-            },
-            schema=_uh_schema,
+                "hour": covered,
+                "n_users": np.ones(len(covered), np.int64),
+            }
         )
 
-    per_window = (
-        distinct_uh.map_batches(expand, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["hour"])
+    per_user = distinct_uh.groupby("user_id").map_groups(
+        cover, batch_format="pandas"
     )
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return pa.table(
-                {
-                    "hour": pa.array([], pa.timestamp("us")),
-                    "n_users": pa.array([], pa.int64()),
-                }
-            )
-        agg = t.group_by("hour").aggregate([("hour", "count")])
-        return agg.rename_columns(["hour", "n_users"])
-
     return bounded_key_sum(
-        per_window.map_batches(count_partial, batch_format="pyarrow"),
-        keys=["hour"], sum_cols=["n_users"],
+        per_user, keys=["hour"], sum_cols=["n_users"]
     )
 
 
