@@ -959,6 +959,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ['ts'])
         ),
         "pages_crawl_rate": webtext.crawl_rate,
+        # at-scale tier of the curation composition (LSH candidate
+        # pairs; recall < 1 by design -> rows-only)
+        "docs_curation_pipeline_lsh": lambda sf: __import__(
+            "autoner_ray.pipelines.curation", fromlist=["curation_pipeline"]
+        ).curation_pipeline(sf, pair_source="lsh"),
         "docs_curation_pipeline": lambda sf: __import__(
             "autoner_ray.pipelines.curation",
             fromlist=["curation_pipeline"],
