@@ -2016,17 +2016,17 @@ def negative_samples(edges_ds, k: int = 2,
             schema=_out_schema,
         )
 
-    out = cogroup_join(
-        cands, edges, on=("pair",), num_partitions=num_partitions,
-        join_type="left outer",
-    ).map_batches(survivors, batch_format="pyarrow").materialize()
-    if out.count() == 0:
-        # a fully-filtered candidate set (dense graphs leave no valid
-        # corruption) must still present the contract schema — Ray's
-        # Dataset.to_pandas() drops columns on empty datasets (seen at
-        # sf0.1), so hand back the schema'd Arrow table itself
-        return _out_schema.empty_table()
-    return out
+    from autoner_ray.stages.combine import materialize_or_empty
+
+    # a fully-filtered candidate set (dense graphs leave no valid
+    # corruption) must still present the contract schema
+    return materialize_or_empty(
+        cogroup_join(
+            cands, edges, on=("pair",), num_partitions=num_partitions,
+            join_type="left outer",
+        ).map_batches(survivors, batch_format="pyarrow"),
+        _out_schema,
+    )
 
 
 def community_modularity(sf_dir: str, rounds: int = 4):

@@ -139,7 +139,6 @@ def _ensure_core() -> None:
     global _CORE_LOADED
     if _CORE_LOADED:
         return
-    _CORE_LOADED = True
 
     from autoner_ray.sources.pages import derive_pages_batch
     from autoner_ray.stages.analysis import lang_id_batch, quality_batch
@@ -167,3 +166,7 @@ def _ensure_core() -> None:
             _REGISTRY[name] = StageSpec(
                 name=name, fn=fn, kind=kind, description=desc
             )
+    # latch only AFTER the imports succeed — a transient ImportError
+    # must surface again on the next call, not leave a permanently
+    # empty registry with misleading "unknown stage" errors
+    _CORE_LOADED = True

@@ -5083,6 +5083,12 @@ def passage_chunks(docs_ds, window: int = 200, stride: int = 150):
     def chunk_batch(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             return _schema.empty_table()
+        # null-text docs emit nothing (the oracle's length(NULL) ->
+        # range(0, NULL) behavior; a NaN length would cast to garbage)
+        valid = pc.is_valid(t["text"])
+        t = t.filter(valid)
+        if len(t) == 0:
+            return _schema.empty_table()
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lens = pc.utf8_length(t["text"]).to_numpy(
             zero_copy_only=False
@@ -5408,6 +5414,10 @@ def heavy_hitter_words(docs_ds, phi_denom: int = 200, slack: int = 4):
         docs_ds.map_batches(candidates_batch, batch_format="pyarrow"),
         keys=["word"], sum_cols=["n"],
     ).to_pandas()
+    if len(partials) == 0 or "word" not in partials.columns:
+        # empty corpus: Ray's to_pandas drops columns on empty
+        # datasets — return the schema'd empty result
+        return _c_schema.empty_table()
     total = int(partials.loc[
         partials["word"] == "\x00__total__", "n"
     ].iloc[0])
@@ -5463,15 +5473,15 @@ def ngram_overlap_census(docs_ds, n: int = 5):
     quotation; the per-doc companion of the corpus-level shingle-df
     histogram. Output (doc_id, n_grams, n_shared, overlap_ppm).
 
-    Scale shape: (gram-hash, doc_id) distinct rows shuffle ONCE on the
-    gram hash; the per-gram group marks rows whose gram has document
-    frequency >= 2, pre-reduces to per-doc partials, and a
-    doc-partitioned sum finishes — the substring-dedup shape with df
-    semantics. Gram identity is a 64-bit content hash both sides
-    compute identically (md5-derived)."""
+    Scale shape: (gram, doc_id) distinct rows shuffle ONCE on the
+    gram's content hash (partition key only — group identity stays
+    the gram STRING, so hash collisions cannot merge distinct grams
+    and both sides agree exactly); the per-gram group marks rows
+    whose gram has document frequency >= 2, pre-reduces to per-doc
+    partials, and a doc-partitioned sum finishes — the
+    substring-dedup shape with df semantics."""
     import pandas as pd
 
-    from autoner_ray.functions.hashing import md5_64
     from autoner_ray.stages.combine import partitioned_key_agg
     from autoner_ray.stages.joins import _stable_part_col
     from autoner_ray.stages.tokenize import sentence_token_stream
@@ -5480,7 +5490,7 @@ def ngram_overlap_census(docs_ds, n: int = 5):
 
     P = default_num_partitions()
     _g_schema = pa.schema(
-        [("g", pa.int64()), ("doc_id", pa.int64()),
+        [("g", pa.string()), ("doc_id", pa.int64()),
          ("part", pa.int32())]
     )
 
@@ -5496,11 +5506,11 @@ def ngram_overlap_census(docs_ds, n: int = 5):
                 for i in range(len(toks) - n + 1)
             }
             for gm in grams:
-                g_col.append(md5_64(gm) - (1 << 63))
+                g_col.append(gm)
                 d_col.append(int(did))
         out = pa.table(
             {
-                "g": pa.array(g_col, pa.int64()),
+                "g": pa.array(g_col, pa.string()),
                 "doc_id": pa.array(d_col, pa.int64()),
             }
         )

@@ -186,3 +186,19 @@ def partitioned_key_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
         .groupby("__part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def materialize_or_empty(ds, schema):
+    """Materialize ``ds``; when it holds zero rows, hand back
+    ``schema.empty_table()`` (a pyarrow Table) instead of the Dataset.
+    Ray's ``Dataset.to_pandas()`` drops COLUMNS on an empty dataset
+    (union/join stages can emit schemaless empty bundles), which
+    breaks every downstream consumer expecting the contract columns —
+    first seen three separate times in the sf0.1 sweep
+    (negative_samples, q11, image-dhash pairs). One shared guard, one
+    documented return-type contract: Dataset when non-empty, schema'd
+    Arrow table when empty."""
+    out = ds.materialize()
+    if out.count() == 0:
+        return schema.empty_table()
+    return out

@@ -2815,14 +2815,18 @@ def luby_mis(edges_ds, max_rounds: int = 12,
         df = edges.to_pandas()
         a = df["subj"].to_numpy(np.int64)
         b = df["obj"].to_numpy(np.int64)
+        # self loops drop ENTIRELY, including their endpoints from the
+        # node universe (a self-looped node is adjacent to itself, so
+        # its MIS status is degenerate; all three sides — both tiers
+        # and the SQL twin — agree by excluding it)
+        ok = a != b
+        a, b = a[ok], b[ok]
         nodes, inv = np.unique(np.concatenate([a, b]),
                                return_inverse=True)
         u = inv[: len(a)]
         v = inv[len(a):]
-        # dedup undirected pairs, drop self loops
-        keep = u != v
-        lo = np.minimum(u[keep], v[keep])
-        hi = np.maximum(u[keep], v[keep])
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
         pair = np.unique(lo * np.int64(len(nodes)) + hi)
         pu = (pair // len(nodes)).astype(np.int64)
         pv = (pair % len(nodes)).astype(np.int64)
@@ -3113,13 +3117,15 @@ def luby_mis(edges_ds, max_rounds: int = 12,
             f"luby_mis (distributed): {nodes_t.count()} nodes "
             f"undecided after {max_rounds} rounds — raise max_rounds"
         )
-    # assemble (page, in_mis) over the original node universe
+    # assemble (page, in_mis) over the SELF-LOOP-FREE node universe
+    # (the driver tier and SQL twin exclude self-loop-only nodes too)
     universe = (
-        edges.map_batches(
+        edges.map_batches(und, batch_format="pyarrow")
+        .map_batches(
             lambda t: pa.table(
                 {
                     "src": pa.chunked_array(
-                        t["subj"].chunks + t["obj"].chunks
+                        t["u"].chunks + t["v"].chunks
                     )
                 }
             )

@@ -946,12 +946,11 @@ def media_image_dhash_pairs(docs_ds, max_hamming: int = 2,
         # a pair can match in several bands — keep one row
         return df.drop_duplicates().head(1)
 
-    out = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pair, batch_format="pandas"
-    ).materialize()
-    if out.count() == 0:
-        # schema'd empty (Ray's to_pandas drops columns otherwise)
-        return pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64())]
-        ).empty_table()
-    return out
+    from autoner_ray.stages.combine import materialize_or_empty
+
+    return materialize_or_empty(
+        pairs.groupby(["doc_a", "doc_b"]).map_groups(
+            dedup_pair, batch_format="pandas"
+        ),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )

@@ -2134,63 +2134,24 @@ def label_spread_ivf(sf_dir: str, k: int = 3, num_lists: int = 16,
             }
         )
 
-    _p_cols = ["vec_id", "label", "n_id", "n_label", "simq"]
-
     def per_list(df: pd.DataFrame) -> pd.DataFrame:
         mem = df[df["side"] == 0]
         pro = df[df["side"] == 1]
         if len(mem) == 0 or len(pro) == 0:
-            return pd.DataFrame({c: [] for c in _p_cols}).astype(
-                {c: np.int64 for c in _p_cols}
+            cols = ["vec_id", "label", "n_id", "n_label", "simq"]
+            return pd.DataFrame({c: [] for c in cols}).astype(
+                {c: np.int64 for c in cols}
             )
-        mids = mem["vec_id"].to_numpy(np.int64)
-        mlabels = mem["label"].to_numpy(np.int64)
-        M = np.array(mem["embedding"].to_list(), np.float64)
-        Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-30)
-        pids = pro["vec_id"].to_numpy(np.int64)
-        plabels = pro["label"].to_numpy(np.int64)
-        Q = np.array(pro["embedding"].to_list(), np.float64)
-        Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-30)
-        simq = np.floor((Qn @ Mn.T) * 1_000_000 + 0.5).astype(np.int64)
-        # same self sentinel as the brute tier (see its overflow note)
-        simq[pids[:, None] == mids[None, :]] = -(1 << 62)
-        kk = min(k, simq.shape[1])
-        order = np.lexsort(
-            (np.broadcast_to(mids, simq.shape), -simq), axis=1
-        )[:, :kk]
-        rows = np.arange(len(pids))[:, None]
-        return pd.DataFrame(
-            {
-                "vec_id": np.repeat(pids, kk),
-                "label": np.repeat(plabels, kk),
-                "n_id": mids[order].ravel(),
-                "n_label": mlabels[order].ravel(),
-                "simq": simq[rows, order].ravel(),
-            }
-        )
-
-    def vote(df: pd.DataFrame) -> pd.DataFrame:
-        # drop self-sentinel rows, order exactly like the brute tier,
-        # take the global top-k across the probed lists
-        df = df[df["simq"] > -(1 << 62)]
-        if len(df) == 0:
-            return pd.DataFrame(
-                {"vec_id": [], "label": [], "label_spread": []}
-            ).astype(np.int64)
-        o = np.lexsort(
-            (df["n_id"].to_numpy(), -df["simq"].to_numpy())
-        )[:k]
-        top = df.iloc[o]
-        vals, counts = np.unique(
-            top["n_label"].to_numpy(np.int64), return_counts=True
-        )
-        winner = int(vals[np.lexsort((vals, -counts))[0]])
-        return pd.DataFrame(
-            {
-                "vec_id": [int(df["vec_id"].iloc[0])],
-                "label": [int(df["label"].iloc[0])],
-                "label_spread": [winner],
-            }
+        # shared deterministic kernel — the grid tier calls the SAME
+        # helper, so any change to the quantized order applies to both
+        return _knn_partial_frame(
+            pro["vec_id"].to_numpy(np.int64),
+            pro["label"].to_numpy(np.int64),
+            np.array(pro["embedding"].to_list(), np.float64),
+            mem["vec_id"].to_numpy(np.int64),
+            mem["label"].to_numpy(np.int64),
+            np.array(mem["embedding"].to_list(), np.float64),
+            k,
         )
 
     partials = (
@@ -2198,29 +2159,7 @@ def label_spread_ivf(sf_dir: str, k: int = 3, num_lists: int = 16,
         .groupby("ivf_list")
         .map_groups(per_list, batch_format="pandas")
     )
-    _schema = pa.schema(
-        [("vec_id", pa.int64()), ("label", pa.int64()),
-         ("label_spread", pa.int64())]
-    )
-    return partials.groupby("vec_id").map_groups(
-        vote, batch_format="pandas"
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "vec_id": pc_cast_i64(t["vec_id"]),
-                "label": pc_cast_i64(t["label"]),
-                "label_spread": pc_cast_i64(t["label_spread"]),
-            },
-            schema=_schema,
-        ),
-        batch_format="pyarrow",
-    )
-
-
-def pc_cast_i64(arr):
-    import pyarrow.compute as pc
-
-    return pc.cast(arr, pa.int64())
+    return _knn_vote_merge(partials, k)
 
 
 def single_link_ladder(sf_dir: str,

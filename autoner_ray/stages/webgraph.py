@@ -1699,32 +1699,34 @@ def link_kcenter_landmarks(sf_dir: str, k: int = 4,
     )
     landmarks = [first]
     dists = [0]
+    # node universe is loop-invariant — build it ONCE, not per round
+    total_nodes = (
+        named.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.chunked_array(
+                        t["subj"].chunks + t["obj"].chunks
+                    )
+                }
+            )
+            if len(t) else pa.schema(
+                [("src", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Max("src", alias_name="_m"))
+        .select_columns(["src"])
+        .materialize()
+    )
+    n_total = total_nodes.count()
     for _ in range(k - 1):
         dist = bfs_distances(
             named, sources=list(landmarks), to_fixpoint=True
         ).materialize()
         # candidate 1: unreachable node (not in dist) -> smallest id
         reached = dist.count()
-        total_nodes = (
-            named.map_batches(
-                lambda t: pa.table(
-                    {
-                        "src": pa.chunked_array(
-                            t["subj"].chunks + t["obj"].chunks
-                        )
-                    }
-                )
-                if len(t) else pa.schema(
-                    [("src", pa.int64())]
-                ).empty_table(),
-                batch_format="pyarrow",
-            )
-            .groupby("src")
-            .aggregate(Max("src", alias_name="_m"))
-            .select_columns(["src"])
-            .materialize()
-        )
-        if total_nodes.count() > reached:
+        if n_total > reached:
             # anti-join: smallest unreached id
             import pyarrow.compute as pc2
 

@@ -289,6 +289,17 @@ def _gen_stress_corpus(sf_dir: str, repeat: int, out_dir: str) -> int:
     n = base.num_rows
     shard_dir = os.path.join(out_dir, "documents.parquet")
     os.makedirs(shard_dir, exist_ok=True)
+    # prune stale shards from an earlier LARGER --repeat: read_parquet
+    # reads the whole directory, so leftovers would silently inflate
+    # the corpus past the reported doc count
+    for name in os.listdir(shard_dir):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            try:
+                idx = int(name[5:10])
+            except ValueError:
+                continue
+            if idx >= repeat:
+                os.remove(os.path.join(shard_dir, name))
     ids = base["doc_id"].to_numpy()
     texts = base["text"].to_pylist()
     for i in range(repeat):

@@ -332,3 +332,18 @@ def test_kcenter_tier_equality(ray_session, monkeypatch):
     assert drv[1] == {"rank": 2, "page": 50, "dist_when_chosen": -1}
     # now everything reachable; farthest from {1, 50} is node 5 (d 4)
     assert drv[2] == {"rank": 3, "page": 5, "dist_when_chosen": 4}
+
+
+def test_luby_mis_self_loop_excluded(ray_session):
+    """A self-loop-only node is excluded from the universe on BOTH
+    tiers (matching the SQL twin, which never sees self-loop edges)."""
+    from autoner_ray.stages.graph import luby_mis
+
+    pairs = [(1, 2), (3, 3)]
+    drv = {r["page"]: r["in_mis"]
+           for r in luby_mis(_edges_named(pairs)).to_pylist()}
+    dist = {r["page"]: r["in_mis"]
+            for r in luby_mis(_edges_named(pairs),
+                              driver_max_edges=0).take_all()}
+    assert drv == dist
+    assert set(drv) == {1, 2}  # node 3 (self-loop only) not reported
