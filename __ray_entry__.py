@@ -518,6 +518,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # strict-order view -> click -> purchase completion funnel
         "events_funnel": lambda sf: windows.funnel_counts(_events(sf, ['ts', 'user_id', 'event_type'])),
+        "events_funnel_latency": lambda sf: (
+            windows.funnel_latency_quantiles(
+                _events(sf, ['ts', 'user_id', 'event_type'])
+            )
+        ),
         "events_value_quantiles": lambda sf: windows.value_quantiles_by_type(
             _events(sf, ['event_type', 'value'])
         ),
@@ -3372,6 +3377,55 @@ def oracle_sql() -> dict[str, str]:
                            // (n_gaps * s1) ELSE 0 END) <= 100000
                         THEN 1 ELSE 0 END AS BIGINT) AS is_bot
             FROM m WHERE n_gaps + 1 >= 5
+        """,
+        "events_funnel_latency": """
+            -- strict-order chaining identical to the engine (earliest
+            -- view; earliest click strictly after it; earliest
+            -- purchase strictly after that); elapsed = floor seconds
+            WITH f AS (
+                SELECT user_id, event_type, ts FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s0 AS (
+                SELECT user_id, MIN(ts) AS t0 FROM f
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+                SELECT f.user_id, MIN(f.ts) AS t1
+                FROM f JOIN s0 USING (user_id)
+                WHERE f.event_type = 'click' AND f.ts > s0.t0
+                GROUP BY f.user_id
+            ),
+            s2 AS (
+                SELECT f.user_id, MIN(f.ts) AS t2
+                FROM f JOIN s1 USING (user_id)
+                WHERE f.event_type = 'purchase' AND f.ts > s1.t1
+                GROUP BY f.user_id
+            ),
+            u AS (
+                SELECT 'view->click' AS transition,
+                       (epoch_us(t1) - epoch_us(t0)) // 1000000 AS secs
+                FROM s1 JOIN s0 USING (user_id)
+                UNION ALL
+                SELECT 'click->purchase',
+                       (epoch_us(t2) - epoch_us(t1)) // 1000000
+                FROM s2 JOIN s1 USING (user_id)
+            ),
+            q AS (
+                SELECT transition, UNNEST([250000, 500000, 750000])
+                           AS p_ppm,
+                       COUNT(*) AS n_users,
+                       UNNEST([
+                           round(quantile_cont(secs, 0.25), 6),
+                           round(quantile_cont(secs, 0.50), 6),
+                           round(quantile_cont(secs, 0.75), 6)
+                       ]) AS q_seconds
+                FROM u GROUP BY transition
+            )
+            SELECT transition, CAST(p_ppm AS BIGINT) AS p_ppm,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   q_seconds
+            FROM q
         """,
         "events_trailing_distinct_users": """
             -- same window expansion as the engine: each distinct

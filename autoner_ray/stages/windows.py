@@ -2820,3 +2820,110 @@ def bot_regularity(events_ds, min_events: int = 5,
         events_ds.groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )
+
+
+def funnel_latency_quantiles(events_ds,
+                             steps: tuple[str, ...] = ("view", "click",
+                                                       "purchase"),
+                             ps=(0.25, 0.5, 0.75)):
+    """Time-to-convert quantiles for each funnel transition — the
+    product-latency companion of :func:`funnel_counts`: among users
+    who complete steps[i] -> steps[i+1] under the strict-order funnel
+    chaining (earliest steps[0]; then the earliest steps[i+1] STRICTLY
+    after the user's step-i completion time), the exact quantiles of
+    the elapsed seconds. One row per (transition, p):
+    (transition, p_ppm, n_users, q_seconds) — ``quantile_cont``
+    interpolation on integer whole-second values, so the value-hash is
+    engine-independent (the value_quantiles_by_type convention).
+
+    Scale shape: funnel-type filter + 3-column project BEFORE the one
+    user_id hash shuffle; per-user chain timestamps come from the same
+    vectorized per-partition min-merge as funnel_counts; elapsed
+    seconds histogram partials ride the bounded combine (elapsed
+    domain per transition is bounded by the corpus time span in
+    seconds)."""
+    import numpy as np
+    import pandas as pd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    k = len(steps)
+    _t_schema = pa.schema(
+        [("transition", pa.string()), ("secs", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def per_user_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # chain: earliest step0; earliest step_i strictly after chain
+        out_t, out_s = [], []
+        for _, g in df.groupby("user_id", sort=False):
+            cur = None
+            for i, st in enumerate(steps):
+                ts = g.loc[g["event_type"] == st, "ts"]
+                if cur is not None:
+                    ts = ts[ts > cur]
+                if len(ts) == 0:
+                    break
+                nxt = ts.min()
+                if i > 0:
+                    out_t.append(f"{steps[i - 1]}->{st}")
+                    out_s.append(
+                        int((nxt - cur).total_seconds())
+                    )
+                cur = nxt
+        part = pd.DataFrame({"transition": out_t, "secs": out_s})
+        if len(part) == 0:
+            return pd.DataFrame(
+                {"transition": pd.Series([], dtype=str),
+                 "secs": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        return part.groupby(["transition", "secs"],
+                            as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("ts", pa.timestamp("us"))]
+            ).empty_table()
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(list(steps), pa.string()))
+        return t.select(["user_id", "event_type", "ts"]).filter(mask)
+
+    hist = bounded_key_sum(
+        events_ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user_partial, batch_format="pandas"),
+        keys=["transition", "secs"], sum_cols=["n"],
+    ).to_pandas()
+
+    # histogram -> exact quantile_cont per transition (driver side:
+    # the histogram is bounded by transitions x distinct seconds)
+    rows = []
+    for trans, g in hist.groupby("transition"):
+        g = g.sort_values("secs")
+        vals = g["secs"].to_numpy(np.int64)
+        cnts = g["n"].to_numpy(np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        for p in ps:
+            h = (total - 1) * p
+            lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
+            hi_i = int(np.searchsorted(cum, int(np.ceil(h)) + 1))
+            lo_v, hi_v = float(vals[lo_i]), float(vals[hi_i])
+            q = lo_v + (h - np.floor(h)) * (hi_v - lo_v)
+            rows.append(
+                (trans, int(round(p * 1_000_000)), total, round(q, 6))
+            )
+    rows.sort()
+    return pa.table(
+        {
+            "transition": pa.array([r[0] for r in rows], pa.string()),
+            "p_ppm": pa.array([r[1] for r in rows], pa.int64()),
+            "n_users": pa.array([r[2] for r in rows], pa.int64()),
+            "q_seconds": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
