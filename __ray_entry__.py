@@ -518,6 +518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # strict-order view -> click -> purchase completion funnel
         "events_funnel": lambda sf: windows.funnel_counts(_events(sf, ['ts', 'user_id', 'event_type'])),
+        "events_cohort_ltv": lambda sf: windows.cohort_ltv(
+            _events(sf, ['ts', 'user_id', 'value'])
+        ),
         "events_funnel_latency": lambda sf: (
             windows.funnel_latency_quantiles(
                 _events(sf, ['ts', 'user_id', 'event_type'])
@@ -3377,6 +3380,36 @@ def oracle_sql() -> dict[str, str]:
                            // (n_gaps * s1) ELSE 0 END) <= 100000
                         THEN 1 ELSE 0 END AS BIGINT) AS is_bot
             FROM m WHERE n_gaps + 1 >= 5
+        """,
+        "events_cohort_ltv": """
+            WITH u0 AS (
+                SELECT user_id, MIN(date_trunc('day', ts)) AS c0
+                FROM events GROUP BY user_id
+            ),
+            act AS (
+                SELECT u0.c0 AS cohort_day,
+                       CAST(date_diff('day', u0.c0,
+                                      date_trunc('day', e.ts))
+                            AS BIGINT) AS "offset",
+                       CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events e JOIN u0 USING (user_id)
+            ),
+            grid AS (
+                SELECT cohort_day, "offset", SUM(cents) AS cents
+                FROM act GROUP BY cohort_day, "offset"
+            ),
+            sizes AS (
+                SELECT c0 AS cohort_day, COUNT(*) AS n_users
+                FROM u0 GROUP BY c0
+            )
+            SELECT g.cohort_day, g."offset",
+                   CAST(s.n_users AS BIGINT) AS n_cohort_users,
+                   CAST(SUM(g.cents) OVER (
+                       PARTITION BY g.cohort_day ORDER BY g."offset"
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum_value_cents
+            FROM grid g JOIN sizes s USING (cohort_day)
         """,
         "events_funnel_latency": """
             -- strict-order chaining identical to the engine (earliest

@@ -2927,3 +2927,76 @@ def funnel_latency_quantiles(events_ds,
             "q_seconds": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def cohort_ltv(events_ds):
+    """Cohort lifetime-value curve — the value-weighted companion of
+    the retention matrix: users cohort by their FIRST active day;
+    for each (cohort_day, day_offset) the per-cohort cumulative value
+    in integer cents up to that offset. Output (cohort_day, offset,
+    n_cohort_users, cum_value_cents) for offsets that have activity.
+
+    Scale shape: one user-keyed group pass emits (cohort, offset,
+    cents) partials per user (vectorized inside the group); the
+    bounded combine keys on the (days x offsets) grid; the cumulative
+    fold runs driver-side over that bounded grid (the retention
+    convention). Cohort sizes ride the same partials under offset 0's
+    user count."""
+    import numpy as np
+    import pandas as pd
+
+    from autoner_ray.stages.combine import bounded_key_sum
+
+    _p_schema = pa.schema(
+        [("cohort_day", pa.timestamp("us")), ("offset", pa.int64()),
+         ("cents", pa.int64()), ("users", pa.int64())]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        c0 = day.min()
+        off = ((day - c0).dt.days).to_numpy(np.int64)
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"offset": off, "cents": cents}).groupby(
+            "offset", as_index=False
+        )["cents"].sum()
+        g["cohort_day"] = c0
+        g["users"] = 0
+        # cohort membership counts once, on the user's offset-0 row
+        g.loc[g["offset"] == 0, "users"] = 1
+        if (g["offset"] == 0).sum() == 0:
+            g = pd.concat(
+                [g, pd.DataFrame({"offset": [0], "cents": [0],
+                                  "cohort_day": [c0], "users": [1]})],
+                ignore_index=True,
+            )
+        return g[["cohort_day", "offset", "cents", "users"]]
+
+    grid = bounded_key_sum(
+        events_ds.groupby("user_id").map_groups(
+            per_user, batch_format="pandas"
+        ),
+        keys=["cohort_day", "offset"], sum_cols=["cents", "users"],
+    ).to_pandas()
+
+    rows = []
+    for cday, g in grid.groupby("cohort_day"):
+        g = g.sort_values("offset")
+        n_users = int(g["users"].sum())
+        cum = 0
+        for _, r in g.iterrows():
+            cum += int(r["cents"])
+            rows.append((cday, int(r["offset"]), n_users, cum))
+    rows.sort(key=lambda r: (str(r[0]), r[1]))
+    return pa.table(
+        {
+            "cohort_day": pa.array(
+                [r[0] for r in rows], pa.timestamp("us")
+            ),
+            "offset": pa.array([r[1] for r in rows], pa.int64()),
+            "n_cohort_users": pa.array([r[2] for r in rows], pa.int64()),
+            "cum_value_cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
