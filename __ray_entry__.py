@@ -565,6 +565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": lambda sf: analysis.heavy_hitter_words(
             _docs(sf, ["doc_id", "text"])
         ),
+        "docs_zipf_slope": lambda sf: analysis.zipf_slope(
+            _docs(sf, ["doc_id", "text"])
+        ),
         # per-doc inter-document 5-gram overlap (diversity census)
         "docs_ngram_overlap": lambda sf: analysis.ngram_overlap_census(
             _docs(sf, ["doc_id", "text"])
@@ -4025,6 +4028,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.h <> b.h THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        "docs_zipf_slope": f"""
+            -- same integer moment identity as the engine: micro-nat
+            -- points, k*Sxy - Sx*Sy over k*Sxx - Sx^2, float only in
+            -- the final ratio of exact integers
+            WITH tok AS (
+                SELECT UNNEST({WORDS}) AS word FROM documents
+            ),
+            counts AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok GROUP BY word
+            ),
+            top AS (
+                SELECT n, ROW_NUMBER() OVER (
+                    ORDER BY n DESC, word ASC) AS r
+                FROM counts QUALIFY r <= 100
+            ),
+            pts AS (
+                SELECT CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT)
+                           AS xi,
+                       CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)
+                           AS yi
+                FROM top
+            ),
+            m AS (
+                SELECT COUNT(*) AS k, SUM(xi) AS sx, SUM(yi) AS sy,
+                       SUM(xi * yi) AS sxy, SUM(xi * xi) AS sxx
+                FROM pts
+            )
+            SELECT CAST(k AS BIGINT) AS n_words,
+                   CAST(floor(
+                       (CAST(k * sxy - sx * sy AS DOUBLE)
+                        / CAST(k * sxx - sx * sx AS DOUBLE))
+                       * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+                   CAST(floor(
+                       ((sy - (CAST(k * sxy - sx * sy AS DOUBLE)
+                               / CAST(k * sxx - sx * sx AS DOUBLE))
+                             * sx) / (k * 1000000.0))
+                       * 1000000 + 0.5) AS BIGINT) AS intercept_micro
+            FROM m
         """,
         "docs_ngram_overlap": """
             WITH ws AS (

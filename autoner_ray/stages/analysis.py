@@ -5568,3 +5568,100 @@ def ngram_overlap_census(docs_ds, n: int = 5):
         )
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def zipf_slope(docs_ds, top_k: int = 100):
+    """Zipf's-law exponent of the corpus frequency distribution — the
+    one-number lexical-health check (natural text ~ -1; templated or
+    deduplicated-to-death corpora drift off): OLS slope of
+    ln(count) on ln(rank) over the TOP ``top_k`` words (count desc,
+    word asc ties — deterministic ranks). Per-point micro-nat
+    quantization before the driver-side OLS fold keeps both sides
+    bit-identical; output one row (n_words, slope_micro,
+    intercept_micro).
+
+    Scale shape: word counts ride the word-partitioned combine; each
+    partition emits its LOCAL top-k (a global top-k member must be in
+    its partition's top-k — count-per-word is complete after the
+    combine), the driver merges k*P candidate rows, and the OLS is
+    arithmetic over top_k points."""
+    import numpy as np
+    import pandas as pd
+
+    from autoner_ray.stages.combine import partitioned_key_agg
+
+    _w_schema = pa.schema(
+        [("word", pa.string()), ("n", pa.int64())]
+    )
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _w_schema.empty_table()
+        import collections
+
+        c: collections.Counter = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update((text or "").split(" "))
+        keys = list(c)
+        return pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            },
+            schema=_w_schema,
+        )
+
+    counts = partitioned_key_agg(
+        docs_ds.map_batches(word_partials, batch_format="pyarrow"),
+        keys=["word"], aggs=[("n", "sum")], part_on=("word",),
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _w_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "word": t["word"].to_pylist(),
+                "n": t["n"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["n", "word"], ascending=[False, True],
+                      kind="mergesort").head(top_k)
+        return pa.Table.from_pandas(df, schema=_w_schema,
+                                    preserve_index=False)
+
+    cand = counts.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    cand = cand.sort_values(["n", "word"], ascending=[False, True],
+                            kind="mergesort").head(top_k)
+    n = cand["n"].to_numpy(np.int64)
+    k = len(n)
+    # micro-nat INTEGER points + the exact moment identity, so every
+    # sum is integer arithmetic (order-independent, twin-identical);
+    # only the final ratios touch floats, on identical exact integers
+    xi = np.floor(np.log(np.arange(1, k + 1)) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    yi = np.floor(np.log(n.astype(np.float64)) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    sx, sy = int(xi.sum()), int(yi.sum())
+    sxy = int((xi * yi).sum())
+    sxx = int((xi * xi).sum())
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    slope_f = num / den
+    intercept_f = (sy - slope_f * sx) / (k * 1e6)
+    import math
+
+    return pa.table(
+        {
+            "n_words": pa.array([k], pa.int64()),
+            "slope_micro": pa.array(
+                [int(math.floor(slope_f * 1e6 + 0.5))], pa.int64()
+            ),
+            "intercept_micro": pa.array(
+                [int(math.floor(intercept_f * 1e6 + 0.5))], pa.int64()
+            ),
+        }
+    )
